@@ -1,0 +1,190 @@
+package graft.functions
+
+/**
+ * Per-partition pseudo-random generator backing the `randgen_*` expression
+ * family.
+ *
+ * The reference operator (`/root/reference/src/randgen/int64_uniform.rs:98`)
+ * uses an *unseeded* thread-local RNG; on Spark, task retries and speculative
+ * execution re-run partitions, so an unseeded generator would make retried
+ * partitions produce different data mid-query. We therefore adopt the
+ * `rand(seed)` convention: a per-(expression, partition) seed, mixed through
+ * SplitMix64 so adjacent (seed, partition) pairs decorrelate, driving an
+ * xorshift64* core. Both algorithms are public domain (Vigna, "An
+ * experimental exploration of Marsaglia's xorshift generators", 2016; Steele
+ * et al., "Fast splittable pseudorandom number generators", OOPSLA 2014).
+ *
+ * Must be a top-level public class: whole-stage codegen instantiates it by
+ * fully-qualified name inside generated Java.
+ */
+final class GraftRandom(seed: Long, partitionIndex: Int) {
+
+  private[this] var state: Long = {
+    // SplitMix64 finalizer over the combined seed; guarantees a well-mixed,
+    // non-zero xorshift state even for seed = partition = 0.
+    var z = seed + 0x9E3779B97F4A7C15L * (partitionIndex + 1).toLong
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if (z == 0L) 0x9E3779B97F4A7C15L else z
+  }
+
+  /** One cached spare for the Marsaglia polar gaussian. */
+  private[this] var haveSpareGaussian: Boolean = false
+  private[this] var spareGaussian: Double = 0.0
+
+  def nextLong(): Long = {
+    var x = state
+    x ^= x >>> 12
+    x ^= x << 25
+    x ^= x >>> 27
+    state = x
+    x * 0x2545F4914F6CDD1DL
+  }
+
+  /** Uniform double in [0, 1) with 53 bits of mantissa. */
+  def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+
+  /**
+   * Discrete uniform on the inclusive range [lo, hi] — the reference
+   * contract (`int64_uniform.rs:99` uses `Uniform::new_inclusive`).
+   * Unbiased via the power-of-two-mask / rejection scheme (same algorithm
+   * as `java.util.random.RandomSupport.boundedNextLong`). Fails fast on
+   * lo > hi, matching the reference's panic (`int64_uniform.rs:99` unwrap).
+   */
+  def nextLongInclusive(lo: Long, hi: Long): Long = {
+    if (lo > hi) {
+      throw new IllegalArgumentException(
+        s"randgen uniform: min ($lo) must be <= max ($hi)")
+    }
+    val width = hi - lo + 1 // == 0 or negative iff span >= 2^63 (overflow)
+    if (width <= 0L) {
+      // Span covers at least half the u64 space: rejection acceptance >= 1/2.
+      var r = nextLong()
+      while (r < lo || r > hi) r = nextLong()
+      r
+    } else if ((width & (width - 1)) == 0L) {
+      lo + (nextLong() & (width - 1))
+    } else {
+      var u = nextLong() >>> 1
+      var r = u % width
+      while (u + (width - 1) - r < 0L) { u = nextLong() >>> 1; r = u % width }
+      lo + r
+    }
+  }
+
+  /** Continuous uniform on [lo, hi). */
+  def nextDoubleUniform(lo: Double, hi: Double): Double =
+    lo + nextDouble() * (hi - lo)
+
+  /** Standard normal via Marsaglia polar, scaled to (mean, std). */
+  def nextGaussian(mean: Double, std: Double): Double = {
+    if (haveSpareGaussian) {
+      haveSpareGaussian = false
+      mean + std * spareGaussian
+    } else {
+      var x = 0.0; var y = 0.0; var s = 0.0
+      do {
+        x = 2.0 * nextDouble() - 1.0
+        y = 2.0 * nextDouble() - 1.0
+        s = x * x + y * y
+      } while (s >= 1.0 || s == 0.0)
+      val scale = math.sqrt(-2.0 * math.log(s) / s)
+      spareGaussian = y * scale
+      haveSpareGaussian = true
+      mean + std * (x * scale)
+    }
+  }
+
+  /** Exponential with rate lambda, via inversion. log1p keeps precision. */
+  def nextExponential(lambda: Double): Double = {
+    if (lambda <= 0.0) {
+      throw new IllegalArgumentException(
+        s"randgen exponential: lambda ($lambda) must be > 0")
+    }
+    -math.log1p(-nextDouble()) / lambda
+  }
+
+  /** Bernoulli trial with success probability p in [0, 1]. */
+  def nextBernoulli(p: Double): Boolean = {
+    if (p < 0.0 || p > 1.0) {
+      throw new IllegalArgumentException(
+        s"randgen bernoulli: p ($p) must be in [0, 1]")
+    }
+    nextDouble() < p
+  }
+
+  /**
+   * Zipf-distributed rank in [1, n] with exponent s > 0, via
+   * rejection-inversion (W. Hormann, G. Derflinger, "Rejection-inversion to
+   * generate variates from monotone discrete distributions", ACM TOMACS
+   * 1996 — the algorithm behind Apache Commons RNG's Zipf sampler and
+   * rand_distr's, which is what the reference's planned `*_zipf` generators
+   * would have used via `rand_distr`, `/root/reference/Cargo.toml:15`).
+   */
+  def nextZipf(n: Long, exponent: Double): Long = {
+    if (n < 1L || exponent <= 0.0) {
+      throw new IllegalArgumentException(
+        s"randgen zipf: need n >= 1 (got $n) and s > 0 (got $exponent)")
+    }
+    if (n == 1L) return 1L
+    // H(x) = integral of x^-s; h(x) = x^-s.
+    val hIntegralX1 = hIntegral(1.5, exponent) - 1.0
+    val hIntegralN = hIntegral(n + 0.5, exponent)
+    val shift = 2.0 -
+      hIntegralInverse(hIntegral(2.5, exponent) - hPoint(2.0, exponent), exponent)
+    while (true) {
+      val u = hIntegralN + nextDouble() * (hIntegralX1 - hIntegralN)
+      val x = hIntegralInverse(u, exponent)
+      var k = math.round(x)
+      if (k < 1L) k = 1L else if (k > n) k = n
+      if (k - x <= shift) return k
+      if (u >= hIntegral(k + 0.5, exponent) - hPoint(k.toDouble, exponent)) return k
+    }
+    1L // unreachable
+  }
+
+  // H(x) = (x^(1-s) - 1)/(1-s), with the s==1 log(x) limit (expm1/log1p
+  // keep precision near s=1).
+  private[this] def hIntegral(x: Double, s: Double): Double = {
+    val logX = math.log(x)
+    helper2((1.0 - s) * logX) * logX
+  }
+
+  private[this] def hPoint(x: Double, s: Double): Double =
+    math.exp(-s * math.log(x))
+
+  private[this] def hIntegralInverse(u: Double, s: Double): Double = {
+    var t = u * (1.0 - s)
+    if (t < -1.0) t = -1.0
+    math.exp(helper1(t) * u)
+  }
+
+  // helper1(t) = log1p(t)/t, continuous at 0.
+  private[this] def helper1(t: Double): Double =
+    if (math.abs(t) > 1e-8) math.log1p(t) / t else 1.0 - t / 2.0 + t * t / 3.0
+
+  // helper2(t) = expm1(t)/t, continuous at 0.
+  private[this] def helper2(t: Double): Double =
+    if (math.abs(t) > 1e-8) math.expm1(t) / t else 1.0 + t / 2.0 * (1.0 + t / 3.0)
+
+  private[this] val alphanumChars: Array[Char] =
+    ("abcdefghijklmnopqrstuvwxyz" +
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789").toCharArray
+
+  /** Random alphanumeric string with length uniform in [lenLo, lenHi]. */
+  def nextAlphanumeric(lenLo: Long, lenHi: Long): String = {
+    val len = nextLongInclusive(lenLo, lenHi)
+    if (len < 0L || len > Int.MaxValue.toLong) {
+      throw new IllegalArgumentException(
+        s"randgen string: length $len out of range [0, ${Int.MaxValue}]")
+    }
+    val sb = new java.lang.StringBuilder(len.toInt)
+    var i = 0
+    while (i < len) {
+      sb.append(alphanumChars(nextLongInclusive(0, alphanumChars.length - 1).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+}

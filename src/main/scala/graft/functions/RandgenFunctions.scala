@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+
+/**
+ * Registration + Column API for the `randgen_*` family — the Spark
+ * counterpart of the reference's `add_udfs(&mut SessionContext)` entry
+ * point (`/root/reference/src/lib.rs:8-10`), which installs every randgen
+ * UDF into a session's function registry keyed by name
+ * (`/root/reference/src/randgen/int64_uniform.rs:45-47`).
+ *
+ * Every SQL surface accepts an optional trailing foldable BIGINT seed:
+ * `randgen_int64_uniform(min, max)` draws a fresh seed at analysis time
+ * (like Spark's `rand()`), `randgen_int64_uniform(min, max, 42)` is
+ * reproducible per (seed, partition).
+ */
+object RandgenFunctions {
+
+  private def freshSeed(): Long = scala.util.Random.nextLong()
+
+  private def seedOf(name: String, e: Expression): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name: seed argument must be an integer literal, got $other")
+  }
+
+  private def arity2(name: String, mk: (Expression, Expression, Long) => Expression)
+      : (String, Seq[Expression] => Expression) =
+    name -> { (args: Seq[Expression]) =>
+      args match {
+        case Seq(a, b) => mk(a, b, freshSeed())
+        case Seq(a, b, s) => mk(a, b, seedOf(name, s))
+        case _ => throw new IllegalArgumentException(
+          s"$name expects 2 arguments plus an optional seed, got ${args.length}")
+      }
+    }
+
+  private def arity1(name: String, mk: (Expression, Long) => Expression)
+      : (String, Seq[Expression] => Expression) =
+    name -> { (args: Seq[Expression]) =>
+      args match {
+        case Seq(a) => mk(a, freshSeed())
+        case Seq(a, s) => mk(a, seedOf(name, s))
+        case _ => throw new IllegalArgumentException(
+          s"$name expects 1 argument plus an optional seed, got ${args.length}")
+      }
+    }
+
+  /** Name -> expression builder for every generator in the family. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    arity2("randgen_int64_uniform", RandgenInt64Uniform.apply),
+    arity2("randgen_float64_uniform", RandgenFloat64Uniform.apply),
+    arity2("randgen_float64_normal", RandgenFloat64Normal.apply),
+    arity1("randgen_float64_exponential", RandgenFloat64Exponential.apply),
+    arity2("randgen_int64_zipf", RandgenInt64Zipf.apply),
+    arity1("randgen_bool_bernoulli", RandgenBoolBernoulli.apply),
+    arity2("randgen_string_alphanum", RandgenStringAlphanum.apply),
+    arity2("randgen_date_uniform", RandgenDateUniform.apply),
+    arity2("randgen_timestamp_uniform", RandgenTimestampUniform.apply),
+    arity1("randgen_choice", RandgenChoice.apply),
+  )
+
+  /** Installs the whole family as temp functions in `spark`'s session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = GraftSqlBridge.functionRegistry(spark)
+    all.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+
+  // ---- Column API (no registration needed) --------------------------------
+
+  private def col(e: Expression): Column = GraftSqlBridge.column(e)
+  private def ex(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  def randgen_int64_uniform(min: Column, max: Column): Column =
+    col(RandgenInt64Uniform(ex(min), ex(max), freshSeed()))
+  def randgen_int64_uniform(min: Column, max: Column, seed: Long): Column =
+    col(RandgenInt64Uniform(ex(min), ex(max), seed))
+
+  def randgen_float64_uniform(lo: Column, hi: Column, seed: Long): Column =
+    col(RandgenFloat64Uniform(ex(lo), ex(hi), seed))
+  def randgen_float64_normal(mean: Column, std: Column, seed: Long): Column =
+    col(RandgenFloat64Normal(ex(mean), ex(std), seed))
+  def randgen_float64_exponential(lambda: Column, seed: Long): Column =
+    col(RandgenFloat64Exponential(ex(lambda), seed))
+  def randgen_int64_zipf(n: Column, s: Column, seed: Long): Column =
+    col(RandgenInt64Zipf(ex(n), ex(s), seed))
+  def randgen_bool_bernoulli(p: Column, seed: Long): Column =
+    col(RandgenBoolBernoulli(ex(p), seed))
+  def randgen_string_alphanum(lenMin: Column, lenMax: Column, seed: Long): Column =
+    col(RandgenStringAlphanum(ex(lenMin), ex(lenMax), seed))
+  def randgen_date_uniform(start: Column, end: Column, seed: Long): Column =
+    col(RandgenDateUniform(ex(start), ex(end), seed))
+  def randgen_timestamp_uniform(start: Column, end: Column, seed: Long): Column =
+    col(RandgenTimestampUniform(ex(start), ex(end), seed))
+  def randgen_choice(arr: Column, seed: Long): Column =
+    col(RandgenChoice(ex(arr), seed))
+}

@@ -1,0 +1,287 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/**
+ * The `randgen_*` generator family: volatile scalar generator expressions,
+ * Spark-native.
+ *
+ * The reference ships one such operator, `randgen_int64_uniform`
+ * (`/root/reference/src/randgen/int64_uniform.rs:17-153`), plus an empty
+ * `macros.rs` placeholder showing the intent of a `{type}_{distribution}`
+ * *family* (`/root/reference/src/randgen/mod.rs:1-2`, SURVEY.md §2.4). We
+ * realize the family as a shared [[RandgenExpression]] base trait + one
+ * small case class per generator.
+ *
+ * Design notes (SURVEY.md §1.3, §2.1):
+ *  - The reference's 4-way const/array columnar dispatch
+ *    (`int64_uniform.rs:68-91`) collapses to a single row-wise expression
+ *    under Catalyst; literal vs column arguments need no special casing.
+ *  - `Volatility::Volatile` (`int64_uniform.rs:23`) maps to
+ *    [[Nondeterministic]] (`deterministic = false`): blocks constant
+ *    folding, CSE, and predicate pushdown through the expression.
+ *  - Null-in => null-out for every argument shape
+ *    (`int64_uniform.rs:95-104,110-111,127-128`): the shared eval/codegen
+ *    helpers implement exactly that.
+ *  - min > max fails the query (reference panics at
+ *    `int64_uniform.rs:99`): [[GraftRandom]] throws.
+ *  - Unlike the reference's unseeded RNG (`int64_uniform.rs:98`) we seed
+ *    per (expression, partition) so task retries are stable; the SQL
+ *    surface accepts an optional trailing seed literal.
+ */
+trait RandgenExpression extends Expression with Nondeterministic {
+
+  /** Per-expression seed, fixed at analysis time (like Spark's `rand`). */
+  def seed: Long
+
+  @transient protected[this] var rng: GraftRandom = _
+
+  override protected def initializeInternal(partitionIndex: Int): Unit =
+    rng = new GraftRandom(seed, partitionIndex)
+
+  override def nullable: Boolean = true
+
+  /** Adds a partition-initialized GraftRandom field to the generated class. */
+  protected final def rngTerm(ctx: CodegenContext): String = {
+    val cls = classOf[GraftRandom].getName
+    val term = ctx.addMutableState(cls, "graftRng")
+    ctx.addPartitionInitializationStatement(
+      s"$term = new $cls(${seed}L, partitionIndex);")
+    term
+  }
+}
+
+/** Shared shape for two-argument generators: null-safe eval + codegen. */
+trait RandgenBinary extends BinaryExpression with RandgenExpression
+    with ImplicitCastInputTypes {
+
+  /** Row-level sample from the two non-null argument values. */
+  protected def sample(a: Any, b: Any): Any
+
+  /** Java call on the generated rng term, e.g. `nextLongInclusive(a, b)`. */
+  protected def sampleCode(term: String, a: String, b: String): String
+
+  override protected def evalInternal(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) null
+    else {
+      val b = right.eval(input)
+      if (b == null) null else sample(a, b)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val term = rngTerm(ctx)
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = ${sampleCode(term, a, b)};")
+  }
+}
+
+/** Shared shape for one-argument generators. */
+trait RandgenUnary extends UnaryExpression with RandgenExpression
+    with ImplicitCastInputTypes {
+
+  protected def sample(a: Any): Any
+  protected def sampleCode(term: String, a: String): String
+
+  override protected def evalInternal(input: InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) null else sample(a)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val term = rngTerm(ctx)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ${sampleCode(term, a)};")
+  }
+}
+
+/**
+ * `randgen_int64_uniform(min, max [, seed])` — discrete uniform on the
+ * inclusive range [min, max]. The reference's sole operator
+ * (`/root/reference/src/randgen/int64_uniform.rs:17-153`).
+ */
+case class RandgenInt64Uniform(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "randgen_int64_uniform"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextLongInclusive(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextLongInclusive($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_uniform(lo, hi [, seed])` — continuous uniform [lo, hi). */
+case class RandgenFloat64Uniform(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_uniform"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextDoubleUniform(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextDoubleUniform($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_normal(mean, std [, seed])` — gaussian. */
+case class RandgenFloat64Normal(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_normal"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextGaussian(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextGaussian($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_exponential(lambda [, seed])` — exponential, rate λ > 0. */
+case class RandgenFloat64Exponential(child: Expression, seed: Long)
+    extends RandgenUnary {
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_exponential"
+  override protected def sample(a: Any): Any =
+    rng.nextExponential(a.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String): String =
+    s"$t.nextExponential($a)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `randgen_int64_zipf(n, s [, seed])` — Zipf rank in [1, n], exponent s. */
+case class RandgenInt64Zipf(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(LongType, DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "randgen_int64_zipf"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextZipf(a.asInstanceOf[Long], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextZipf($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_bool_bernoulli(p [, seed])` — true with probability p. */
+case class RandgenBoolBernoulli(child: Expression, seed: Long)
+    extends RandgenUnary {
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "randgen_bool_bernoulli"
+  override protected def sample(a: Any): Any =
+    rng.nextBernoulli(a.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String): String =
+    s"$t.nextBernoulli($a)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * `randgen_string_alphanum(len_min, len_max [, seed])` — random [a-zA-Z0-9]
+ * string, length uniform on the inclusive range.
+ */
+case class RandgenStringAlphanum(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "randgen_string_alphanum"
+  override protected def sample(a: Any, b: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      rng.nextAlphanumeric(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"$t.nextAlphanumeric($a, $b))"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/**
+ * `randgen_date_uniform(start, end [, seed])` — uniform DATE on the
+ * inclusive range (dates are day counts internally, so this is exactly
+ * int64_uniform narrowed to int).
+ */
+case class RandgenDateUniform(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DateType, DateType)
+  override def dataType: DataType = DateType
+  override def prettyName: String = "randgen_date_uniform"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextLongInclusive(a.asInstanceOf[Int].toLong,
+      b.asInstanceOf[Int].toLong).toInt
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"(int) $t.nextLongInclusive((long) $a, (long) $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/**
+ * `randgen_timestamp_uniform(start, end [, seed])` — uniform TIMESTAMP on
+ * the inclusive range (microsecond precision internally).
+ */
+case class RandgenTimestampUniform(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(TimestampType, TimestampType)
+  override def dataType: DataType = TimestampType
+  override def prettyName: String = "randgen_timestamp_uniform"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextLongInclusive(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextLongInclusive($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/**
+ * `randgen_choice(arr [, seed])` — uniformly random element of the array
+ * argument; null for null or empty arrays; preserves element nulls.
+ */
+case class RandgenChoice(child: Expression, seed: Long)
+    extends UnaryExpression with RandgenExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType)
+  override def dataType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def prettyName: String = "randgen_choice"
+
+  override protected def evalInternal(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      if (n == 0) null
+      else {
+        val i = rng.nextLongInclusive(0, n - 1).toInt
+        if (arr.isNullAt(i)) null else arr.get(i, dataType)
+      }
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val term = rngTerm(ctx)
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("choiceIdx")
+      s"""
+         |if ($arr.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = (int) $term.nextLongInclusive(0L, $arr.numElements() - 1L);
+         |  if ($arr.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = ${CodeGenerator.getValue(arr, dataType, i)};
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.RandgenFunctions
+
+/**
+ * Driver-facing correctness queries for the `randgen_*` family.
+ *
+ * Volatile generator output cannot hash-match an oracle by value
+ * (SURVEY.md §5, §7.4), so each query wraps the generator in
+ * *deterministic property aggregates* — row counts, null counts, inclusive
+ * bounds, and (for seeded runs) moment checks — and the DuckDB oracle is the
+ * constant row those properties must equal. This turns every reference test
+ * shape (`/root/reference/src/randgen/int64_uniform.rs:155-276`) into a
+ * hash-matchable entry in the driver's correctness gate.
+ */
+object GeneratorQueries {
+
+  private def sql(q: String)(spark: SparkSession, dir: String): DataFrame = {
+    RandgenFunctions.registerAll(spark)
+    spark.sql(q)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference bounds test #1: const/const (int64_uniform.rs:166-178).
+    "gen_int64_uniform_bounds" -> sql(
+      """SELECT count(*) AS n, count(x) AS n_nonnull,
+        |       CAST(min(x) >= 1 AND max(x) <= 10 AS BOOLEAN) AS in_bounds
+        |FROM (SELECT randgen_int64_uniform(1, 10) AS x FROM range(1, 101))
+        |""".stripMargin) _,
+    // Reference bounds test #4: array/array via chained subquery
+    // (int64_uniform.rs:205-220).
+    "gen_int64_uniform_chained" -> sql(
+      """SELECT count(*) AS n, count(x) AS n_nonnull,
+        |       CAST(min(x) >= 1 AND max(x) <= 20 AS BOOLEAN) AS in_bounds
+        |FROM (SELECT randgen_int64_uniform(a, b) AS x FROM
+        |       (SELECT randgen_int64_uniform(1, 10) AS a,
+        |               randgen_int64_uniform(11, 20) AS b FROM range(1, 101)))
+        |""".stripMargin) _,
+    // Reference null tests (int64_uniform.rs:222-275): all five shapes.
+    "gen_int64_uniform_nulls" -> sql(
+      """SELECT count(*) AS n,
+        |       count(a) AS nn_a, count(b) AS nn_b, count(c) AS nn_c,
+        |       count(d) AS nn_d, count(e) AS nn_e
+        |FROM (SELECT
+        |  randgen_int64_uniform(1, CAST(NULL AS BIGINT)) AS a,
+        |  randgen_int64_uniform(randgen_int64_uniform(1, 10),
+        |                        CAST(NULL AS BIGINT)) AS b,
+        |  randgen_int64_uniform(CAST(NULL AS BIGINT),
+        |                        CAST(NULL AS BIGINT)) AS c,
+        |  randgen_int64_uniform(CAST(NULL AS BIGINT), 10) AS d,
+        |  randgen_int64_uniform(CAST(NULL AS BIGINT),
+        |                        randgen_int64_uniform(11, 20)) AS e
+        |  FROM range(1, 101))
+        |""".stripMargin) _,
+    // Seeded determinism + uniform moments: avg of U[0,9] over 100k draws.
+    "gen_int64_uniform_moments" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(abs(avg(x) - 4.5) < 0.1 AS BOOLEAN) AS mean_ok,
+        |       CAST(count(DISTINCT x) = 10 AS BOOLEAN) AS support_ok
+        |FROM (SELECT randgen_int64_uniform(0, 9, 123) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    "gen_float64_uniform_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 2.0 AND max(x) < 5.0 AS BOOLEAN) AS in_bounds,
+        |       CAST(abs(avg(x) - 3.5) < 0.05 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT randgen_float64_uniform(2.0, 5.0, 7) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    "gen_float64_normal_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(abs(avg(x) - 10.0) < 0.05 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(stddev_samp(x) - 2.0) < 0.05 AS BOOLEAN) AS std_ok
+        |FROM (SELECT randgen_float64_normal(10.0, 2.0, 11) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    "gen_float64_exponential_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 0.0 AS BOOLEAN) AS nonneg,
+        |       CAST(abs(avg(x) - 0.5) < 0.02 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT randgen_float64_exponential(2.0, 13) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // Zipf: support in [1, 50]; rank 1 strictly most frequent at s=1.2.
+    "gen_int64_zipf_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 1 AND max(x) <= 50 AS BOOLEAN) AS in_bounds,
+        |       CAST(sum(CASE WHEN x = 1 THEN 1 ELSE 0 END) >
+        |            sum(CASE WHEN x = 2 THEN 1 ELSE 0 END) AS BOOLEAN) AS head_heavier
+        |FROM (SELECT randgen_int64_zipf(50, 1.2, 17) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    "gen_bool_bernoulli_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(abs(avg(CASE WHEN x THEN 1.0 ELSE 0.0 END) - 0.3) < 0.01
+        |            AS BOOLEAN) AS p_ok
+        |FROM (SELECT randgen_bool_bernoulli(0.3, 19) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    "gen_string_alphanum_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(length(x)) >= 5 AND max(length(x)) <= 10
+        |            AS BOOLEAN) AS len_ok,
+        |       CAST(count(CASE WHEN x RLIKE '^[a-zA-Z0-9]*$' THEN 1 END) = 1000
+        |            AS BOOLEAN) AS charset_ok
+        |FROM (SELECT randgen_string_alphanum(5, 10, 23) AS x FROM range(1, 1001))
+        |""".stripMargin) _,
+    "gen_date_uniform_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= DATE '2020-01-01' AND
+        |            max(x) <= DATE '2020-12-31' AS BOOLEAN) AS in_bounds
+        |FROM (SELECT randgen_date_uniform(DATE '2020-01-01', DATE '2020-12-31', 29) AS x
+        |      FROM range(1, 1001))
+        |""".stripMargin) _,
+    "gen_timestamp_uniform_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= TIMESTAMP '2020-01-01 00:00:00' AND
+        |            max(x) <= TIMESTAMP '2020-01-02 00:00:00' AS BOOLEAN) AS in_bounds
+        |FROM (SELECT randgen_timestamp_uniform(TIMESTAMP '2020-01-01 00:00:00',
+        |                                       TIMESTAMP '2020-01-02 00:00:00', 31) AS x
+        |      FROM range(1, 1001))
+        |""".stripMargin) _,
+    "gen_choice_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(count(CASE WHEN x IN ('a', 'b', 'c') THEN 1 END) = 1000
+        |            AS BOOLEAN) AS members_ok,
+        |       CAST(count(DISTINCT x) = 3 AS BOOLEAN) AS support_ok
+        |FROM (SELECT randgen_choice(array('a', 'b', 'c'), 37) AS x FROM range(1, 1001))
+        |""".stripMargin) _,
+  )
+
+  /** Constant DuckDB rows encoding the properties asserted above. */
+  val oracleSql: Map[String, String] = Map(
+    "gen_int64_uniform_bounds" ->
+      "SELECT CAST(100 AS BIGINT) AS n, CAST(100 AS BIGINT) AS n_nonnull, TRUE AS in_bounds",
+    "gen_int64_uniform_chained" ->
+      "SELECT CAST(100 AS BIGINT) AS n, CAST(100 AS BIGINT) AS n_nonnull, TRUE AS in_bounds",
+    "gen_int64_uniform_nulls" ->
+      ("SELECT CAST(100 AS BIGINT) AS n, CAST(0 AS BIGINT) AS nn_a, " +
+        "CAST(0 AS BIGINT) AS nn_b, CAST(0 AS BIGINT) AS nn_c, " +
+        "CAST(0 AS BIGINT) AS nn_d, CAST(0 AS BIGINT) AS nn_e"),
+    "gen_int64_uniform_moments" ->
+      "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS mean_ok, TRUE AS support_ok",
+    "gen_float64_uniform_props" ->
+      "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS in_bounds, TRUE AS mean_ok",
+    "gen_float64_normal_props" ->
+      "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS mean_ok, TRUE AS std_ok",
+    "gen_float64_exponential_props" ->
+      "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS nonneg, TRUE AS mean_ok",
+    "gen_int64_zipf_props" ->
+      "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS in_bounds, TRUE AS head_heavier",
+    "gen_bool_bernoulli_props" ->
+      "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS p_ok",
+    "gen_string_alphanum_props" ->
+      "SELECT CAST(1000 AS BIGINT) AS n, TRUE AS len_ok, TRUE AS charset_ok",
+    "gen_date_uniform_props" ->
+      "SELECT CAST(1000 AS BIGINT) AS n, TRUE AS in_bounds",
+    "gen_timestamp_uniform_props" ->
+      "SELECT CAST(1000 AS BIGINT) AS n, TRUE AS in_bounds",
+    "gen_choice_props" ->
+      "SELECT CAST(1000 AS BIGINT) AS n, TRUE AS members_ok, TRUE AS support_ok",
+  )
+}
