@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, to_date, to_timestamp}
+
+import graft.functions.RandgenFunctions._
+
+/**
+ * Schema-driven random table generation — the reference's stated purpose
+ * ("A random data generator for Apache DataFusion",
+ * `/root/reference/Cargo.toml:5`) realized as a Spark-native surface: a
+ * declarative column-spec ADT composed over `spark.range(n)` so the whole
+ * table materializes as ONE narrow codegen'd stage (no shuffle, no driver
+ * data, scales linearly with executors at any row count).
+ *
+ * {{{
+ * val df = TableGen.table(spark, rows = 1000000, seed = 42,
+ *   "id"    -> Gen.SeqId,
+ *   "qty"   -> Gen.Int64Uniform(1, 50),
+ *   "price" -> Gen.Float64Normal(100.0, 15.0),
+ *   "flag"  -> Gen.Choice(Seq("A", "B", "C")))
+ * }}}
+ */
+sealed trait Gen
+
+object Gen {
+  /** The underlying `range` id — a unique sequential row id. */
+  case object SeqId extends Gen
+  case class Int64Uniform(min: Long, max: Long) extends Gen
+  case class Float64Uniform(lo: Double, hi: Double) extends Gen
+  case class Float64Normal(mean: Double, std: Double) extends Gen
+  case class Float64Exponential(lambda: Double) extends Gen
+  case class Int64Zipf(n: Long, s: Double) extends Gen
+  case class BoolBernoulli(p: Double) extends Gen
+  case class StringAlphanum(minLen: Long, maxLen: Long) extends Gen
+  /** Dates as `yyyy-MM-dd` strings, inclusive. */
+  case class DateUniform(start: String, end: String) extends Gen
+  /** Timestamps as `yyyy-MM-dd HH:mm:ss` strings, inclusive, UTC session. */
+  case class TimestampUniform(start: String, end: String) extends Gen
+  /** Uniform pick from a literal value list (strings/numbers). */
+  case class Choice(values: Seq[Any]) extends Gen
+  /** Escape hatch: any Spark SQL expression over previous columns. */
+  case class SqlExpr(sql: String) extends Gen
+}
+
+object TableGen {
+
+  /**
+   * Builds a `rows`-row DataFrame with one column per spec, reproducible
+   * under `seed` (each column gets a decorrelated derived seed; each
+   * partition a decorrelated stream — safe under task retry).
+   *
+   * `numPartitions <= 0` keeps `range`'s default parallelism. At cluster
+   * scale, pass explicit partitions so each task generates a bounded slice.
+   */
+  def table(spark: SparkSession, rows: Long, seed: Long,
+      cols: (String, Gen)*): DataFrame =
+    table(spark, rows, seed, 0, cols: _*)
+
+  def table(spark: SparkSession, rows: Long, seed: Long, numPartitions: Int,
+      cols: (String, Gen)*): DataFrame = {
+    val base =
+      if (numPartitions > 0) spark.range(0, rows, 1, numPartitions)
+      else spark.range(0, rows)
+    cols.zipWithIndex.foldLeft(base.toDF()) {
+      case (df, ((name, gen), i)) =>
+        df.withColumn(name, column(gen, seed + 0x9E37L * (i + 1)))
+    }.select(cols.map { case (n, _) => col(n) }: _*)
+  }
+
+  /** The generator Column for one spec (usable standalone via withColumn). */
+  def column(gen: Gen, seed: Long): Column = gen match {
+    case Gen.SeqId => col("id")
+    case Gen.Int64Uniform(lo, hi) =>
+      randgen_int64_uniform(lit(lo), lit(hi), seed)
+    case Gen.Float64Uniform(lo, hi) =>
+      randgen_float64_uniform(lit(lo), lit(hi), seed)
+    case Gen.Float64Normal(mean, std) =>
+      randgen_float64_normal(lit(mean), lit(std), seed)
+    case Gen.Float64Exponential(lambda) =>
+      randgen_float64_exponential(lit(lambda), seed)
+    case Gen.Int64Zipf(n, s) =>
+      randgen_int64_zipf(lit(n), lit(s), seed)
+    case Gen.BoolBernoulli(p) =>
+      randgen_bool_bernoulli(lit(p), seed)
+    case Gen.StringAlphanum(lo, hi) =>
+      randgen_string_alphanum(lit(lo), lit(hi), seed)
+    case Gen.DateUniform(start, end) =>
+      randgen_date_uniform(to_date(lit(start)), to_date(lit(end)), seed)
+    case Gen.TimestampUniform(start, end) =>
+      randgen_timestamp_uniform(
+        to_timestamp(lit(start)), to_timestamp(lit(end)), seed)
+    case Gen.Choice(values) =>
+      randgen_choice(
+        org.apache.spark.sql.functions.array(values.map(lit): _*), seed)
+    case Gen.SqlExpr(sql) => expr(sql)
+  }
+}

@@ -123,6 +123,25 @@ object GeneratorQueries {
         |       CAST(count(DISTINCT x) = 3 AS BOOLEAN) AS support_ok
         |FROM (SELECT randgen_choice(array('a', 'b', 'c'), 37) AS x FROM range(1, 1001))
         |""".stripMargin) _,
+    // TableGen: schema-driven whole-table generation (the reference's stated
+    // purpose, Cargo.toml:5) — deterministic under seed, properties constant.
+    "gen_tablegen_props" -> { (spark: SparkSession, _: String) =>
+      import org.apache.spark.sql.functions._
+      val df = graft.TableGen.table(spark, 10000L, seed = 42L,
+        "id" -> graft.Gen.SeqId,
+        "qty" -> graft.Gen.Int64Uniform(1, 50),
+        "price" -> graft.Gen.Float64Normal(100.0, 15.0),
+        "seg" -> graft.Gen.Choice(Seq("A", "B", "C")),
+        "total" -> graft.Gen.SqlExpr("qty * price"))
+      df.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("id")).as("n_ids"),
+        (min(col("qty")) >= 1 && max(col("qty")) <= 50).as("qty_ok"),
+        (abs(avg(col("price")) - 100.0) < 1.0).as("price_ok"),
+        (countDistinct(col("seg")) === 3).as("seg_ok"),
+        (sum(when(abs(col("total") - col("qty") * col("price")) < 1e-9, 0)
+          .otherwise(1)) === 0).as("total_ok"))
+    },
   )
 
   /** Constant DuckDB rows encoding the properties asserted above. */
@@ -155,5 +174,8 @@ object GeneratorQueries {
       "SELECT CAST(1000 AS BIGINT) AS n, TRUE AS in_bounds",
     "gen_choice_props" ->
       "SELECT CAST(1000 AS BIGINT) AS n, TRUE AS members_ok, TRUE AS support_ok",
+    "gen_tablegen_props" ->
+      ("SELECT CAST(10000 AS BIGINT) AS n, CAST(10000 AS BIGINT) AS n_ids, " +
+        "TRUE AS qty_ok, TRUE AS price_ok, TRUE AS seg_ok, TRUE AS total_ok"),
   )
 }
