@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/**
+ * Deduplication operators for large-scale document corpora
+ * (SURVEY.md §2.5 layer C): exact, MinHash+LSH banding, SimHash, character
+ * n-gram Jaccard, and embedding-cosine near-dup.
+ *
+ * Scale design (the 100 TB story):
+ *  - Exact dedup is a hash-groupBy: one shuffle keyed by content hash, with
+ *    map-side partial aggregation; never a sort or a collect.
+ *  - MinHash: signatures are computed in ONE narrow pass per document (the
+ *    shingle array never explodes to rows); only the `bands` explode
+ *    multiplies rows (x numBands), and candidate generation is an
+ *    equi-join on (band, bandHash) — a standard shuffle-hash join on a
+ *    high-cardinality key, NOT an O(n^2) cross join. Identical documents
+ *    concentrate in one bucket, which is exactly the output we want.
+ *  - SimHash: one explode over tokens, one groupBy(doc) with 2*bits partial
+ *    sums, then nibble-banded LSH join for candidates (4 bands for 16
+ *    bits), hamming-verified with bit_count(xor).
+ *  - N-gram Jaccard: the common-gram equi-join IS the intersection count;
+ *    a document-frequency cap (`maxDocFreq`) drops stop-grams before the
+ *    join — at corpus scale a gram occurring in millions of documents
+ *    would otherwise create a quadratic skew bucket.
+ *  - Embedding near-dup: the all-pairs form is the small-side baseline;
+ *    the scale path is LSH bucketing (graft.operators.Similarity).
+ *
+ * All hashes are md5-derived (TextHash) so results are deterministic and
+ * engine-portable — no RNG, no seed management, stable under task retry.
+ */
+object Dedup {
+
+  /** Exact dedup, first-writer-wins: one row per distinct key tuple. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Exact content dedup keyed by md5(text): (keepId, copies) per group. */
+  def exactKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  /** Per-document MinHash signature: `sig[p] = min over shingles of
+    * hash60(p + ":" + shingle)`, p in [0, numPerm). One narrow pass. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerm: Int = 32): DataFrame = {
+    val perms = (0 until numPerm).toArray
+    docs.select(
+      col(idCol).as("doc_id"),
+      wordShingles(col(textCol), shingleK).as("shingles"))
+      .withColumn("sig", array(perms.map(p =>
+        array_min(transform(col("shingles"), s => hash60Perm(p, s)))): _*))
+  }
+
+  /** Explodes signatures into `numBands` LSH band keys:
+    * (doc_id, band, bandHash). rowsPerBand = numPerm / numBands. */
+  def minhashBands(sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        md5(concat_ws(",", transform(
+          slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+          x => x.cast("string")))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+  /** Candidate near-dup pairs: distinct (a < b) sharing any LSH band. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerm: Int = 32, numBands: Int = 8): DataFrame = {
+    val bands = minhashBands(
+      minhashSignatures(docs, idCol, textCol, shingleK, numPerm),
+      numBands, numPerm / numBands)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** LSH candidates verified with exact shingle-set Jaccard >= threshold.
+    * Emits exact integer evidence (intersection/union sizes). */
+  def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3, numPerm: Int = 32,
+      numBands: Int = 8): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      wordShingles(col(textCol), shingleK).as("shingles"))
+    val cands = minhashCandidates(docs, idCol, textCol, shingleK, numPerm, numBands)
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .where(col("inter") >= col("uni") * lit(threshold))
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** Per-document `bits`-bit SimHash over whitespace tokens (term-frequency
+    * weighted: repeated tokens vote repeatedly). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .withColumn("h", hash60(col("w")))
+    val sums = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$b"))
+    val assembled = (0 until bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: nibble-banded LSH (bits/4 bands) then exact
+    * hamming distance <= maxHamming via bit_count(xor). */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol, bits)
+    val numBands = bits / 4
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until numBands).map(b =>
+        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "nib")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.nib") === col("y.nib") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ---- Character n-gram Jaccard -------------------------------------------
+
+  /** Near-dup pairs by character n-gram Jaccard >= threshold. The common-
+    * gram equi-join computes intersections directly; `maxDocFreq` drops
+    * stop-grams (document frequency cap) before the join — the skew guard
+    * that keeps this linear-ish at corpus scale. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.5,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+        charGrams(col(textCol), n).as("grams"))
+    val sizes = grams.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+    val exploded = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val kept = exploded.groupBy("g")
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+    val inter = kept
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_grams").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_grams").as("nb")), "id_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .where(col("inter") >= col("uni") * lit(threshold))
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
+  // ---- Embedding cosine ----------------------------------------------------
+
+  /** Cosine similarity between two float-array columns, computed in double
+    * precision with a left-to-right fold (deterministic). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** All-pairs embedding near-duplicates (cosine >= threshold). Baseline
+    * exact form — O(n^2) compare, distributed but quadratic; at corpus
+    * scale use Similarity.lshNearDuplicates (bucketed) instead. */
+  def embeddingNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+  }
+}

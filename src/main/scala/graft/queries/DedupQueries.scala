@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/**
+ * Driver-facing correctness queries for the dedup operator family
+ * (SURVEY.md §2.5). The Spark side runs the graft.operators.Dedup API; the
+ * oracle replays the SAME deterministic md5-based pipeline in DuckDB SQL,
+ * so even MinHash/SimHash LSH candidate generation hash-matches exactly.
+ * Outputs are integer-only (ids, intersection/union sizes, hamming) —
+ * no floats to drift.
+ */
+object DedupQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // DuckDB CTE fragments shared by the minhash oracles.
+  private val duckShingles =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(len(t) - 2),
+      |           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+      |    ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks)""".stripMargin
+
+  private val duckSimhashSums: String = {
+    val sums = (0 until 48).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val assemble = (0 until 48).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+       |s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM s)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_stats" -> { (s, dir) =>
+      Dedup.exactKeepFirst(docs(s, dir), "doc_id", "text")
+        .agg(count(lit(1)).as("n_unique"), sum(col("copies")).as("n_docs"),
+          max(col("copies")).as("max_copies"))
+    },
+    "dedup_exact_keep_first" -> { (s, dir) =>
+      Dedup.exactKeepFirst(docs(s, dir), "doc_id", "text")
+        .select("keep_id", "copies")
+    },
+    "dedup_minhash_sigs" -> { (s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), posexplode(col("sig")))
+        .select(col("doc_id"), col("pos").cast("long").as("perm"),
+          col("col").as("minhash"))
+    },
+    "dedup_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashNearDuplicates(docs(s, dir), "doc_id", "text", threshold = 0.5)
+    },
+    "dedup_simhash_sigs" -> { (s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text")
+    },
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashNearDuplicates(docs(s, dir), "doc_id", "text")
+    },
+    "dedup_ngram_pairs" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text")
+    },
+    "dedup_embedding_pairs" -> { (s, dir) =>
+      Dedup.embeddingNearDuplicates(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |       CAST(MAX(cnt) AS BIGINT) AS max_copies
+        |FROM (SELECT md5(text) AS h, COUNT(*) AS cnt
+        |      FROM documents GROUP BY md5(text)) t""".stripMargin,
+    "dedup_exact_keep_first" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_minhash_sigs" ->
+      s"""$duckShingles
+         |SELECT doc_id, CAST(p AS BIGINT) AS perm,
+         |  list_min(list_transform(shingles,
+         |    s -> ('0x' || substr(md5(p::VARCHAR || ':' || s), 1, 15))::BIGINT))
+         |    AS minhash
+         |FROM sh, unnest(range(32)) AS pr(p)""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""$duckShingles,
+         |sig AS (SELECT doc_id, shingles,
+         |  list_transform(range(32), p -> list_min(list_transform(shingles,
+         |    s -> ('0x' || substr(md5(p::VARCHAR || ':' || s), 1, 15))::BIGINT)))
+         |    AS sg FROM sh),
+         |bands AS (SELECT doc_id, b,
+         |  md5(array_to_string(list_transform(
+         |    list_slice(sg, b*4 + 1, b*4 + 4), x -> x::VARCHAR), ',')) AS bh
+         |  FROM sig, unnest(range(8)) AS br(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+         |  CAST(len(a.shingles) + len(b.shingles)
+         |       - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS uni
+         |FROM cand c JOIN sh a ON c.id_a = a.doc_id
+         |            JOIN sh b ON c.id_b = b.doc_id
+         |WHERE len(list_intersect(a.shingles, b.shingles)) >=
+         |      (len(a.shingles) + len(b.shingles)
+         |       - len(list_intersect(a.shingles, b.shingles))) * 0.5""".stripMargin,
+    "dedup_simhash_sigs" ->
+      s"""$duckSimhashSums
+         |SELECT doc_id, simhash FROM sim""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""$duckSimhashSums,
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b*4)) & 15 AS nib
+         |  FROM sim, unnest(range(12)) AS br(b))
+         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM banded x JOIN banded y
+         |  ON x.b = y.b AND x.nib = y.nib AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+    "dedup_ngram_pairs" ->
+      """WITH grams AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN length(text) >= 5
+        |    THEN list_transform(range(length(text) - 4), i -> substr(text, i + 1, 5))
+        |    ELSE [text] END) AS g FROM documents),
+        |sizes AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams FROM grams),
+        |ex AS (SELECT doc_id, unnest(g) AS gr FROM grams),
+        |kept AS (SELECT gr, list(doc_id) AS ids FROM ex
+        |         GROUP BY gr HAVING count(*) <= 1000),
+        |e1 AS (SELECT unnest(ids) AS id_a, ids FROM kept),
+        |e2 AS (SELECT id_a, unnest(ids) AS id_b FROM e1),
+        |pairs AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM e2 WHERE id_a < id_b GROUP BY id_a, id_b)
+        |SELECT p.id_a, p.id_b, p.inter,
+        |  sa.n_grams + sb.n_grams - p.inter AS uni
+        |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+        |             JOIN sizes sb ON p.id_b = sb.doc_id
+        |WHERE p.inter >= (sa.n_grams + sb.n_grams - p.inter) * 0.5""".stripMargin,
+    "dedup_embedding_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+  )
+}

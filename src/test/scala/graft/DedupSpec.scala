@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends GraftSuite {
+  private val dir = SparkTestBase.sf001 // sf0.01: 500 docs, 25 planted pairs
+  private lazy val docs = Tables.load(spark, dir, "documents")
+
+  test("exact dedup: 500 docs, all unique in this corpus") {
+    val kept = Dedup.exactKeepFirst(docs, "doc_id", "text")
+    assert(kept.count() == 500)
+    assert(Dedup.exact(docs, Seq("text")).count() == 500)
+  }
+
+  test("minhash LSH finds exactly the 25 planted near-dup pairs at j>=0.5") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 0.5).collect()
+    assert(pairs.length == 25, s"expected 25 planted pairs, got ${pairs.length}")
+    pairs.foreach { r =>
+      val (inter, uni) = (r.getLong(2), r.getLong(3))
+      assert(inter.toDouble / uni >= 0.5)
+    }
+  }
+
+  test("minhash LSH recall: candidates cover every true j>=0.5 pair") {
+    // Ground truth by brute-force jaccard on shingle sets.
+    val sh = docs.select(col("doc_id"),
+      graft.operators.TextHash.wordShingles(col("text"), 3).as("s"))
+    val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.s"), col("b.s"))))
+      .withColumn("uni", size(col("a.s")) + size(col("b.s")) - col("inter"))
+      .where(col("inter") >= col("uni") * 0.5)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth == found, s"missed=${truth -- found} extra=${found -- truth}")
+  }
+
+  test("simhash: near-dup pairs include the planted minhash pairs") {
+    val planted = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashNearDuplicates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val covered = planted.intersect(sim)
+    assert(covered.size >= (planted.size * 0.8).toInt,
+      s"simhash covers ${covered.size}/${planted.size} planted pairs")
+  }
+
+  test("ngram jaccard pairs match minhash planted pairs") {
+    val ng = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ng.size == 25)
+  }
+
+  test("embedding near-dup finds 14 pairs at cosine>=0.45") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pairs = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding", 0.45)
+    assert(pairs.count() == 14)
+  }
+
+  test("minhash plan: no cartesian product, candidate join is equi-join") {
+    val plan = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidates must not be a cross join:\n$plan")
+  }
+}
