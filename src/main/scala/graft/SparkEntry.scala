@@ -26,12 +26,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.GeneratorQueries.queries ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.GeneratorQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.DedupQueries.oracleSql
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.SimilarityQueries.oracleSql
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (SURVEY.md §2.5):
+ * brute-force cosine top-k as the exactness baseline, and a deterministic
+ * signed-random-projection (SRP) LSH index as the scale path.
+ *
+ * Scale design:
+ *  - Brute force broadcasts the (small) query set against the corpus —
+ *    a map-side O(n*q) scan with NO shuffle of the corpus; the only
+ *    shuffle is the per-query top-k window over the scored rows. Right
+ *    whenever q is bounded (ad-hoc search, eval sets).
+ *  - SRP-LSH: each vector gets `numTables` integer bucket codes (sign bits
+ *    of projections onto Rademacher +-1 hyperplanes). Candidates come from
+ *    an equi-join on (table, code) — linear shuffle, no cross join — then
+ *    exact cosine re-ranks candidates. More tables => higher recall;
+ *    fewer planes => bigger buckets. Works unchanged at corpus scale.
+ *
+ * Hyperplanes are derived from md5(seed:table:plane:dim) at PLAN time, so
+ * the whole index is reproducible with no RNG state, stable under retry,
+ * and replayable by the DuckDB oracle (the +-1 plane literals embed into
+ * the plan on both engines).
+ */
+object Similarity {
+
+  /** Deterministic Rademacher hyperplane: +-1.0 per dimension. */
+  def planes(numTables: Int, numPlanes: Int, dim: Int, seed: Int)
+      : Array[Array[Array[Double]]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(numTables, numPlanes, dim) { (t, p, j) =>
+      val h = md.digest(s"$seed:$t:$p:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Integer SRP bucket code of `vec` for one table's plane set. */
+  def srpCode(vec: Column, tablePlanes: Array[Array[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (plane, p) =>
+      val proj = aggregate(
+        zip_with(vec, typedLit(plane.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (id, table, code) bucket assignments for every vector. */
+  def lshCodes(emb: DataFrame, idCol: String, vecCol: String,
+      numTables: Int = 8, numPlanes: Int = 3, seed: Int = 42): DataFrame = {
+    val ps = planes(numTables, numPlanes, 64, seed)
+    val perTable = (0 until numTables).map(t =>
+      emb.select(col(idCol).as("vec_id"), lit(t.toLong).as("tbl"),
+        srpCode(col(vecCol), ps(t)).as("code")))
+    perTable.reduce(_.unionAll(_))
+  }
+
+  /** Exact top-k neighbors per query by brute-force cosine.
+    * `queries` (qid, qvec) is broadcast; corpus (id, vec) streams. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("score", VectorOps.cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"), round(col("score"), 6).as("score"))
+  }
+
+  /** Approximate top-k via SRP-LSH: bucket-join candidates, exact cosine
+    * re-rank. Same output shape as bruteForceTopK (minus missed vectors). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numTables: Int = 8, numPlanes: Int = 3, seed: Int = 42): DataFrame = {
+    val qCodes = lshCodes(queries.select(col("qid").as("vec_id"), col("qvec")),
+      "vec_id", "qvec", numTables, numPlanes, seed)
+      .select(col("vec_id").as("qid"), col("tbl"), col("code"))
+    val cCodes = lshCodes(corpus.select(col("id").as("vec_id"), col("vec")),
+      "vec_id", "vec", numTables, numPlanes, seed)
+      .select(col("vec_id").as("id"), col("tbl"), col("code"))
+    val cand = qCodes.join(cCodes, Seq("tbl", "code"))
+      .select("qid", "id").distinct()
+    val scored = cand
+      .join(queries, "qid")
+      .join(corpus, "id")
+      .withColumn("score", VectorOps.cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"), round(col("score"), 6).as("score"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/**
+ * Correctness queries for similarity search. The DuckDB oracles replay the
+ * exact same math: sequential-fold double-precision cosine (list_reduce ==
+ * Spark's aggregate fold) and the same md5-derived Rademacher planes,
+ * embedded as literals into both plans — so even the ANN index
+ * hash-matches across engines.
+ */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val NumTables = 8
+  private val NumPlanes = 3
+  private val Seed = 42
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def queriesDf(s: SparkSession, dir: String, maxId: Int): DataFrame =
+    emb(s, dir).where(col("vec_id") < maxId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def corpusDf(s: SparkSession, dir: String, minId: Int): DataFrame =
+    emb(s, dir).where(col("vec_id") >= minId)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_lsh_codes" -> { (s, dir) =>
+      Similarity.lshCodes(emb(s, dir), "vec_id", "embedding",
+        NumTables, NumPlanes, Seed)
+    },
+    "sim_brute_topk" -> { (s, dir) =>
+      Similarity.bruteForceTopK(corpusDf(s, dir, 5), queriesDf(s, dir, 5), 10)
+        .withColumnRenamed("rank", "rnk")
+    },
+    "sim_ann_topk" -> { (s, dir) =>
+      Similarity.lshTopK(corpusDf(s, dir, 10), queriesDf(s, dir, 10), 5,
+        NumTables, NumPlanes, Seed)
+        .withColumnRenamed("rank", "rnk")
+    },
+  )
+
+  // ---- DuckDB oracle generation -------------------------------------------
+
+  /** Sequential-fold cosine, identical to VectorOps.cosine. */
+  private def duckCos(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_reduce(list_transform(range($Dim), j -> " +
+        s"$x[j+1]::DOUBLE * $y[j+1]::DOUBLE), (p, q) -> p + q)"
+    s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+  }
+
+  /** SRP bucket-code expression for one table over column `v`. */
+  private def duckCode(v: String, tablePlanes: Array[Array[Double]]): String =
+    tablePlanes.zipWithIndex.map { case (plane, p) =>
+      val lits = plane.map(w => if (w > 0) "1.0" else "-1.0").mkString(", ")
+      val proj = s"list_reduce(list_transform(range($Dim), j -> " +
+        s"$v[j+1]::DOUBLE * ([$lits]::DOUBLE[])[j+1]), (p, q) -> p + q)"
+      s"(CASE WHEN $proj > 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private lazy val ps = Similarity.planes(NumTables, NumPlanes, Dim, Seed)
+
+  private lazy val duckCodesCte: String =
+    (0 until NumTables).map { t =>
+      s"SELECT vec_id, CAST($t AS BIGINT) AS tbl, " +
+        s"CAST(${duckCode("embedding", ps(t))} AS BIGINT) AS code FROM embeddings"
+    }.mkString("codes AS (", " UNION ALL ", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_lsh_codes" -> s"WITH $duckCodesCte SELECT vec_id, tbl, code FROM codes",
+    "sim_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id >= 5),
+         |s AS (SELECT qid, id, ${duckCos("qv", "v")} AS score FROM q, c),
+         |r AS (SELECT qid, id, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+         |      FROM s)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 10""".stripMargin,
+    "sim_ann_topk" ->
+      s"""WITH $duckCodesCte,
+         |cand AS (SELECT DISTINCT qc.vec_id AS qid, cc.vec_id AS id
+         |  FROM codes qc JOIN codes cc ON qc.tbl = cc.tbl AND qc.code = cc.code
+         |  WHERE qc.vec_id < 10 AND cc.vec_id >= 10),
+         |s AS (SELECT cand.qid, cand.id,
+         |        ${duckCos("q.embedding", "c.embedding")} AS score
+         |      FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+         |                JOIN embeddings c ON cand.id = c.vec_id),
+         |r AS (SELECT qid, id, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+         |      FROM s)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends GraftSuite {
+  private val dir = SparkTestBase.sf001
+  private lazy val emb = Tables.load(spark, dir, "embeddings")
+  private lazy val queries = emb.where(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private lazy val corpus = emb.where(col("vec_id") >= 10)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("brute-force top-k: k rows per query, ranks 1..k, scores descending") {
+    val tk = Similarity.bruteForceTopK(corpus, queries, 10).collect()
+    assert(tk.length == 100) // 10 queries x 10
+    tk.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(2))
+      assert(byRank.map(_.getLong(2)).toSeq == (1L to 10L))
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("scores are valid cosines in [-1, 1]") {
+    val s = Similarity.bruteForceTopK(corpus, queries, 5)
+      .agg(min("score"), max("score")).collect()(0)
+    assert(s.getDouble(0) >= -1.0 - 1e-9 && s.getDouble(1) <= 1.0 + 1e-9)
+  }
+
+  test("LSH ANN recall@5 vs brute force is useful (> 0.6 with 8x3-bit tables)") {
+    val truth = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(ann).size.toDouble / truth.size
+    assert(recall > 0.6, s"recall@5 = $recall")
+    // ANN returns only true cosine-ranked candidates, never junk ranks.
+    assert(ann.nonEmpty)
+  }
+
+  test("more tables -> recall does not decrease") {
+    val truth = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(tables: Int): Double = {
+      val ann = Similarity.lshTopK(corpus, queries, 5, numTables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.intersect(ann).size.toDouble / truth.size
+    }
+    assert(recall(4) >= recall(1) - 1e-9)
+  }
+
+  test("brute-force plan broadcasts the query side (no corpus shuffle join)") {
+    val plan = Similarity.bruteForceTopK(corpus, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"queries must broadcast:\n$plan")
+  }
+}
