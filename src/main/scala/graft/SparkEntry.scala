@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.GeneratorQueries.queries ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.TextEventsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
     graft.queries.GeneratorQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
-      graft.queries.SimilarityQueries.oracleSql
+      graft.queries.SimilarityQueries.oracleSql ++
+      graft.queries.TextEventsQueries.oracleSql
 }

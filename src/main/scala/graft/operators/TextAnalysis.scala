@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/**
+ * Text analysis for training-data pipelines (SURVEY.md §2.5): token
+ * counting, quality scoring, language identification, and document
+ * fingerprinting. All pure built-in-function pipelines — codegen'd,
+ * deterministic, and replayable by the DuckDB oracle.
+ *
+ * Scale: every operator here is a narrow per-row map (no shuffle at all)
+ * except the bottom-k fingerprint, which is one explode + one per-document
+ * window — both linear.
+ */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword LangId
+    * heuristic. Real pipelines would load fastText-style models; the
+    * operator shape (profile intersect + argmax) is the same. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"))
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(toks(text)).cast("long")
+
+  /** BPE-ish subword piece count: alpha runs + digit runs + single
+    * punctuation marks, approximating a byte-pair tokenizer's piece count
+    * without a vocabulary. */
+  def pieceCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))))
+      .cast("long")
+
+  /** Mean token length in characters (separators excluded). */
+  def meanTokenLength(text: Column): Column = {
+    val n = size(toks(text))
+    (length(text) - (n - lit(1))).cast("double") / n.cast("double")
+  }
+
+  /** Fraction of tokens that are English stopwords (frequency-weighted). */
+  def stopwordRatio(text: Column): Column = {
+    val profile = typedLit(langProfiles.head._2)
+    size(filter(toks(text), t => array_contains(profile, t))).cast("double") /
+      size(toks(text)).cast("double")
+  }
+
+  /** Fraction of characters that are alphanumeric or space. */
+  def alnumRatio(text: Column): Column =
+    (length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Composite quality score in [0, 1]: length credit + structure credits.
+    * The exact arithmetic order is part of the contract (oracle replays it
+    * term-for-term). */
+  def qualityScore(text: Column): Column = {
+    val lenCredit = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    lit(0.4) * lenCredit +
+      lit(0.3) * alnumRatio(text) +
+      lit(0.3) * (lit(1.0) - stopwordRatio(text))
+  }
+
+  /** Stopword-profile language ID: argmax of distinct-profile-word hits,
+    * first-profile-wins ties, 'und' when nothing matches. */
+  def languageId(text: Column): Column = {
+    val distinctToks = array_distinct(toks(text))
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(distinctToks, typedLit(words)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling hash of the whole text: fold (acc*31 + ascii) mod
+    * 2147483647 — overflow-free under ANSI mode (acc < 2^31). */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+      lit(0L), (acc, c) => (acc * 31 + c.cast("long")) % 2147483647L)
+
+  /** Bottom-k sketch fingerprint over distinct char n-grams: the k smallest
+    * hash60 values per document (winnowing-style content signature).
+    * Output: (doc_id, rnk 1..k, h). */
+  def bottomKFingerprint(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, k: Int = 4): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(charGrams(col(textCol), n)).as("g"))
+      .withColumn("h", hash60(col("g")))
+    val w = Window.partitionBy("doc_id").orderBy(col("h"), col("g"))
+    grams.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "rnk", "h")
+  }
+}

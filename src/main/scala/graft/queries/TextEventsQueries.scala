@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/**
+ * Correctness queries for text analysis (documents) and the events table
+ * (JSON extraction, time-bucketed aggregation, sessionization). Oracles
+ * replay the same arithmetic in DuckDB; float outputs are single-division
+ * ratios rounded to 6 (deterministic in both engines).
+ */
+object TextEventsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_distinct"),
+        TextAnalysis.pieceCount(col("text")).as("n_pieces"),
+        round(TextAnalysis.meanTokenLength(col("text")), 6).as("mean_tok_len"))
+    },
+    "text_quality" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextAnalysis.alnumRatio(col("text")), 6).as("alnum_ratio"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+    },
+    "text_langid" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), TextAnalysis.languageId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    },
+    "text_rolling_hash" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("rhash"))
+    },
+    "text_fingerprint_bottomk" -> { (s, dir) =>
+      TextAnalysis.bottomKFingerprint(docs(s, dir), "doc_id", "text")
+    },
+    "events_json_extract" -> { (s, dir) =>
+      events(s, dir).select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
+    "events_hourly" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+    },
+    "events_sessions" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val withGap = events(s, dir)
+        .withColumn("prev_s", lag(unix_timestamp(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_s").isNull ||
+            unix_timestamp(col("ts")) - col("prev_s") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      withGap.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("duration_s"))
+    },
+    "events_top_error_users" -> { (s, dir) =>
+      events(s, dir).where(col("event_type") === "error")
+        .groupBy("user_id").agg(count(lit(1)).as("n_errors"))
+        .orderBy(col("n_errors").desc, col("user_id"))
+        .limit(10)
+    },
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val enStop = TextAnalysis.langProfiles.head._2
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val duckLangCase: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_intersect(list_distinct(string_split(text, ' ')), $lst))"
+    }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    scores.foldRight("'und'") { case ((lang, s), acc) =>
+      s"CASE WHEN $s = best AND $s > 0 THEN '$lang' ELSE $acc END"
+    }.replace("best", best) // inline; DuckDB lacks lateral alias reuse here
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |       AS BIGINT) AS n_pieces,
+        |  round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |        / len(string_split(text, ' '))::DOUBLE, 6) AS mean_tok_len
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  round(len(list_filter(string_split(text, ' '),
+         |          t -> list_contains($enStop, t)))::DOUBLE
+         |        / len(string_split(text, ' '))::DOUBLE, 6) AS stop_ratio,
+         |  round(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+         |        / length(text)::DOUBLE, 6) AS alnum_ratio,
+         |  round(0.4 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
+         |      + 0.3 * (length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+         |               / length(text)::DOUBLE)
+         |      + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+         |                 t -> list_contains($enStop, t)))::DOUBLE
+         |               / len(string_split(text, ' '))::DOUBLE), 6) AS quality
+         |FROM documents""".stripMargin,
+    "text_langid" ->
+      s"""SELECT lang, $duckLangCase AS pred, CAST(count(*) AS BIGINT) AS n
+         |FROM documents GROUP BY lang, pred""".stripMargin,
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(length(text)), i -> ascii(substr(text, i + 1, 1))::BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS rhash
+        |FROM documents""".stripMargin,
+    "text_fingerprint_bottomk" ->
+      """WITH grams AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN length(text) >= 5
+        |      THEN list_transform(range(length(text) - 4), i -> substr(text, i + 1, 5))
+        |      ELSE [text] END)) AS g FROM documents),
+        |h AS (SELECT doc_id, g, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM grams),
+        |r AS (SELECT doc_id, h,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h, g) AS rnk
+        |      FROM h)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, h FROM r WHERE rnk <= 4""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
+        |           FROM events),
+        |g AS (SELECT user_id, event_id, ts, s,
+        |        lag(s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        |      FROM e),
+        |f AS (SELECT user_id, event_id, ts, s,
+        |        CASE WHEN prev_s IS NULL OR s - prev_s > 1800 THEN 1 ELSE 0 END AS new_sess
+        |      FROM g),
+        |sess AS (SELECT user_id, ts, s,
+        |           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |         FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(s) - MIN(s) AS BIGINT) AS duration_s
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "events_top_error_users" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_errors
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY user_id ORDER BY n_errors DESC, user_id LIMIT 10""".stripMargin,
+  )
+}

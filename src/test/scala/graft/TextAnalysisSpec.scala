@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("token and piece counts") {
+    val r = one("the quick brown fox!").select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.pieceCount(col("text")),
+      TextAnalysis.meanTokenLength(col("text"))).collect()(0)
+    assert(r.getLong(0) == 4)
+    assert(r.getLong(1) == 5) // the, quick, brown, fox, !
+    assert(math.abs(r.getDouble(2) - 17.0 / 4) < 1e-9)
+  }
+
+  test("quality score bounds and monotonicity in length") {
+    val docs = Tables.load(spark, SparkTestBase.sf001, "documents")
+    val s = docs.select(round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .agg(min("q"), max("q")).collect()(0)
+    assert(s.getDouble(0) >= 0.0 && s.getDouble(1) <= 1.0)
+    val short = one("a b").select(TextAnalysis.qualityScore(col("text"))).collect()(0).getDouble(0)
+    val long = one(Seq.fill(200)("word").mkString(" "))
+      .select(TextAnalysis.qualityScore(col("text"))).collect()(0).getDouble(0)
+    assert(long > short)
+  }
+
+  test("language id picks profile with most stopword hits") {
+    assert(one("the cat and the dog is happy")
+      .select(TextAnalysis.languageId(col("text"))).collect()(0).getString(0) == "en")
+    assert(one("el perro y la casa que en los")
+      .select(TextAnalysis.languageId(col("text"))).collect()(0).getString(0) == "es")
+    assert(one("der hund und die katze ist nicht")
+      .select(TextAnalysis.languageId(col("text"))).collect()(0).getString(0) == "de")
+    assert(one("xyzzy plugh")
+      .select(TextAnalysis.languageId(col("text"))).collect()(0).getString(0) == "und")
+  }
+
+  test("rolling hash is deterministic and content-sensitive") {
+    val h1 = one("hello world").select(TextAnalysis.rollingHash(col("text"))).collect()(0).getLong(0)
+    val h2 = one("hello world").select(TextAnalysis.rollingHash(col("text"))).collect()(0).getLong(0)
+    val h3 = one("hello worle").select(TextAnalysis.rollingHash(col("text"))).collect()(0).getLong(0)
+    assert(h1 == h2 && h1 != h3)
+    assert(h1 >= 0 && h1 < 2147483647L)
+  }
+
+  test("bottom-k fingerprint: k rows per doc, ascending hashes") {
+    val docs = Tables.load(spark, SparkTestBase.sf001, "documents")
+    val fp = TextAnalysis.bottomKFingerprint(docs, "doc_id", "text")
+    val counts = fp.groupBy("doc_id").count().agg(min("count"), max("count")).collect()(0)
+    assert(counts.getLong(0) == 4 && counts.getLong(1) == 4)
+    val rows = fp.where(col("doc_id") === 0).orderBy("rnk").collect()
+    val hs = rows.map(_.getLong(2))
+    assert(hs.zip(hs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("near-dup docs share fingerprint hashes") {
+    val docs = Tables.load(spark, SparkTestBase.sf001, "documents")
+    // doc 8 and 245 are a planted near-dup pair (DedupSpec).
+    val fp = TextAnalysis.bottomKFingerprint(docs, "doc_id", "text")
+    val a = fp.where("doc_id = 8").collect().map(_.getLong(2)).toSet
+    val b = fp.where("doc_id = 245").collect().map(_.getLong(2)).toSet
+    assert(a.intersect(b).size >= 2, s"planted pair shares ${a.intersect(b).size}/4")
+  }
+}
