@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.RelationalQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.TextEventsQueries.queries
+      graft.queries.TextEventsQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
-      graft.queries.TextEventsQueries.oracleSql
+      graft.queries.TextEventsQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }

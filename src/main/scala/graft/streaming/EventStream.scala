@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface over the events table (SURVEY.md §2.5 /
+ * layer C): file-source stream, watermarked windowed aggregation,
+ * session_window sessionization, and a custom mapGroupsWithState operator.
+ *
+ * All transforms are defined on an unbounded DataFrame, so the same code
+ * runs in batch mode (events DataFrame) and streaming mode (readStream) —
+ * the tests drive both and assert they agree. At cluster scale the file
+ * source becomes Kafka; the transforms are unchanged.
+ */
+object EventStream {
+
+  /** The parquet-on-disk schema of events (ts stored as TIMESTAMP(NANOS),
+    * read as raw nanos — see graft.Tables.load). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Unbounded events stream from the parquet fixture (file source). The
+    * file source requires a *directory*, so the single fixture file is
+    * exposed through a symlinked temp dir (fixture shim only — a real
+    * deployment points at a landing directory or Kafka). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    val streamDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_${src.toString.hashCode.toHexString}")
+    if (!Files.exists(streamDir)) {
+      Files.createDirectories(streamDir)
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
+        "user_id", "event_type", "value", "props")
+  }
+
+  /** Hourly tumbling-window counts + value sums per event type. Works on
+    * both batch and streaming inputs; with a stream, pair with the
+    * `complete`/`update` output mode (or `append` + watermark). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(col("window.start").as("h"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Built-in session windows: 30-minute-gap sessions per user. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Per-type running state for the custom-state operator. */
+  case class TypeState(n: Long, valueSum: Double)
+  case class TypeCount(eventType: String, n: Long, valueSum: Double)
+
+  /** Custom stateful operator: running per-event-type totals via
+    * mapGroupsWithState (the KeyValueGroupedDataset state API). */
+  def runningTypeTotals(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)],
+            state: GroupState[TypeState]) =>
+          val prev = state.getOption.getOrElse(TypeState(0L, 0.0))
+          var n = prev.n
+          var s = prev.valueSum
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update(TypeState(n, s))
+          TypeCount(key, n, s)
+      }.toDF()
+  }
+
+  /** Drives a streaming DataFrame to completion against the static fixture
+    * via the memory sink; returns the materialized result table. */
+  def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = streaming.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

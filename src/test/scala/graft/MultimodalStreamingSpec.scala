@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MediaRecord, Multimodal}
+import graft.streaming.EventStream
+
+class MultimodalStreamingSpec extends GraftSuite {
+  private val dir = SparkTestBase.sf001
+
+  test("media table schema: binary payload + typed metadata struct") {
+    val m = Multimodal.fromDocuments(Tables.load(spark, dir, "documents"))
+    val f = m.schema.map(x => x.name -> x.dataType.typeName).toMap
+    assert(f("payload") == "binary" && f("meta") == "struct")
+    assert(m.count() == 500)
+  }
+
+  test("decodeFeatures via mapPartitions is deterministic and matches md5") {
+    import spark.implicits._
+    val typed = Multimodal.fromDocuments(Tables.load(spark, dir, "documents"))
+      .select(col("media_id").as("mediaId"), col("kind"), col("payload"), col("meta"))
+      .as[MediaRecord]
+    val feats = Multimodal.decodeFeatures(typed).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.embedding.length == 16)
+      assert(f.embedding.forall(v => v >= 0.0f && v <= 1.0f))
+      assert(f.payloadMd5.length == 32)
+    }
+    // md5 of payload == Spark's SQL md5 of the text it came from.
+    val sqlMd5 = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    feats.foreach(f => assert(f.payloadMd5 == sqlMd5(f.mediaId)))
+  }
+
+  test("frame sampling: count = durationMs/500 + 1 per media row") {
+    val m = Multimodal.fromDocuments(Tables.load(spark, dir, "documents"))
+    val fs = Multimodal.frameSamplePlan(m, 500L)
+    val bad = fs.groupBy("media_id").agg(count(lit(1)).as("n"), max("ts_ms").as("mx"))
+      .join(m.select(col("media_id"), col("meta.durationMs").as("d")), "media_id")
+      .where(col("n") =!= (col("d") / 500 + 1).cast("long"))
+    assert(bad.count() == 0)
+  }
+
+  test("resize plan fits maxDim and preserves aspect within rounding") {
+    val m = Multimodal.fromDocuments(Tables.load(spark, dir, "documents"))
+    val r = Multimodal.resizePlan(m, 128)
+    assert(r.where(col("new_width") > 128 || col("new_height") > 128).count() == 0)
+    assert(r.where(col("new_width") <= 0 || col("new_height") <= 0).count() == 0)
+  }
+
+  test("streaming hourly counts == batch hourly counts") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.hourlyCounts(EventStream.eventsStream(spark, dir)),
+      "spec_stream_hourly")
+    val batch = EventStream.hourlyCounts(Tables.load(spark, dir, "events"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming session windows == batch session windows") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.sessionWindows(
+        EventStream.eventsStream(spark, dir).withWatermark("ts", "1 hour")),
+      "spec_stream_sessions")
+    val batch = EventStream.sessionWindows(Tables.load(spark, dir, "events"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("mapGroupsWithState running totals match groupBy counts") {
+    val ev = Tables.load(spark, dir, "events")
+    val st = EventStream.runningTypeTotals(ev)
+      .select(col("eventType"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st == expected)
+  }
+}
