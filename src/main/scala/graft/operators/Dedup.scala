@@ -45,16 +45,46 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------------
 
-  /** Per-document MinHash signature: `sig[p] = min over shingles of
-    * hash60(p + ":" + shingle)`, p in [0, numPerm). One narrow pass. */
+  /** The universal-hash prime (Mersenne 2^31 - 1): products a*h stay under
+    * 2^62, so the arithmetic is overflow-free even in ANSI mode. */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Deterministic (a, b) coefficients for permutation p, derived from md5
+    * so the DuckDB oracle can embed the same literals. */
+  def minhashCoeffs(numPerm: Int): Array[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      val hex = d.take(8).map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    Array.tabulate(numPerm) { p =>
+      (h(s"a:$p") % (MinhashPrime - 1) + 1, h(s"b:$p") % MinhashPrime)
+    }
+  }
+
+  /** Per-document MinHash signature via universal hashing: each distinct
+    * shingle is md5-hashed ONCE (`h = hash60(s) % prime`), then
+    * `sig[p] = min over shingles of (a_p * h + b_p) % prime`.
+    *
+    * Shape: explode(shingles) -> hash -> groupBy(doc) with numPerm partial
+    * `min` aggregates -> assemble array. Everything stays inside
+    * whole-stage codegen (a HashAggregate of primitive longs) — the
+    * earlier `array_min(transform(...))` form evaluated 32 interpreted
+    * lambdas per shingle and was ~50x slower at sf0.1. The groupBy
+    * shuffles only (doc_id, 32 longs) thanks to map-side partial mins. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numPerm: Int = 32): DataFrame = {
-    val perms = (0 until numPerm).toArray
-    docs.select(
-      col(idCol).as("doc_id"),
-      wordShingles(col(textCol), shingleK).as("shingles"))
-      .withColumn("sig", array(perms.map(p =>
-        array_min(transform(col("shingles"), s => hash60Perm(p, s)))): _*))
+    val coeffs = minhashCoeffs(numPerm)
+    val hs = docs.select(col(idCol).as("doc_id"),
+        explode(wordShingles(col(textCol), shingleK)).as("s"))
+      .select(col("doc_id"), (hash60(col("s")) % MinhashPrime).as("h"))
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
+    }
+    hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Explodes signatures into `numBands` LSH band keys:
@@ -147,14 +177,19 @@ object Dedup {
     * that keeps this linear-ish at corpus scale. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
-      maxDocFreq: Long = 1000L): DataFrame = {
+      maxDocFreq: Long = 50L): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),
         charGrams(col(textCol), n).as("grams"))
-    val sizes = grams.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
     val exploded = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     val kept = exploded.groupBy("g")
       .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq)
+    // Jaccard over the KEPT (informative) grams only: sizes are computed
+    // post-filter so dropping stop-grams shrinks intersections and unions
+    // consistently — the cap is then purely a skew/noise guard, not a
+    // recall bias.
+    val sizes = kept.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = kept
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -184,9 +219,13 @@ object Dedup {
     * scale use Similarity.lshNearDuplicates (bucketed) instead. */
   def embeddingNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    // Norms precomputed once per vector (not once per pair): the pair
+    // stage is a single codegen'd dot product + one multiply-compare.
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .where(cosine(col("a.v"), col("b.v")) >= threshold)
+      .where(VectorOps.dot(col("a.v"), col("b.v")) >=
+        col("a.nrm") * col("b.nrm") * lit(threshold))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
   }
 }

@@ -61,8 +61,12 @@ object Similarity {
   /** Exact top-k neighbors per query by brute-force cosine.
     * `queries` (qid, qvec) is broadcast; corpus (id, vec) streams. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("score", VectorOps.cosine(col("qvec"), col("vec")))
+    // Norms once per side; the per-pair work is one codegen'd dot product.
+    val c = corpus.withColumn("nrm", VectorOps.norm(col("vec")))
+    val q = queries.withColumn("qnrm", VectorOps.norm(col("qvec")))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -82,9 +86,10 @@ object Similarity {
     val cand = qCodes.join(cCodes, Seq("tbl", "code"))
       .select("qid", "id").distinct()
     val scored = cand
-      .join(queries, "qid")
-      .join(corpus, "id")
-      .withColumn("score", VectorOps.cosine(col("qvec"), col("vec")))
+      .join(queries.withColumn("qnrm", VectorOps.norm(col("qvec"))), "qid")
+      .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)

@@ -19,14 +19,27 @@ object DedupQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
-  // DuckDB CTE fragments shared by the minhash oracles.
+  // DuckDB CTE fragments shared by the minhash oracles. `hs` carries one
+  // md5-derived base hash per shingle; permutations are the same universal
+  // hash (a_p*h + b_p) % p the Spark operator uses, coefficient literals
+  // generated from Dedup.minhashCoeffs.
   private val duckShingles =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id,
       |  list_distinct(CASE WHEN len(t) >= 3
       |    THEN list_transform(range(len(t) - 2),
       |           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
-      |    ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks)""".stripMargin
+      |    ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
+      |hsh AS (SELECT doc_id, shingles,
+      |  list_transform(shingles,
+      |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+      |  FROM sh)""".stripMargin
+
+  private lazy val mhCoeffs = graft.operators.Dedup.minhashCoeffs(32)
+  private lazy val duckA =
+    mhCoeffs.map(_._1).mkString("[", ", ", "]::BIGINT[]")
+  private lazy val duckB =
+    mhCoeffs.map(_._2).mkString("[", ", ", "]::BIGINT[]")
 
   private val duckSimhashSums: String = {
     val sums = (0 until 48).map(b =>
@@ -87,16 +100,16 @@ object DedupQueries {
     "dedup_minhash_sigs" ->
       s"""$duckShingles
          |SELECT doc_id, CAST(p AS BIGINT) AS perm,
-         |  list_min(list_transform(shingles,
-         |    s -> ('0x' || substr(md5(p::VARCHAR || ':' || s), 1, 15))::BIGINT))
+         |  list_min(list_transform(hs,
+         |    h -> (($duckA)[p + 1] * h + ($duckB)[p + 1]) % 2147483647))
          |    AS minhash
-         |FROM sh, unnest(range(32)) AS pr(p)""".stripMargin,
+         |FROM hsh, unnest(range(32)) AS pr(p)""".stripMargin,
     "dedup_minhash_pairs" ->
       s"""$duckShingles,
          |sig AS (SELECT doc_id, shingles,
-         |  list_transform(range(32), p -> list_min(list_transform(shingles,
-         |    s -> ('0x' || substr(md5(p::VARCHAR || ':' || s), 1, 15))::BIGINT)))
-         |    AS sg FROM sh),
+         |  list_transform(range(32), p -> list_min(list_transform(hs,
+         |    h -> (($duckA)[p + 1] * h + ($duckB)[p + 1]) % 2147483647)))
+         |    AS sg FROM hsh),
          |bands AS (SELECT doc_id, b,
          |  md5(array_to_string(list_transform(
          |    list_slice(sg, b*4 + 1, b*4 + 4), x -> x::VARCHAR), ',')) AS bh
@@ -130,10 +143,11 @@ object DedupQueries {
         |  list_distinct(CASE WHEN length(text) >= 5
         |    THEN list_transform(range(length(text) - 4), i -> substr(text, i + 1, 5))
         |    ELSE [text] END) AS g FROM documents),
-        |sizes AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams FROM grams),
         |ex AS (SELECT doc_id, unnest(g) AS gr FROM grams),
         |kept AS (SELECT gr, list(doc_id) AS ids FROM ex
-        |         GROUP BY gr HAVING count(*) <= 1000),
+        |         GROUP BY gr HAVING count(*) <= 50),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |          FROM (SELECT unnest(ids) AS doc_id FROM kept) GROUP BY doc_id),
         |e1 AS (SELECT unnest(ids) AS id_a, ids FROM kept),
         |e2 AS (SELECT id_a, unnest(ids) AS id_b FROM e1),
         |pairs AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS inter
