@@ -37,6 +37,10 @@ object Gen {
   case class DateUniform(start: String, end: String) extends Gen
   /** Timestamps as `yyyy-MM-dd HH:mm:ss` strings, inclusive, UTC session. */
   case class TimestampUniform(start: String, end: String) extends Gen
+  case class Int64Poisson(lambda: Double) extends Gen
+  case class Int64Geometric(p: Double) extends Gen
+  case class Float64Pareto(scale: Double, shape: Double) extends Gen
+  case class Float64Laplace(mu: Double, b: Double) extends Gen
   /** Uniform pick from a literal value list (strings/numbers). */
   case class Choice(values: Seq[Any]) extends Gen
   /** Escape hatch: any Spark SQL expression over previous columns. */
@@ -90,6 +94,14 @@ object TableGen {
     case Gen.TimestampUniform(start, end) =>
       randgen_timestamp_uniform(
         to_timestamp(lit(start)), to_timestamp(lit(end)), seed)
+    case Gen.Int64Poisson(lambda) =>
+      randgen_int64_poisson(lit(lambda), seed)
+    case Gen.Int64Geometric(p) =>
+      randgen_int64_geometric(lit(p), seed)
+    case Gen.Float64Pareto(scale, shape) =>
+      randgen_float64_pareto(lit(scale), lit(shape), seed)
+    case Gen.Float64Laplace(mu, b) =>
+      randgen_float64_laplace(lit(mu), lit(b), seed)
     case Gen.Choice(values) =>
       randgen_choice(
         org.apache.spark.sql.functions.array(values.map(lit): _*), seed)

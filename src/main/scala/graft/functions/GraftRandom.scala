@@ -168,6 +168,49 @@ final class GraftRandom(seed: Long, partitionIndex: Int) {
   private[this] def helper2(t: Double): Double =
     if (math.abs(t) > 1e-8) math.expm1(t) / t else 1.0 + t / 2.0 * (1.0 + t / 3.0)
 
+  /** Poisson via Knuth's product method — exact; O(lambda) per draw, so
+    * intended for lambda up to a few hundred (document-length scale). */
+  def nextPoisson(lambda: Double): Long = {
+    if (lambda <= 0.0) {
+      throw new IllegalArgumentException(
+        s"randgen poisson: lambda ($lambda) must be > 0")
+    }
+    val l = math.exp(-lambda)
+    var k = 0L
+    var p = 1.0
+    do { k += 1; p *= nextDouble() } while (p > l)
+    k - 1
+  }
+
+  /** Geometric: number of failures before first success, p in (0, 1]. */
+  def nextGeometric(p: Double): Long = {
+    if (p <= 0.0 || p > 1.0) {
+      throw new IllegalArgumentException(
+        s"randgen geometric: p ($p) must be in (0, 1]")
+    }
+    if (p == 1.0) 0L
+    else math.floor(math.log1p(-nextDouble()) / math.log1p(-p)).toLong
+  }
+
+  /** Pareto (type I): scale * u^(-1/shape), support [scale, inf). */
+  def nextPareto(scale: Double, shape: Double): Double = {
+    if (scale <= 0.0 || shape <= 0.0) {
+      throw new IllegalArgumentException(
+        s"randgen pareto: scale ($scale) and shape ($shape) must be > 0")
+    }
+    scale * math.pow(1.0 - nextDouble(), -1.0 / shape)
+  }
+
+  /** Laplace(mu, b) via inverse CDF. */
+  def nextLaplace(mu: Double, b: Double): Double = {
+    if (b <= 0.0) {
+      throw new IllegalArgumentException(
+        s"randgen laplace: b ($b) must be > 0")
+    }
+    val u = nextDouble() - 0.5
+    mu - b * math.signum(u) * math.log1p(-2.0 * math.abs(u))
+  }
+
   private[this] val alphanumChars: Array[Char] =
     ("abcdefghijklmnopqrstuvwxyz" +
       "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789").toCharArray

@@ -61,6 +61,10 @@ object RandgenFunctions {
     arity2("randgen_date_uniform", RandgenDateUniform.apply),
     arity2("randgen_timestamp_uniform", RandgenTimestampUniform.apply),
     arity1("randgen_choice", RandgenChoice.apply),
+    arity1("randgen_int64_poisson", RandgenInt64Poisson.apply),
+    arity1("randgen_int64_geometric", RandgenInt64Geometric.apply),
+    arity2("randgen_float64_pareto", RandgenFloat64Pareto.apply),
+    arity2("randgen_float64_laplace", RandgenFloat64Laplace.apply),
   )
 
   /** Installs the whole family as temp functions in `spark`'s session. */
@@ -99,4 +103,12 @@ object RandgenFunctions {
     col(RandgenTimestampUniform(ex(start), ex(end), seed))
   def randgen_choice(arr: Column, seed: Long): Column =
     col(RandgenChoice(ex(arr), seed))
+  def randgen_int64_poisson(lambda: Column, seed: Long): Column =
+    col(RandgenInt64Poisson(ex(lambda), seed))
+  def randgen_int64_geometric(p: Column, seed: Long): Column =
+    col(RandgenInt64Geometric(ex(p), seed))
+  def randgen_float64_pareto(scale: Column, shape: Column, seed: Long): Column =
+    col(RandgenFloat64Pareto(ex(scale), ex(shape), seed))
+  def randgen_float64_laplace(mu: Column, b: Column, seed: Long): Column =
+    col(RandgenFloat64Laplace(ex(mu), ex(b), seed))
 }

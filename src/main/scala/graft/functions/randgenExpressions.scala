@@ -239,6 +239,60 @@ case class RandgenTimestampUniform(left: Expression, right: Expression, seed: Lo
     copy(left = l, right = r)
 }
 
+/** `randgen_int64_poisson(lambda [, seed])` — Poisson counts, λ > 0. */
+case class RandgenInt64Poisson(child: Expression, seed: Long)
+    extends RandgenUnary {
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "randgen_int64_poisson"
+  override protected def sample(a: Any): Any =
+    rng.nextPoisson(a.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String): String =
+    s"$t.nextPoisson($a)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `randgen_int64_geometric(p [, seed])` — failures before first success. */
+case class RandgenInt64Geometric(child: Expression, seed: Long)
+    extends RandgenUnary {
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "randgen_int64_geometric"
+  override protected def sample(a: Any): Any =
+    rng.nextGeometric(a.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String): String =
+    s"$t.nextGeometric($a)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `randgen_float64_pareto(scale, shape [, seed])` — heavy-tailed sizes. */
+case class RandgenFloat64Pareto(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_pareto"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextPareto(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextPareto($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_laplace(mu, b [, seed])` — double exponential. */
+case class RandgenFloat64Laplace(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_laplace"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextLaplace(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextLaplace($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /**
  * `randgen_choice(arr [, seed])` — uniformly random element of the array
  * argument; null for null or empty arrays; preserves element nulls.

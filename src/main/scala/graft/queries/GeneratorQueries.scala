@@ -123,6 +123,30 @@ object GeneratorQueries {
         |       CAST(count(DISTINCT x) = 3 AS BOOLEAN) AS support_ok
         |FROM (SELECT randgen_choice(array('a', 'b', 'c'), 37) AS x FROM range(1, 1001))
         |""".stripMargin) _,
+    "gen_int64_poisson_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 0 AS BOOLEAN) AS nonneg,
+        |       CAST(abs(avg(x) - 4.0) < 0.05 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT randgen_int64_poisson(4.0, 41) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    "gen_int64_geometric_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 0 AS BOOLEAN) AS nonneg,
+        |       CAST(abs(avg(x) - 3.0) < 0.1 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT randgen_int64_geometric(0.25, 43) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    "gen_float64_pareto_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 1.0 AS BOOLEAN) AS support_ok,
+        |       CAST(abs(avg(x) - 1.5) < 0.05 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT randgen_float64_pareto(1.0, 3.0, 47) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    "gen_float64_laplace_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(abs(avg(x) - 5.0) < 0.1 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(avg(abs(x - 5.0)) - 2.0) < 0.1 AS BOOLEAN) AS scale_ok
+        |FROM (SELECT randgen_float64_laplace(5.0, 2.0, 53) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
     // TableGen: schema-driven whole-table generation (the reference's stated
     // purpose, Cargo.toml:5) — deterministic under seed, properties constant.
     "gen_tablegen_props" -> { (spark: SparkSession, _: String) =>
@@ -174,6 +198,14 @@ object GeneratorQueries {
       "SELECT CAST(1000 AS BIGINT) AS n, TRUE AS in_bounds",
     "gen_choice_props" ->
       "SELECT CAST(1000 AS BIGINT) AS n, TRUE AS members_ok, TRUE AS support_ok",
+    "gen_int64_poisson_props" ->
+      "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS nonneg, TRUE AS mean_ok",
+    "gen_int64_geometric_props" ->
+      "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS nonneg, TRUE AS mean_ok",
+    "gen_float64_pareto_props" ->
+      "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS support_ok, TRUE AS mean_ok",
+    "gen_float64_laplace_props" ->
+      "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS mean_ok, TRUE AS scale_ok",
     "gen_tablegen_props" ->
       ("SELECT CAST(10000 AS BIGINT) AS n, CAST(10000 AS BIGINT) AS n_ids, " +
         "TRUE AS qty_ok, TRUE AS price_ok, TRUE AS seg_ok, TRUE AS total_ok"),
