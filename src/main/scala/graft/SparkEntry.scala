@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.TextEventsQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.ExtendedQueries.queries
+      graft.queries.ExtendedQueries.queries ++
+      graft.queries.JoinQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracleSql ++
       graft.queries.TextEventsQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
-      graft.queries.ExtendedQueries.oracleSql
+      graft.queries.ExtendedQueries.oracleSql ++
+      graft.queries.JoinQueries.oracleSql
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Join operators Spark lacks as built-ins, composed from primitives
+ * (SURVEY.md §7.3 preference (a): compose before custom plans).
+ */
+object Joins {
+
+  /**
+   * Backward as-of join: for every left row, attach the single right row
+   * with the greatest `rightTs <= leftTs` within the same `keys` group
+   * (left-join semantics: unmatched left rows keep nulls).
+   *
+   * Composition: equi-join on keys with the time bound as join condition,
+   * then keep rank-1 per left row (`leftId` must be unique per left row).
+   * At scale the equi-join shuffles both sides by `keys` once; the window
+   * repartitions by `leftId`. Pass `toleranceMs >= 0` to bound the match
+   * window (`rightTs >= leftTs - tolerance`) — unbounded as-of joins on
+   * keys with millions of right rows fan out before the rank filter, and
+   * the tolerance predicate is what keeps the join linear-ish.
+   *
+   * DuckDB's native `ASOF LEFT JOIN` is the oracle for this operator.
+   */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, leftId: String,
+      rightValueCols: Seq[String], toleranceMs: Long = -1L): DataFrame = {
+    val r = right.select(
+      keys.map(k => col(k).as(s"__k_$k")) ++
+        Seq(col(rightTs).as("__rts")) ++
+        rightValueCols.map(c => col(c).as(s"r_$c")): _*)
+    val keyCond = keys.map(k => col(k) === col(s"__k_$k")).reduce(_ && _)
+    val timeCond =
+      if (toleranceMs >= 0)
+        col("__rts") <= col(leftTs) &&
+          col("__rts") >= col(leftTs) - expr(s"INTERVAL $toleranceMs MILLISECOND")
+      else col("__rts") <= col(leftTs)
+    val joined = left.join(r, keyCond && timeCond, "left")
+    val w = Window.partitionBy(col(leftId)).orderBy(col("__rts").desc)
+    joined.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+      .drop(keys.map(k => s"__k_$k"): _*)
+      .withColumnRenamed("__rts", "asof_ts")
+  }
+
+  /**
+   * Skew-resistant equi-join: the left (large, skewed) side gets a
+   * deterministic salt in [0, saltFactor) derived from `leftUniqueCol`;
+   * the right side is replicated `saltFactor` times; the join runs on
+   * (key, salt), splitting each hot key's bucket `saltFactor` ways.
+   * Result set is identical to the plain join. (AQE's skew-join handles
+   * the moderate cases automatically; this is the explicit tool for
+   * extreme single-key skew.)
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int, leftUniqueCol: String): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(leftUniqueCol)), lit(saltFactor)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

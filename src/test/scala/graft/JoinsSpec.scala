@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+class JoinsSpec extends GraftSuite {
+  private val dir = SparkTestBase.sf001
+
+  test("asof backward: matched value is the latest prior click") {
+    val ev = Tables.load(spark, dir, "events")
+    val errors = ev.where(col("event_type") === "error")
+    val clicks = ev.where(col("event_type") === "click")
+    val asof = Joins.asofBackward(errors, clicks, Seq("user_id"), "ts", "ts",
+      "event_id", Seq("value"))
+    // Every asof_ts is <= the error ts, and no later click exists between.
+    assert(asof.where(col("asof_ts") > col("ts")).count() == 0)
+    val sample = asof.where(col("asof_ts").isNotNull).limit(5).collect()
+    sample.foreach { r =>
+      val uid = r.getLong(r.fieldIndex("user_id"))
+      val ets = r.getTimestamp(r.fieldIndex("ts"))
+      val ats = r.getTimestamp(r.fieldIndex("asof_ts"))
+      val later = clicks.where(col("user_id") === uid &&
+        col("ts") <= lit(ets) && col("ts") > lit(ats)).count()
+      assert(later == 0, s"found a later prior click for user $uid")
+    }
+    // Unmatched errors (no prior click) keep nulls.
+    assert(asof.count() == errors.count())
+  }
+
+  test("asof with tolerance bounds the match window") {
+    val ev = Tables.load(spark, dir, "events")
+    val errors = ev.where(col("event_type") === "error")
+    val clicks = ev.where(col("event_type") === "click")
+    val tight = Joins.asofBackward(errors, clicks, Seq("user_id"), "ts", "ts",
+      "event_id", Seq("value"), toleranceMs = 60000L)
+    val loose = Joins.asofBackward(errors, clicks, Seq("user_id"), "ts", "ts",
+      "event_id", Seq("value"))
+    assert(tight.where(col("asof_ts").isNotNull).count() <=
+      loose.where(col("asof_ts").isNotNull).count())
+    assert(tight.where(
+      col("asof_ts") < col("ts") - expr("INTERVAL 60 SECOND")).count() == 0)
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+    val salted = Joins.saltedJoin(li, o, "k", 8, "l_quantity")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val plain = li.join(o, "k")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    // warehouse.dir is a static conf, set to a temp dir in SparkTestBase.
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    // Disable auto-broadcast so the planner actually uses the bucketed
+    // sort-merge path (at real scale neither side is broadcastable).
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("ShuffleExchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql("DROP TABLE li_bucketed")
+    spark.sql("DROP TABLE o_bucketed")
+  }
+
+  test("topk aggregator: ascending array of the k largest") {
+    graft.functions.TopKAggregator.register(spark, 3)
+    import spark.implicits._
+    val df = Seq(5.0, 1.0, 9.0, 7.0, 3.0).toDF("v")
+    val r = df.agg(expr("topk3_agg(v)")).collect()(0).getSeq[Double](0)
+    assert(r == Seq(5.0, 7.0, 9.0))
+  }
+}
