@@ -203,6 +203,56 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni")
   }
 
+  // ---- Cluster resolution --------------------------------------------------
+
+  /**
+   * Resolves near-dup PAIRS into connected components via iterative
+   * min-label propagation: every node's label converges to the smallest
+   * id in its component (the canonical "keep" representative).
+   *
+   * Each iteration is one shuffle join + aggregate; convergence takes
+   * O(component diameter) rounds — near-dup clusters are shallow (stars /
+   * short chains), so `maxIter` ~10 covers real corpora. `localCheckpoint`
+   * truncates the growing lineage each round (a guard iterative
+   * Spark algorithms need at scale). Output: (id, cluster) for every id appearing
+   * in `pairs`; singletons never enter and need no resolution.
+   */
+  def resolveClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("cluster").as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      converged = updated.as("u")
+        .join(labels.as("l"), "id")
+        .where(col("u.cluster") =!= col("l.cluster")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** Drops every non-representative member of each near-dup cluster:
+    * the end-to-end "dedup the corpus" operator. */
+  def keepRepresentatives(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val losers = resolveClusters(pairs)
+      .where(col("id") =!= col("cluster")).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   // ---- Embedding cosine ----------------------------------------------------
 
   /** Cosine similarity between two float-array columns, computed in double

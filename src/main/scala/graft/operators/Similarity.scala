@@ -48,14 +48,18 @@ object Similarity {
       when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** (id, table, code) bucket assignments for every vector. */
+  /** (id, table, code) bucket assignments for every vector. All tables'
+    * codes are computed in ONE scan (array + posexplode) — a per-table
+    * union would rescan the source numTables times, which at corpus scale
+    * multiplies the dominant IO cost. */
   def lshCodes(emb: DataFrame, idCol: String, vecCol: String,
       numTables: Int = 8, numPlanes: Int = 3, seed: Int = 42): DataFrame = {
     val ps = planes(numTables, numPlanes, 64, seed)
-    val perTable = (0 until numTables).map(t =>
-      emb.select(col(idCol).as("vec_id"), lit(t.toLong).as("tbl"),
-        srpCode(col(vecCol), ps(t)).as("code")))
-    perTable.reduce(_.unionAll(_))
+    emb.select(col(idCol).as("vec_id"),
+        posexplode(array((0 until numTables).map(t =>
+          srpCode(col(vecCol), ps(t))): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("tbl"),
+        col("col").as("code"))
   }
 
   /** Exact top-k neighbors per query by brute-force cosine.

@@ -35,6 +35,29 @@ object DedupQueries {
       |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
       |  FROM sh)""".stripMargin
 
+  private lazy val minhashPairsOracle: String =
+    s"""$duckShingles,
+       |sig AS (SELECT doc_id, shingles,
+       |  list_transform(range(32), p -> list_min(list_transform(hs,
+       |    h -> (($duckA)[p + 1] * h + ($duckB)[p + 1]) % 2147483647)))
+       |    AS sg FROM hsh),
+       |bands AS (SELECT doc_id, b,
+       |  md5(array_to_string(list_transform(
+       |    list_slice(sg, b*4 + 1, b*4 + 4), x -> x::VARCHAR), ',')) AS bh
+       |  FROM sig, unnest(range(8)) AS br(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+       |  CAST(len(a.shingles) + len(b.shingles)
+       |       - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS uni
+       |FROM cand c JOIN sh a ON c.id_a = a.doc_id
+       |            JOIN sh b ON c.id_b = b.doc_id
+       |WHERE len(list_intersect(a.shingles, b.shingles)) >=
+       |      (len(a.shingles) + len(b.shingles)
+       |       - len(list_intersect(a.shingles, b.shingles))) * 0.5""".stripMargin
+
   private lazy val mhCoeffs = graft.operators.Dedup.minhashCoeffs(32)
   private lazy val duckA =
     mhCoeffs.map(_._1).mkString("[", ", ", "]::BIGINT[]")
@@ -80,6 +103,16 @@ object DedupQueries {
     "dedup_ngram_pairs" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text")
     },
+    // Pairs -> connected components -> corpus minus non-representatives.
+    // The planted sf pairs are disjoint, so the oracle is the corpus minus
+    // each pair's larger id (replaying the minhash pair CTE).
+    "dedup_resolve_keep" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.keepRepresentatives(d, "doc_id",
+        Dedup.minhashNearDuplicates(d, "doc_id", "text", 0.5)
+          .select("id_a", "id_b"))
+        .select("doc_id")
+    },
     "dedup_embedding_pairs" -> { (s, dir) =>
       Dedup.embeddingNearDuplicates(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
@@ -104,28 +137,7 @@ object DedupQueries {
          |    h -> (($duckA)[p + 1] * h + ($duckB)[p + 1]) % 2147483647))
          |    AS minhash
          |FROM hsh, unnest(range(32)) AS pr(p)""".stripMargin,
-    "dedup_minhash_pairs" ->
-      s"""$duckShingles,
-         |sig AS (SELECT doc_id, shingles,
-         |  list_transform(range(32), p -> list_min(list_transform(hs,
-         |    h -> (($duckA)[p + 1] * h + ($duckB)[p + 1]) % 2147483647)))
-         |    AS sg FROM hsh),
-         |bands AS (SELECT doc_id, b,
-         |  md5(array_to_string(list_transform(
-         |    list_slice(sg, b*4 + 1, b*4 + 4), x -> x::VARCHAR), ',')) AS bh
-         |  FROM sig, unnest(range(8)) AS br(b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bands x JOIN bands y
-         |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
-         |SELECT c.id_a, c.id_b,
-         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
-         |  CAST(len(a.shingles) + len(b.shingles)
-         |       - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS uni
-         |FROM cand c JOIN sh a ON c.id_a = a.doc_id
-         |            JOIN sh b ON c.id_b = b.doc_id
-         |WHERE len(list_intersect(a.shingles, b.shingles)) >=
-         |      (len(a.shingles) + len(b.shingles)
-         |       - len(list_intersect(a.shingles, b.shingles))) * 0.5""".stripMargin,
+    "dedup_minhash_pairs" -> minhashPairsOracle,
     "dedup_simhash_sigs" ->
       s"""$duckSimhashSums
          |SELECT doc_id, simhash FROM sim""".stripMargin,
@@ -157,6 +169,14 @@ object DedupQueries {
         |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
         |             JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE p.inter >= (sa.n_grams + sb.n_grams - p.inter) * 0.5""".stripMargin,
+    "dedup_resolve_keep" ->
+      // Valid because the sf pairs are disjoint (ClusterSpec asserts the
+      // general connected-components semantics separately): losers are
+      // exactly the id_b side of each planted pair.
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM (
+         |$minhashPairsOracle
+         |) p)""".stripMargin,
     "dedup_embedding_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
