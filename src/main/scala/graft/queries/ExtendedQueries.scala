@@ -74,6 +74,9 @@ object ExtendedQueries {
     "io_json_roundtrip" -> { (s, dir) =>
       ioRoundtrip(s, dir, "json")
     },
+    "io_orc_roundtrip" -> { (s, dir) =>
+      ioRoundtrip(s, dir, "orc")
+    },
   )
 
   /** Writes a lineitem slice through `format`, reads it back, aggregates.
@@ -133,5 +136,6 @@ object ExtendedQueries {
         |  TRUE AS approx_ok FROM lineitem""".stripMargin,
     "io_csv_roundtrip" -> roundtripOracle,
     "io_json_roundtrip" -> roundtripOracle,
+    "io_orc_roundtrip" -> roundtripOracle,
   )
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.GraftRandom
+
+/**
+ * ScalaCheck properties over the RNG core (SURVEY.md §5 item 2): bounds
+ * for arbitrary (min <= max) pairs including Long extremes, seed
+ * determinism, and distribution supports — properties the reference's
+ * tests only sample at fixed constants.
+ */
+object GraftRandomPropertySpec extends Properties("GraftRandom") {
+
+  private val seeds = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+  private val longPairs = for {
+    a <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    b <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+  } yield if (a <= b) (a, b) else (b, a)
+
+  property("uniform bounds hold for arbitrary ranges incl. extremes") =
+    Prop.forAll(seeds, longPairs) { (seed, p) =>
+      val rng = new GraftRandom(seed, 0)
+      (0 until 50).forall { _ =>
+        val v = rng.nextLongInclusive(p._1, p._2)
+        v >= p._1 && v <= p._2
+      }
+    }
+
+  property("same (seed, partition) reproduces; different partition differs") =
+    Prop.forAll(seeds) { seed =>
+      val a = new GraftRandom(seed, 3)
+      val b = new GraftRandom(seed, 3)
+      val c = new GraftRandom(seed, 4)
+      val sa = Seq.fill(20)(a.nextLong())
+      sa == Seq.fill(20)(b.nextLong()) && sa != Seq.fill(20)(c.nextLong())
+    }
+
+  property("min > max always throws") =
+    Prop.forAll(seeds, longPairs) { (seed, p) =>
+      p._1 == p._2 || {
+        val rng = new GraftRandom(seed, 0)
+        Prop.throws(classOf[IllegalArgumentException]) {
+          rng.nextLongInclusive(p._2, p._1)
+        }
+      }
+    }
+
+  property("zipf support is [1, n]") =
+    Prop.forAll(seeds, Gen.chooseNum(1L, 1000000L),
+        Gen.chooseNum(0.1, 4.0)) { (seed, n, s) =>
+      val rng = new GraftRandom(seed, 0)
+      (0 until 20).forall { _ =>
+        val v = rng.nextZipf(n, s)
+        v >= 1L && v <= n
+      }
+    }
+
+  property("distribution supports: bernoulli/exponential/pareto/poisson/geometric") =
+    Prop.forAll(seeds) { seed =>
+      val rng = new GraftRandom(seed, 0)
+      (0 until 20).forall { _ =>
+        !rng.nextBernoulli(0.0) && rng.nextBernoulli(1.0) &&
+          rng.nextExponential(2.0) >= 0.0 &&
+          rng.nextPareto(1.5, 2.0) >= 1.5 &&
+          rng.nextPoisson(3.0) >= 0L &&
+          rng.nextGeometric(0.5) >= 0L
+      }
+    }
+
+  property("degenerate range returns the single value") =
+    Prop.forAll(seeds, Gen.chooseNum(Long.MinValue, Long.MaxValue)) {
+      (seed, x) => new GraftRandom(seed, 0).nextLongInclusive(x, x) == x
+    }
+}

@@ -1,0 +1,57 @@
+package graft
+
+/**
+ * Workload-wide physical-plan audit: every SparkEntry query is planned and
+ * checked for scale anti-patterns. Queries that intentionally use a
+ * nested-loop broadcast (all-pairs baselines, non-equi as-of bound) are
+ * allow-listed; nothing may ever plan a CartesianProduct.
+ */
+class PlanAuditSpec extends GraftSuite {
+  private val dir = SparkTestBase.sf0001
+
+  // Deliberate nested-loop users: brute-force all-pairs baselines and the
+  // windowed-rank as-of composition (non-equi time bound).
+  private val nestedLoopAllowed = Set(
+    "dedup_embedding_pairs", "sim_brute_topk", "rel_q13_set_ops",
+    "rel_q16_scalar_subquery", "rel_q20_having_cte")
+
+  // Streaming queries plan at runtime; generator-only queries scan nothing.
+  private val skip = Set("stream_hourly")
+
+  test("no query plans a CartesianProduct; nested-loop only where intended") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !skip.contains(name) =>
+        val plan =
+          try fn(spark, dir).queryExecution.executedPlan.toString
+          catch { case e: Throwable => s"PLANNING FAILED: $e" }
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !nestedLoopAllowed.contains(name)
+        if (plan.startsWith("PLANNING FAILED") || cartesian || bnlj)
+          Some(s"$name: cartesian=$cartesian unexpectedBNLJ=$bnlj " +
+            plan.linesIterator.take(3).mkString(" | "))
+        else None
+      case _ => None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("parquet scans prune columns: q2 reads only the 5 needed columns") {
+    val plan = graft.queries.RelationalQueries.queries("rel_q2_filter_project")(
+      spark, dir).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_shipdate") ||
+      readSchema.isEmpty, s"q2 must not read unused columns: $readSchema")
+  }
+
+  test("generator queries are single-stage (no exchange before aggregation input)") {
+    graft.functions.RandgenFunctions.registerAll(spark)
+    val plan = spark.sql(
+      "SELECT randgen_int64_uniform(1, 10, 1) AS x FROM range(1, 101)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"generator projection must not shuffle:\n$plan")
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"generator must run inside codegen:\n$plan")
+  }
+}
