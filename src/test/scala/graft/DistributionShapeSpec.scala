@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftRandom
+
+/**
+ * Goodness-of-fit checks the reference never had (SURVEY.md §5 notes "no
+ * distribution-shape testing"): empirical frequencies vs the theoretical
+ * pmf/cdf under a fixed seed, 1M samples each. Tolerances are ~5 sigma of
+ * the binomial sampling error, so the tests are deterministic AND would
+ * catch a real pmf bug (e.g. a wrong Zipf acceptance bound).
+ */
+class DistributionShapeSpec extends AnyFunSuite {
+
+  private val N = 1000000
+
+  test("zipf(n=5, s=1) matches the harmonic pmf") {
+    val rng = new GraftRandom(1234L, 0)
+    val counts = new Array[Int](6)
+    (0 until N).foreach(_ => counts(rng.nextZipf(5, 1.0).toInt) += 1)
+    val h = (1 to 5).map(1.0 / _).sum
+    (1 to 5).foreach { k =>
+      val expected = (1.0 / k) / h
+      val got = counts(k).toDouble / N
+      assert(math.abs(got - expected) < 0.0035,
+        s"zipf p($k): got $got expected $expected")
+    }
+  }
+
+  test("zipf(n=1000, s=1.5) head probability matches") {
+    val rng = new GraftRandom(99L, 0)
+    var ones = 0
+    (0 until N).foreach(_ => if (rng.nextZipf(1000, 1.5) == 1L) ones += 1)
+    val h = (1 to 1000).map(k => math.pow(k.toDouble, -1.5)).sum
+    val expected = 1.0 / h
+    assert(math.abs(ones.toDouble / N - expected) < 0.0035,
+      s"zipf(1000,1.5) p(1): got ${ones.toDouble / N} expected $expected")
+  }
+
+  test("normal matches the 68-95-99.7 rule") {
+    val rng = new GraftRandom(77L, 0)
+    var in1 = 0; var in2 = 0; var in3 = 0
+    (0 until N).foreach { _ =>
+      val x = math.abs(rng.nextGaussian(0.0, 1.0))
+      if (x < 1.0) in1 += 1
+      if (x < 2.0) in2 += 1
+      if (x < 3.0) in3 += 1
+    }
+    assert(math.abs(in1.toDouble / N - 0.682689) < 0.0035)
+    assert(math.abs(in2.toDouble / N - 0.954500) < 0.0025)
+    assert(math.abs(in3.toDouble / N - 0.997300) < 0.0010)
+  }
+
+  test("uniform long has flat byte buckets") {
+    val rng = new GraftRandom(55L, 0)
+    val counts = new Array[Int](16)
+    (0 until N).foreach { _ =>
+      counts((rng.nextLongInclusive(0, 15)).toInt) += 1
+    }
+    counts.foreach { c =>
+      assert(math.abs(c.toDouble / N - 1.0 / 16) < 0.0025, c.toString)
+    }
+  }
+
+  test("exponential cdf at the median and mean") {
+    val rng = new GraftRandom(33L, 0)
+    var belowMedian = 0; var belowMean = 0
+    val lambda = 2.0
+    (0 until N).foreach { _ =>
+      val x = rng.nextExponential(lambda)
+      if (x < math.log(2.0) / lambda) belowMedian += 1
+      if (x < 1.0 / lambda) belowMean += 1
+    }
+    assert(math.abs(belowMedian.toDouble / N - 0.5) < 0.0035)
+    assert(math.abs(belowMean.toDouble / N - (1 - math.exp(-1))) < 0.0035)
+  }
+
+  test("poisson(4) pmf at k=0..3") {
+    val rng = new GraftRandom(11L, 0)
+    val counts = new Array[Int](64)
+    (0 until N).foreach { _ =>
+      val k = rng.nextPoisson(4.0).toInt
+      if (k < 64) counts(k) += 1
+    }
+    var fact = 1.0
+    (0 to 3).foreach { k =>
+      if (k > 0) fact *= k
+      val expected = math.exp(-4.0) * math.pow(4.0, k) / fact
+      assert(math.abs(counts(k).toDouble / N - expected) < 0.0035,
+        s"poisson p($k)")
+    }
+  }
+}
