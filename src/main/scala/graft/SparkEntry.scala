@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.TextEventsQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
-      graft.queries.JoinQueries.queries
+      graft.queries.JoinQueries.queries ++
+      graft.queries.SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.TextEventsQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.ExtendedQueries.oracleSql ++
-      graft.queries.JoinQueries.oracleSql
+      graft.queries.JoinQueries.oracleSql ++
+      graft.queries.SamplingQueries.oracleSql
 }

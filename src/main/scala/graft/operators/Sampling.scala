@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash.hash60
+
+/**
+ * Deterministic sampling / splitting for training-data pipelines
+ * (SURVEY.md §2.5): content-hash-based, so assignments are a pure function
+ * of the row key — reproducible across runs, engines, partitionings, and
+ * retries (unlike `df.sample`/`sampleBy`, whose seeded output still
+ * depends on partitioning). This is the property that matters at 100 TB:
+ * re-running the pipeline after adding data must not reshuffle old rows
+ * between train and test.
+ */
+object Sampling {
+
+  private val Buckets = 10000L
+
+  /** Stable bucket in [0, 10000) from the row key (salted by purpose). */
+  def hashBucket(key: Column, salt: String): Column =
+    hash60(concat(lit(s"$salt:"), key.cast("string"))) % Buckets
+
+  /**
+   * Assigns each row to a named split by cumulative fraction thresholds,
+   * e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)` (must sum to
+   * ~1; the last split absorbs rounding). Adds a `split` column.
+   */
+  def hashSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    val b = hashBucket(col(keyCol), salt)
+    val thresholds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(f => math.round(f * Buckets))
+    val expr = fractions.map(_._1).zip(thresholds).reverse
+      .foldLeft(lit(fractions.last._1): Column) {
+        case (acc, (name, thr)) => when(b < thr, lit(name)).otherwise(acc)
+      }
+    // foldLeft over reversed list checks smallest threshold LAST, so the
+    // earliest matching (smallest) threshold wins — standard cumulative
+    // bucketing.
+    df.withColumn("split", expr)
+  }
+
+  /** Keeps ~`fraction` of rows per stratum, deterministically: a row
+    * survives iff its hash bucket < fraction * 10000 under a salt that
+    * includes the stratum value. */
+  def hashStratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Double], salt: String = "strat"): DataFrame = {
+    val b = hash60(concat(lit(s"$salt:"), col(stratumCol), lit(":"),
+      col(keyCol).cast("string"))) % Buckets
+    val thr = fractions.foldLeft(lit(0L): Column) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(math.round(f * Buckets))).otherwise(acc)
+    }
+    df.where(b < thr)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Sampling
+
+/** Deterministic split/sample operators + math/set-op tail coverage. */
+object SamplingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hash_split" -> { (s, dir) =>
+      Sampling.hashSplit(Tables.load(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+    },
+    "sample_stratified" -> { (s, dir) =>
+      Sampling.hashStratifiedSample(Tables.load(s, dir, "documents"),
+          "doc_id", "lang",
+          Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1, "fr" -> 1.0, "zh" -> 0.0))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+    },
+    "rel_q28_math_funcs" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_orderkey, l_linenumber,
+              |  abs(l_quantity - 25) AS a, ceil(l_quantity / 7) AS c,
+              |  floor(l_extendedprice / 1000) AS f,
+              |  round(sqrt(l_quantity), 6) AS sq,
+              |  CAST(l_orderkey % 7 AS BIGINT) AS m,
+              |  sign(l_discount - 0.05) AS sg
+              |FROM lineitem WHERE l_orderkey < 50
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+    "rel_q29_setops_all" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              |    (SELECT o_custkey FROM orders INTERSECT ALL
+              |     SELECT c_custkey FROM customer) t1) AS n_intersect_all,
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              |    (SELECT o_custkey FROM orders EXCEPT ALL
+              |     SELECT c_custkey FROM customer) t2) AS n_except_all""".stripMargin)
+    },
+  )
+
+  private val duckBucket =
+    "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000"
+
+  val oracleSql: Map[String, String] = Map(
+    "sample_hash_split" ->
+      s"""SELECT CASE WHEN $duckBucket < 8000 THEN 'train'
+         |            WHEN $duckBucket < 9000 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM documents GROUP BY 1""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM (SELECT lang, doc_id,
+        |  ('0x' || substr(md5('strat:' || lang || ':' ||
+        |     CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b
+        |  FROM documents) t
+        |WHERE b < (CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
+        |           WHEN 'de' THEN 1000 WHEN 'fr' THEN 10000 ELSE 0 END)
+        |GROUP BY lang""".stripMargin,
+    "rel_q28_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS a, ceil(l_quantity / 7) AS c,
+        |  floor(l_extendedprice / 1000) AS f,
+        |  round(sqrt(l_quantity), 6) AS sq,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS m,
+        |  sign(l_discount - 0.05) AS sg
+        |FROM lineitem WHERE l_orderkey < 50
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "rel_q29_setops_all" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT o_custkey FROM orders INTERSECT ALL
+        |     SELECT c_custkey FROM customer) t1) AS n_intersect_all,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT o_custkey FROM orders EXCEPT ALL
+        |     SELECT c_custkey FROM customer) t2) AS n_except_all""".stripMargin,
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends GraftSuite {
+  private lazy val docs = Tables.load(spark, SparkTestBase.sf001, "documents")
+  private val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("split fractions are near-nominal and cover every row") {
+    val counts = Sampling.hashSplit(docs, "doc_id", fracs)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 500)
+    assert(math.abs(counts("train") - 400) < 60)
+    assert(counts.keySet == Set("train", "val", "test"))
+  }
+
+  test("assignments are stable when new data is added (the whole point)") {
+    val first = Sampling.hashSplit(docs.where("doc_id < 250"), "doc_id", fracs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val later = Sampling.hashSplit(docs, "doc_id", fracs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    first.foreach { case (id, s) =>
+      assert(later(id) == s, s"doc $id moved from $s to ${later(id)}")
+    }
+  }
+
+  test("assignments are invariant to partitioning") {
+    val a = Sampling.hashSplit(docs.repartition(17), "doc_id", fracs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(docs.coalesce(1), "doc_id", fracs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("stratified sample respects per-stratum fractions incl. 0 and 1") {
+    val sampled = Sampling.hashStratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1, "fr" -> 1.0, "zh" -> 0.0))
+    val got = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("zh"), "zero-fraction stratum must vanish")
+    assert(got("fr") == totals("fr"), "fraction 1.0 keeps everything")
+    assert(math.abs(got("en").toDouble / totals("en") - 0.5) < 0.15)
+    assert(math.abs(got("es").toDouble / totals("es") - 0.25) < 0.15)
+  }
+}
