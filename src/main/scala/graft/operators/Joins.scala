@@ -17,6 +17,10 @@ object Joins {
    *
    * Composition: equi-join on keys with the time bound as join condition,
    * then keep rank-1 per left row (`leftId` must be unique per left row).
+   * Tie rule: when several right rows share the greatest `rightTs`, the one
+   * with the largest `rightTieCols` tuple (descending, in order) wins —
+   * pass a unique right-side id there to make the pick deterministic
+   * under retries and across engines.
    * At scale the equi-join shuffles both sides by `keys` once; the window
    * repartitions by `leftId`. Pass `toleranceMs >= 0` to bound the match
    * window (`rightTs >= leftTs - tolerance`) — unbounded as-of joins on
@@ -27,10 +31,12 @@ object Joins {
    */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, leftId: String,
-      rightValueCols: Seq[String], toleranceMs: Long = -1L): DataFrame = {
+      rightValueCols: Seq[String], toleranceMs: Long = -1L,
+      rightTieCols: Seq[String] = Seq.empty): DataFrame = {
     val r = right.select(
       keys.map(k => col(k).as(s"__k_$k")) ++
         Seq(col(rightTs).as("__rts")) ++
+        rightTieCols.zipWithIndex.map { case (c, i) => col(c).as(s"__tie_$i") } ++
         rightValueCols.map(c => col(c).as(s"r_$c")): _*)
     val keyCond = keys.map(k => col(k) === col(s"__k_$k")).reduce(_ && _)
     val timeCond =
@@ -39,11 +45,14 @@ object Joins {
           col("__rts") >= col(leftTs) - expr(s"INTERVAL $toleranceMs MILLISECOND")
       else col("__rts") <= col(leftTs)
     val joined = left.join(r, keyCond && timeCond, "left")
-    val w = Window.partitionBy(col(leftId)).orderBy(col("__rts").desc)
+    val ordering = col("__rts").desc +:
+      rightTieCols.indices.map(i => col(s"__tie_$i").desc)
+    val w = Window.partitionBy(col(leftId)).orderBy(ordering: _*)
     joined.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn")
       .drop(keys.map(k => s"__k_$k"): _*)
+      .drop(rightTieCols.indices.map(i => s"__tie_$i"): _*)
       .withColumnRenamed("__rts", "asof_ts")
   }
 

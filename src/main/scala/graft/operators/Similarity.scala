@@ -51,13 +51,22 @@ object Similarity {
   /** (id, table, code) bucket assignments for every vector. All tables'
     * codes are computed in ONE scan (array + posexplode) — a per-table
     * union would rescan the source numTables times, which at corpus scale
-    * multiplies the dominant IO cost. */
+    * multiplies the dominant IO cost.
+    *
+    * `dim` must equal the vectors' length: the hyperplanes are fixed-length
+    * literals, and `zip_with` would silently null-pad a mismatched vector
+    * (collapsing every code to 0). A per-row guard fails fast instead. */
   def lshCodes(emb: DataFrame, idCol: String, vecCol: String,
-      numTables: Int = 8, numPlanes: Int = 3, seed: Int = 42): DataFrame = {
-    val ps = planes(numTables, numPlanes, 64, seed)
+      numTables: Int = 8, numPlanes: Int = 3, seed: Int = 42,
+      dim: Int = 64): DataFrame = {
+    val ps = planes(numTables, numPlanes, dim, seed)
+    val checked = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"lshCodes: expected vector dim=$dim, got "),
+        size(col(vecCol)).cast("string"))))
     emb.select(col(idCol).as("vec_id"),
         posexplode(array((0 until numTables).map(t =>
-          srpCode(col(vecCol), ps(t))): _*)))
+          srpCode(checked, ps(t))): _*)))
       .select(col("vec_id"), col("pos").cast("long").as("tbl"),
         col("col").as("code"))
   }
@@ -80,12 +89,13 @@ object Similarity {
   /** Approximate top-k via SRP-LSH: bucket-join candidates, exact cosine
     * re-rank. Same output shape as bruteForceTopK (minus missed vectors). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numTables: Int = 8, numPlanes: Int = 3, seed: Int = 42): DataFrame = {
+      numTables: Int = 8, numPlanes: Int = 3, seed: Int = 42,
+      dim: Int = 64): DataFrame = {
     val qCodes = lshCodes(queries.select(col("qid").as("vec_id"), col("qvec")),
-      "vec_id", "qvec", numTables, numPlanes, seed)
+      "vec_id", "qvec", numTables, numPlanes, seed, dim)
       .select(col("vec_id").as("qid"), col("tbl"), col("code"))
     val cCodes = lshCodes(corpus.select(col("id").as("vec_id"), col("vec")),
-      "vec_id", "vec", numTables, numPlanes, seed)
+      "vec_id", "vec", numTables, numPlanes, seed, dim)
       .select(col("vec_id").as("id"), col("tbl"), col("code"))
     val cand = qCodes.join(cCodes, Seq("tbl", "code"))
       .select("qid", "id").distinct()

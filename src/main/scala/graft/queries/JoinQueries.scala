@@ -19,7 +19,7 @@ object JoinQueries {
       val errors = ev.where(col("event_type") === "error")
       val clicks = ev.where(col("event_type") === "click")
       Joins.asofBackward(errors, clicks, Seq("user_id"), "ts", "ts",
-          "event_id", Seq("value"))
+          "event_id", Seq("value"), rightTieCols = Seq("event_id"))
         .select(col("event_id"), col("user_id"),
           col("r_value").as("prev_click_value"))
     },
@@ -65,7 +65,9 @@ object JoinQueries {
         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
         |                     ORDER BY l_extendedprice DESC) AS rn
         |FROM lineitem)
-        |SELECT l_returnflag, CAST(5 - rn AS BIGINT) AS pos, v
+        |SELECT l_returnflag,
+        |  CAST(LEAST(COUNT(*) OVER (PARTITION BY l_returnflag), 5) - rn
+        |       AS BIGINT) AS pos, v
         |FROM r WHERE rn <= 5""".stripMargin,
   )
 }

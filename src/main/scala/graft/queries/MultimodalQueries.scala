@@ -47,11 +47,12 @@ object MultimodalQueries {
       // uses (StreamingSpec asserts batch == streaming).
       EventStream.sessionWindows(Tables.load(s, dir, "events"))
     },
-    // Custom-state operator: rows-only check (per-group iteration order
-    // makes the double sum not bit-reproducible across engines).
+    // Custom-state operator: the state carries integer cents, so both the
+    // count AND the sum hash-match the DuckDB oracle exactly.
     "stream_running_totals" -> { (s, dir) =>
       EventStream.runningTypeTotals(Tables.load(s, dir, "events"))
-        .select(col("eventType").as("event_type"), col("n"))
+        .select(col("eventType").as("event_type"), col("n"),
+          col("valueCents").as("value_cents"))
     },
   )
 
@@ -100,6 +101,10 @@ object MultimodalQueries {
         |SELECT user_id, MIN(ts) AS session_start,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
-    // stream_running_totals: intentionally no oracle (rows-only check).
+    "stream_running_totals" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

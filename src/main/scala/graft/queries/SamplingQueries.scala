@@ -25,12 +25,16 @@ object SamplingQueries {
     },
     "rel_q28_math_funcs" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      // ceil/floor/sign return types differ across engines (Spark BIGINT/
+      // BIGINT/DOUBLE vs DuckDB DOUBLE/DOUBLE/TINYINT) — pin them with
+      // explicit casts on BOTH sides so the canonical outputs agree.
       s.sql("""SELECT l_orderkey, l_linenumber,
-              |  abs(l_quantity - 25) AS a, ceil(l_quantity / 7) AS c,
-              |  floor(l_extendedprice / 1000) AS f,
+              |  abs(l_quantity - 25) AS a,
+              |  CAST(ceil(l_quantity / 7) AS BIGINT) AS c,
+              |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS f,
               |  round(sqrt(l_quantity), 6) AS sq,
               |  CAST(l_orderkey % 7 AS BIGINT) AS m,
-              |  sign(l_discount - 0.05) AS sg
+              |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
               |FROM lineitem WHERE l_orderkey < 50
               |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
@@ -68,11 +72,12 @@ object SamplingQueries {
         |GROUP BY lang""".stripMargin,
     "rel_q28_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
-        |  abs(l_quantity - 25) AS a, ceil(l_quantity / 7) AS c,
-        |  floor(l_extendedprice / 1000) AS f,
+        |  abs(l_quantity - 25) AS a,
+        |  CAST(ceil(l_quantity / 7) AS BIGINT) AS c,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS f,
         |  round(sqrt(l_quantity), 6) AS sq,
         |  CAST(l_orderkey % 7 AS BIGINT) AS m,
-        |  sign(l_discount - 0.05) AS sg
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
         |FROM lineitem WHERE l_orderkey < 50
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "rel_q29_setops_all" ->

@@ -62,26 +62,31 @@ object EventStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
-  /** Per-type running state for the custom-state operator. */
-  case class TypeState(n: Long, valueSum: Double)
-  case class TypeCount(eventType: String, n: Long, valueSum: Double)
+  /** Per-type running state for the custom-state operator. The sum is
+    * carried as integer cents so it is exact and order-independent —
+    * a Double accumulator would make the result depend on per-group
+    * iteration order and defeat any cross-engine oracle. */
+  case class TypeState(n: Long, valueCents: Long)
+  case class TypeCount(eventType: String, n: Long, valueCents: Long,
+      valueSum: Double)
 
   /** Custom stateful operator: running per-event-type totals via
     * mapGroupsWithState (the KeyValueGroupedDataset state API). */
   def runningTypeTotals(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    events.select(col("event_type"), col("value"))
-      .as[(String, Double)]
+    events.select(col("event_type"),
+        round(col("value") * 100).cast("long"))
+      .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Double)],
+        (key: String, rows: Iterator[(String, Long)],
             state: GroupState[TypeState]) =>
-          val prev = state.getOption.getOrElse(TypeState(0L, 0.0))
+          val prev = state.getOption.getOrElse(TypeState(0L, 0L))
           var n = prev.n
-          var s = prev.valueSum
+          var s = prev.valueCents
           rows.foreach { r => n += 1; s += r._2 }
           state.update(TypeState(n, s))
-          TypeCount(key, n, s)
+          TypeCount(key, n, s, s / 100.0)
       }.toDF()
   }
 
