@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native shingling expressions for the dedup/text family.
+ *
+ * Why custom Expressions (SURVEY.md §7.3 preference (b)): the composed
+ * built-in forms (`array_distinct(transform(sequence(...), i -> ...))`)
+ * evaluate an interpreted lambda per array element — measured ~50x slower
+ * than codegen on the sf0.1 dedup benchmarks, and shingling sits on the
+ * hot path of every MinHash/n-gram query (one call per document, one
+ * lambda invocation per token/char position). These expressions compile to
+ * a single static call inside whole-stage codegen with a tight loop over
+ * decoded code points.
+ *
+ * Semantics contract (bit-identical to the HOF forms and the DuckDB
+ * oracles, asserted in TextAnalysisSpec):
+ *  - `CharGrams(text, n)`: distinct character n-grams (code-point based,
+ *    matching SQL substr/length), first-occurrence order; texts shorter
+ *    than n collapse to a single whole-text gram.
+ *  - `WordShingles(text, k)`: split on single spaces (empty tokens kept,
+ *    like `split(text, ' ', -1)`), distinct space-joined k-shingles in
+ *    first-occurrence order; texts shorter than k words collapse to the
+ *    whole text.
+ */
+object TextGramsUtil {
+
+  def charGrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    if (cps.length < n) {
+      return new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+    }
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    val last = cps.length - n
+    while (i <= last) {
+      seen.add(new String(cps, i, n))
+      i += 1
+    }
+    toUtf8Array(seen)
+  }
+
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < k) {
+      return new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    }
+    val seen = new java.util.LinkedHashSet[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val last = toks.length - k
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    toUtf8Array(seen)
+  }
+
+  private def toUtf8Array(seen: java.util.LinkedHashSet[String]): ArrayData = {
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class CharGrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextGramsUtil.charGrams(t.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextGramsUtil.charGrams($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextGramsUtil.wordShingles(t.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextGramsUtil.wordShingles($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

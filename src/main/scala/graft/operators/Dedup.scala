@@ -148,15 +148,31 @@ object Dedup {
       .select(col("doc_id"), assembled.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: nibble-banded LSH (bits/4 bands) then exact
-    * hamming distance <= maxHamming via bit_count(xor). */
+  /** Near-dup pairs by SimHash: banded LSH then exact hamming distance
+    * <= maxHamming via bit_count(xor).
+    *
+    * Banding uses `maxHamming + 1` bands of `bits / (maxHamming + 1)` bits
+    * (e.g. 4 x 12 for 48/3) — the widest bands that are still lossless by
+    * pigeonhole (maxHamming differing bits can dirty at most maxHamming
+    * bands, so every true pair shares a clean band). Wider bands mean
+    * exponentially fewer bucket collisions: vs 4-bit nibble bands the
+    * candidate set shrinks ~(2^12/2^4 x bands) ~100x, which is the
+    * difference between a linear-ish join and a quadratic blowup once the
+    * corpus no longer fits a single bucket space. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 48, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs, idCol, textCol, bits)
-    val numBands = bits / 4
+    val numBands = maxHamming + 1
+    val base = bits / numBands
+    val rem = bits % numBands
+    // Band b covers [offset, offset + width) with the first `rem` bands one
+    // bit wider — any partition of the bits preserves the pigeonhole bound.
+    val widths = (0 until numBands).map(b => base + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until numBands).map(b =>
-        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L))): _*)))
+        shiftright(col("simhash"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "nib")
     banded.as("x").join(banded.as("y"),
@@ -165,8 +181,8 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
           .as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ---- Character n-gram Jaccard -------------------------------------------
@@ -178,12 +194,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
       maxDocFreq: Long = 50L): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"),
-        charGrams(col(textCol), n).as("grams"))
-    val exploded = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-    val kept = exploded.groupBy("g")
-      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("df"))
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(charGrams(col(textCol), n)).as("g"))
+    // Two-phase document-frequency cap: count first (map-side partial
+    // counts, constant memory), THEN build the per-gram id lists. A
+    // single-phase collect_list + HAVING would buffer every stop-gram's
+    // full posting list (millions of ids at corpus scale) before the
+    // filter could drop it.
+    val keptGrams = exploded.groupBy("g")
+      .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq)
+      .select("g")
+    val kept = exploded.join(keptGrams, "g")
+      .groupBy("g").agg(collect_list(col("doc_id")).as("ids"))
     // Jaccard over the KEPT (informative) grams only: sizes are computed
     // post-filter so dropping stop-grams shrinks intersections and unions
     // consistently — the cap is then purely a skew/noise guard, not a
@@ -230,15 +253,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("cluster").as("nbr_min"))
+      // Carry the previous label through the checkpoint so convergence is
+      // a scan of the already-materialized result, not an extra self-join.
       val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
-      converged = updated.as("u")
-        .join(labels.as("l"), "id")
-        .where(col("u.cluster") =!= col("l.cluster")).isEmpty
-      labels = updated
+      converged = updated.where(col("cluster") =!= col("prev")).isEmpty
+      labels = updated.select("id", "cluster")
       i += 1
     }
     labels

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
 import org.apache.spark.sql.types.LongType
 
 /**
@@ -25,8 +26,23 @@ object TextHash {
     hash60(concat(lit(s"$perm:"), c))
 
   /** Distinct word k-shingles of a space-separated text column; documents
-    * shorter than k words collapse to a single whole-text shingle. */
-  def wordShingles(text: Column, k: Int): Column = {
+    * shorter than k words collapse to a single whole-text shingle.
+    * Native codegen expression (graft.functions.WordShingles); the
+    * semantically-identical HOF form below exists as its test oracle. */
+  def wordShingles(text: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      graft.functions.WordShingles(GraftSqlBridge.expression(text), k))
+
+  /** Distinct character n-grams; texts shorter than n collapse to one gram.
+    * Native codegen expression (graft.functions.CharGrams). */
+  def charGrams(text: Column, n: Int): Column =
+    GraftSqlBridge.column(
+      graft.functions.CharGrams(GraftSqlBridge.expression(text), n))
+
+  /** Interpreted higher-order-function form of `wordShingles` — kept as the
+    * in-engine oracle for the codegen expression (TextAnalysisSpec asserts
+    * equality); ~50x slower per element, do not use on hot paths. */
+  def wordShinglesHof(text: Column, k: Int): Column = {
     val toks = split(text, " ")
     array_distinct(
       when(size(toks) >= k,
@@ -35,8 +51,8 @@ object TextHash {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** Distinct character n-grams; texts shorter than n collapse to one gram. */
-  def charGrams(text: Column, n: Int): Column =
+  /** Interpreted HOF form of `charGrams` — test oracle only. */
+  def charGramsHof(text: Column, n: Int): Column =
     array_distinct(
       when(length(text) >= n,
         transform(sequence(lit(1), length(text) - (n - 1)),

@@ -67,4 +67,21 @@ class TextAnalysisSpec extends GraftSuite {
     val b = fp.where("doc_id = 245").collect().map(_.getLong(2)).toSet
     assert(a.intersect(b).size >= 2, s"planted pair shares ${a.intersect(b).size}/4")
   }
+
+  test("codegen CharGrams/WordShingles == interpreted HOF forms") {
+    import graft.operators.TextHash
+    // Real corpus plus the edge shapes: empty text, shorter-than-n,
+    // consecutive/leading/trailing spaces (empty tokens), multi-byte and
+    // non-BMP code points (substr is code-point based on both paths).
+    val edge = Seq("", "ab", "a b", "a  b ", " x", "héllo wörld",
+      "a€😀bcd ef gh ij").toDF("text")
+    val corpus = Tables.load(spark, SparkTestBase.sf001, "documents")
+      .select("text").limit(300).unionAll(edge)
+    val bad = corpus.where(
+      TextHash.charGrams(col("text"), 5) =!=
+        TextHash.charGramsHof(col("text"), 5) ||
+      TextHash.wordShingles(col("text"), 3) =!=
+        TextHash.wordShinglesHof(col("text"), 3))
+    assert(bad.isEmpty, bad.collect().mkString("; "))
+  }
 }
