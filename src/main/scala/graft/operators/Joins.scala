@@ -57,6 +57,39 @@ object Joins {
   }
 
   /**
+   * Range (interval-containment) join: pairs every point row with every
+   * range row satisfying `lo <= point <= hi`, WITHOUT a nested-loop or
+   * cartesian plan.
+   *
+   * Composition (the classic binned range join): each range is exploded to
+   * the integer bins it overlaps (`floor(lo/w) .. floor(hi/w)`), each point
+   * belongs to exactly ONE bin, and the join becomes an equi-join on the
+   * bin id followed by the exact `BETWEEN` re-filter. A point matches a
+   * range in exactly one bin (its own), so no dedup pass is needed.
+   *
+   * Scale: shuffle is hash-partitioned by bin — linear in input + total
+   * bin-span of the ranges. Pick `binWidth` near the typical range span:
+   * too small multiplies the exploded range side (span/w copies); too
+   * large degrades each bin's join to a local mini cross-product. Both
+   * inputs keep predicate pushdown and AQE (it is a plain equi-join to
+   * Catalyst). A plain inequality join would plan as BroadcastNestedLoop /
+   * cartesian — O(n*m) compares and a single-task disaster at 100 TB.
+   */
+  def rangeJoin(points: DataFrame, pointCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val r = ranges.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val p = points.withColumn("__bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    p.join(r, Seq("__bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
+  /**
    * Skew-resistant equi-join: the left (large, skewed) side gets a
    * deterministic salt in [0, saltFactor) derived from `leftUniqueCol`;
    * the right side is replicated `saltFactor` times; the join runs on

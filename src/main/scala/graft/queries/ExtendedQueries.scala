@@ -77,6 +77,60 @@ object ExtendedQueries {
     "io_orc_roundtrip" -> { (s, dir) =>
       ioRoundtrip(s, dir, "orc")
     },
+    // Hive-style partitioned layout: write partitioned by a key, read back
+    // with a partition predicate. At scale this is THE pruning lever — the
+    // filter eliminates whole directories before any file is opened
+    // (PartitionFilters in the scan, asserted in PlanAuditSpec).
+    "io_partitioned_prune" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_io_part_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_orderkey") < 500)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_linestatus")
+        .write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+      s.read.parquet(out).where(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+    },
+    // Bucketed tables: both sides pre-hashed into the same bucket count on
+    // the join key, so the join runs with ZERO exchange (asserted in
+    // PlanAuditSpec) — the batch analogue of co-partitioned storage, and
+    // the way a 100 TB fact-fact join avoids re-shuffling every query.
+    "io_bucketed_join" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // A previous JVM may have left the managed-table directories behind
+      // without this session's in-memory catalog knowing them: drop both
+      // the catalog entry and the orphaned location before (re)writing.
+      Seq(s"graft_li_bkt_$tag", s"graft_o_bkt_$tag").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(loc)
+        }
+      }
+      Tables.load(s, dir, "lineitem").where(col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable(s"graft_li_bkt_$tag")
+      Tables.load(s, dir, "orders").where(col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable(s"graft_o_bkt_$tag")
+      s.table(s"graft_li_bkt_$tag")
+        .join(s.table(s"graft_o_bkt_$tag"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+    },
   )
 
   /** Writes a lineitem slice through `format`, reads it back, aggregates.
@@ -137,5 +191,17 @@ object ExtendedQueries {
     "io_csv_roundtrip" -> roundtripOracle,
     "io_json_roundtrip" -> roundtripOracle,
     "io_orc_roundtrip" -> roundtripOracle,
+    "io_partitioned_prune" ->
+      """SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_orderkey < 500 AND l_returnflag = 'R'
+        |GROUP BY l_linestatus""".stripMargin,
+    "io_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey < 2000 AND o_orderkey < 2000
+        |GROUP BY o_orderstatus""".stripMargin,
   )
 }

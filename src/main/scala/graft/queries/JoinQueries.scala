@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TopKAggregator
-import graft.operators.Joins
+import graft.operators.{Joins, Sketches}
 
 /** As-of join, salted skew join, and custom typed UDAF coverage, with
   * DuckDB oracles (DuckDB's native ASOF JOIN checks our composition). */
@@ -36,6 +36,23 @@ object JoinQueries {
             (lit(1) - col("l_discount")).cast("decimal(18,2)")))
             .cast("double").as("revenue"))
     },
+    // Binned range join: overlapping value buckets vs event values —
+    // an equi-join plan (no nested loop), exact BETWEEN refilter.
+    "join_range_bins" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").select(col("event_id"), col("value"))
+      val ranges = s.range(0, 13).select(col("id").as("bucket_id"),
+        (col("id") * 40.0).as("lo"), (col("id") * 40.0 + 80.0).as("hi"))
+      Joins.rangeJoin(ev, "value", ranges, "lo", "hi", 40.0)
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+    },
+    // Count-min sketch: build over lineitem part keys, probe 8 keys.
+    "agg_cms_estimate" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val sketch = Sketches.cmsBuild(li, "l_partkey")
+      Sketches.cmsEstimate(sketch, s.range(1, 9).select(col("id").as("k")), "k")
+    },
     // Custom typed UDAF: top-5 prices per return flag, exploded.
     "agg_topk" -> { (s, dir) =>
       TopKAggregator.register(s, 5)
@@ -54,6 +71,27 @@ object JoinQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "join_range_bins" ->
+      """SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events, (SELECT k AS bucket_id, k * 40.0 AS lo,
+        |              k * 40.0 + 80.0 AS hi
+        |              FROM unnest(range(13)) AS t(k)) r
+        |WHERE value >= lo AND value <= hi
+        |GROUP BY bucket_id""".stripMargin,
+    "agg_cms_estimate" ->
+      """WITH ht AS (SELECT i,
+        |    ('0x' || substr(md5('cms' || i || ':' ||
+        |       CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS c,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem, unnest(range(4)) AS u(i) GROUP BY 1, 2),
+        |probe AS (SELECT k, i,
+        |    ('0x' || substr(md5('cms' || i || ':' ||
+        |       CAST(k AS VARCHAR)), 1, 15))::BIGINT % 1024 AS c
+        |  FROM unnest(range(1, 9)) AS t(k), unnest(range(4)) AS u(i))
+        |SELECT k AS key, CAST(MIN(coalesce(cnt, 0)) AS BIGINT) AS est
+        |FROM probe LEFT JOIN ht USING (i, c)
+        |GROUP BY k""".stripMargin,
     "join_salted" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -47,6 +47,24 @@ object MultimodalQueries {
       // uses (StreamingSpec asserts batch == streaming).
       EventStream.sessionWindows(Tables.load(s, dir, "events"))
     },
+    // Streaming dedup (append mode): first occurrence per key pair.
+    "stream_dedup_pairs" -> { (s, dir) =>
+      EventStream.runToMemory(s,
+        EventStream.dedupUserType(EventStream.eventsStream(s, dir)),
+        s"stream_dedup_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    },
+    // Stream-stream interval join (watermarked both sides, append mode).
+    "stream_stream_join" -> { (s, dir) =>
+      val errors = EventStream.eventsStream(s, dir)
+        .where(col("event_type") === "error").withWatermark("ts", "1 hour")
+      val clicks = EventStream.eventsStream(s, dir)
+        .where(col("event_type") === "click").withWatermark("ts", "1 hour")
+      EventStream.runToMemory(s,
+        EventStream.errorClickPairs(errors, clicks),
+        s"stream_ssj_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    },
     // Custom-state operator: the state carries integer cents, so both the
     // count AND the sum hash-match the DuckDB oracle exactly.
     "stream_running_totals" -> { (s, dir) =>
@@ -101,6 +119,14 @@ object MultimodalQueries {
         |SELECT user_id, MIN(ts) AS session_start,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "stream_dedup_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_stream_join" ->
+      """SELECT e.user_id, CAST(e.ts AS TIMESTAMP) AS e_ts,
+        |  CAST(c.ts AS TIMESTAMP) AS c_ts
+        |FROM events e JOIN events c ON e.user_id = c.user_id
+        |  AND e.event_type = 'error' AND c.event_type = 'click'
+        |  AND c.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts""".stripMargin,
     "stream_running_totals" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

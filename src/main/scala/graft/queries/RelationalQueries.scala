@@ -258,6 +258,77 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin),
+
+    // Explicit GROUPING SETS (beyond rollup/cube) + GROUPING() indicators.
+    Q("rel_q30_grouping_sets",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${dsum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |                        (l_returnflag), (l_linestatus), ())""".stripMargin),
+
+    // RANGE window frame (value-based, peers included): per priority class,
+    // how many orders fall within 500.0 below each order's price.
+    Q("rel_q31_range_frame",
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice
+        |    RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_near
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin),
+
+    // UNPIVOT (wide -> long). The oracle replays it as UNION ALL — DuckDB's
+    // UNPIVOT clause has a different surface syntax.
+    Q("rel_q32_unpivot",
+      """SELECT c_custkey, metric, val FROM (
+        |  SELECT c_custkey, c_acctbal,
+        |         CAST(c_nationkey AS DOUBLE) AS nation_key
+        |  FROM customer WHERE c_custkey < 100
+        |) UNPIVOT (val FOR metric IN (c_acctbal AS bal, nation_key AS nation))""".stripMargin,
+      oracle = Some(
+        """SELECT c_custkey, 'bal' AS metric, c_acctbal AS val
+          |FROM customer WHERE c_custkey < 100
+          |UNION ALL
+          |SELECT c_custkey, 'nation', CAST(c_nationkey AS DOUBLE)
+          |FROM customer WHERE c_custkey < 100""".stripMargin)),
+
+    // Map type + functions (creation, lookup, keys/size). The oracle
+    // replays the lookups as CASE — DuckDB map literals differ.
+    Q("rel_q33_map_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(element_at(map('A', 1, 'N', 2, 'R', 3), l_returnflag)
+        |       AS BIGINT) AS flag_code,
+        |  CAST(size(map_concat(map('A', 1, 'N', 2, 'R', 3), map('X', 9)))
+        |       AS BIGINT) AS n_keys,
+        |  array_join(map_keys(map('lo', l_quantity)), ',') AS k
+        |FROM lineitem WHERE l_orderkey < 30""".stripMargin,
+      oracle = Some(
+        """SELECT l_orderkey, l_linenumber,
+          |  CAST(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2
+          |       WHEN 'R' THEN 3 END AS BIGINT) AS flag_code,
+          |  CAST(4 AS BIGINT) AS n_keys, 'lo' AS k
+          |FROM lineitem WHERE l_orderkey < 30""".stripMargin)),
+
+    // Generator/UDTF surface: LATERAL VIEW inline over an array of structs
+    // (one input row -> N typed rows). Oracle replays as UNION ALL.
+    Q("rel_q34_lateral_inline",
+      """SELECT o_orderkey, kind, v
+        |FROM orders
+        |LATERAL VIEW inline(array(
+        |  named_struct('kind', 'price', 'v', o_totalprice),
+        |  named_struct('kind', 'cust', 'v', CAST(o_custkey AS DOUBLE)))) x AS kind, v
+        |WHERE o_orderkey < 200""".stripMargin,
+      oracle = Some(
+        """SELECT o_orderkey, 'price' AS kind, o_totalprice AS v
+          |FROM orders WHERE o_orderkey < 200
+          |UNION ALL
+          |SELECT o_orderkey, 'cust', CAST(o_custkey AS DOUBLE)
+          |FROM orders WHERE o_orderkey < 200""".stripMargin)),
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -90,6 +90,30 @@ object EventStream {
       }.toDF()
   }
 
+  /** Streaming dedup: first occurrence of each (user_id, event_type) pair.
+    * On a stream this keeps per-key state and emits in append mode; the
+    * same transform in batch is a plain distinct (both modes are gated
+    * against the one DuckDB oracle). At scale pair it with a watermark +
+    * dropDuplicatesWithinWatermark so the key state ages out. */
+  def dedupUserType(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+
+  /** Stream-stream interval join: every error event joined to the same
+    * user's clicks in the preceding 10 minutes. With watermarks on both
+    * sides the time bound makes the join state bounded (Spark drops a
+    * side's rows once they can no longer match future input). Emits raw
+    * pairs (append-mode compatible — a post-join aggregation would need
+    * its own watermarked window). */
+  def errorClickPairs(errors: DataFrame, clicks: DataFrame): DataFrame = {
+    val e = errors.select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    e.join(c, expr(
+        """e_user = c_user AND
+          |c_ts BETWEEN e_ts - INTERVAL 10 MINUTES AND e_ts""".stripMargin))
+      .select(col("e_user").as("user_id"), col("e_ts"), col("c_ts"))
+  }
+
   /** Drives a streaming DataFrame to completion against the static fixture
     * via the memory sink; returns the materialized result table. */
   def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,

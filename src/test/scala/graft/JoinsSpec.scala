@@ -89,4 +89,39 @@ class JoinsSpec extends GraftSuite {
     val r = df.agg(expr("topk3_agg(v)")).collect()(0).getSeq[Double](0)
     assert(r == Seq(5.0, 7.0, 9.0))
   }
+
+  test("rangeJoin == naive inequality join, across bin-boundary shapes") {
+    import spark.implicits._
+    // Ranges spanning multiple bins, sub-bin ranges, exact-boundary points.
+    val ranges = Seq((1L, 0.0, 100.0), (2L, 15.0, 17.0), (3L, 10.0, 10.0),
+      (4L, 95.0, 205.0)).toDF("rid", "lo", "hi")
+    val points = Seq((10L, 0.0), (11L, 10.0), (12L, 16.5), (13L, 100.0),
+      (14L, 200.0), (15L, 205.0), (16L, 300.0)).toDF("pid", "v")
+    val got = Joins.rangeJoin(points, "v", ranges, "lo", "hi", 10.0)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.join(ranges, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((15L, 4L)) && want.contains((11L, 3L)))
+  }
+
+  test("count-min sketch: estimates >= exact counts, zero for absent keys") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val li = Tables.load(spark, dir, "lineitem")
+    val keys = spark.range(1, 9).select(col("id").as("k"))
+      .unionAll(Seq(999999L).toDF("k")) // absent key
+    val sketch = Sketches.cmsBuild(li, "l_partkey")
+    val est = Sketches.cmsEstimate(sketch, keys, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_partkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 8L).foreach { k =>
+      assert(est(k) >= exact.getOrElse(k, 0L),
+        s"CMS underestimated key $k: ${est(k)} < ${exact.getOrElse(k, 0L)}")
+    }
+    // 4 independent hash rows over 1024 cells: an absent key collides in
+    // ALL rows with probability ~ (n_keys/1024)^4 — 0 here.
+    assert(est(999999L) == 0L)
+  }
 }

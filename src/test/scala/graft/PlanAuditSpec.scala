@@ -16,7 +16,8 @@ class PlanAuditSpec extends GraftSuite {
     "rel_q16_scalar_subquery", "rel_q20_having_cte")
 
   // Streaming queries plan at runtime; generator-only queries scan nothing.
-  private val skip = Set("stream_hourly")
+  private val skip = Set("stream_hourly", "stream_dedup_pairs",
+    "stream_stream_join")
 
   test("no query plans a CartesianProduct; nested-loop only where intended") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -43,6 +44,30 @@ class PlanAuditSpec extends GraftSuite {
       .find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("l_tax") && !readSchema.contains("l_shipdate") ||
       readSchema.isEmpty, s"q2 must not read unused columns: $readSchema")
+  }
+
+  test("bucketed join plans with zero exchange (co-located storage join)") {
+    val df = graft.queries.ExtendedQueries.queries("io_bucketed_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinSection = plan.linesIterator.takeWhile(!_.contains("HashAggregate"))
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join must not re-shuffle the join key:\n$plan")
+  }
+
+  test("partitioned read prunes directories (PartitionFilters carries the predicate)") {
+    val df = graft.queries.ExtendedQueries.queries("io_partitioned_prune")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("l_returnflag"),
+      s"partition predicate must prune at the source:\n$plan")
+  }
+
+  test("range join plans as an equi-join on the bin key") {
+    val df = graft.queries.JoinQueries.queries("join_range_bins")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"binned range join must not plan a nested loop:\n$plan")
   }
 
   test("generator queries are single-stage (no exchange before aggregation input)") {
