@@ -86,6 +86,57 @@ object Similarity {
       .select(col("qid"), col("id"), col("rank"), round(col("score"), 6).as("score"))
   }
 
+  /** Sequential-fold double norm of a centroid — the Scala-side mirror of
+    * VectorOps.norm (identical fold order, so scores stay bit-comparable
+    * with the DuckDB oracle). */
+  private def normOf(v: Array[Float]): Double =
+    math.sqrt(v.foldLeft(0.0)((acc, f) => acc + f.toDouble * f.toDouble))
+
+  /** IVF probe assignment: each vector's `nprobe` highest-cosine coarse
+    * centroids (ties -> lower cid). Centroids are driver-side literals
+    * (the "trained" coarse quantizer — k entries of dim floats), so the
+    * scoring is ONE narrow projection per row: k codegen'd dot products,
+    * an in-row sort, no shuffle and no join. Output: (idCol, cid). */
+  def ivfProbes(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int): DataFrame = {
+    val n = VectorOps.norm(col(vecCol))
+    val entries = centroids.map { case (cid, cv) =>
+      val score = VectorOps.dot(col(vecCol), typedLit(cv.toSeq)) /
+        (n * lit(normOf(cv)))
+      struct((lit(0.0) - score).as("neg"), lit(cid).as("cid"))
+    }
+    vecs.select(col(idCol),
+        explode(slice(sort_array(array(entries: _*)), 1, nprobe)).as("e"))
+      .select(col(idCol), col("e.cid").as("cid"))
+  }
+
+  /** IVF approximate top-k: corpus vectors live in inverted lists keyed by
+    * their nearest centroid (nprobe=1 assignment); each query probes its
+    * `nprobe` nearest lists and exact-cosine re-ranks the candidates.
+    *
+    * Scale: assignment is a narrow map (centroids broadcast as literals),
+    * the inverted-list join is an equi-join on cid (shuffle linear in
+    * corpus + probed lists), and re-ranking touches ~nprobe/k of the
+    * corpus per query instead of all of it — the standard IVF recall/cost
+    * dial. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int): DataFrame = {
+    val lists = ivfProbes(corpus.select(col("id"), col("vec")), "id", "vec",
+      centroids, 1)
+    val probes = ivfProbes(queries.select(col("qid"), col("qvec")), "qid",
+      "qvec", centroids, nprobe)
+    val cand = probes.join(lists, "cid").select("qid", "id").distinct()
+    val scored = cand
+      .join(queries.withColumn("qnrm", VectorOps.norm(col("qvec"))), "qid")
+      .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"), round(col("score"), 6).as("score"))
+  }
+
   /** Approximate top-k via SRP-LSH: bucket-join candidates, exact cosine
     * re-rank. Same output shape as bruteForceTopK (minus missed vectors). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

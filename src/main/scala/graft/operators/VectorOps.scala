@@ -28,4 +28,14 @@ object VectorOps {
 
   /** Cosine similarity of two float-array columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-vector symmetric int8 scalar quantization: q = floor(x * 127 /
+    * max|x| + 0.5). The exact arithmetic order is the contract — the
+    * DuckDB oracle replays it term-for-term (floor(+0.5) instead of
+    * round() dodges the engines' different half-way conventions). */
+  def quantizeInt8(vec: Column): Column = {
+    val m = array_max(transform(vec, x => abs(x.cast("double"))))
+    transform(vec, x =>
+      floor(x.cast("double") * 127.0 / m + 0.5).cast("int"))
+  }
 }

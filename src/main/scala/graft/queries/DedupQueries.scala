@@ -117,6 +117,15 @@ object DedupQueries {
       Dedup.embeddingNearDuplicates(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
     },
+    // End-to-end cleaning pipeline: exact dedup -> minhash near-dup ->
+    // quality >= 0.7 -> langid != 'und'. Oracle replays each stage (the
+    // fixtures have no exact dups, so the near-dup stage sees the full
+    // corpus on both sides; the exact stage's keep-min-id is still
+    // replayed for faithfulness).
+    "pipeline_clean_corpus" -> { (s, dir) =>
+      graft.operators.Pipeline.cleanCorpus(docs(s, dir), "doc_id", "text")
+        .select("doc_id")
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -181,5 +190,13 @@ object DedupQueries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+         |  AND doc_id NOT IN (SELECT id_b FROM (
+         |$minhashPairsOracle
+         |) p)
+         |  AND ${TextEventsQueries.duckQualityExpr} >= 0.7
+         |  AND (${TextEventsQueries.duckLangCase}) != 'und'""".stripMargin,
   )
 }

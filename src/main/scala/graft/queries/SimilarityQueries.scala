@@ -45,6 +45,29 @@ object SimilarityQueries {
         NumTables, NumPlanes, Seed)
         .withColumnRenamed("rank", "rnk")
     },
+    // IVF: 16 coarse centroids (vec_id < 16 — the "trained" quantizer),
+    // queries 16..19 probe their 3 nearest lists, exact re-rank top 5.
+    "sim_ivf_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val centroids = e.where(col("vec_id") < 16).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(corpus, qs, 5, centroids.toSeq, 3)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // Symmetric int8 scalar quantization, integer evidence per vector.
+    "sim_quantize_int8" -> { (s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"),
+          posexplode(graft.operators.VectorOps.quantizeInt8(col("embedding"))))
+        .groupBy("vec_id")
+        .agg(min(col("col")).cast("long").as("qmin"),
+          max(col("col")).cast("long").as("qmax"),
+          sum(col("col")).as("qsum"))
+    },
   )
 
   // ---- DuckDB oracle generation -------------------------------------------
@@ -85,6 +108,45 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
          |FROM r WHERE rn <= 10""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |lists AS (SELECT id, cid FROM (
+         |  SELECT corp.id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY corp.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
+         |  FROM corp, cent) t WHERE rn = 1),
+         |probes AS (SELECT qid, cid FROM (
+         |  SELECT qs.qid, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t WHERE rn <= 3),
+         |cand AS (SELECT DISTINCT qid, id FROM probes JOIN lists USING (cid)),
+         |sc AS (SELECT cand.qid, cand.id,
+         |         ${duckCos("q.embedding", "c.embedding")} AS score
+         |       FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+         |                 JOIN embeddings c ON cand.id = c.vec_id),
+         |r AS (SELECT qid, id, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT))) AS qv
+        |  FROM m)
+        |SELECT vec_id, CAST(MIN(qv) AS BIGINT) AS qmin,
+        |  CAST(MAX(qv) AS BIGINT) AS qmax,
+        |  CAST(SUM(qv) AS BIGINT) AS qsum
+        |FROM q GROUP BY vec_id""".stripMargin,
     "sim_ann_topk" ->
       s"""WITH $duckCodesCte,
          |cand AS (SELECT DISTINCT qc.vec_id AS qid, cc.vec_id AS id

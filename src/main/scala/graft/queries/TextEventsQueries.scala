@@ -89,7 +89,18 @@ object TextEventsQueries {
   private val enStop = TextAnalysis.langProfiles.head._2
     .map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private val duckLangCase: String = {
+  /** Unrounded DuckDB replay of TextAnalysis.qualityScore (term order
+    * matches the Spark expression exactly) — shared with the pipeline
+    * oracle. */
+  private[queries] val duckQualityExpr: String =
+    s"""(0.4 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
+       | + 0.3 * (length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+       |          / length(text)::DOUBLE)
+       | + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+       |            t -> list_contains($enStop, t)))::DOUBLE
+       |          / len(string_split(text, ' '))::DOUBLE))""".stripMargin
+
+  private[queries] val duckLangCase: String = {
     val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
       lang -> s"len(list_intersect(list_distinct(string_split(text, ' ')), $lst))"

@@ -67,4 +67,18 @@ class DedupSpec extends GraftSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"LSH candidates must not be a cross join:\n$plan")
   }
+
+  test("cleanCorpus pipeline: dedups planted pairs and applies both filters") {
+    import graft.operators.{Pipeline, TextAnalysis}
+    val kept = Pipeline.cleanCorpus(docs, "doc_id", "text")
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < docs.count())
+    // Planted near-dup pair (8, 245): at most one representative survives.
+    assert(!(ids.contains(8L) && ids.contains(245L)))
+    // Every survivor passes the quality and language gates.
+    val violating = kept.where(
+      TextAnalysis.qualityScore(col("text")) < 0.7 ||
+        TextAnalysis.languageId(col("text")) === "und").count()
+    assert(violating == 0)
+  }
 }

@@ -57,4 +57,29 @@ class SimilaritySpec extends GraftSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"queries must broadcast:\n$plan")
   }
+
+  test("IVF: probing more lists does not lose recall; full probe == brute force") {
+    val centroids = emb.where(col("vec_id") < 16).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val truth = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(corpus, queries, 5, centroids, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    assert(recall(4) >= recall(1) - 1e-9)
+    // Probing every list degenerates to exact search.
+    assert(recall(16) == 1.0)
+  }
+
+  test("int8 quantization: values bounded, max-magnitude element hits +-127") {
+    import graft.operators.VectorOps
+    val q = emb.select(col("vec_id"),
+      VectorOps.quantizeInt8(col("embedding")).as("q"))
+    val bad = q.where(exists(col("q"), x => abs(x) > 127)).count()
+    assert(bad == 0)
+    val noPeak = q.where(!exists(col("q"), x => abs(x) === 127)).count()
+    assert(noPeak == 0, "every vector's max-|x| element must quantize to 127")
+  }
 }
