@@ -215,6 +215,47 @@ final class GraftRandom(seed: Long, partitionIndex: Int) {
     ("abcdefghijklmnopqrstuvwxyz" +
       "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789").toCharArray
 
+  /** RFC 4122 version-4-format UUID string: 122 random bits with the
+    * version nibble forced to 4 and the variant bits to 10 — but drawn
+    * from this generator's seeded stream, so (unlike java.util.UUID
+    * .randomUUID) reproducible per (seed, partition) and retry-stable. */
+  def nextUuidString(): String = {
+    val hi = (nextLong() & 0xFFFFFFFFFFFF0FFFL) | 0x0000000000004000L
+    val lo = (nextLong() & 0x3FFFFFFFFFFFFFFFL) | 0x8000000000000000L
+    new java.util.UUID(hi, lo).toString
+  }
+
+  /** Index in [0, n) drawn proportionally to non-negative weights with a
+    * positive sum (the categorical distribution). O(n) walk per draw —
+    * weights arrive as a per-row array, so there is no precomputed alias
+    * table to amortize. */
+  def nextWeightedIndex(weights: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = weights.numElements()
+    var total = 0.0
+    var i = 0
+    while (i < n) {
+      val w = weights.getDouble(i)
+      if (w < 0.0 || java.lang.Double.isNaN(w)) {
+        throw new IllegalArgumentException(
+          s"randgen weighted choice: weight $w at index $i must be >= 0")
+      }
+      total += w
+      i += 1
+    }
+    if (n == 0 || total <= 0.0) {
+      throw new IllegalArgumentException(
+        s"randgen weighted choice: weights must sum to > 0 (got $total over $n)")
+    }
+    var u = nextDouble() * total
+    i = 0
+    while (i < n - 1) {
+      u -= weights.getDouble(i)
+      if (u < 0.0) return i
+      i += 1
+    }
+    n - 1
+  }
+
   /** Random alphanumeric string with length uniform in [lenLo, lenHi]. */
   def nextAlphanumeric(lenLo: Long, lenHi: Long): String = {
     val len = nextLongInclusive(lenLo, lenHi)

@@ -38,6 +38,17 @@ object RandgenFunctions {
       }
     }
 
+  private def arity0(name: String, mk: Long => Expression)
+      : (String, Seq[Expression] => Expression) =
+    name -> { (args: Seq[Expression]) =>
+      args match {
+        case Seq() => mk(freshSeed())
+        case Seq(s) => mk(seedOf(name, s))
+        case _ => throw new IllegalArgumentException(
+          s"$name expects 0 arguments plus an optional seed, got ${args.length}")
+      }
+    }
+
   private def arity1(name: String, mk: (Expression, Long) => Expression)
       : (String, Seq[Expression] => Expression) =
     name -> { (args: Seq[Expression]) =>
@@ -65,6 +76,8 @@ object RandgenFunctions {
     arity1("randgen_int64_geometric", RandgenInt64Geometric.apply),
     arity2("randgen_float64_pareto", RandgenFloat64Pareto.apply),
     arity2("randgen_float64_laplace", RandgenFloat64Laplace.apply),
+    arity0("randgen_uuid", RandgenUuid.apply),
+    arity2("randgen_choice_weighted", RandgenChoiceWeighted.apply),
   )
 
   /** Installs the whole family as temp functions in `spark`'s session. */
@@ -111,4 +124,7 @@ object RandgenFunctions {
     col(RandgenFloat64Pareto(ex(scale), ex(shape), seed))
   def randgen_float64_laplace(mu: Column, b: Column, seed: Long): Column =
     col(RandgenFloat64Laplace(ex(mu), ex(b), seed))
+  def randgen_uuid(seed: Long): Column = col(RandgenUuid(seed))
+  def randgen_choice_weighted(arr: Column, weights: Column, seed: Long): Column =
+    col(RandgenChoiceWeighted(ex(arr), ex(weights), seed))
 }

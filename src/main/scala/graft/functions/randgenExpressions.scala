@@ -293,6 +293,78 @@ case class RandgenFloat64Laplace(left: Expression, right: Expression, seed: Long
     copy(left = l, right = r)
 }
 
+/** `randgen_uuid([seed])` — RFC 4122 v4-format UUID string, drawn from the
+  * seeded per-partition stream (reproducible + retry-stable, unlike
+  * java.util.UUID.randomUUID). Zero-argument leaf generator. */
+case class RandgenUuid(seed: Long) extends LeafExpression with RandgenExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "randgen_uuid"
+  override protected def evalInternal(input: InternalRow): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(rng.nextUuidString())
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val term = rngTerm(ctx)
+    ev.copy(
+      code = code"""
+        final UTF8String ${ev.value} =
+          UTF8String.fromString($term.nextUuidString());""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+}
+
+/**
+ * `randgen_choice_weighted(arr, weights [, seed])` — element of `arr`
+ * picked with probability weights[i]/sum(weights); null for null inputs;
+ * preserves element nulls. Errors on negative weights or a non-positive
+ * sum (fail-fast, matching the family's bounds contract).
+ */
+case class RandgenChoiceWeighted(left: Expression, right: Expression, seed: Long)
+    extends BinaryExpression with RandgenExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType, ArrayType(DoubleType))
+  override def dataType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  override def prettyName: String = "randgen_choice_weighted"
+
+  override protected def evalInternal(input: InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) return null
+    val w = right.eval(input)
+    if (w == null) return null
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ws = w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() != ws.numElements()) {
+      throw new IllegalArgumentException(
+        s"randgen_choice_weighted: ${arr.numElements()} values vs " +
+          s"${ws.numElements()} weights")
+    }
+    val i = rng.nextWeightedIndex(ws)
+    if (arr.isNullAt(i)) null else arr.get(i, dataType)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val term = rngTerm(ctx)
+    nullSafeCodeGen(ctx, ev, (arr, ws) => {
+      val i = ctx.freshName("wIdx")
+      s"""
+         |if ($arr.numElements() != $ws.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "randgen_choice_weighted: values/weights length mismatch");
+         |}
+         |int $i = $term.nextWeightedIndex($ws);
+         |if ($arr.isNullAt($i)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${CodeGenerator.getValue(arr, dataType, i)};
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /**
  * `randgen_choice(arr [, seed])` — uniformly random element of the array
  * argument; null for null or empty arrays; preserves element nulls.

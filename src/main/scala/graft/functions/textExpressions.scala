@@ -69,6 +69,22 @@ object TextGramsUtil {
     toUtf8Array(seen)
   }
 
+  /** Polynomial rolling hash: fold (acc*31 + codePoint) % 2147483647 over
+    * the text's code points — matches the SQL form
+    * `aggregate(transform(sequence(...), i -> ascii(substr(text,i,1))), ...)`
+    * (ascii() yields the first code point of the 1-char substring). */
+  def rollingHash(text: UTF8String): Long = {
+    val s = text.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   private def toUtf8Array(seen: java.util.LinkedHashSet[String]): ArrayData = {
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
@@ -91,6 +107,23 @@ case class CharGrams(child: Expression, n: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextGramsUtil.charGrams($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextGramsUtil.rollingHash(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextGramsUtil.rollingHash($c);")
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -80,9 +80,17 @@ object TextAnalysis {
     }
   }
 
-  /** Polynomial rolling hash of the whole text: fold (acc*31 + ascii) mod
-    * 2147483647 — overflow-free under ANSI mode (acc < 2^31). */
+  /** Polynomial rolling hash of the whole text: fold (acc*31 + codepoint)
+    * mod 2147483647 — a native codegen expression
+    * (graft.functions.RollingHash); the interpreted HOF form below is its
+    * test oracle. Overflow-free (acc < 2^31). */
   def rollingHash(text: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.RollingHash(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(text)))
+
+  /** Interpreted HOF form of `rollingHash` — test oracle only. */
+  def rollingHashHof(text: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
       lit(0L), (acc, c) => (acc * 31 + c.cast("long")) % 2147483647L)

@@ -123,6 +123,25 @@ object GeneratorQueries {
         |       CAST(count(DISTINCT x) = 3 AS BOOLEAN) AS support_ok
         |FROM (SELECT randgen_choice(array('a', 'b', 'c'), 37) AS x FROM range(1, 1001))
         |""".stripMargin) _,
+    "gen_uuid_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(count(DISTINCT x) = 10000 AS BOOLEAN) AS all_distinct,
+        |       CAST(count(CASE WHEN x RLIKE
+        |         '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$'
+        |         THEN 1 END) = 10000 AS BOOLEAN) AS format_ok
+        |FROM (SELECT randgen_uuid(47) AS x FROM range(1, 10001))
+        |""".stripMargin) _,
+    "gen_choice_weighted_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(count(CASE WHEN x IN ('lo', 'mid', 'hi') THEN 1 END) = 100000
+        |            AS BOOLEAN) AS members_ok,
+        |       CAST(abs(count(CASE WHEN x = 'hi' THEN 1 END) / 100000.0 - 0.7)
+        |            < 0.01 AS BOOLEAN) AS hi_freq_ok,
+        |       CAST(abs(count(CASE WHEN x = 'lo' THEN 1 END) / 100000.0 - 0.1)
+        |            < 0.01 AS BOOLEAN) AS lo_freq_ok
+        |FROM (SELECT randgen_choice_weighted(array('lo', 'mid', 'hi'),
+        |             array(1.0D, 2.0D, 7.0D), 53) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
     "gen_int64_poisson_props" -> sql(
       """SELECT count(*) AS n,
         |       CAST(min(x) >= 0 AS BOOLEAN) AS nonneg,
@@ -198,6 +217,11 @@ object GeneratorQueries {
       "SELECT CAST(1000 AS BIGINT) AS n, TRUE AS in_bounds",
     "gen_choice_props" ->
       "SELECT CAST(1000 AS BIGINT) AS n, TRUE AS members_ok, TRUE AS support_ok",
+    "gen_uuid_props" ->
+      "SELECT CAST(10000 AS BIGINT) AS n, TRUE AS all_distinct, TRUE AS format_ok",
+    "gen_choice_weighted_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS members_ok, " +
+        "TRUE AS hi_freq_ok, TRUE AS lo_freq_ok"),
     "gen_int64_poisson_props" ->
       "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS nonneg, TRUE AS mean_ok",
     "gen_int64_geometric_props" ->

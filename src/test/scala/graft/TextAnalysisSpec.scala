@@ -81,7 +81,9 @@ class TextAnalysisSpec extends GraftSuite {
       TextHash.charGrams(col("text"), 5) =!=
         TextHash.charGramsHof(col("text"), 5) ||
       TextHash.wordShingles(col("text"), 3) =!=
-        TextHash.wordShinglesHof(col("text"), 3))
+        TextHash.wordShinglesHof(col("text"), 3) ||
+      TextAnalysis.rollingHash(col("text")) =!=
+        TextAnalysis.rollingHashHof(col("text")))
     assert(bad.isEmpty, bad.collect().mkString("; "))
   }
 }
