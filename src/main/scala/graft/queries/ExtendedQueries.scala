@@ -67,6 +67,18 @@ object ExtendedQueries {
               |       COUNT(DISTINCT l_partkey) * 0.05 AS BOOLEAN) AS approx_ok
               |FROM lineitem""".stripMargin)
     },
+    // Approximate quantiles (GK sketch): property-checked against exact
+    // percentile_cont, like rel_q27's HLL check.
+    "rel_q35_approx_percentile" -> { (s, dir) =>
+      reg(s, dir)
+      s.sql("""SELECT l_returnflag,
+              |  round(percentile(l_extendedprice, 0.5), 4) AS exact_p50,
+              |  CAST(abs(approx_percentile(l_extendedprice, 0.5, 1000) -
+              |           percentile(l_extendedprice, 0.5)) <=
+              |       percentile(l_extendedprice, 0.5) * 0.01 AS BOOLEAN)
+              |    AS approx_ok
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    },
     // Sink+source round trips: write a deterministic slice, read it back.
     "io_csv_roundtrip" -> { (s, dir) =>
       ioRoundtrip(s, dir, "csv")
@@ -188,6 +200,11 @@ object ExtendedQueries {
     "rel_q27_approx_distinct" ->
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
         |  TRUE AS approx_ok FROM lineitem""".stripMargin,
+    "rel_q35_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "io_csv_roundtrip" -> roundtripOracle,
     "io_json_roundtrip" -> roundtripOracle,
     "io_orc_roundtrip" -> roundtripOracle,

@@ -47,6 +47,13 @@ object MultimodalQueries {
       // uses (StreamingSpec asserts batch == streaming).
       EventStream.sessionWindows(Tables.load(s, dir, "events"))
     },
+    // flatMapGroupsWithState sessionizer == session_window oracle.
+    "stream_state_sessions" -> { (s, dir) =>
+      EventStream.sessionsViaState(Tables.load(s, dir, "events"))
+        .select(col("userId").as("user_id"),
+          timestamp_micros(col("sessionStartUs")).as("session_start"),
+          col("nEvents").as("n_events"))
+    },
     // Streaming dedup (append mode): first occurrence per key pair.
     "stream_dedup_pairs" -> { (s, dir) =>
       EventStream.runToMemory(s,
@@ -104,6 +111,22 @@ object MultimodalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM e),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM g),
+        |s AS (SELECT user_id, ts,
+        |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "stream_state_sessions" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |g AS (SELECT user_id, ts,
         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

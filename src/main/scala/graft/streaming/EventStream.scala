@@ -90,6 +90,49 @@ object EventStream {
       }.toDF()
   }
 
+  /** One emitted row per closed session for the custom-state sessionizer.
+    * The start is carried as epoch MICROseconds — java.sql.Timestamp
+    * round-trips would silently truncate to millis. */
+  case class SessionOut(userId: Long, sessionStartUs: Long, nEvents: Long)
+
+  /**
+   * Custom sessionizer on flatMapGroupsWithState (the 0..N-rows-per-group
+   * state API, complementing mapGroupsWithState's exactly-1): groups by
+   * user, orders the group's events by time, and emits one row per
+   * 30-minute-gap session — the hand-rolled equivalent of
+   * `session_window`, gated against the same oracle.
+   *
+   * Scale note: state per group is one (start, count, last) triple; the
+   * in-group sort buffers one user's events, which is the same bound the
+   * built-in session window's state store carries. On a live stream the
+   * GroupStateTimeout would flush idle users.
+   */
+  def sessionsViaState(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var start = ts.head
+          var last = ts.head
+          var n = 0L
+          ts.foreach { t =>
+            if (t - last >= 30L * 60 * 1000000) {
+              out += SessionOut(user, start, n)
+              start = t
+              n = 0L
+            }
+            n += 1
+            last = t
+          }
+          out += SessionOut(user, start, n)
+          out.iterator
+      }.toDF()
+  }
+
   /** Streaming dedup: first occurrence of each (user_id, event_type) pair.
     * On a stream this keeps per-key state and emits in append mode; the
     * same transform in batch is a plain distinct (both modes are gated
