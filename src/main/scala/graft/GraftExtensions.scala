@@ -14,13 +14,18 @@ import graft.functions.RandgenFunctions
  * `registerAll` explicitly. Functions land in the session registry exactly
  * as the reference's `add_udfs(&mut SessionContext)` does
  * (`/root/reference/src/lib.rs:8-10`).
+ *
+ * Also installs the [[graft.plans.RangeJoinRewrite]] optimizer rule
+ * (inactive until `spark.graft.rangeJoin.binWidth` is set).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     RandgenFunctions.all.foreach { case (name, builder) =>
       extensions.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    extensions.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }

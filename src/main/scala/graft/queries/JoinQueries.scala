@@ -47,6 +47,25 @@ object JoinQueries {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
     },
+    // The SAME range join written as a plain inequality join, planned fast
+    // by the RangeJoinRewrite optimizer rule (installed session-wide, as
+    // GraftExtensions would on a cluster) — users keep declarative SQL and
+    // the nested loop disappears.
+    "join_range_rewrite" -> { (s, dir) =>
+      import graft.plans.RangeJoinRewrite
+      if (!s.experimental.extraOptimizations.contains(RangeJoinRewrite)) {
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ RangeJoinRewrite
+      }
+      s.conf.set(RangeJoinRewrite.ConfKey, "40.0")
+      val ev = Tables.load(s, dir, "events").select(col("event_id"), col("value"))
+      val ranges = s.range(0, 13).select(col("id").as("bucket_id"),
+        (col("id") * 40.0).as("lo"), (col("id") * 40.0 + 80.0).as("hi"))
+      ev.join(ranges, col("value") >= col("lo") && col("value") <= col("hi"))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+    },
     // Count-min sketch: build over lineitem part keys, probe 8 keys.
     "agg_cms_estimate" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -72,6 +91,14 @@ object JoinQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
     "join_range_bins" ->
+      """SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events, (SELECT k AS bucket_id, k * 40.0 AS lo,
+        |              k * 40.0 + 80.0 AS hi
+        |              FROM unnest(range(13)) AS t(k)) r
+        |WHERE value >= lo AND value <= hi
+        |GROUP BY bucket_id""".stripMargin,
+    "join_range_rewrite" ->
       """SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events, (SELECT k AS bucket_id, k * 40.0 AS lo,

@@ -158,12 +158,23 @@ object EventStream {
   }
 
   /** Drives a streaming DataFrame to completion against the static fixture
-    * via the memory sink; returns the materialized result table. */
+    * via the memory sink; returns the materialized result table.
+    *
+    * Stateful streaming operators create one state-store instance per
+    * shuffle partition per operator; the fixture's state fits a handful of
+    * partitions, so the query runs with 8 instead of inheriting the batch
+    * setting (a real deployment sizes this to state volume — it is fixed
+    * at first checkpoint). The session conf is restored afterwards. */
   def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = streaming.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = streaming.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }
