@@ -16,6 +16,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The sf fixtures are single ~20 MB parquet files; at the default
+      // 128 MB split size every narrow stage would run as ONE task on a
+      // 32-core machine. Splitting at 2 MB spreads the scan across cores —
+      // the local analogue of what many-file datasets give a cluster for
+      // free (a real 100 TB table keeps the 128 MB default).
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "256k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: initialize codegen compiler, shuffle machinery and

@@ -86,6 +86,29 @@ object Similarity {
       .select(col("qid"), col("id"), col("rank"), round(col("score"), 6).as("score"))
   }
 
+  /** Corpus-scale embedding near-duplicate pairs: SRP-LSH bucket equi-join
+    * for candidates (linear shuffle), exact cosine >= threshold refilter.
+    * The scale path that replaces Dedup.embeddingNearDuplicates' O(n^2)
+    * all-pairs baseline; more tables/fewer planes raise recall. */
+  def lshNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numTables: Int = 8, numPlanes: Int = 3,
+      seed: Int = 42, dim: Int = 64): DataFrame = {
+    val codes = lshCodes(emb, idCol, vecCol, numTables, numPlanes, seed, dim)
+    val cand = codes.as("x").join(codes.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.code") === col("y.code") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    cand
+      .join(e.select(col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .where(VectorOps.dot(col("va"), col("vb")) >=
+        col("na") * col("nb") * lit(threshold))
+      .select("id_a", "id_b")
+  }
+
   /** Sequential-fold double norm of a centroid — the Scala-side mirror of
     * VectorOps.norm (identical fold order, so scores stay bit-comparable
     * with the DuckDB oracle). */

@@ -45,6 +45,13 @@ object SimilarityQueries {
         NumTables, NumPlanes, Seed)
         .withColumnRenamed("rank", "rnk")
     },
+    // LSH-bucketed near-dup pairs: the corpus-scale form of
+    // dedup_embedding_pairs (candidates from the bucket join, exact
+    // cosine refilter; the oracle replays the identical algorithm).
+    "sim_lsh_neardup" -> { (s, dir) =>
+      Similarity.lshNearDuplicates(emb(s, dir), "vec_id", "embedding", 0.45,
+        NumTables, NumPlanes, Seed)
+    },
     // IVF: 16 coarse centroids (vec_id < 16 — the "trained" quantizer),
     // queries 16..19 probe their 3 nearest lists, exact re-rank top 5.
     "sim_ivf_topk" -> { (s, dir) =>
@@ -108,6 +115,15 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
          |FROM r WHERE rn <= 10""".stripMargin,
+    "sim_lsh_neardup" ->
+      s"""WITH $duckCodesCte,
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM codes x JOIN codes y
+         |    ON x.tbl = y.tbl AND x.code = y.code AND x.vec_id < y.vec_id)
+         |SELECT cand.id_a, cand.id_b
+         |FROM cand JOIN embeddings a ON cand.id_a = a.vec_id
+         |          JOIN embeddings b ON cand.id_b = b.vec_id
+         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
          |  FROM embeddings WHERE vec_id < 16),

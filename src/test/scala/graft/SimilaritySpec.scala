@@ -73,6 +73,17 @@ class SimilaritySpec extends GraftSuite {
     assert(recall(16) == 1.0)
   }
 
+  test("LSH near-dup pairs are a subset of brute force with useful recall") {
+    import graft.operators.Dedup
+    val brute = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDuplicates(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "exact refilter must never emit a false pair")
+    assert(brute.isEmpty || lsh.size >= brute.size / 2,
+      s"recall too low: ${lsh.size}/${brute.size}")
+  }
+
   test("int8 quantization: values bounded, max-magnitude element hits +-127") {
     import graft.operators.VectorOps
     val q = emb.select(col("vec_id"),
