@@ -43,6 +43,13 @@ object Gen {
   case class Float64Laplace(mu: Double, b: Double) extends Gen
   /** Uniform pick from a literal value list (strings/numbers). */
   case class Choice(values: Seq[Any]) extends Gen
+  /** Weighted pick: values(i) with probability weights(i)/sum(weights). */
+  case class ChoiceWeighted(values: Seq[Any], weights: Seq[Double]) extends Gen
+  /** RFC 4122 v4-format UUID strings (seeded, reproducible). */
+  case object Uuid extends Gen
+  /** Null injection: `inner`'s value, replaced by NULL with probability
+    * pNull — the realistic-messy-data knob every synthetic schema needs. */
+  case class Nullable(inner: Gen, pNull: Double) extends Gen
   /** Escape hatch: any Spark SQL expression over previous columns. */
   case class SqlExpr(sql: String) extends Gen
 }
@@ -105,6 +112,17 @@ object TableGen {
     case Gen.Choice(values) =>
       randgen_choice(
         org.apache.spark.sql.functions.array(values.map(lit): _*), seed)
+    case Gen.ChoiceWeighted(values, weights) =>
+      randgen_choice_weighted(
+        org.apache.spark.sql.functions.array(values.map(lit): _*),
+        org.apache.spark.sql.functions.array(weights.map(lit): _*), seed)
+    case Gen.Uuid => randgen_uuid(seed)
+    case Gen.Nullable(inner, p) =>
+      // The null gate draws from a decorrelated stream so it doesn't
+      // perturb the inner generator's sequence.
+      org.apache.spark.sql.functions
+        .when(randgen_bool_bernoulli(lit(p), seed ^ 0x5DEECE66DL), lit(null))
+        .otherwise(column(inner, seed))
     case Gen.SqlExpr(sql) => expr(sql)
   }
 }

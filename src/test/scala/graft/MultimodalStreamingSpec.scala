@@ -15,6 +15,33 @@ class MultimodalStreamingSpec extends GraftSuite {
     assert(m.count() == 500)
   }
 
+  test("binaryFile source ingests opaque media files with correct bytes") {
+    // The cluster ingestion path for real media: files land in a
+    // directory, spark.read.format("binaryFile") exposes (path, length,
+    // content) — here 3 fixture payloads written out and read back.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_binfile")
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").orderBy("doc_id").limit(3).collect()
+    docs.foreach { r =>
+      java.nio.file.Files.write(tmp.resolve(s"doc_${r.getLong(0)}.bin"),
+        r.getString(1).getBytes("UTF-8"))
+    }
+    val read = spark.read.format("binaryFile").load(tmp.toString)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long")
+          .as("doc_id"),
+        col("length"), md5(col("content")).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(read.size == 3)
+    docs.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val (len, h) = read(r.getLong(0))
+      assert(len == bytes.length)
+      val want = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(h == want)
+    }
+  }
+
   test("decodeFeatures via mapPartitions is deterministic and matches md5") {
     import spark.implicits._
     val typed = Multimodal.fromDocuments(Tables.load(spark, dir, "documents"))

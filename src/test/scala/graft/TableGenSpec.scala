@@ -55,4 +55,21 @@ class TableGenSpec extends GraftSuite {
       "b" -> Gen.Int64Uniform(1, 1000000))
     assert(df.where("a = b").count() < 5)
   }
+
+  test("uuid, weighted choice and null injection specs") {
+    val df = TableGen.table(spark, 20000L, 11L,
+      "u" -> Gen.Uuid,
+      "w" -> Gen.ChoiceWeighted(Seq("rare", "common"), Seq(0.1, 0.9)),
+      "n" -> Gen.Nullable(Gen.Int64Uniform(1, 5), 0.25))
+    val r = df.selectExpr(
+      "count(distinct u) AS du",
+      "count(CASE WHEN u RLIKE '^[0-9a-f]{8}-[0-9a-f]{4}-4' THEN 1 END) AS fmt",
+      "avg(CASE WHEN w = 'common' THEN 1.0D ELSE 0.0D END) AS pc",
+      "avg(CASE WHEN n IS NULL THEN 1.0D ELSE 0.0D END) AS pn",
+      "min(n) AS lo", "max(n) AS hi").collect()(0)
+    assert(r.getLong(0) == 20000L && r.getLong(1) == 20000L)
+    assert(math.abs(r.getDouble(2) - 0.9) < 0.02)
+    assert(math.abs(r.getDouble(3) - 0.25) < 0.02)
+    assert(r.getLong(4) >= 1L && r.getLong(5) <= 5L)
+  }
 }
