@@ -314,6 +314,18 @@ object RelationalQueries {
           |  CAST(4 AS BIGINT) AS n_keys, 'lo' AS k
           |FROM lineitem WHERE l_orderkey < 30""".stripMargin)),
 
+    // Join-strategy + repartition hints: BROADCAST forces the dim-table
+    // broadcast, MERGE forces a sort-merge for the fact-fact edge — the
+    // per-query override knobs a tuned workload uses. DuckDB reads the
+    // hint block as a plain comment, so the SAME string is the oracle.
+    Q("rel_q36_join_hints",
+      """SELECT /*+ BROADCAST(nation), MERGE(orders) */
+        |  n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN orders ON o_custkey = c_custkey
+        |GROUP BY n_name""".stripMargin),
+
     // Generator/UDTF surface: LATERAL VIEW inline over an array of structs
     // (one input row -> N typed rows). Oracle replays as UNION ALL.
     Q("rel_q34_lateral_inline",
