@@ -89,6 +89,22 @@ object ExtendedQueries {
     "io_orc_roundtrip" -> { (s, dir) =>
       ioRoundtrip(s, dir, "orc")
     },
+    // The graftgen DataSource V2 connector: random rows generated AT the
+    // scan (no driver data, no shuffle), property-checked like gen_*.
+    "io_gensource_props" -> { (s, dir) =>
+      s.read.format("graftgen")
+        .option("rows", 100000).option("partitions", 16).option("seed", 42)
+        .option("columns", "id,qty,seg")
+        .option("gen.id", "seq")
+        .option("gen.qty", "int64_uniform:1:100")
+        .option("gen.seg", "choice:x|y")
+        .load()
+        .selectExpr("CAST(count(*) AS BIGINT) AS n",
+          "CAST(count(distinct id) = 100000 AS BOOLEAN) AS ids_ok",
+          "CAST(min(qty) >= 1 AND max(qty) <= 100 AS BOOLEAN) AS bounds_ok",
+          "CAST(abs(avg(qty) - 50.5) < 1.0 AS BOOLEAN) AS mean_ok",
+          "CAST(count(distinct seg) = 2 AS BOOLEAN) AS seg_ok")
+    },
     // Hive-style partitioned layout: write partitioned by a key, read back
     // with a partition predicate. At scale this is THE pruning lever — the
     // filter eliminates whole directories before any file is opened
@@ -208,6 +224,9 @@ object ExtendedQueries {
     "io_csv_roundtrip" -> roundtripOracle,
     "io_json_roundtrip" -> roundtripOracle,
     "io_orc_roundtrip" -> roundtripOracle,
+    "io_gensource_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS ids_ok, " +
+        "TRUE AS bounds_ok, TRUE AS mean_ok, TRUE AS seg_ok"),
     "io_partitioned_prune" ->
       """SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.GraftRandom
+
+/**
+ * `graftgen` — a DataSource V2 *read* connector that generates random rows
+ * natively at the scan, the reference's purpose ("a random data generator
+ * for a query engine") expressed as a Spark source instead of scalar
+ * functions:
+ *
+ * {{{
+ * spark.read.format("graftgen")
+ *   .option("rows", 1000000).option("partitions", 32).option("seed", 42)
+ *   .option("columns", "id,qty,price,seg")
+ *   .option("gen.id", "seq")
+ *   .option("gen.qty", "int64_uniform:1:50")
+ *   .option("gen.price", "float64_normal:100:15")
+ *   .option("gen.seg", "choice:A|B|C")
+ *   .load()
+ * }}}
+ *
+ * Scale design: `planInputPartitions` splits the row range evenly into
+ * `partitions` independent splits; each split's reader draws from its own
+ * `GraftRandom(colSeed, partitionIndex)` stream, so generation is
+ * embarrassingly parallel, shuffle-free, deterministic per (seed,
+ * partition layout), and stable under task retry — 10^12 rows is just
+ * more partitions. No data ever flows from the driver.
+ *
+ * Spec mini-language (option `gen.<col>`): `seq` | `uuid` |
+ * `int64_uniform:lo:hi` | `float64_uniform:lo:hi` |
+ * `float64_normal:mean:std` | `float64_exponential:lambda` |
+ * `bool_bernoulli:p` | `string_alphanum:lo:hi` | `choice:a|b|c`.
+ */
+class GenSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftgen"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GenSpec.schemaOf(GenSpec.parse(options.asCaseSensitiveMap().asScala.toMap))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GenTable(GenSpec.parse(properties.asScala.toMap))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+/** One column's parsed generator spec. */
+case class ColSpec(name: String, kind: String, args: Array[String]) {
+  def dataType: DataType = kind match {
+    case "seq" | "int64_uniform" => LongType
+    case "float64_uniform" | "float64_normal" | "float64_exponential" => DoubleType
+    case "bool_bernoulli" => BooleanType
+    case "uuid" | "string_alphanum" | "choice" => StringType
+    case other => throw new IllegalArgumentException(
+      s"graftgen: unknown generator kind '$other' for column $name")
+  }
+}
+
+case class GenSpec(rows: Long, partitions: Int, seed: Long, cols: Seq[ColSpec])
+
+object GenSpec {
+  def parse(opts: Map[String, String]): GenSpec = {
+    val ci = opts.map { case (k, v) => k.toLowerCase -> v }
+    val rows = ci.getOrElse("rows",
+      throw new IllegalArgumentException("graftgen: option 'rows' is required")).toLong
+    val partitions = ci.getOrElse("partitions", "4").toInt
+    val seed = ci.getOrElse("seed", "0").toLong
+    val colNames = ci.getOrElse("columns",
+      throw new IllegalArgumentException(
+        "graftgen: option 'columns' (ordered, comma-separated) is required"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    require(rows >= 0 && partitions > 0, "graftgen: rows >= 0, partitions > 0")
+    val cols = colNames.toSeq.map { n =>
+      val spec = ci.getOrElse(s"gen.${n.toLowerCase}",
+        throw new IllegalArgumentException(s"graftgen: missing option gen.$n"))
+      val parts = spec.split(":", -1)
+      ColSpec(n, parts.head, parts.tail)
+    }
+    GenSpec(rows, partitions, seed, cols)
+  }
+
+  def schemaOf(spec: GenSpec): StructType =
+    StructType(spec.cols.map(c => StructField(c.name, c.dataType, nullable = false)))
+}
+
+class GenTable(spec: GenSpec) extends Table with SupportsRead {
+  override def name(): String = s"graftgen(${spec.rows})"
+  override def schema(): StructType = GenSpec.schemaOf(spec)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = GenSpec.schemaOf(spec)
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val per = spec.rows / spec.partitions
+        val rem = spec.rows % spec.partitions
+        var start = 0L
+        Array.tabulate[InputPartition](spec.partitions) { i =>
+          val n = per + (if (i < rem) 1 else 0)
+          val p = GenInputPartition(i, start, start + n)
+          start += n
+          p
+        }
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        GenReaderFactory(spec)
+    }
+}
+
+case class GenInputPartition(index: Int, start: Long, end: Long)
+  extends InputPartition
+
+case class GenReaderFactory(spec: GenSpec) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GenInputPartition]
+    new PartitionReader[InternalRow] {
+      // One decorrelated stream per column, seeded by (seed, col, split) —
+      // the same convention TableGen's per-column expressions use.
+      private val rngs = spec.cols.indices.map(i =>
+        new GraftRandom(spec.seed + 0x9E37L * (i + 1), p.index)).toArray
+      private var row = p.start
+      private val values = new Array[Any](spec.cols.length)
+
+      override def next(): Boolean = {
+        if (row >= p.end) return false
+        var i = 0
+        while (i < spec.cols.length) {
+          values(i) = gen(spec.cols(i), rngs(i), row)
+          i += 1
+        }
+        row += 1
+        true
+      }
+
+      private def gen(c: ColSpec, rng: GraftRandom, rowId: Long): Any = c.kind match {
+        case "seq" => rowId
+        case "int64_uniform" =>
+          rng.nextLongInclusive(c.args(0).toLong, c.args(1).toLong)
+        case "float64_uniform" =>
+          rng.nextDoubleUniform(c.args(0).toDouble, c.args(1).toDouble)
+        case "float64_normal" =>
+          rng.nextGaussian(c.args(0).toDouble, c.args(1).toDouble)
+        case "float64_exponential" => rng.nextExponential(c.args(0).toDouble)
+        case "bool_bernoulli" => rng.nextBernoulli(c.args(0).toDouble)
+        case "uuid" => UTF8String.fromString(rng.nextUuidString())
+        case "string_alphanum" =>
+          UTF8String.fromString(
+            rng.nextAlphanumeric(c.args(0).toLong, c.args(1).toLong))
+        case "choice" =>
+          val vs = c.args(0).split('|')
+          UTF8String.fromString(
+            vs(rng.nextLongInclusive(0, vs.length - 1).toInt))
+      }
+
+      override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)
+      override def close(): Unit = {}
+    }
+  }
+}
