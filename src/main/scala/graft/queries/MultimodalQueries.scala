@@ -47,6 +47,23 @@ object MultimodalQueries {
       // uses (StreamingSpec asserts batch == streaming).
       EventStream.sessionWindows(Tables.load(s, dir, "events"))
     },
+    // Streaming graftgen source (MicroBatchStream): 10 batches x 1000
+    // generated rows, property-checked like the gen_* family.
+    "stream_gen_source" -> { (s, dir) =>
+      val stream = s.readStream.format("graftgen")
+        .option("rows", 0).option("partitions", 8).option("seed", 21)
+        .option("rowsPerBatch", 1000).option("maxBatches", 10)
+        .option("columns", "id,v")
+        .option("gen.id", "seq")
+        .option("gen.v", "int64_uniform:1:100")
+        .load()
+      EventStream.runToMemory(s, stream,
+          s"stream_gen_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .selectExpr("CAST(count(*) AS BIGINT) AS n",
+          "CAST(count(distinct id) = 10000 AS BOOLEAN) AS ids_ok",
+          "CAST(min(v) >= 1 AND max(v) <= 100 AS BOOLEAN) AS bounds_ok")
+    },
     // flatMapGroupsWithState sessionizer == session_window oracle.
     "stream_state_sessions" -> { (s, dir) =>
       EventStream.sessionsViaState(Tables.load(s, dir, "events"))
@@ -126,6 +143,9 @@ object MultimodalQueries {
         |SELECT user_id, MIN(ts) AS session_start,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "stream_gen_source" ->
+      ("SELECT CAST(10000 AS BIGINT) AS n, TRUE AS ids_ok, " +
+        "TRUE AS bounds_ok"),
     "stream_state_sessions" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |g AS (SELECT user_id, ts,

@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -66,7 +67,11 @@ case class ColSpec(name: String, kind: String, args: Array[String]) {
   }
 }
 
-case class GenSpec(rows: Long, partitions: Int, seed: Long, cols: Seq[ColSpec])
+/** rowsPerBatch/maxBatches configure the streaming (micro-batch) path:
+  * each batch emits rowsPerBatch rows; after maxBatches the offset stops
+  * advancing (so processAllAvailable terminates; -1 = unbounded). */
+case class GenSpec(rows: Long, partitions: Int, seed: Long, cols: Seq[ColSpec],
+    rowsPerBatch: Long = 0L, maxBatches: Long = -1L)
 
 object GenSpec {
   def parse(opts: Map[String, String]): GenSpec = {
@@ -75,6 +80,8 @@ object GenSpec {
       throw new IllegalArgumentException("graftgen: option 'rows' is required")).toLong
     val partitions = ci.getOrElse("partitions", "4").toInt
     val seed = ci.getOrElse("seed", "0").toLong
+    val rowsPerBatch = ci.getOrElse("rowsperbatch", "0").toLong
+    val maxBatches = ci.getOrElse("maxbatches", "-1").toLong
     val colNames = ci.getOrElse("columns",
       throw new IllegalArgumentException(
         "graftgen: option 'columns' (ordered, comma-separated) is required"))
@@ -86,7 +93,7 @@ object GenSpec {
       val parts = spec.split(":", -1)
       ColSpec(n, parts.head, parts.tail)
     }
-    GenSpec(rows, partitions, seed, cols)
+    GenSpec(rows, partitions, seed, cols, rowsPerBatch, maxBatches)
   }
 
   def schemaOf(spec: GenSpec): StructType =
@@ -97,26 +104,64 @@ class GenTable(spec: GenSpec) extends Table with SupportsRead {
   override def name(): String = s"graftgen(${spec.rows})"
   override def schema(): StructType = GenSpec.schemaOf(spec)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  /** Splits [0, total) rows evenly; `rowBase` offsets streaming batches so
+    * row ids stay globally unique, and the per-split seed mix keeps each
+    * planned split reproducible under task retry. */
+  private def splits(total: Long, rowBase: Long): Array[InputPartition] = {
+    val per = total / spec.partitions
+    val rem = total % spec.partitions
+    var start = rowBase
+    Array.tabulate[InputPartition](spec.partitions) { i =>
+      val n = per + (if (i < rem) 1 else 0)
+      val p = GenInputPartition(i, start, start + n)
+      start += n
+      p
+    }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
       override def readSchema(): StructType = GenSpec.schemaOf(spec)
       override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] = {
-        val per = spec.rows / spec.partitions
-        val rem = spec.rows % spec.partitions
-        var start = 0L
-        Array.tabulate[InputPartition](spec.partitions) { i =>
-          val n = per + (if (i < rem) 1 else 0)
-          val p = GenInputPartition(i, start, start + n)
-          start += n
-          p
-        }
-      }
+      override def planInputPartitions(): Array[InputPartition] =
+        splits(spec.rows, 0L)
       override def createReaderFactory(): PartitionReaderFactory =
         GenReaderFactory(spec)
+
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new MicroBatchStream {
+          require(spec.rowsPerBatch > 0,
+            "graftgen streaming requires option rowsPerBatch > 0")
+          override def initialOffset(): Offset = GenOffset(0L)
+          override def latestOffset(): Offset = {
+            // One new batch per poll, until the optional cap.
+            val next = seen + 1
+            seen = if (spec.maxBatches >= 0) math.min(next, spec.maxBatches)
+              else next
+            GenOffset(seen)
+          }
+          private var seen = 0L
+          override def deserializeOffset(json: String): Offset =
+            GenOffset(json.toLong)
+          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+            val s = start.asInstanceOf[GenOffset].n
+            val e = end.asInstanceOf[GenOffset].n
+            splits((e - s) * spec.rowsPerBatch, s * spec.rowsPerBatch)
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            GenReaderFactory(spec)
+          override def commit(end: Offset): Unit = {}
+          override def stop(): Unit = {}
+        }
     }
+}
+
+case class GenOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
 }
 
 case class GenInputPartition(index: Int, start: Long, end: Long)
@@ -126,10 +171,13 @@ case class GenReaderFactory(spec: GenSpec) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GenInputPartition]
     new PartitionReader[InternalRow] {
-      // One decorrelated stream per column, seeded by (seed, col, split) —
-      // the same convention TableGen's per-column expressions use.
+      // One decorrelated stream per column, seeded by (seed, col, split
+      // start row) — the start-row mix keeps every planned split (incl.
+      // successive streaming batches that reuse partition indexes)
+      // distinct and reproducible under task retry.
       private val rngs = spec.cols.indices.map(i =>
-        new GraftRandom(spec.seed + 0x9E37L * (i + 1), p.index)).toArray
+        new GraftRandom((spec.seed + 0x9E37L * (i + 1)) ^
+          (p.start * 0x2545F4914F6CDD1DL), p.index)).toArray
       private var row = p.start
       private val values = new Array[Any](spec.cols.length)
 

@@ -54,4 +54,22 @@ class GenSourceSpec extends GraftSuite {
     val ids = df.select("id").collect().map(_.getLong(0)).sorted
     assert(ids.sameElements(0L until 10L))
   }
+
+  test("streaming micro-batch path: maxBatches x rowsPerBatch rows, unique ids") {
+    val stream = spark.readStream.format("graftgen")
+      .option("rows", 0).option("partitions", 4).option("seed", 9)
+      .option("rowsPerBatch", 100).option("maxBatches", 5)
+      .option("columns", "id,v")
+      .option("gen.id", "seq")
+      .option("gen.v", "int64_uniform:1:6")
+      .load()
+    val out = graft.streaming.EventStream.runToMemory(spark, stream,
+      "gen_stream_spec",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val r = out.selectExpr("count(*) n", "count(distinct id) dn",
+      "min(v) lo", "max(v) hi").collect()(0)
+    assert(r.getLong(0) == 500L, s"rows: ${r.getLong(0)}")
+    assert(r.getLong(1) == 500L, "streaming row ids must stay globally unique")
+    assert(r.getLong(2) >= 1L && r.getLong(3) <= 6L)
+  }
 }
