@@ -30,21 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object TextGramsUtil {
 
-  def charGrams(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString
-    val cps = s.codePoints().toArray
-    if (cps.length < n) {
-      return new GenericArrayData(Array[Any](UTF8String.fromString(s)))
-    }
-    val seen = new java.util.LinkedHashSet[String]
-    var i = 0
-    val last = cps.length - n
-    while (i <= last) {
-      seen.add(new String(cps, i, n))
-      i += 1
-    }
-    toUtf8Array(seen)
-  }
+  def charGrams(text: UTF8String, n: Int): ArrayData =
+    toUtf8Array(charGramSet(text, n))
 
   def wordShingles(text: UTF8String, k: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)
@@ -67,6 +54,58 @@ object TextGramsUtil {
       i += 1
     }
     toUtf8Array(seen)
+  }
+
+  /** Distinct code-point n-grams of `text` as Java strings (shared by
+    * charGrams and bottomKHashes). */
+  private def charGramSet(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val seen = new java.util.LinkedHashSet[String]
+    if (cps.length < n) { seen.add(s); return seen }
+    var i = 0
+    val last = cps.length - n
+    while (i <= last) {
+      seen.add(new String(cps, i, n))
+      i += 1
+    }
+    seen
+  }
+
+  /** hash60 of a string: first 15 hex chars of md5 as a 60-bit long —
+    * byte-identical to the SQL `conv(substr(md5(x),1,15),16,10)` form and
+    * to DuckDB's `('0x'||substr(md5(x),1,15))::BIGINT`. */
+  private def hash60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    // First 15 hex chars = first 7.5 bytes.
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** The k smallest hash60 values over the text's distinct char n-grams
+    * (ties broken by gram string ascending), ascending — the bottom-k
+    * fingerprint computed in ONE narrow call instead of exploding every
+    * gram through a per-document shuffle + window. */
+  def bottomKHashes(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = charGramSet(text, n)
+    val pairs = new Array[(Long, String)](grams.size)
+    val it = grams.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val g = it.next()
+      pairs(i) = (hash60(md, g), g)
+      i += 1
+    }
+    val sorted = pairs.sortBy(identity)
+    val m = math.min(k, sorted.length)
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) { out(i) = sorted(i)._1; i += 1 }
+    new GenericArrayData(out)
   }
 
   /** Polynomial rolling hash: fold (acc*31 + codePoint) % 2147483647 over
@@ -107,6 +146,23 @@ case class CharGrams(child: Expression, n: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextGramsUtil.charGrams($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class BottomKHashes(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bottom_k_hashes"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextGramsUtil.bottomKHashes(t.asInstanceOf[UTF8String], n, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextGramsUtil.bottomKHashes($c, $n, $k);")
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

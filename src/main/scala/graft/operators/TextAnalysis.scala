@@ -97,8 +97,25 @@ object TextAnalysis {
 
   /** Bottom-k sketch fingerprint over distinct char n-grams: the k smallest
     * hash60 values per document (winnowing-style content signature).
-    * Output: (doc_id, rnk 1..k, h). */
+    * Output: (doc_id, rnk 1..k, h).
+    *
+    * Computed by the BottomKHashes codegen expression in ONE narrow map —
+    * the earlier explode-all-grams + per-document window shuffled ~2000
+    * rows per document just to keep 4 (2.9s -> narrow at sf0.1). */
   def bottomKFingerprint(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, k: Int = 4): DataFrame = {
+    val bk = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.BottomKHashes(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(col(textCol)),
+        n, k))
+    docs.select(col(idCol).as("doc_id"), posexplode(bk))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col").as("h"))
+  }
+
+  /** The explode + window form of `bottomKFingerprint` — test oracle only
+    * (TextAnalysisSpec asserts equality with the narrow expression). */
+  def bottomKFingerprintHof(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, k: Int = 4): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),
       explode(charGrams(col(textCol), n)).as("g"))

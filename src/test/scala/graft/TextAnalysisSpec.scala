@@ -68,6 +68,14 @@ class TextAnalysisSpec extends GraftSuite {
     assert(a.intersect(b).size >= 2, s"planted pair shares ${a.intersect(b).size}/4")
   }
 
+  test("narrow BottomKHashes fingerprint == explode+window form") {
+    val docs = Tables.load(spark, SparkTestBase.sf001, "documents")
+    val a = TextAnalysis.bottomKFingerprint(docs, "doc_id", "text")
+    val b = TextAnalysis.bottomKFingerprintHof(docs, "doc_id", "text")
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("codegen CharGrams/WordShingles == interpreted HOF forms") {
     import graft.operators.TextHash
     // Real corpus plus the edge shapes: empty text, shorter-than-n,
