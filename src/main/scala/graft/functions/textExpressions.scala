@@ -33,12 +33,10 @@ object TextGramsUtil {
   def charGrams(text: UTF8String, n: Int): ArrayData =
     toUtf8Array(charGramSet(text, n))
 
-  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+  private def wordShingleSet(text: UTF8String, k: Int): java.util.LinkedHashSet[String] = {
     val toks = text.toString.split(" ", -1)
-    if (toks.length < k) {
-      return new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
-    }
     val seen = new java.util.LinkedHashSet[String]
+    if (toks.length < k) { seen.add(toks.mkString(" ")); return seen }
     val sb = new java.lang.StringBuilder
     var i = 0
     val last = toks.length - k
@@ -53,7 +51,35 @@ object TextGramsUtil {
       seen.add(sb.toString)
       i += 1
     }
-    toUtf8Array(seen)
+    seen
+  }
+
+  def wordShingles(text: UTF8String, k: Int): ArrayData =
+    toUtf8Array(wordShingleSet(text, k))
+
+  /** Full MinHash signature in one narrow call: for every distinct word
+    * k-shingle, h = hash60 % p, then sig[j] = min (a_j*h + b_j) % p —
+    * identical arithmetic to the explode + 32-way min-aggregate form, but
+    * with NO shuffle (the aggregate form ships every shingle row into a
+    * HashAggregate; at corpus scale that is the dominant movement of the
+    * whole minhash pipeline). Coefficients must be the md5-derived
+    * universal-hash family the DuckDB oracle embeds. */
+  def minhashSig(text: UTF8String, k: Int, as: Array[Long], bs: Array[Long],
+      prime: Long): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val numPerm = as.length
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    val it = wordShingleSet(text, k).iterator()
+    while (it.hasNext) {
+      val h = hash60(md, it.next()) % prime
+      var j = 0
+      while (j < numPerm) {
+        val v = (as(j) * h + bs(j)) % prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+    new GenericArrayData(sig.map(x => x: Any))
   }
 
   /** Distinct code-point n-grams of `text` as Java strings (shared by
@@ -106,6 +132,33 @@ object TextGramsUtil {
     i = 0
     while (i < m) { out(i) = sorted(i)._1; i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Term-frequency-weighted SimHash over whitespace tokens (repeated
+    * tokens vote repeatedly), bit-identical to the explode + per-bit
+    * vote-sum aggregate form: bit b is set iff
+    * sum over tokens of (+1 if hash60(tok) bit b else -1) > 0. */
+  def simhashBits(text: UTF8String, bits: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < toks.length) {
+      val h = hash60(md, toks(i))
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
   }
 
   /** Polynomial rolling hash: fold (acc*31 + codePoint) % 2147483647 over
@@ -163,6 +216,45 @@ case class BottomKHashes(child: Expression, n: Int, k: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextGramsUtil.bottomKHashes($c, $n, $k);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class SimhashBits(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextGramsUtil.simhashBits(t.asInstanceOf[UTF8String], bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextGramsUtil.simhashBits($c, $bits);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class MinhashSig(child: Expression, k: Int, as: Array[Long],
+    bs: Array[Long], prime: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextGramsUtil.minhashSig(t.asInstanceOf[UTF8String], k, as, bs, prime)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextGramsUtil.minhashSig(" +
+        s"$c, $k, $asRef, $bsRef, ${prime}L);")
+  }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

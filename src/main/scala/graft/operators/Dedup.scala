@@ -67,13 +67,24 @@ object Dedup {
     * shingle is md5-hashed ONCE (`h = hash60(s) % prime`), then
     * `sig[p] = min over shingles of (a_p * h + b_p) % prime`.
     *
-    * Shape: explode(shingles) -> hash -> groupBy(doc) with numPerm partial
-    * `min` aggregates -> assemble array. Everything stays inside
-    * whole-stage codegen (a HashAggregate of primitive longs) — the
-    * earlier `array_min(transform(...))` form evaluated 32 interpreted
-    * lambdas per shingle and was ~50x slower at sf0.1. The groupBy
-    * shuffles only (doc_id, 32 longs) thanks to map-side partial mins. */
+    * Computed by the MinhashSig codegen expression in ONE narrow map —
+    * zero shuffle. The earlier explode + numPerm-way min-aggregate form
+    * (kept below as the in-engine test oracle) shipped every shingle row
+    * into a HashAggregate; at corpus scale that shuffle is the dominant
+    * data movement of the whole minhash pipeline. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerm: Int = 32): DataFrame = {
+    val coeffs = minhashCoeffs(numPerm)
+    val expr = graft.functions.MinhashSig(
+      org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(col(textCol)),
+      shingleK, coeffs.map(_._1), coeffs.map(_._2), MinhashPrime)
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graftbridge.GraftSqlBridge.column(expr).as("sig"))
+  }
+
+  /** Explode + aggregate form of `minhashSignatures` — test oracle only
+    * (DedupSpec asserts equality with the narrow expression). */
+  def minhashSignaturesAgg(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numPerm: Int = 32): DataFrame = {
     val coeffs = minhashCoeffs(numPerm)
     val hs = docs.select(col(idCol).as("doc_id"),
@@ -133,8 +144,20 @@ object Dedup {
   // ---- SimHash -------------------------------------------------------------
 
   /** Per-document `bits`-bit SimHash over whitespace tokens (term-frequency
-    * weighted: repeated tokens vote repeatedly). */
+    * weighted: repeated tokens vote repeatedly). Computed by the
+    * SimhashBits codegen expression in ONE narrow map — the explode +
+    * 2*bits vote-sum aggregate form (kept below as the test oracle)
+    * shuffled every token row at corpus scale. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+        graft.functions.SimhashBits(
+          org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+            col(textCol)), bits)).as("simhash"))
+
+  /** Explode + aggregate form of `simhash` — test oracle only. */
+  def simhashAgg(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 48): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("w"))

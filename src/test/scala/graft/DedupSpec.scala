@@ -60,6 +60,29 @@ class DedupSpec extends GraftSuite {
     assert(pairs.count() == 14)
   }
 
+  test("narrow SimhashBits == explode+aggregate simhash; narrow plan") {
+    val a = Dedup.simhash(docs, "doc_id", "text")
+    val b = Dedup.simhashAgg(docs, "doc_id", "text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash must be narrow:\n$plan")
+  }
+
+  test("narrow MinhashSig == explode+aggregate signatures") {
+    val a = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .selectExpr("doc_id", "posexplode(sig)")
+    val b = Dedup.minhashSignaturesAgg(docs, "doc_id", "text")
+      .selectExpr("doc_id", "posexplode(sig)")
+    assert(a.count() == 500 * 32)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("minhash signature computation is shuffle-free (narrow plan)") {
+    val plan = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signatures must be narrow:\n$plan")
+  }
+
   test("minhash plan: no cartesian product, candidate join is equi-join") {
     val plan = Dedup.minhashCandidates(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
