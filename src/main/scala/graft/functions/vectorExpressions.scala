@@ -60,3 +60,53 @@ case class FloatVecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+
+object FloatVecOps {
+  /** Symmetric int8 scalar quantization, q_i = floor(x_i * 127 / max|x| +
+    * 0.5) — one pass for the max, one for the elements (the HOF form
+    * re-evaluated array_max inside the per-element lambda: O(d^2) plus an
+    * allocation per element). Fail-fast on zero/empty vectors — the HOF
+    * form's 0/0 produced NaN, which ANSI-mode int casts then crash on
+    * anyway, with a far worse error. */
+  def quantizeInt8(a: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > m) m = v
+      i += 1
+    }
+    if (m <= 0.0) {
+      throw new IllegalArgumentException(
+        "quantizeInt8: zero or empty vector has no scale")
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble * 127.0 / m + 0.5).toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class FloatVecQuantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "float_vec_quantize_int8"
+
+  override protected def nullSafeEval(a: Any): Any =
+    FloatVecOps.quantizeInt8(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FloatVecOps.quantizeInt8($c);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

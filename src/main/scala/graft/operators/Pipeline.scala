@@ -24,10 +24,11 @@ object Pipeline {
 
   def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.7, jaccardThreshold: Double = 0.5): DataFrame = {
-    // 1. Exact: one survivor (min id) per distinct content hash.
-    val exactKeep = docs.groupBy(md5(col(textCol)).as("__h"))
-      .agg(min(col(idCol)).as(idCol))
-      .drop("__h")
+    // 1. Exact: one survivor (min id) per distinct content hash — the
+    //    same keep-first contract as Dedup.exactKeepFirst (single source
+    //    of truth for the hash/tie rule).
+    val exactKeep = Dedup.exactKeepFirst(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
     val exact = docs.join(exactKeep, Seq(idCol), "left_semi")
     // 2. Near-dup: LSH pairs on the exact-deduped set, components, keep
     //    the representative.

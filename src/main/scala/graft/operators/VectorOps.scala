@@ -32,8 +32,17 @@ object VectorOps {
   /** Per-vector symmetric int8 scalar quantization: q = floor(x * 127 /
     * max|x| + 0.5). The exact arithmetic order is the contract — the
     * DuckDB oracle replays it term-for-term (floor(+0.5) instead of
-    * round() dodges the engines' different half-way conventions). */
-  def quantizeInt8(vec: Column): Column = {
+    * round() dodges the engines' different half-way conventions). Native
+    * codegen expression (graft.functions.FloatVecQuantizeInt8): one pass
+    * for the scale, one for the elements, fail-fast on zero vectors. */
+  def quantizeInt8(vec: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.FloatVecQuantizeInt8(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(vec)))
+
+  /** HOF form of `quantizeInt8` — test oracle only (re-evaluates the max
+    * per element; NaN on zero vectors). */
+  def quantizeInt8Hof(vec: Column): Column = {
     val m = array_max(transform(vec, x => abs(x.cast("double"))))
     transform(vec, x =>
       floor(x.cast("double") * 127.0 / m + 0.5).cast("int"))

@@ -58,6 +58,21 @@ object DedupQueries {
        |      (len(a.shingles) + len(b.shingles)
        |       - len(list_intersect(a.shingles, b.shingles))) * 0.5""".stripMargin
 
+  /** DuckDB losers set for min-label connected components, exact for ANY
+    * pair graph (recursive transitive closure): an id is dropped iff some
+    * reachable node has a smaller id. Replaces the earlier
+    * NOT IN (id_b) shortcut, which was only valid when every non-min
+    * member of a component appears on the id_b side of some pair. */
+  private def duckComponentLosers(pairsSql: String): String =
+    s"""WITH RECURSIVE pr AS ($pairsSql),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a FROM reach GROUP BY a HAVING MIN(b) < a""".stripMargin
+
   private lazy val mhCoeffs = graft.operators.Dedup.minhashCoeffs(32)
   private lazy val duckA =
     mhCoeffs.map(_._1).mkString("[", ", ", "]::BIGINT[]")
@@ -179,13 +194,11 @@ object DedupQueries {
         |             JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE p.inter >= (sa.n_grams + sb.n_grams - p.inter) * 0.5""".stripMargin,
     "dedup_resolve_keep" ->
-      // Valid because the sf pairs are disjoint (ClusterSpec asserts the
-      // general connected-components semantics separately): losers are
-      // exactly the id_b side of each planted pair.
       s"""SELECT doc_id FROM documents
-         |WHERE doc_id NOT IN (SELECT id_b FROM (
-         |$minhashPairsOracle
-         |) p)""".stripMargin,
+         |WHERE doc_id NOT IN (
+         |${duckComponentLosers(
+             s"SELECT id_a, id_b FROM (\n$minhashPairsOracle\n) mp")}
+         |)""".stripMargin,
     "dedup_embedding_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -193,9 +206,10 @@ object DedupQueries {
     "pipeline_clean_corpus" ->
       s"""SELECT doc_id FROM documents
          |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
-         |  AND doc_id NOT IN (SELECT id_b FROM (
-         |$minhashPairsOracle
-         |) p)
+         |  AND doc_id NOT IN (
+         |${duckComponentLosers(
+             s"SELECT id_a, id_b FROM (\n$minhashPairsOracle\n) mp")}
+         |)
          |  AND ${TextEventsQueries.duckQualityExpr} >= 0.7
          |  AND (${TextEventsQueries.duckLangCase}) != 'und'""".stripMargin,
   )

@@ -53,13 +53,16 @@ object JoinQueries {
     // the nested loop disappears.
     "join_range_rewrite" -> { (s, dir) =>
       import graft.plans.RangeJoinRewrite
-      if (!s.experimental.extraOptimizations.contains(RangeJoinRewrite)) {
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ RangeJoinRewrite
-      }
-      s.conf.set(RangeJoinRewrite.ConfKey, "40.0")
-      val ev = Tables.load(s, dir, "events").select(col("event_id"), col("value"))
-      val ranges = s.range(0, 13).select(col("id").as("bucket_id"),
+      // Install the rule + conf on an isolated child session (shared
+      // SparkContext, own SessionState): the returned DataFrame optimizes
+      // lazily, so the rule must be live when the caller runs it, but the
+      // parent session's planner must stay untouched.
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ RangeJoinRewrite
+      s2.conf.set(RangeJoinRewrite.ConfKey, "40.0")
+      val ev = Tables.load(s2, dir, "events").select(col("event_id"), col("value"))
+      val ranges = s2.range(0, 13).select(col("id").as("bucket_id"),
         (col("id") * 40.0).as("lo"), (col("id") * 40.0 + 80.0).as("hi"))
       ev.join(ranges, col("value") >= col("lo") && col("value") <= col("hi"))
         .groupBy("bucket_id")

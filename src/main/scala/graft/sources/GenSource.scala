@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -133,28 +133,51 @@ class GenTable(spec: GenSpec) extends Table with SupportsRead {
         GenReaderFactory(spec)
 
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new MicroBatchStream {
+        new MicroBatchStream with SupportsAdmissionControl {
           require(spec.rowsPerBatch > 0,
             "graftgen streaming requires option rowsPerBatch > 0")
-          override def initialOffset(): Offset = GenOffset(0L)
-          override def latestOffset(): Offset = {
-            // One new batch per poll, until the optional cap.
+          // Highest batch index this instance knows about. Restart safety
+          // hinges on SupportsAdmissionControl: Spark hands the restored
+          // start offset to latestOffset(start, limit) BEFORE any batch
+          // is planned, so a fresh instance re-learns the checkpointed
+          // position and can never advertise an offset below a committed
+          // batch (a plain MicroBatchStream's no-arg latestOffset is
+          // polled before deserializeOffset and would regress, silently
+          // re-planning already-committed batches). The maxBatches cap
+          // therefore counts total batches across restarts.
+          private var seen = 0L
+          private def observe(n: Long): Unit = { seen = math.max(seen, n) }
+          private def advance(): Offset = {
             val next = seen + 1
             seen = if (spec.maxBatches >= 0) math.min(next, spec.maxBatches)
               else next
             GenOffset(seen)
           }
-          private var seen = 0L
-          override def deserializeOffset(json: String): Offset =
-            GenOffset(json.toLong)
+          override def initialOffset(): Offset = GenOffset(0L)
+          override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+          override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+            observe(start.asInstanceOf[GenOffset].n)
+            advance()
+          }
+          override def latestOffset(): Offset =
+            throw new UnsupportedOperationException(
+              "graftgen reports offsets via SupportsAdmissionControl")
+          override def deserializeOffset(json: String): Offset = {
+            val n = json.toLong
+            observe(n)
+            GenOffset(n)
+          }
           override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
             val s = start.asInstanceOf[GenOffset].n
             val e = end.asInstanceOf[GenOffset].n
-            splits((e - s) * spec.rowsPerBatch, s * spec.rowsPerBatch)
+            observe(e)
+            if (e <= s) Array.empty
+            else splits((e - s) * spec.rowsPerBatch, s * spec.rowsPerBatch)
           }
           override def createReaderFactory(): PartitionReaderFactory =
             GenReaderFactory(spec)
-          override def commit(end: Offset): Unit = {}
+          override def commit(end: Offset): Unit =
+            observe(end.asInstanceOf[GenOffset].n)
           override def stop(): Unit = {}
         }
     }
@@ -207,7 +230,8 @@ case class GenReaderFactory(spec: GenSpec) extends PartitionReaderFactory {
           UTF8String.fromString(
             rng.nextAlphanumeric(c.args(0).toLong, c.args(1).toLong))
         case "choice" =>
-          val vs = c.args(0).split('|')
+          // Re-join on ':' — choice values may legitimately contain it.
+          val vs = c.args.mkString(":").split('|')
           UTF8String.fromString(
             vs(rng.nextLongInclusive(0, vs.length - 1).toInt))
       }

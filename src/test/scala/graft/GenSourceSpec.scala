@@ -55,6 +55,33 @@ class GenSourceSpec extends GraftSuite {
     assert(ids.sameElements(0L until 10L))
   }
 
+  test("streaming restart resumes from the checkpoint (no regression, no dups)") {
+    // The file sink is the fault-tolerant one (memory sink refuses
+    // checkpoint recovery): run 3 batches, restart with a higher cap
+    // against the same checkpoint, and the output must be exactly one
+    // copy of every batch — a regressed or re-counted offset would
+    // duplicate early ids or miss the 150..249 tail.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gen_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_gen_out").toString
+    def start(maxBatches: Int) = spark.readStream.format("graftgen")
+      .option("rows", 0).option("partitions", 2).option("seed", 13)
+      .option("rowsPerBatch", 50).option("maxBatches", maxBatches)
+      .option("columns", "id").option("gen.id", "seq")
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    val q1 = start(3)
+    try q1.processAllAvailable() finally q1.stop()
+    val q2 = start(5)
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.sameElements(0L until 250L),
+      s"restart emitted ${ids.length} rows, range [${ids.headOption}, ${ids.lastOption}]")
+  }
+
   test("streaming micro-batch path: maxBatches x rowsPerBatch rows, unique ids") {
     val stream = spark.readStream.format("graftgen")
       .option("rows", 0).option("partitions", 4).option("seed", 9)

@@ -49,7 +49,6 @@ class PlanAuditSpec extends GraftSuite {
   test("bucketed join plans with zero exchange (co-located storage join)") {
     val df = graft.queries.ExtendedQueries.queries("io_bucketed_join")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    val joinSection = plan.linesIterator.takeWhile(!_.contains("HashAggregate"))
     assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
       s"bucketed join must not re-shuffle the join key:\n$plan")
   }

@@ -30,17 +30,18 @@ class RangeJoinRewriteSpec extends GraftSuite {
     df.select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
   test("rewrite preserves results exactly (both join orders, strict + inclusive)") {
+    // Naive baselines computed BEFORE the rule is installed.
     val naive = pairsOf(
       points.join(ranges, col("v") >= col("lo") && col("v") <= col("hi")))
+    val naiveStrict = pairsOf(
+      points.join(ranges, col("v") > col("lo") && col("v") < col("hi")))
+    assert(naive != naiveStrict, "fixture must distinguish strict bounds")
     withRule("10.0") {
       val a = points.join(ranges, col("v") >= col("lo") && col("v") <= col("hi"))
       val b = ranges.join(points, col("v") >= col("lo") && col("v") <= col("hi"))
       assert(pairsOf(a) == naive)
       assert(pairsOf(b) == naive)
       val strict = points.join(ranges, col("v") > col("lo") && col("v") < col("hi"))
-      val naiveStrict = (spark.experimental.extraOptimizations,
-        pairsOf(points.join(ranges,
-          col("v") > col("lo") && col("v") < col("hi"))))._2
       assert(pairsOf(strict) == naiveStrict)
     }
   }

@@ -93,4 +93,18 @@ class SimilaritySpec extends GraftSuite {
     val noPeak = q.where(!exists(col("q"), x => abs(x) === 127)).count()
     assert(noPeak == 0, "every vector's max-|x| element must quantize to 127")
   }
+
+  test("codegen quantizeInt8 == HOF form; zero vector fails fast") {
+    import graft.operators.VectorOps
+    val diff = emb.where(
+      VectorOps.quantizeInt8(col("embedding")) =!=
+        VectorOps.quantizeInt8Hof(col("embedding"))).count()
+    assert(diff == 0)
+    import spark.implicits._
+    val zero = Seq(Array.fill(4)(0.0f)).toDF("embedding")
+    val e = intercept[Exception] {
+      zero.select(VectorOps.quantizeInt8(col("embedding"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
