@@ -26,13 +26,23 @@ object Sketches {
     hash60(concat(lit(s"cms$i:"), key.cast("string"))) % w
 
   /** Builds the sketch: one (row, col, cnt) cell per populated bucket.
-    * All d hash rows are computed in ONE scan via posexplode. */
+    * All d hash rows are computed in ONE scan via posexplode.
+    *
+    * `spreadPartitions > 0` round-robins the keys first: the hash work is
+    * CPU-bound, so when the upstream is a handful of splits (one small
+    * file, a single row group) the cheap shuffle of bare keys buys full
+    * parallelism. Leave 0 when the input is already well-partitioned —
+    * at real scale the extra exchange is pure waste. */
   def cmsBuild(df: DataFrame, keyCol: String, d: Int = 4,
-      w: Int = 1024): DataFrame =
-    df.select(posexplode(array((0 until d).map(i =>
-        bucket(i, col(keyCol), w)): _*)))
+      w: Int = 1024, spreadPartitions: Int = 0): DataFrame = {
+    val keys = df.select(col(keyCol).as("__k"))
+    val spread = if (spreadPartitions > 0) keys.repartition(spreadPartitions)
+      else keys
+    spread.select(posexplode(array((0 until d).map(i =>
+        bucket(i, col("__k"), w)): _*)))
       .groupBy(col("pos").cast("long").as("row"), col("col").as("col"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Point-queries the sketch for every key in `keys`: est = min over the
     * d rows of the addressed cell (0 when the cell is empty). */

@@ -72,7 +72,10 @@ object JoinQueries {
     // Count-min sketch: build over lineitem part keys, probe 8 keys.
     "agg_cms_estimate" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
-      val sketch = Sketches.cmsBuild(li, "l_partkey")
+      // The fixture is one row group -> one split; spread the CPU-bound
+      // hashing across the cluster's cores.
+      val sketch = Sketches.cmsBuild(li, "l_partkey",
+        spreadPartitions = s.sparkContext.defaultParallelism)
       Sketches.cmsEstimate(sketch, s.range(1, 9).select(col("id").as("k")), "k")
     },
     // Custom typed UDAF: top-5 prices per return flag, exploded.
