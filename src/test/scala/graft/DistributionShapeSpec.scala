@@ -91,4 +91,32 @@ class DistributionShapeSpec extends AnyFunSuite {
         s"poisson p($k)")
     }
   }
+
+  test("weighted index matches the categorical pmf (chi-square < crit)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val weights = Array(1.0, 4.0, 2.5, 0.5, 2.0)
+    val wArr = new GenericArrayData(weights.map(x => x: Any))
+    val total = weights.sum
+    val rng = new GraftRandom(777L, 0)
+    val counts = new Array[Long](weights.length)
+    (0 until N).foreach(_ => counts(rng.nextWeightedIndex(wArr)) += 1)
+    val chi2 = weights.indices.map { i =>
+      val e = N * weights(i) / total
+      val d = counts(i) - e
+      d * d / e
+    }.sum
+    // df=4, p=0.999 critical value 18.47 — deterministic under the seed.
+    assert(chi2 < 18.47, s"chi-square $chi2 over ${counts.mkString(",")}")
+  }
+
+  test("uuid stream has version/variant bits fixed and no short-range repeats") {
+    val rng = new GraftRandom(31L, 0)
+    val seen = new java.util.HashSet[String]
+    (0 until 100000).foreach { _ =>
+      val u = rng.nextUuidString()
+      assert(u.charAt(14) == '4', s"version nibble: $u")
+      assert("89ab".indexOf(u.charAt(19)) >= 0, s"variant bits: $u")
+      assert(seen.add(u), s"repeat within 100k draws: $u")
+    }
+  }
 }

@@ -105,6 +105,29 @@ class JoinsSpec extends GraftSuite {
     assert(want.contains((15L, 4L)) && want.contains((11L, 3L)))
   }
 
+  test("rangeJoin == naive join on randomized inputs incl. negatives (3 seeds)") {
+    import spark.implicits._
+    Seq(11, 22, 33).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val ranges = (1 to 40).map { i =>
+        val lo = rnd.nextDouble() * 400 - 200 // negative coordinates too
+        (i.toLong, lo, lo + rnd.nextDouble() * 60)
+      }.toDF("rid", "lo", "hi")
+      val points = (1 to 300).map(i =>
+        (i.toLong, rnd.nextDouble() * 500 - 250)).toDF("pid", "v")
+      Seq(7.5, 50.0).foreach { w =>
+        val got = Joins.rangeJoin(points, "v", ranges, "lo", "hi", w)
+          .select("pid", "rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = points
+          .join(ranges, col("v") >= col("lo") && col("v") <= col("hi"))
+          .select("pid", "rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"seed=$seed w=$w: ${got.size} vs ${want.size}")
+      }
+    }
+  }
+
   test("count-min sketch: estimates >= exact counts, zero for absent keys") {
     import spark.implicits._
     import graft.operators.Sketches
