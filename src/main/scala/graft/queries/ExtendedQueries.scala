@@ -89,6 +89,50 @@ object ExtendedQueries {
     "io_orc_roundtrip" -> { (s, dir) =>
       ioRoundtrip(s, dir, "orc")
     },
+    // Nested types through the parquet sink/source: struct + array columns
+    // round-trip, then flatten back to scalars for the oracle.
+    "io_nested_roundtrip" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_io_nested_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.load(s, dir, "lineitem").where(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          struct(col("l_quantity").as("qty"),
+            col("l_extendedprice").as("price")).as("m"),
+          array(col("l_discount"), col("l_tax")).as("rates"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("m.qty").as("qty"), col("m.price").as("price"),
+          element_at(col("rates"), 1).as("discount"),
+          size(col("rates")).cast("long").as("n_rates"))
+    },
+    // Ranking-window tail: ntile / percent_rank / cume_dist over a unique
+    // total order (deterministic). Same SQL string is the oracle.
+    "rel_q37_window_ranks" -> { (s, dir) =>
+      reg(s, dir)
+      s.sql("""SELECT o_orderkey,
+              |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              |  round(percent_rank() OVER w, 6) AS pr,
+              |  round(cume_dist() OVER w, 6) AS cd
+              |FROM orders
+              |WHERE o_orderkey < 2000
+              |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""".stripMargin)
+    },
+    // SQL higher-order functions (lambda surface): transform / filter /
+    // aggregate / zip_with. DuckDB spells them list_transform /
+    // list_filter / list_reduce / list_zip, hence a separate oracle.
+    "rel_q38_sql_hof" -> { (s, dir) =>
+      reg(s, dir)
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(size(filter(toks, t -> length(t) > 3)) AS BIGINT) AS n_long,
+          |  CAST(aggregate(transform(toks, t -> length(t)), 0,
+          |                 (acc, x) -> acc + x) AS BIGINT) AS chars_sum,
+          |  CAST(aggregate(zip_with(toks, reverse(toks),
+          |                   (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),
+          |                 0, (acc, x) -> acc + x) AS BIGINT) AS palindromic
+          |FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)""".stripMargin)
+    },
     // The graftgen DataSource V2 connector: random rows generated AT the
     // scan (no driver data, no shuffle), property-checked like gen_*.
     "io_gensource_props" -> { (s, dir) =>
@@ -224,6 +268,29 @@ object ExtendedQueries {
     "io_csv_roundtrip" -> roundtripOracle,
     "io_json_roundtrip" -> roundtripOracle,
     "io_orc_roundtrip" -> roundtripOracle,
+    "io_nested_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+        |  l_extendedprice AS price, l_discount AS discount,
+        |  CAST(2 AS BIGINT) AS n_rates
+        |FROM lineitem WHERE l_orderkey < 200""".stripMargin,
+    "rel_q37_window_ranks" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "rel_q38_sql_hof" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> length(t) > 3)) AS BIGINT) AS n_long,
+        |  CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+        |       (acc, x) -> acc + x) AS BIGINT) AS chars_sum,
+        |  CAST(list_reduce(list_prepend(0, list_transform(
+        |         list_zip(toks, list_reverse(toks)),
+        |         p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)),
+        |       (acc, x) -> acc + x) AS BIGINT) AS palindromic
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin,
     "io_gensource_props" ->
       ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS ids_ok, " +
         "TRUE AS bounds_ok, TRUE AS mean_ok, TRUE AS seg_ok"),
