@@ -69,6 +69,28 @@ class PlanAuditSpec extends GraftSuite {
       s"binned range join must not plan a nested loop:\n$plan")
   }
 
+  test("multi-way star join broadcasts the small dimensions") {
+    val plan = graft.queries.RelationalQueries.queries("rel_q5_region_revenue")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"region/nation dims must broadcast:\n$plan")
+  }
+
+  test("ANALYZE TABLE feeds the catalog stats CBO reads") {
+    Tables.load(spark, dir, "nation").write.mode("overwrite")
+      .saveAsTable("graft_stats_probe")
+    try {
+      spark.sql("ANALYZE TABLE graft_stats_probe COMPUTE STATISTICS")
+      val statsDesc = spark.sql("DESCRIBE TABLE EXTENDED graft_stats_probe")
+        .where(org.apache.spark.sql.functions.col("col_name") === "Statistics")
+        .collect()
+      assert(statsDesc.nonEmpty, "ANALYZE must record catalog statistics")
+      val s = statsDesc(0).getString(1)
+      assert(s.contains("25 rows") && s.contains("bytes"),
+        s"expected '<n> bytes, 25 rows', got '$s'")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_stats_probe")
+  }
+
   test("generator queries are single-stage (no exchange before aggregation input)") {
     graft.functions.RandgenFunctions.registerAll(spark)
     val plan = spark.sql(
