@@ -142,6 +142,15 @@ object EventStream {
     events.select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
 
+  /** Watermark-bounded streaming dedup: like dedupUserType but the per-key
+    * state ages out once the key falls behind the watermark — the variant
+    * an unbounded key space (event ids forever) requires, trading "dedup
+    * across all time" for bounded state. */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
   /** Stream-stream interval join: every error event joined to the same
     * user's clicks in the preceding 10 minutes. With watermarks on both
     * sides the time bound makes the join state bounded (Spark drops a

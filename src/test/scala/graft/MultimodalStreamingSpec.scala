@@ -15,6 +15,18 @@ class MultimodalStreamingSpec extends GraftSuite {
     assert(m.count() == 500)
   }
 
+  test("dropDuplicatesWithinWatermark dedups within the delay, bounded state") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.dedupWithinWatermark(EventStream.eventsStream(spark, dir)),
+      "spec_stream_dedup_wm",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    // event_id is unique in the fixture, so within-watermark dedup must
+    // pass every row through exactly once.
+    val n = Tables.load(spark, dir, "events").count()
+    assert(streamed.count() == n)
+    assert(streamed.select("event_id").distinct().count() == n)
+  }
+
   test("binaryFile source ingests opaque media files with correct bytes") {
     // The cluster ingestion path for real media: files land in a
     // directory, spark.read.format("binaryFile") exposes (path, length,
