@@ -326,6 +326,23 @@ object RelationalQueries {
         |              JOIN orders ON o_custkey = c_custkey
         |GROUP BY n_name""".stripMargin),
 
+    // TPC-H Q7-style 6-way join: customer nation x supplier nation trade
+    // volume — the widest join tree in the suite (two independent
+    // dimension arms off the fact table; both nation arms broadcast).
+    Q("rel_q39_nation_pairs",
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE cn.n_name < sn.n_name
+        |GROUP BY cn.n_name, sn.n_name""".stripMargin),
+
     // Generator/UDTF surface: LATERAL VIEW inline over an array of structs
     // (one input row -> N typed rows). Oracle replays as UNION ALL.
     Q("rel_q34_lateral_inline",
