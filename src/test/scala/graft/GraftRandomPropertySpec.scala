@@ -72,4 +72,29 @@ object GraftRandomPropertySpec extends Properties("GraftRandom") {
     Prop.forAll(seeds, Gen.chooseNum(Long.MinValue, Long.MaxValue)) {
       (seed, x) => new GraftRandom(seed, 0).nextLongInclusive(x, x) == x
     }
+
+  property("weighted index lands in bounds and never on a zero weight") =
+    Prop.forAll(seeds, Gen.nonEmptyListOf(Gen.chooseNum(0.0, 10.0))) {
+      (seed, ws0) =>
+        // Ensure a positive total; track which indexes are selectable.
+        val ws = (1.0 :: ws0).toArray
+        val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ws.map(x => x: Any))
+        val rng = new GraftRandom(seed, 0)
+        (0 until 30).forall { _ =>
+          val i = rng.nextWeightedIndex(arr)
+          i >= 0 && i < ws.length && ws(i) > 0.0
+        }
+    }
+
+  property("uuid stream is reproducible per (seed, partition) and decorrelated") =
+    Prop.forAll(seeds) { seed =>
+      val a = new GraftRandom(seed, 3)
+      val b = new GraftRandom(seed, 3)
+      val c = new GraftRandom(seed, 4)
+      val sa = (0 until 10).map(_ => a.nextUuidString())
+      val sb = (0 until 10).map(_ => b.nextUuidString())
+      val sc = (0 until 10).map(_ => c.nextUuidString())
+      sa == sb && sa != sc
+    }
 }
