@@ -166,6 +166,21 @@ object EventStream {
       .select(col("e_user").as("user_id"), col("e_ts"), col("c_ts"))
   }
 
+  /** foreachBatch sink: the operational pattern for pushing a stream into
+    * a non-streaming store. Each micro-batch arrives as a plain batch
+    * DataFrame plus its batchId — idempotent handlers key their writes on
+    * the id (e.g. overwrite a per-batch directory) so a replayed batch
+    * after failure lands exactly once. Runs to completion on the static
+    * fixture, like runToMemory. */
+  def runForeachBatch(spark: SparkSession, streaming: DataFrame,
+      handle: (DataFrame, Long) => Unit): Unit = {
+    val q = streaming.writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => handle(df, id))
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Drives a streaming DataFrame to completion against the static fixture
     * via the memory sink; returns the materialized result table.
     *

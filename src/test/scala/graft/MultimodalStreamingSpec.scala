@@ -27,6 +27,22 @@ class MultimodalStreamingSpec extends GraftSuite {
     assert(streamed.select("event_id").distinct().count() == n)
   }
 
+  test("foreachBatch sink: idempotent per-batch writes land every row once") {
+    val out = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val stream = spark.readStream.format("graftgen")
+      .option("rows", 0).option("partitions", 2).option("seed", 5)
+      .option("rowsPerBatch", 200).option("maxBatches", 4)
+      .option("columns", "id").option("gen.id", "seq").load()
+    EventStream.runForeachBatch(spark, stream, (df, id) =>
+      // Idempotence pattern: key the write on batchId (a replayed batch
+      // overwrites its own directory instead of appending duplicates).
+      df.write.mode("overwrite").parquet(s"$out/batch_id=$id"))
+    val ids = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.sameElements(0L until 800L),
+      s"got ${ids.length} rows, range [${ids.headOption}, ${ids.lastOption}]")
+  }
+
   test("binaryFile source ingests opaque media files with correct bytes") {
     // The cluster ingestion path for real media: files land in a
     // directory, spark.read.format("binaryFile") exposes (path, length,
