@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+
+/**
+ * Data-layout clustering (SURVEY.md §8.1 — the write-side pruning lever):
+ * Z-order (Morton) interleaving maps two sort keys onto one
+ * space-filling-curve code so that sorting by the code co-locates rows
+ * close in BOTH dimensions. Files written in that order carry tight
+ * per-file min/max ranges on both columns, so a scan filtered on either
+ * key (or a box on both) prunes most files — the effect multi-column
+ * lexicographic sort only gives the leading column.
+ *
+ * At 100 TB this is a one-time write-side investment (one range
+ * repartition + in-partition sort) that every subsequent selective read
+ * collects on. `zorderWrite` is the canonical recipe:
+ * repartitionByRange(code) keeps the curve contiguous per file,
+ * sortWithinPartitions keeps it contiguous within each file.
+ */
+object Layout {
+
+  /** 2^bits per dimension; 21 bits x 2 fits comfortably in a long. */
+  val MaxBits = 21
+
+  /** Morton (Z-order) code of two non-negative keys, `bits` bits each:
+    * even result bits from `a`, odd from `b`. Built from shift/mask
+    * arithmetic only, so the DuckDB oracle replays it bit-for-bit (see
+    * [[duckSql]]). */
+  def interleaveBits(a: Column, b: Column, bits: Int = MaxBits): Column = {
+    require(bits > 0 && bits <= MaxBits, s"bits must be in [1, $MaxBits]")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce((x, y) => GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BitwiseOr(
+        GraftSqlBridge.expression(x), GraftSqlBridge.expression(y))))
+  }
+
+  /** DuckDB replay of [[interleaveBits]] over column names. */
+  def duckSql(a: String, b: String, bits: Int = MaxBits): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+
+  /** Writes `df` parquet files clustered along the (a, b) Z-curve.
+    *
+    * The keys are first left-shifted so both occupy the same `bits`-wide
+    * window — WITHOUT this, a key with a wider value range owns all the
+    * curve's top bits and the "Z-order" silently degenerates to a plain
+    * sort on that key (the narrow key's per-file spans stay global). The
+    * alignment shifts come from one cheap max() aggregate — the write-side
+    * analogue of the column stats a real table already has. */
+  def zorderWrite(df: DataFrame, path: String, a: String, b: String,
+      numFiles: Int, bits: Int = MaxBits): Unit = {
+    val maxes = df.agg(max(col(a)).cast("long"), max(col(b)).cast("long"))
+      .collect()(0)
+    def width(m: Long): Int = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(m))
+    val (wa, wb) = (width(maxes.getLong(0)), width(maxes.getLong(1)))
+    require(wa <= bits && wb <= bits,
+      s"zorderWrite: key widths ($wa, $wb) exceed $bits bits")
+    val an = shiftleft(col(a), bits - wa)
+    val bn = shiftleft(col(b), bits - wb)
+    df.withColumn("__z", interleaveBits(an, bn, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

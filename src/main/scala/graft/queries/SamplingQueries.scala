@@ -48,6 +48,14 @@ object SamplingQueries {
               |    (SELECT o_custkey FROM orders EXCEPT ALL
               |     SELECT c_custkey FROM customer) t2) AS n_except_all""".stripMargin)
     },
+    // Z-order (Morton) codes for write-side layout clustering — the
+    // shift/mask arithmetic replays bit-for-bit in DuckDB.
+    "layout_zorder_codes" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem").where(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout
+            .interleaveBits(col("l_orderkey"), col("l_partkey")).as("z"))
+    },
   )
 
   private val duckBucket =
@@ -88,5 +96,10 @@ object SamplingQueries {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
         |    (SELECT o_custkey FROM orders EXCEPT ALL
         |     SELECT c_custkey FROM customer) t2) AS n_except_all""".stripMargin,
+    "layout_zorder_codes" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${graft.operators.Layout.duckSql("l_orderkey", "l_partkey")}
+         |       AS BIGINT) AS z
+         |FROM lineitem WHERE l_orderkey < 500""".stripMargin,
   )
 }

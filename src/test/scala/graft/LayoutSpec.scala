@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("morton code is monotone in each coordinate with the other fixed") {
+    val df = spark.range(0, 64).select(col("id"))
+    val inA = df.select(Layout.interleaveBits(col("id"), lit(13L), 6).as("z"))
+      .collect().map(_.getLong(0))
+    val inB = df.select(Layout.interleaveBits(lit(13L), col("id"), 6).as("z"))
+      .collect().map(_.getLong(0))
+    Seq(inA, inB).foreach { zs =>
+      assert(zs.zip(zs.tail).forall { case (x, y) => x < y })
+    }
+    // Bit structure: (a=all ones, b=0) fills exactly the even bits.
+    val ones = Seq((63L, 0L)).toDF("a", "b")
+      .select(Layout.interleaveBits(col("a"), col("b"), 6)).collect()(0).getLong(0)
+    assert(ones == 0x555L, s"expected 0b010101010101, got ${ones.toBinaryString}")
+  }
+
+  test("zorderWrite clusters both key ranges into tight per-file spans") {
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val slice = Tables.load(spark, SparkTestBase.sf001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Layout.zorderWrite(slice, out, "l_orderkey", "l_partkey", numFiles = 16)
+    val back = spark.read.parquet(out)
+    // Row preservation.
+    assert(back.count() == slice.count())
+    assert(back.exceptAll(slice).isEmpty && slice.exceptAll(back).isEmpty)
+    // Locality: average per-file span of BOTH keys well under the global
+    // span (a lexicographic sort only achieves this for its leading key).
+    val g = slice.agg(max("l_orderkey") - min("l_orderkey"),
+      max("l_partkey") - min("l_partkey")).collect()(0)
+    val spans = back.withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("l_orderkey") - min("l_orderkey")).as("so"),
+        (max("l_partkey") - min("l_partkey")).as("sp"))
+      .agg(avg("so"), avg("sp")).collect()(0)
+    // A degenerate layout (single-key sort) leaves one dimension at ~1.0
+    // of the global span; the curve must pull BOTH well below that.
+    assert(spans.getDouble(0) < g.getLong(0) * 0.7,
+      s"orderkey avg file span ${spans.getDouble(0)} vs global ${g.getLong(0)}")
+    assert(spans.getDouble(1) < g.getLong(1) * 0.7,
+      s"partkey avg file span ${spans.getDouble(1)} vs global ${g.getLong(1)}")
+  }
+}
