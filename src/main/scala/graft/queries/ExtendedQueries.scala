@@ -67,6 +67,23 @@ object ExtendedQueries {
               |       COUNT(DISTINCT l_partkey) * 0.05 AS BOOLEAN) AS approx_ok
               |FROM lineitem""".stripMargin)
     },
+    // Mergeable HLL sketch surface (Apache DataSketches via Spark 3.5+
+    // hll_sketch_agg / hll_union_agg / hll_sketch_estimate): build per-flag
+    // sketches, union them, property-check the estimate like rel_q27.
+    "rel_q40_hll_sketch" -> { (s, dir) =>
+      reg(s, dir)
+      s.sql("""WITH per_flag AS (
+              |  SELECT l_returnflag, hll_sketch_agg(l_partkey) AS sk,
+              |         COUNT(DISTINCT l_partkey) AS nd
+              |  FROM lineitem GROUP BY l_returnflag),
+              |unioned AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est
+              |            FROM per_flag),
+              |exact AS (SELECT COUNT(DISTINCT l_partkey) AS nd FROM lineitem)
+              |SELECT CAST((SELECT nd FROM exact) AS BIGINT) AS exact_nd,
+              |  CAST(abs((SELECT est FROM unioned) - (SELECT nd FROM exact))
+              |       <= (SELECT nd FROM exact) * 0.05 AS BOOLEAN) AS approx_ok
+              |""".stripMargin)
+    },
     // Approximate quantiles (GK sketch): property-checked against exact
     // percentile_cont, like rel_q27's HLL check.
     "rel_q35_approx_percentile" -> { (s, dir) =>
@@ -258,6 +275,9 @@ object ExtendedQueries {
         |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_q27_approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+        |  TRUE AS approx_ok FROM lineitem""".stripMargin,
+    "rel_q40_hll_sketch" ->
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
         |  TRUE AS approx_ok FROM lineitem""".stripMargin,
     "rel_q35_approx_percentile" ->

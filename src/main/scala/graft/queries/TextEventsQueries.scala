@@ -82,6 +82,23 @@ object TextEventsQueries {
         .orderBy(col("n_errors").desc, col("user_id"))
         .limit(10)
     },
+    // Funnel: users whose first 'view' is followed by a 'purchase' within
+    // 30 minutes — the classic conversion measure, composed from
+    // per-user min/exists (one shuffle by user).
+    "events_funnel" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val firstView = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t0"))
+      val converted = firstView.join(
+          ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("tp")),
+          Seq("user_id"))
+        .where(col("tp") > col("t0") &&
+          col("tp") <= col("t0") + expr("INTERVAL 30 MINUTES"))
+        .select("user_id").distinct()
+      firstView.select(count(lit(1)).as("n_viewers")).crossJoin(
+        converted.select(count(lit(1)).as("n_converted")))
+    },
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -187,5 +204,15 @@ object TextEventsQueries {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_errors
         |FROM events WHERE event_type = 'error'
         |GROUP BY user_id ORDER BY n_errors DESC, user_id LIMIT 10""".stripMargin,
+    "events_funnel" ->
+      """WITH fv AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t0
+        |            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |conv AS (SELECT DISTINCT fv.user_id
+        |         FROM fv JOIN events p ON fv.user_id = p.user_id
+        |         WHERE p.event_type = 'purchase'
+        |           AND CAST(p.ts AS TIMESTAMP) > fv.t0
+        |           AND CAST(p.ts AS TIMESTAMP) <= fv.t0 + INTERVAL 30 MINUTE)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n_viewers,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted""".stripMargin,
   )
 }
