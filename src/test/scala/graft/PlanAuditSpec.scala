@@ -13,7 +13,8 @@ class PlanAuditSpec extends GraftSuite {
   // windowed-rank as-of composition (non-equi time bound).
   private val nestedLoopAllowed = Set(
     "dedup_embedding_pairs", "sim_brute_topk", "rel_q13_set_ops",
-    "rel_q16_scalar_subquery", "rel_q20_having_cte")
+    "rel_q16_scalar_subquery", "rel_q20_having_cte",
+    "events_funnel") // 1-row x 1-row scalar combine
 
   // Streaming queries plan at runtime; generator-only queries scan nothing.
   private val skip = Set("stream_hourly", "stream_dedup_pairs",
