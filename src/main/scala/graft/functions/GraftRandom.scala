@@ -234,10 +234,15 @@ final class GraftRandom(seed: Long, partitionIndex: Int) {
     var total = 0.0
     var i = 0
     while (i < n) {
-      val w = weights.getDouble(i)
-      if (w < 0.0 || java.lang.Double.isNaN(w)) {
+      if (weights.isNullAt(i)) {
         throw new IllegalArgumentException(
-          s"randgen weighted choice: weight $w at index $i must be >= 0")
+          s"randgen weighted choice: weight at index $i is null")
+      }
+      val w = weights.getDouble(i)
+      if (w < 0.0 || java.lang.Double.isNaN(w) ||
+          java.lang.Double.isInfinite(w)) {
+        throw new IllegalArgumentException(
+          s"randgen weighted choice: weight $w at index $i must be finite and >= 0")
       }
       total += w
       i += 1

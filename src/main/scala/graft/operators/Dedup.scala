@@ -249,6 +249,72 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni")
   }
 
+  // ---- Paragraph-level dedup ----------------------------------------------
+
+  /** Paragraphs as an ordered array: split on a separator pattern (blank
+    * lines by default — the real-corpus structural boundary), empties
+    * dropped. */
+  def paragraphizeBySep(text: Column, sepRegex: String = "\n\\s*\n"): Column =
+    filter(split(text, sepRegex), p => trim(p) =!= lit(""))
+
+  /** Paragraphs as fixed `windowTokens`-word windows — the segmentation for
+    * corpora without structural separators (single-line text). The last
+    * window may be short; an empty document yields an empty array (the
+    * guard matters: an unguarded `sequence(0, -1)` COUNTS DOWN). */
+  def paragraphizeByWindow(text: Column, windowTokens: Int): Column = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val toks = split(text, " ")
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(toks) - 1) / windowTokens).cast("int")),
+        i => concat_ws(" ",
+          slice(toks, i * windowTokens + 1, lit(windowTokens)))))
+  }
+
+  /**
+   * Corpus-wide exact paragraph dedup: every document's paragraphs are
+   * hashed and counted across the corpus; a paragraph occurring in more
+   * than one document is boilerplate. Each document keeps its unique
+   * paragraphs plus the canonical FIRST occurrence (lexicographic min
+   * (doc_id, para_idx)) of each boilerplate paragraph, and reports how
+   * much of it was boilerplate — the per-document signal real pipelines
+   * filter on.
+   *
+   * Output: (doc_id, n_paras, n_dup_paras, clean_text) where clean_text is
+   * the kept paragraphs re-joined in original order.
+   *
+   * Scale shape (100 TB story): one groupBy keyed by md5(paragraph) for
+   * the frequency/keeper stats (map-side partials, constant-width rows —
+   * the full text does not ride through this aggregate), one equi-join of
+   * the exploded paragraphs back to those stats (hash-partitioned by the
+   * same key), one groupBy(doc_id) to reassemble — three shuffles, all
+   * keyed, no sort, no collect, linear in corpus size. Same shape as
+   * [[exactKeepFirst]] lifted from documents to paragraphs.
+   */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      paras: Column): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), posexplode(paras))
+      .withColumnRenamed("pos", "para_idx")
+      .withColumnRenamed("col", "para")
+      .withColumn("ph", md5(col("para")))
+    val stats = exploded.groupBy("ph").agg(
+      countDistinct(col("doc_id")).as("df"),
+      min(struct(col("doc_id"), col("para_idx"))).as("keeper"))
+    exploded.join(stats, "ph")
+      .withColumn("dup", col("df") > 1)
+      .withColumn("keep", !col("dup") ||
+        (col("keeper.doc_id") === col("doc_id") &&
+          col("keeper.para_idx") === col("para_idx")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_paras"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("para_idx"), col("para"))))),
+          s => s.getField("para"))).as("clean_text"))
+  }
+
   // ---- Cluster resolution --------------------------------------------------
 
   /**

@@ -79,7 +79,12 @@ object Joins {
       ranges: DataFrame, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val r = ranges.withColumn("__bin",
+    // Reversed ranges (lo > hi) can never contain a point, but Sequence
+    // with its default step would count DOWN through every bin between
+    // them — a garbage row with a huge reversed span explodes into
+    // millions of rows (or trips Sequence's max array length) before the
+    // refilter can drop them. Filter them out up front instead.
+    val r = ranges.where(col(loCol) <= col(hiCol)).withColumn("__bin",
       explode(sequence(floor(col(loCol) / binWidth).cast("long"),
         floor(col(hiCol) / binWidth).cast("long"))))
     val p = points.withColumn("__bin",

@@ -56,10 +56,16 @@ object Layout {
     * analogue of the column stats a real table already has. */
   def zorderWrite(df: DataFrame, path: String, a: String, b: String,
       numFiles: Int, bits: Int = MaxBits): Unit = {
-    val maxes = df.agg(max(col(a)).cast("long"), max(col(b)).cast("long"))
-      .collect()(0)
+    val stats = df.agg(max(col(a)).cast("long"), max(col(b)).cast("long"),
+      min(col(a)).cast("long"), min(col(b)).cast("long")).collect()(0)
+    require(!stats.isNullAt(0) && !stats.isNullAt(1),
+      s"zorderWrite: input has no non-null ($a, $b) rows to cluster")
+    require(stats.getLong(2) >= 0L && stats.getLong(3) >= 0L,
+      s"zorderWrite: keys must be non-negative (min $a=${stats.getLong(2)}, " +
+        s"min $b=${stats.getLong(3)}) — two's-complement bits interleave " +
+        "meaninglessly; shift keys into [0, 2^bits) first")
     def width(m: Long): Int = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(m))
-    val (wa, wb) = (width(maxes.getLong(0)), width(maxes.getLong(1)))
+    val (wa, wb) = (width(stats.getLong(0)), width(stats.getLong(1)))
     require(wa <= bits && wb <= bits,
       s"zorderWrite: key widths ($wa, $wb) exceed $bits bits")
     val an = shiftleft(col(a), bits - wa)

@@ -103,14 +103,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def binned(j: Join, cond: Expression, w: Double, p: Expression,
       lo: Expression, hi: Expression, pointOnLeft: Boolean): LogicalPlan = {
     val binAttr = AttributeReference("__graft_bin", LongType, nullable = false)()
-    // Default Sequence step handles lo > hi (empty range) without erroring;
-    // any spurious descending bins are killed by the refilter. Sequence is
-    // TimeZoneAware — it needs an explicit zone to stay resolved.
+    // A reversed range (lo > hi) can never contain a point, but Sequence's
+    // default step would enumerate every bin DOWNWARD between them — one
+    // garbage row with a huge reversed span explodes into millions of
+    // spurious bins (or trips Sequence's max array length and fails the
+    // query) before the refilter runs. Filter such rows (and null bounds,
+    // which the inner join drops anyway) off the range side first.
+    // Sequence is TimeZoneAware — it needs an explicit zone to stay
+    // resolved.
+    val rangeChild = Filter(LessThanOrEqual(lo, hi),
+      if (pointOnLeft) j.right else j.left)
     val bins = Explode(Sequence(binOf(lo, w), binOf(hi, w), None,
       Some(conf.sessionLocalTimeZone)))
     val rangeSide = Generate(bins, unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(binAttr),
-      child = if (pointOnLeft) j.right else j.left)
+      child = rangeChild)
     val newCond = And(EqualTo(binOf(p, w), binAttr), cond)
     val newJoin =
       if (pointOnLeft) j.copy(right = rangeSide, condition = Some(newCond))

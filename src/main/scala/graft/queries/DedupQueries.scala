@@ -132,6 +132,18 @@ object DedupQueries {
       Dedup.embeddingNearDuplicates(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
     },
+    // Paragraph-level dedup: 15-word-window paragraphs, cross-doc exact
+    // dup detection, first-occurrence-wins cleaning. The fixture's planted
+    // near-dup documents share long aligned stretches, so their windows
+    // collide across docs and the boilerplate fraction is non-trivial.
+    "dedup_paragraph" -> { (s, dir) =>
+      Dedup.paragraphDedup(docs(s, dir), "doc_id", "text",
+          Dedup.paragraphizeByWindow(col("text"), 15))
+        .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+          (col("n_dup_paras").cast("double") / col("n_paras"))
+            .as("boilerplate_frac"),
+          col("clean_text"))
+    },
     // End-to-end cleaning pipeline: exact dedup -> minhash near-dup ->
     // quality >= 0.7 -> langid != 'und'. Oracle replays each stage (the
     // fixtures have no exact dups, so the near-dup stage sees the full
@@ -193,6 +205,30 @@ object DedupQueries {
         |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
         |             JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE p.inter >= (sa.n_grams + sb.n_grams - p.inter) * 0.5""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, u.i AS pidx,
+        |        array_to_string(toks[u.i*15+1 : u.i*15+15], ' ') AS para
+        |      FROM w CROSS JOIN
+        |        unnest(range(0, (SELECT (MAX(len(toks))+14)//15 FROM w))) u(i)
+        |      WHERE u.i*15 < len(toks)),
+        |st AS (SELECT para, count(DISTINCT doc_id) AS df, min(doc_id) AS kd
+        |       FROM p GROUP BY para),
+        |ki AS (SELECT p.para, min(p.pidx) AS kidx
+        |       FROM p JOIN st s ON p.para = s.para AND p.doc_id = s.kd
+        |       GROUP BY p.para)
+        |SELECT p.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN s.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_paras,
+        |  sum(CASE WHEN s.df > 1 THEN 1 ELSE 0 END) / count(*)
+        |    AS boilerplate_frac,
+        |  array_to_string(list(p.para ORDER BY p.pidx)
+        |      FILTER (s.df = 1 OR (p.doc_id = s.kd AND p.pidx = k.kidx)), ' ')
+        |    AS clean_text
+        |FROM p JOIN st s ON p.para = s.para
+        |       JOIN ki k ON p.para = k.para
+        |GROUP BY p.doc_id""".stripMargin,
     "dedup_resolve_keep" ->
       s"""SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (

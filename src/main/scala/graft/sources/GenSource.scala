@@ -204,36 +204,54 @@ case class GenReaderFactory(spec: GenSpec) extends PartitionReaderFactory {
       private var row = p.start
       private val values = new Array[Any](spec.cols.length)
 
+      // Each spec is resolved ONCE here — bounds parsed, choice lists
+      // pre-split — into a rowId => value closure, so the innermost loop
+      // of a source meant for 10^12-row generation does zero string
+      // parsing and zero allocation beyond the produced value itself.
+      private val gens: Array[Long => Any] =
+        spec.cols.indices.map { i =>
+          val c = spec.cols(i)
+          val rng = rngs(i)
+          c.kind match {
+            case "seq" => (rowId: Long) => rowId
+            case "int64_uniform" =>
+              val (lo, hi) = (c.args(0).toLong, c.args(1).toLong)
+              (_: Long) => rng.nextLongInclusive(lo, hi)
+            case "float64_uniform" =>
+              val (lo, hi) = (c.args(0).toDouble, c.args(1).toDouble)
+              (_: Long) => rng.nextDoubleUniform(lo, hi)
+            case "float64_normal" =>
+              val (mean, std) = (c.args(0).toDouble, c.args(1).toDouble)
+              (_: Long) => rng.nextGaussian(mean, std)
+            case "float64_exponential" =>
+              val lambda = c.args(0).toDouble
+              (_: Long) => rng.nextExponential(lambda)
+            case "bool_bernoulli" =>
+              val pTrue = c.args(0).toDouble
+              (_: Long) => rng.nextBernoulli(pTrue)
+            case "uuid" =>
+              (_: Long) => UTF8String.fromString(rng.nextUuidString())
+            case "string_alphanum" =>
+              val (lo, hi) = (c.args(0).toLong, c.args(1).toLong)
+              (_: Long) => UTF8String.fromString(rng.nextAlphanumeric(lo, hi))
+            case "choice" =>
+              // Re-join on ':' — choice values may legitimately contain it.
+              val vs = c.args.mkString(":").split('|')
+                .map(UTF8String.fromString)
+              val n = vs.length.toLong - 1
+              (_: Long) => vs(rng.nextLongInclusive(0, n).toInt)
+          }
+        }.toArray
+
       override def next(): Boolean = {
         if (row >= p.end) return false
         var i = 0
-        while (i < spec.cols.length) {
-          values(i) = gen(spec.cols(i), rngs(i), row)
+        while (i < gens.length) {
+          values(i) = gens(i)(row)
           i += 1
         }
         row += 1
         true
-      }
-
-      private def gen(c: ColSpec, rng: GraftRandom, rowId: Long): Any = c.kind match {
-        case "seq" => rowId
-        case "int64_uniform" =>
-          rng.nextLongInclusive(c.args(0).toLong, c.args(1).toLong)
-        case "float64_uniform" =>
-          rng.nextDoubleUniform(c.args(0).toDouble, c.args(1).toDouble)
-        case "float64_normal" =>
-          rng.nextGaussian(c.args(0).toDouble, c.args(1).toDouble)
-        case "float64_exponential" => rng.nextExponential(c.args(0).toDouble)
-        case "bool_bernoulli" => rng.nextBernoulli(c.args(0).toDouble)
-        case "uuid" => UTF8String.fromString(rng.nextUuidString())
-        case "string_alphanum" =>
-          UTF8String.fromString(
-            rng.nextAlphanumeric(c.args(0).toLong, c.args(1).toLong))
-        case "choice" =>
-          // Re-join on ':' — choice values may legitimately contain it.
-          val vs = c.args.mkString(":").split('|')
-          UTF8String.fromString(
-            vs(rng.nextLongInclusive(0, vs.length - 1).toInt))
       }
 
       override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)

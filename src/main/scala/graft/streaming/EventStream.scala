@@ -95,17 +95,53 @@ object EventStream {
     * round-trips would silently truncate to millis. */
   case class SessionOut(userId: Long, sessionStartUs: Long, nEvents: Long)
 
+  /** The still-open trailing session carried in GroupState between
+    * micro-batches: (session start, last event seen, events so far), all
+    * timestamps in epoch microseconds. */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  private val SessionGapUs = 30L * 60 * 1000000
+  private val SessionGapMs = 30L * 60 * 1000
+
+  /** Core of the custom sessionizer, shared by the batch and streaming
+    * entry points: folds this invocation's (sorted) event times into the
+    * open session carried over from previous batches, returning the
+    * sessions CLOSED by this data plus the new open tail. An event that
+    * arrives late (older than the carried `lastUs`) is absorbed into the
+    * open session — its gap is negative, so it can never close one; late
+    * data for an already-emitted session is a correction append-mode
+    * output cannot retract, the same contract `session_window` has. */
+  private def foldSessions(user: Long, sortedTs: Array[Long],
+      carried: Option[OpenSession])
+      : (Seq[SessionOut], OpenSession) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var open = carried.getOrElse(OpenSession(sortedTs.head, sortedTs.head, 0L))
+    sortedTs.foreach { t =>
+      if (t - open.lastUs >= SessionGapUs) {
+        out += SessionOut(user, open.startUs, open.n)
+        open = OpenSession(t, t, 0L)
+      }
+      open = OpenSession(open.startUs, math.max(open.lastUs, t), open.n + 1)
+    }
+    (out.toSeq, open)
+  }
+
   /**
    * Custom sessionizer on flatMapGroupsWithState (the 0..N-rows-per-group
    * state API, complementing mapGroupsWithState's exactly-1): groups by
-   * user, orders the group's events by time, and emits one row per
-   * 30-minute-gap session — the hand-rolled equivalent of
-   * `session_window`, gated against the same oracle.
+   * user and emits one row per 30-minute-gap session — the hand-rolled
+   * equivalent of `session_window`, gated against the same oracle.
    *
-   * Scale note: state per group is one (start, count, last) triple; the
-   * in-group sort buffers one user's events, which is the same bound the
-   * built-in session window's state store carries. On a live stream the
-   * GroupStateTimeout would flush idle users.
+   * BATCH entry point: a batch query invokes the function exactly once per
+   * group with all of the group's rows, so after folding there is nothing
+   * left to wait for and the trailing open session is emitted too. For an
+   * unbounded stream use [[sessionsViaStateStream]], which carries the
+   * open session in GroupState across micro-batches and flushes it on
+   * event-time timeout instead.
+   *
+   * Scale note: state per group is one (start, last, count) triple; the
+   * in-group sort buffers one user's one-batch events, the same bound the
+   * built-in session window's state store carries.
    */
   def sessionsViaState(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
@@ -113,23 +149,54 @@ object EventStream {
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+        (user: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[OpenSession]) =>
           val ts = rows.map(_._2).toArray.sorted
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var start = ts.head
-          var last = ts.head
-          var n = 0L
-          ts.foreach { t =>
-            if (t - last >= 30L * 60 * 1000000) {
-              out += SessionOut(user, start, n)
-              start = t
-              n = 0L
-            }
-            n += 1
-            last = t
+          val (closed, open) = foldSessions(user, ts, state.getOption)
+          state.update(open)
+          (closed :+ SessionOut(user, open.startUs, open.n)).iterator
+      }.toDF()
+  }
+
+  /**
+   * STREAMING entry point of the custom sessionizer: the open session is
+   * persisted in GroupState across micro-batches (a session spanning a
+   * batch boundary is emitted once, merged — not re-fragmented per batch),
+   * and is flushed by event-time timeout once the watermark passes its
+   * last event + the session gap, exactly when no future event can extend
+   * it. Requires `delay` of watermark slack; output is append-mode.
+   */
+  def sessionsViaStateStream(events: DataFrame,
+      delay: String = "10 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    // The event-time column must survive into the grouped Dataset with its
+    // watermark metadata intact (converting to a long would strip it and
+    // fail the event-time-timeout analysis), so it rides along as an
+    // Instant — the encoder that keeps microsecond precision, unlike
+    // java.sql.Timestamp whose getTime truncates to millis.
+    events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.time.Instant)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.time.Instant)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val open = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, open.startUs, open.n))
+          } else {
+            val ts = rows.map { r =>
+              r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            }.toArray.sorted
+            val (closed, open) = foldSessions(user, ts, state.getOption)
+            state.update(open)
+            // Flush when the watermark proves no event can extend the
+            // open session (its gap window has fully elapsed).
+            state.setTimeoutTimestamp(open.lastUs / 1000 + SessionGapMs)
+            closed.iterator
           }
-          out += SessionOut(user, start, n)
-          out.iterator
       }.toDF()
   }
 
