@@ -210,13 +210,31 @@ object Dedup {
 
   // ---- Character n-gram Jaccard -------------------------------------------
 
+  /** Document-frequency cap for the n-gram join's skew guard: the larger
+    * of an absolute floor (keeps small corpora from dropping everything)
+    * and a corpus FRACTION (keeps the cap from silently tightening as N
+    * grows — an absolute 50 at 10^9 docs would drop every gram that
+    * appears in >50 of a billion documents and gut recall). The fraction
+    * also bounds the candidate join: every kept gram's posting list is
+    * <= fraction*N, so no single gram can go quadratic in the corpus. */
+  def effectiveDocFreqCap(nDocs: Long, floorCap: Long = 50L,
+      fraction: Double = 0.001): Long = {
+    require(floorCap > 0 && fraction > 0.0 && fraction <= 1.0,
+      s"effectiveDocFreqCap: bad ($floorCap, $fraction)")
+    math.max(floorCap, math.ceil(fraction * nDocs).toLong)
+  }
+
   /** Near-dup pairs by character n-gram Jaccard >= threshold. The common-
-    * gram equi-join computes intersections directly; `maxDocFreq` drops
-    * stop-grams (document frequency cap) before the join — the skew guard
-    * that keeps this linear-ish at corpus scale. */
+    * gram equi-join computes intersections directly; a document-frequency
+    * cap drops stop-grams before the join — the skew guard that keeps
+    * this linear-ish at corpus scale. `maxDocFreq = 0` (default) derives
+    * the cap from the corpus size via [[effectiveDocFreqCap]] (one cheap
+    * metadata-level count); pass an explicit positive cap to pin it. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
-      maxDocFreq: Long = 50L): DataFrame = {
+      maxDocFreq: Long = 0L): DataFrame = {
+    val cap =
+      if (maxDocFreq > 0) maxDocFreq else effectiveDocFreqCap(docs.count())
     val exploded = docs.select(col(idCol).as("doc_id"),
       explode(charGrams(col(textCol), n)).as("g"))
     // Two-phase document-frequency cap: count first (map-side partial
@@ -226,7 +244,7 @@ object Dedup {
     // filter could drop it.
     val keptGrams = exploded.groupBy("g")
       .agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDocFreq)
+      .where(col("df") <= cap)
       .select("g")
     val kept = exploded.join(keptGrams, "g")
       .groupBy("g").agg(collect_list(col("doc_id")).as("ids"))

@@ -1,6 +1,9 @@
 package graft.operators
 
-import java.security.MessageDigest
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -13,71 +16,145 @@ case class MediaMeta(width: Int, height: Int, sampleRate: Int,
 case class MediaRecord(mediaId: Long, kind: String, payload: Array[Byte],
     meta: MediaMeta)
 
-/** Decoded/extracted features for one media row. */
-case class MediaFeatures(mediaId: Long, nBytes: Long, payloadMd5: String,
-    embChecksum: Long, embedding: Array[Float])
+/** Decoded features for one media row: dimensions read from the decoded
+  * image, exact per-channel pixel sums (integers — order-independent and
+  * oracle-replayable), and the mean gray level. */
+case class MediaFeatures(mediaId: Long, width: Int, height: Int,
+    sumR: Long, sumG: Long, sumB: Long, grayMean: Double)
+
+/** One resized row: new dimensions + exact red-channel sum of the
+  * nearest-neighbor-resampled pixels. */
+case class MediaResized(mediaId: Long, newWidth: Int, newHeight: Int,
+    sumR: Long)
 
 /**
  * Multimodal column plumbing (SURVEY.md §2.5): image/audio/video as opaque
- * `binary` columns with typed metadata structs, plus
- * decode / feature-extract / resize / frame-sample operators.
+ * `binary` columns with typed metadata structs, plus decode /
+ * feature-extract / resize / frame-sample operators.
  *
- * The DECODE step is a clearly-marked STUB — this container has no image or
- * audio codecs, so `decodeFeatures` derives deterministic fake features
- * from the payload bytes (md5-based). Everything AROUND the stub is real
- * and tested: the schema, the binary payload handling, the
- * `mapPartitions` batch shape (the Scala analog of `mapInPandas` — one
- * iterator per partition, constant memory, arbitrary per-row native calls),
- * the metadata arithmetic, and the frame-sampling explode.
+ * The decode path is REAL: payloads are genuine PNG images (encoded with
+ * `javax.imageio`, the JDK's built-in codec), [[decodeFeatures]] decodes
+ * actual pixels and reports exact channel statistics, and
+ * [[resizeDecoded]] resamples real pixels (nearest neighbor). The fixture
+ * shim [[fromDocuments]] synthesizes each document's image as a
+ * deterministic gradient, so the decoded statistics have closed forms the
+ * DuckDB oracle computes analytically — a decoder bug cannot hash-match.
  *
  * Scale: payloads dominate row size, so media tables should be written with
  * small `files.maxPartitionBytes` / row-group sizes and NEVER shuffled
- * whole — every operator here is a narrow map or an explode; joins against
- * features should happen on (mediaId, feature) projections, not payloads.
+ * whole — every operator here is a narrow map or an explode (one codec
+ * context per partition via `mapPartitions`, the Scala analog of
+ * `mapInPandas` batches); joins against features should happen on
+ * (mediaId, feature) projections, not payloads.
  */
 object Multimodal {
 
-  /** Builds a media table from the documents fixture: payload = UTF-8 bytes
-    * of the text (a stand-in for encoded image bytes), metadata derived
-    * deterministically from n_chars. */
-  def fromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      lit("image").as("kind"),
-      col("text").cast("binary").as("payload"),
-      struct(
-        (col("n_chars") % 640 + 64).cast("int").as("width"),
-        (col("n_chars") % 480 + 48).cast("int").as("height"),
-        lit(16000).as("sampleRate"),
-        (col("n_chars") * 10).cast("long").as("durationMs"),
-        lit("fake/raw").as("format")).as("meta"))
+  /** Gradient-image dimensions/values for a (doc_id, n_chars) pair. Kept
+    * wrap-free (every channel value < 256 without a modulo) so the DuckDB
+    * oracle's closed-form sums need no case analysis:
+    * w in [16,48], h in [8,31], r = doc_id%150 + x, g = 3y, b = 100+x+y. */
+  private[operators] def dims(nChars: Long): (Int, Int) =
+    ((nChars % 33 + 16).toInt, (nChars % 24 + 8).toInt)
+
+  private def rgbAt(d: Int, x: Int, y: Int): Int =
+    ((d + x) << 16) | ((3 * y) << 8) | (100 + x + y)
+
+  /** Fixture shim: builds a media table from the documents fixture with a
+    * REAL deterministic-gradient PNG payload per document (encoded with
+    * the JDK's ImageIO), metadata derived from (doc_id, n_chars). */
+  def fromDocuments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (did, nc) =>
+          val (w, h) = dims(nc)
+          val d = (did % 150).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgbAt(d, x, y)); x += 1 }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          MediaRecord(did, "image", out.toByteArray,
+            MediaMeta(w, h, 16000, nc * 10, "image/png"))
+        }
+      }
+      .toDF()
+      .select(col("mediaId").as("media_id"), col("kind"), col("payload"),
+        col("meta"))
+  }
 
   /**
-   * Feature extraction over payload bytes via `mapPartitions` — the real
-   * batched-UDF plumbing; only the inner decode is stubbed.
-   *
-   * STUB: a real implementation would decode `payload` with an image/audio
-   * library here (per-partition, so codec handles are reused across rows).
-   * This container ships no codecs, so features are a deterministic
-   * function of the bytes: md5 hex, a 16-dim pseudo-embedding from the
-   * digest bytes, and a 32-bit checksum from the hex prefix.
+   * Real image decode + feature extraction over payload bytes via
+   * `mapPartitions`: each payload is decoded with `javax.imageio` and the
+   * features are exact integer channel sums over the ACTUAL pixels —
+   * deterministic, order-independent, and (for the gradient fixture)
+   * analytically replayable by the oracle.
    */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val md = MessageDigest.getInstance("MD5") // one codec handle per batch
       it.map { m =>
-        val digest = md.digest(m.payload)
-        val hex = digest.map(b => f"${b & 0xff}%02x").mkString
-        val emb = digest.take(16).map(b => (b & 0xff) / 255.0f)
-        MediaFeatures(m.mediaId, m.payload.length.toLong, hex,
-          java.lang.Long.parseLong(hex.substring(0, 8), 16), emb)
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        require(img != null, s"media ${m.mediaId}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(m.mediaId, w, h, sr, sg, sb,
+          (sr + sg + sb) / (3.0 * w * h))
       }
     }
   }
 
-  /** Resize planning: new dimensions fitting `maxDim`, aspect preserved.
-    * (The pixel transform itself would live in the stubbed decode step.) */
+  /** Real pixel resize: decode, nearest-neighbor resample to fit `maxDim`
+    * (aspect preserved, floor dims — same arithmetic as [[resizePlan]]),
+    * report the resampled red-channel sum as exact integer evidence. At
+    * scale this is the narrow per-row transform the resize stage of a
+    * media pipeline runs; only (id, evidence) leaves the operator here. */
+  def resizeDecoded(media: Dataset[MediaRecord], maxDim: Int)
+      : Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        require(img != null, s"media ${m.mediaId}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val s = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val (nw, nh) = (math.floor(w * s).toInt, math.floor(h * s).toInt)
+        var sr = 0L
+        var ny = 0
+        while (ny < nh) {
+          val sy = ny * h / nh
+          var nx = 0
+          while (nx < nw) {
+            sr += (img.getRGB(nx * w / nw, sy) >> 16) & 0xff
+            nx += 1
+          }
+          ny += 1
+        }
+        MediaResized(m.mediaId, nw, nh, sr)
+      }
+    }
+  }
+
+  /** Resize planning from metadata only: new dimensions fitting `maxDim`,
+    * aspect preserved — the plan-side sibling of [[resizeDecoded]] (at
+    * scale you plan/partition from metadata without touching payloads). */
   def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
     val w = col("meta.width").cast("double")
     val h = col("meta.height").cast("double")

@@ -29,6 +29,21 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Planes per table for a target expected bucket occupancy: a table
+    * with p planes has 2^p buckets, so p = ceil(log2(n / targetOccupancy))
+    * keeps mean occupancy near the target as the corpus grows — the
+    * candidate join stays linear-ish instead of going quadratic inside
+    * ever-fuller buckets (a fixed plane count's failure mode at 100x the
+    * fixture). Raising planes lowers per-table recall for a given cosine,
+    * so pair growth here with more tables (SURVEY §8.1 documents the
+    * fixture config's dial positions). Clamped to [1, 30]. */
+  def planesForOccupancy(n: Long, targetOccupancy: Long = 64L): Int = {
+    require(n > 0 && targetOccupancy > 0, "planesForOccupancy: n, target > 0")
+    val p = math.ceil(
+      math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.min(30, math.max(1, p))
+  }
+
   /** Deterministic Rademacher hyperplane: +-1.0 per dimension. */
   def planes(numTables: Int, numPlanes: Int, dim: Int, seed: Int)
       : Array[Array[Array[Double]]] = {
@@ -115,22 +130,87 @@ object Similarity {
   private def normOf(v: Array[Float]): Double =
     math.sqrt(v.foldLeft(0.0)((acc, f) => acc + f.toDouble * f.toDouble))
 
-  /** IVF probe assignment: each vector's `nprobe` highest-cosine coarse
-    * centroids (ties -> lower cid). Centroids are driver-side literals
-    * (the "trained" coarse quantizer — k entries of dim floats), so the
-    * scoring is ONE narrow projection per row: k codegen'd dot products,
-    * an in-row sort, no shuffle and no join. Output: (idCol, cid). */
-  def ivfProbes(vecs: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Long, Array[Float])], nprobe: Int): DataFrame = {
+  /** Per-centroid (negated score, cid) structs for probe selection —
+    * ascending sort = descending score with ties to the lower cid, the
+    * same order the DuckDB oracle's ROW_NUMBER uses. */
+  private def probeEntries(vecCol: String,
+      centroids: Seq[(Long, Array[Float])]): Seq[Column] = {
     val n = VectorOps.norm(col(vecCol))
-    val entries = centroids.map { case (cid, cv) =>
+    centroids.map { case (cid, cv) =>
       val score = VectorOps.dot(col(vecCol), typedLit(cv.toSeq)) /
         (n * lit(normOf(cv)))
       struct((lit(0.0) - score).as("neg"), lit(cid).as("cid"))
     }
+  }
+
+  /** IVF probe assignment: each vector's `nprobe` highest-cosine coarse
+    * centroids (ties -> lower cid). Centroids are driver-side literals
+    * (the trained coarse quantizer — k entries of dim floats), so the
+    * scoring is ONE narrow projection per row: k codegen'd dot products,
+    * an in-row sort, no shuffle and no join. Output: (idCol, cid). */
+  def ivfProbes(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int): DataFrame =
     vecs.select(col(idCol),
-        explode(slice(sort_array(array(entries: _*)), 1, nprobe)).as("e"))
+        explode(slice(sort_array(array(probeEntries(vecCol, centroids): _*)),
+          1, nprobe)).as("e"))
       .select(col(idCol), col("e.cid").as("cid"))
+
+  /** Fixed-point scale for the k-means update sums: per-dimension values
+    * are accumulated as floor(x * 2^20) integers, making the cluster sum
+    * EXACT and order-independent — a double accumulator would make the
+    * trained centroids depend on partial-aggregation order (flaky across
+    * runs AND engines). 2^20 fraction bits cover unit-normish embedding
+    * coordinates; the long headroom (2^63/2^20 = 2^43 rows per cluster)
+    * is ample at any realistic scale. */
+  val KMeansScale: Double = 1048576.0
+
+  /**
+   * In-engine Lloyd k-means over a float-vector column — the coarse-
+   * quantizer trainer for [[ivfTopK]], returning centroids as driver-side
+   * plan literals (cid = the seeding vector's id).
+   *
+   * Deterministic by construction, so the DuckDB oracle replays training
+   * bit-for-bit: seeding takes the `k` lowest-id vectors; assignment
+   * breaks score ties toward the lower cid; per-cluster means are built
+   * from exact scaled-integer sums (see [[KMeansScale]]) and rounded once
+   * to float. Runs a FIXED `iters` Lloyd rounds (no early-stop — the
+   * replayed oracle must unroll the same count). A cluster that loses all
+   * members is dropped (standard Lloyd alternative to re-seeding, and the
+   * behavior SQL replay matches naturally).
+   *
+   * Scale shape: each round is one narrow pass (k codegen dot products
+   * per row, no join — centroids ride in the plan) into one groupBy(cid)
+   * with dim+1 map-side-partial sums; only k*(dim+1) aggregated values
+   * ever reach the driver. Train on a hash-sampled subset at corpus scale
+   * (`vecs.where(pmod(xxhash64(id), N) === 0)`) — Lloyd on a sample is
+   * the standard IVF recipe; the full corpus is only ever touched by the
+   * final nprobe=1 list assignment.
+   */
+  def trainKMeans(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int): Seq[(Long, Array[Float])] = {
+    require(k > 0 && iters >= 0, "trainKMeans: k > 0, iters >= 0")
+    var cents: Seq[(Long, Array[Float])] =
+      vecs.orderBy(col(idCol)).limit(k)
+        .select(col(idCol), col(vecCol)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val sums = (0 until dim).map(j =>
+      sum(floor(element_at(col(vecCol), j + 1).cast("double") *
+        KMeansScale).cast("long")).as(s"s$j"))
+    for (_ <- 0 until iters) {
+      val nearest = element_at(
+        sort_array(array(probeEntries(vecCol, cents): _*)), 1)
+        .getField("cid")
+      val rows = vecs.select(nearest.as("cid"), col(vecCol))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      cents = rows.map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0), Array.tabulate(dim)(j =>
+          (r.getLong(j + 2) / (KMeansScale * n)).toFloat))
+      }.sortBy(_._1).toSeq
+    }
+    cents
   }
 
   /** IVF approximate top-k: corpus vectors live in inverted lists keyed by

@@ -56,4 +56,58 @@ object Sketches {
       .groupBy("key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ---- Mergeable quantile sketch ------------------------------------------
+
+  /**
+   * Fixed-width bucketed-histogram quantile sketch over a non-negative
+   * integer measure (e.g. money as cents): one (group..., bucket, cnt) row
+   * per populated bucket, bucket = value div widthCents.
+   *
+   * This is the persistable, MERGEABLE companion to the per-query exact /
+   * approx percentiles (rel_q26/q35): sketches built over partitions,
+   * days, or groups merge by plain count addition ([[histMerge]]) with NO
+   * loss — merge-then-query equals query-over-everything exactly, the
+   * same contract as the HLL union (rel_q40). Deterministic integer
+   * arithmetic end to end: no RNG, no floating-point bucket math, so the
+   * DuckDB oracle replays the sketch bit-for-bit and retries/reorderings
+   * cannot change it.
+   *
+   * Scale: the groupBy does map-side partial counting into at most
+   * (value range / width) constant-width cells per group — each executor
+   * ships bucket counts, never values. Rank error of a quantile estimate
+   * is bounded by the estimate bucket's population (exact within a
+   * bucket's width of value space).
+   */
+  def histBuild(df: DataFrame, valueCents: org.apache.spark.sql.Column,
+      widthCents: Long, grpCols: Seq[String] = Nil): DataFrame = {
+    require(widthCents > 0, "histBuild: widthCents must be positive")
+    val b = floor(valueCents / widthCents).cast("long").as("bucket")
+    df.groupBy(grpCols.map(col) :+ (b: org.apache.spark.sql.Column): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merges sketches (any group columns dropped): bucket counts add. */
+  def histMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a merged sketch: for each q, the upper edge
+    * (in cents) of the first bucket whose cumulative count reaches rank
+    * ceil(q * n). The window/crossJoin run over the SKETCH (constant
+    * size), not the data — driver-scale plan, executor-scale input. */
+  def histQuantiles(sketch: DataFrame, qs: Seq[Double],
+      widthCents: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = sketch
+      .withColumn("cum", sum("cnt").over(w))
+      .crossJoin(sketch.agg(sum("cnt").as("n")))
+    val qdf = sketch.sparkSession.createDataFrame(
+      qs.map(Tuple1.apply)).toDF("q")
+    qdf.crossJoin(cum)
+      .where(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("q")
+      .agg(((min(col("bucket")) + 1) * widthCents).as("est_cents"),
+        max(col("n")).as("n"))
+  }
 }

@@ -80,6 +80,41 @@ object TextAnalysis {
     }
   }
 
+  /**
+   * Overlapping token-window document chunking — the training-prep / RAG
+   * staple: chunk i covers tokens [i*stride, i*stride + window), so
+   * consecutive chunks share `window - stride` tokens. Chunks tile the
+   * whole document (the last one may be short); a doc with <= window
+   * tokens yields exactly one chunk.
+   *
+   * Output: (doc_id, chunk_id, start_tok, n_toks, chunk_text).
+   *
+   * Scale: a pure narrow explode — each row expands to ~n/stride chunk
+   * rows with no shuffle at all; chunk count arithmetic is integer-only
+   * (truncating division on a non-negative numerator, so the DuckDB
+   * replay's floor-division agrees).
+   */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkByTokens: need 0 < stride <= window, got ($window, $stride)")
+    val tk = toks(col(textCol))
+    val n = size(tk)
+    // 1 + ceil(max(0, n - window) / stride); the numerator is non-negative
+    // so floor-of-exact-double == both engines' integer division.
+    val nChunks = floor(
+      (greatest(lit(0), n - window) + lit(stride - 1)) / lit(stride))
+      .cast("int") + lit(1)
+    docs.select(col(idCol).as("doc_id"), tk.as("tk"),
+        posexplode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        (col("col") * stride).cast("long").as("start_tok"),
+        least(lit(window), size(col("tk")) - col("col") * stride)
+          .cast("long").as("n_toks"),
+        concat_ws(" ", slice(col("tk"), col("col") * stride + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
   /** Polynomial rolling hash of the whole text: fold (acc*31 + codepoint)
     * mod 2147483647 — a native codegen expression
     * (graft.functions.RollingHash); the interpreted HOF form below is its

@@ -11,6 +11,27 @@ import graft.operators.{Joins, Sketches}
   * DuckDB oracles (DuckDB's native ASOF JOIN checks our composition). */
 object JoinQueries {
 
+  /** Planted-skew join inputs: left = lineitem with ~75% of rows collapsed
+    * onto hot key 1 (plus a unique row id for salting), right = orders
+    * keyed by o_orderkey (unique — the hot key matches exactly one right
+    * row, so the join stays linear and salted/AQE/plain variants are
+    * comparable). Shared by the join_aqe_skew gate and AqeSkewSpec. */
+  def skewedPair(lineitem: DataFrame, orders: DataFrame)
+      : (DataFrame, DataFrame) = {
+    // The round-robin repartition gives the join's key shuffle many map
+    // tasks: AQE splits a skewed reduce partition by MAPPER ranges, so a
+    // single-mapper stage (the fixture parquet is one row group -> one
+    // scan task) is unsplittable no matter how skewed. A real cluster has
+    // thousands of mappers; this recreates that precondition at test size.
+    val l = lineitem.repartition(16).select(
+      when(col("l_orderkey") % 4 < 3, lit(1L)).otherwise(col("l_orderkey"))
+        .as("k"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("row_id"),
+      col("l_quantity"))
+    val r = orders.select(col("o_orderkey").as("k"), col("o_orderstatus"))
+    (l, r)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Backward as-of join: each error event picks up the latest prior
     // click's value for the same user.
@@ -35,6 +56,29 @@ object JoinQueries {
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1) - col("l_discount")).cast("decimal(18,2)")))
             .cast("double").as("revenue"))
+    },
+    // AQE skew join: ~75% of lineitem rows collapse onto one hot key; the
+    // query runs on a session tuned so AQE's OptimizeSkewedJoin actually
+    // splits the hot partition at fixture size (sort-merge forced, skew
+    // thresholds scaled down — at real scale the defaults do this). The
+    // oracle replays the join; AqeSkewSpec asserts the plan split and
+    // equality with the explicit saltedJoin.
+    "join_aqe_skew" -> { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      val (li, o) = (Tables.load(s2, dir, "lineitem"), Tables.load(s2, dir, "orders"))
+      JoinQueries.skewedPair(li, o) match { case (l, r) =>
+        l.join(r, "k")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+      }
     },
     // Binned range join: overlapping value buckets vs event values —
     // an equi-join plan (no nested loop), exact BETWEEN refilter.
@@ -77,6 +121,17 @@ object JoinQueries {
       val sketch = Sketches.cmsBuild(li, "l_partkey",
         spreadPartitions = s.sparkContext.defaultParallelism)
       Sketches.cmsEstimate(sketch, s.range(1, 9).select(col("id").as("k")), "k")
+    },
+    // Mergeable quantile sketch: per-event-type histogram sketches merged
+    // to a global one (merge == count addition, lossless), quantiles read
+    // from the merged sketch. The oracle builds the global histogram
+    // DIRECTLY — equality proves merge-then-query == query-everything.
+    "agg_quantile_sketch" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val perType = Sketches.histBuild(ev,
+        round(col("value") * 100).cast("long"), 500L, Seq("event_type"))
+      val merged = Sketches.histMerge(perType)
+      Sketches.histQuantiles(merged, Seq(0.1, 0.5, 0.9, 0.99), 500L)
     },
     // Custom typed UDAF: top-5 prices per return flag, exploded.
     "agg_topk" -> { (s, dir) =>
@@ -125,6 +180,26 @@ object JoinQueries {
         |SELECT k AS key, CAST(MIN(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM probe LEFT JOIN ht USING (i, c)
         |GROUP BY k""".stripMargin,
+    "join_aqe_skew" ->
+      """WITH l AS (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 1
+        |                       ELSE l_orderkey END AS k, l_quantity
+        |           FROM lineitem),
+        |r AS (SELECT o_orderkey AS k, o_orderstatus FROM orders)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM l JOIN r USING (k)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "agg_quantile_sketch" ->
+      """WITH cents AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |b AS (SELECT c // 500 AS bucket, COUNT(*) AS cnt FROM cents GROUP BY 1),
+        |cum AS (SELECT bucket, cnt,
+        |    SUM(cnt) OVER (ORDER BY bucket) AS cum,
+        |    SUM(cnt) OVER () AS n FROM b),
+        |qs AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q)
+        |SELECT q, CAST((MIN(bucket) + 1) * 500 AS BIGINT) AS est_cents,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM qs JOIN cum ON cum >= ceil(q * n)
+        |GROUP BY q""".stripMargin,
     "join_salted" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

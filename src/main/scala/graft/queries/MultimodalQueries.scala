@@ -9,9 +9,10 @@ import graft.streaming.EventStream
 
 /**
  * Correctness queries for the multimodal plumbing and the streaming
- * surface. `mm_decode_features` exercises the real mapPartitions batch
- * path (typed Dataset[MediaRecord] -> Dataset[MediaFeatures]); the stubbed
- * decode is md5-deterministic so DuckDB replays it exactly.
+ * surface. `mm_decode_features` / `mm_resize_pixels` decode REAL PNG
+ * payloads with javax.imageio and report exact pixel statistics; the
+ * fixture images are deterministic gradients, so the oracle computes the
+ * same statistics in closed form — a codec bug cannot hash-match.
  * `stream_hourly` runs an actual Structured Streaming query (file source ->
  * memory sink, complete mode) and must equal the batch oracle.
  */
@@ -20,19 +21,37 @@ object MultimodalQueries {
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
 
+  private def typedMedia(s: SparkSession, dir: String) = {
+    import s.implicits._
+    media(s, dir).select(
+      col("media_id").as("mediaId"), col("kind"), col("payload"), col("meta"))
+      .as[MediaRecord]
+  }
+
+  /** Shared oracle CTE: per-document gradient-image geometry. */
+  private val duckDims =
+    """dims AS (SELECT doc_id, n_chars % 33 + 16 AS w, n_chars % 24 + 8 AS h,
+      |  doc_id % 150 AS d FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> { (s, dir) =>
-      import s.implicits._
-      val typed = media(s, dir).select(
-        col("media_id").as("mediaId"), col("kind"), col("payload"), col("meta"))
-        .as[MediaRecord]
-      Multimodal.decodeFeatures(typed).toDF()
-        .select(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
-          col("payloadMd5").as("payload_md5"),
-          col("embChecksum").as("emb_checksum"))
+      Multimodal.decodeFeatures(typedMedia(s, dir)).toDF()
+        .select(col("mediaId").as("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+          col("sumB").as("sum_b"), col("grayMean").as("gray_mean"))
     },
     "mm_resize" -> { (s, dir) =>
-      Multimodal.resizePlan(media(s, dir), 128)
+      Multimodal.resizePlan(media(s, dir), 24)
+    },
+    // Real nearest-neighbor pixel resize; exact resampled red-channel sum.
+    "mm_resize_pixels" -> { (s, dir) =>
+      Multimodal.resizeDecoded(typedMedia(s, dir), 16).toDF()
+        .select(col("mediaId").as("media_id"),
+          col("newWidth").cast("long").as("new_width"),
+          col("newHeight").cast("long").as("new_height"),
+          col("sumR").as("sum_r"))
     },
     "mm_frame_sample" -> { (s, dir) =>
       Multimodal.frameSamplePlan(media(s, dir), 500L)
@@ -99,25 +118,47 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Closed-form channel sums of the gradient image (r=d+x, g=3y,
+    // b=100+x+y over w x h) — equals the decoded-pixel sums iff the PNG
+    // encode/decode round-trip is faithful.
     "mm_decode_features" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  md5(text) AS payload_md5,
-        |  ('0x' || substr(md5(text), 1, 8))::BIGINT AS emb_checksum
-        |FROM documents""".stripMargin,
+      s"""WITH $duckDims
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(h * (w*d + (w*(w-1))//2) AS BIGINT) AS sum_r,
+        |  CAST(w * 3 * ((h*(h-1))//2) AS BIGINT) AS sum_g,
+        |  CAST(100*w*h + h*((w*(w-1))//2) + w*((h*(h-1))//2) AS BIGINT)
+        |    AS sum_b,
+        |  (h*(w*d + (w*(w-1))//2) + w*3*((h*(h-1))//2)
+        |   + 100*w*h + h*((w*(w-1))//2) + w*((h*(h-1))//2))
+        |    / (3.0 * w * h) AS gray_mean
+        |FROM dims""".stripMargin,
     "mm_resize" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(n_chars % 640 + 64 AS INT) AS width,
-        |  CAST(n_chars % 480 + 48 AS INT) AS height,
-        |  CAST(floor((n_chars % 640 + 64) *
-        |    least(1.0, 128.0 / greatest((n_chars % 640 + 64)::DOUBLE,
-        |                                (n_chars % 480 + 48)::DOUBLE)))
+      s"""WITH $duckDims
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(floor(w * least(1.0, 24.0 / greatest(w::DOUBLE, h::DOUBLE)))
         |    AS BIGINT) AS new_width,
-        |  CAST(floor((n_chars % 480 + 48) *
-        |    least(1.0, 128.0 / greatest((n_chars % 640 + 64)::DOUBLE,
-        |                                (n_chars % 480 + 48)::DOUBLE)))
+        |  CAST(floor(h * least(1.0, 24.0 / greatest(w::DOUBLE, h::DOUBLE)))
         |    AS BIGINT) AS new_height
-        |FROM documents""".stripMargin,
+        |FROM dims""".stripMargin,
+    // Nearest-neighbor replay: source column of resampled pixel (nx, ny)
+    // is nx*w//nw, so the red sum is nh * sum over nx of (d + nx*w//nw).
+    "mm_resize_pixels" ->
+      s"""WITH $duckDims,
+        |nd AS (SELECT doc_id, w, h, d,
+        |    CAST(floor(w * least(1.0, 16.0 / greatest(w::DOUBLE, h::DOUBLE)))
+        |      AS BIGINT) AS nw,
+        |    CAST(floor(h * least(1.0, 16.0 / greatest(w::DOUBLE, h::DOUBLE)))
+        |      AS BIGINT) AS nh
+        |  FROM dims),
+        |xs AS (SELECT doc_id, nw, nh,
+        |    SUM(d + (u.nx * w) // nw) AS row_sum
+        |  FROM nd CROSS JOIN unnest(range(48)) u(nx)
+        |  WHERE u.nx < nw GROUP BY doc_id, nw, nh)
+        |SELECT doc_id AS media_id, nw AS new_width, nh AS new_height,
+        |  CAST(nh * row_sum AS BIGINT) AS sum_r
+        |FROM xs""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(t // 500 AS BIGINT) AS frame_idx,
         |  CAST(t AS BIGINT) AS ts_ms

@@ -19,6 +19,8 @@ object SimilarityQueries {
   private val NumTables = 8
   private val NumPlanes = 3
   private val Seed = 42
+  private val KmK = 16
+  private val KmIters = 2
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -52,17 +54,20 @@ object SimilarityQueries {
       Similarity.lshNearDuplicates(emb(s, dir), "vec_id", "embedding", 0.45,
         NumTables, NumPlanes, Seed)
     },
-    // IVF: 16 coarse centroids (vec_id < 16 — the "trained" quantizer),
-    // queries 16..19 probe their 3 nearest lists, exact re-rank top 5.
+    // IVF with an in-engine-TRAINED coarse quantizer: k=16 Lloyd k-means
+    // (2 fixed rounds, lowest-id seeding, exact scaled-integer sums) over
+    // the corpus, then queries 16..19 probe their 3 nearest lists, exact
+    // re-rank top 5. The oracle replays the training unrolled — the
+    // centroids themselves hash-match across engines.
     "sim_ivf_topk" -> { (s, dir) =>
       val e = emb(s, dir)
-      val centroids = e.where(col("vec_id") < 16).orderBy("vec_id").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val corpus = e.where(col("vec_id") >= 20)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(corpus, qs, 5, centroids.toSeq, 3)
+      val centroids = Similarity.trainKMeans(corpus, "id", "vec",
+        KmK, Dim, KmIters)
+      Similarity.ivfTopK(corpus, qs, 5, centroids, 3)
         .withColumnRenamed("rank", "rnk")
     },
     // Symmetric int8 scalar quantization, integer evidence per vector.
@@ -98,6 +103,29 @@ object SimilarityQueries {
 
   private lazy val ps = Similarity.planes(NumTables, NumPlanes, Dim, Seed)
 
+  /** Unrolled Lloyd k-means replay (assumes a `corp AS (id, v)` CTE is in
+    * scope): cent0 seeds from the k lowest ids; each round re-assigns by
+    * cosine (ties -> lower cid, matching Spark's struct sort) and rebuilds
+    * centroids from the same exact floor(x * 2^20) integer sums
+    * Similarity.trainKMeans accumulates, rounded once to FLOAT. */
+  private def duckKMeansCtes(k: Int, iters: Int): String = {
+    val init = s"cent0 AS (SELECT id AS cid, v AS cv FROM corp ORDER BY id LIMIT $k)"
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS (SELECT id, v, cid FROM (
+         |  SELECT c.id, c.v, ct.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY c.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
+         |  FROM corp c, cent${r - 1} ct) t WHERE rn = 1),
+         |s$r AS (SELECT cid, u.j,
+         |    SUM(CAST(floor(v[u.j+1]::DOUBLE * 1048576.0) AS BIGINT)) AS sm,
+         |    COUNT(*) AS n
+         |  FROM a$r CROSS JOIN unnest(range($Dim)) u(j) GROUP BY cid, u.j),
+         |cent$r AS (SELECT cid, list((sm / (1048576.0 * n))::FLOAT ORDER BY j) AS cv
+         |  FROM s$r GROUP BY cid)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   private lazy val duckCodesCte: String =
     (0 until NumTables).map { t =>
       s"SELECT vec_id, CAST($t AS BIGINT) AS tbl, " +
@@ -125,12 +153,12 @@ object SimilarityQueries {
          |          JOIN embeddings b ON cand.id_b = b.vec_id
          |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
     "sim_ivf_topk" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
-         |  FROM embeddings WHERE vec_id < 16),
-         |corp AS (SELECT vec_id AS id, embedding AS v
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
          |  FROM embeddings WHERE vec_id >= 20),
          |qs AS (SELECT vec_id AS qid, embedding AS qv
          |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |${duckKMeansCtes(KmK, KmIters)},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
          |lists AS (SELECT id, cid FROM (
          |  SELECT corp.id, cent.cid,
          |    ROW_NUMBER() OVER (PARTITION BY corp.id

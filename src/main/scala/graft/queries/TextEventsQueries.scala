@@ -21,6 +21,11 @@ object TextEventsQueries {
     Tables.load(s, dir, "events")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Overlapping token-window chunking (RAG/training prep): 20-token
+    // windows, stride 10 (50% overlap), full-coverage tiling.
+    "text_chunking" -> { (s, dir) =>
+      TextAnalysis.chunkByTokens(docs(s, dir), "doc_id", "text", 20, 10)
+    },
     "text_token_stats" -> { (s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -129,6 +134,19 @@ object TextEventsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, u.i AS chunk_id, u.i*10 AS start_tok,
+        |        least(20, len(toks) - u.i*10) AS n_toks,
+        |        array_to_string(toks[u.i*10+1 : u.i*10+20], ' ') AS chunk_text
+        |      FROM w CROSS JOIN unnest(range(0,
+        |        (SELECT (greatest(0, MAX(len(toks)) - 20) + 9)//10 + 1 FROM w)))
+        |        u(i)
+        |      WHERE u.i <= (greatest(0, len(toks) - 20) + 9)//10)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(n_toks AS BIGINT) AS n_toks, chunk_text
+        |FROM c""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

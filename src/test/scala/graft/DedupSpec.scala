@@ -104,4 +104,20 @@ class DedupSpec extends GraftSuite {
         TextAnalysis.languageId(col("text")) === "und").count()
     assert(violating == 0)
   }
+
+  test("docFreq cap: fraction-derived default == pinned cap at fixture scale") {
+    // At 500 docs the floor (50) dominates, so the derived default must
+    // reproduce the pinned-50 pair set exactly.
+    assert(Dedup.effectiveDocFreqCap(500) == 50L)
+    val derived = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxDocFreq = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(derived == pinned && derived.nonEmpty)
+    // As N grows the cap tracks the corpus fraction (recall does not decay
+    // toward zero) while bounding every posting list to fraction*N.
+    assert(Dedup.effectiveDocFreqCap(1000000) == 1000L)
+    assert(Dedup.effectiveDocFreqCap(1000000000) == 1000000L)
+    assert(Dedup.effectiveDocFreqCap(1000) == 50L, "floor wins on small corpora")
+  }
 }

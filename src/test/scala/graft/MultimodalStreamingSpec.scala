@@ -70,23 +70,52 @@ class MultimodalStreamingSpec extends GraftSuite {
     }
   }
 
-  test("decodeFeatures via mapPartitions is deterministic and matches md5") {
+  private def typedMedia = {
     import spark.implicits._
-    val typed = Multimodal.fromDocuments(Tables.load(spark, dir, "documents"))
+    Multimodal.fromDocuments(Tables.load(spark, dir, "documents"))
       .select(col("media_id").as("mediaId"), col("kind"), col("payload"), col("meta"))
       .as[MediaRecord]
-    val feats = Multimodal.decodeFeatures(typed).collect()
+  }
+
+  test("decodeFeatures decodes real PNG pixels: closed-form gradient sums") {
+    val nChars = Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feats = Multimodal.decodeFeatures(typedMedia).collect()
     assert(feats.length == 500)
+    // Independent re-derivation of the gradient sums from (doc_id,
+    // n_chars) — equality proves the PNG encode/decode round-trip touched
+    // every pixel faithfully.
     feats.foreach { f =>
-      assert(f.embedding.length == 16)
-      assert(f.embedding.forall(v => v >= 0.0f && v <= 1.0f))
-      assert(f.payloadMd5.length == 32)
+      val nc = nChars(f.mediaId)
+      val (w, h) = ((nc % 33 + 16).toInt, (nc % 24 + 8).toInt)
+      val d = f.mediaId % 150
+      assert(f.width == w && f.height == h)
+      assert(f.sumR == h.toLong * (w.toLong * d + w.toLong * (w - 1) / 2))
+      assert(f.sumG == w.toLong * 3 * (h.toLong * (h - 1) / 2))
+      assert(f.sumB == 100L * w * h + h.toLong * (w.toLong * (w - 1) / 2) +
+        w.toLong * (h.toLong * (h - 1) / 2))
+      assert(f.grayMean > 0.0 && f.grayMean < 255.0)
     }
-    // md5 of payload == Spark's SQL md5 of the text it came from.
-    val sqlMd5 = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), md5(col("text")).as("m")).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    feats.foreach(f => assert(f.payloadMd5 == sqlMd5(f.mediaId)))
+  }
+
+  test("resizeDecoded resamples real pixels: nearest-neighbor red sums") {
+    val nChars = Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rs = Multimodal.resizeDecoded(typedMedia, 16).collect()
+    assert(rs.length == 500)
+    rs.foreach { r =>
+      val nc = nChars(r.mediaId)
+      val (w, h) = ((nc % 33 + 16).toInt, (nc % 24 + 8).toInt)
+      val d = r.mediaId % 150
+      val s = math.min(1.0, 16.0 / math.max(w, h))
+      val (nw, nh) = (math.floor(w * s).toInt, math.floor(h * s).toInt)
+      assert(r.newWidth == nw && r.newHeight == nh)
+      assert(r.newWidth <= 16 && r.newHeight <= 16 && r.newHeight >= 1)
+      val rowSum = (0 until nw).map(nx => d + nx * w / nw).sum
+      assert(r.sumR == nh.toLong * rowSum)
+    }
   }
 
   test("frame sampling: count = durationMs/500 + 1 per media row") {

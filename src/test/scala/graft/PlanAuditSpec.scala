@@ -14,7 +14,10 @@ class PlanAuditSpec extends GraftSuite {
   private val nestedLoopAllowed = Set(
     "dedup_embedding_pairs", "sim_brute_topk", "rel_q13_set_ops",
     "rel_q16_scalar_subquery", "rel_q20_having_cte",
-    "events_funnel") // 1-row x 1-row scalar combine
+    "events_funnel", // 1-row x 1-row scalar combine
+    // Quantile reads crossJoin the CONSTANT-SIZE sketch (its whole point)
+    // with a 1-row total and a handful of q literals — never data-scale.
+    "agg_quantile_sketch")
 
   // Streaming queries plan at runtime; generator-only queries scan nothing.
   private val skip = Set("stream_hourly", "stream_dedup_pairs",

@@ -73,6 +73,66 @@ class SimilaritySpec extends GraftSuite {
     assert(recall(16) == 1.0)
   }
 
+  test("planesForOccupancy keeps mean bucket occupancy near target as N grows") {
+    // Pure-function shape: doubling the corpus adds one plane (halving
+    // per-bucket share), so expected occupancy n / 2^planes stays within
+    // [target/2, target] (up to the clamp).
+    for (n <- Seq(1000L, 10000L, 1000000L, 1000000000L)) {
+      val p = Similarity.planesForOccupancy(n, 64)
+      val occ = n.toDouble / (1L << p)
+      assert(occ <= 64.0 + 1e-9 && occ >= 32.0 - 1e-9, s"n=$n p=$p occ=$occ")
+    }
+    assert(Similarity.planesForOccupancy(10, 64) == 1, "clamped low")
+    // Measured occupancy on the fixture: auto planes keep the mean bucket
+    // near the target where the fixed fixture config (3 planes = 8
+    // buckets) would overfill at larger N.
+    val n = emb.count()
+    val p = Similarity.planesForOccupancy(n, 64)
+    val occ = Similarity.lshCodes(emb, "vec_id", "embedding", numPlanes = p)
+      .groupBy("tbl", "code").count()
+      .agg(avg("count")).collect()(0).getDouble(0)
+    assert(occ < 3 * 64.0, s"mean measured occupancy $occ far above target")
+  }
+
+  test("trained k-means centroids: recall >= lowest-id seed centroids") {
+    val truth = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cents: Seq[(Long, Array[Float])]): Double = {
+      val got = Similarity.ivfTopK(corpus, queries, 5, cents, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val seed = corpus.orderBy("id").limit(16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val trained = Similarity.trainKMeans(corpus, "id", "vec", 16, 64, 2)
+    assert(trained.size == 16, "no cluster may empty out on this fixture")
+    val (rSeed, rTrained) = (recall(seed), recall(trained))
+    assert(rTrained >= rSeed - 1e-9,
+      s"trained recall $rTrained < seed recall $rSeed")
+  }
+
+  test("k-means training is deterministic and improves within-cluster cost") {
+    def cost(cents: Seq[(Long, Array[Float])]): Double = {
+      // Mean best-centroid cosine over the corpus (higher = tighter).
+      val entries = cents.map { case (_, cv) =>
+        val n = math.sqrt(cv.foldLeft(0.0)((a, f) => a + f.toDouble * f))
+        graft.operators.VectorOps.dot(col("vec"), typedLit(cv.toSeq)) /
+          (graft.operators.VectorOps.norm(col("vec")) * lit(n))
+      }
+      corpus.select(greatest(entries: _*).as("best"))
+        .agg(avg("best")).collect()(0).getDouble(0)
+    }
+    val t1 = Similarity.trainKMeans(corpus, "id", "vec", 16, 64, 2)
+    val t2 = Similarity.trainKMeans(corpus, "id", "vec", 16, 64, 2)
+    assert(t1.map(_._1) == t2.map(_._1))
+    assert(t1.zip(t2).forall { case ((_, a), (_, b)) => a.sameElements(b) },
+      "two training runs must produce bit-identical centroids")
+    val seed = corpus.orderBy("id").limit(16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    assert(cost(t1) >= cost(seed) - 1e-9,
+      "Lloyd rounds must not worsen mean best-centroid cosine")
+  }
+
   test("LSH near-dup pairs are a subset of brute force with useful recall") {
     import graft.operators.Dedup
     val brute = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding", 0.45)

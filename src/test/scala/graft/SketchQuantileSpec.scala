@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/**
+ * Mergeable histogram quantile sketch: merge losslessness (the HLL-union
+ * contract) and the rank-error bound (the estimate's bucket brackets the
+ * target rank, so error <= that bucket's population / one bucket width of
+ * value space).
+ */
+class SketchQuantileSpec extends GraftSuite {
+  private val dir = SparkTestBase.sf001
+  private val W = 500L
+  private lazy val events = Tables.load(spark, dir, "events")
+  private lazy val cents = round(col("value") * 100).cast("long")
+
+  test("merging per-group sketches == building one global sketch") {
+    val perType = Sketches.histBuild(events, cents, W, Seq("event_type"))
+    val merged = Sketches.histMerge(perType)
+    val direct = Sketches.histBuild(events, cents, W)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("quantile estimates bracket the target rank (error <= one bucket)") {
+    val merged = Sketches.histMerge(
+      Sketches.histBuild(events, cents, W, Seq("event_type")))
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val est = Sketches.histQuantiles(merged, qs, W).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est.keySet == qs.toSet)
+    val vals = events.select(cents.as("c")).collect().map(_.getLong(0)).sorted
+    val n = vals.length.toLong
+    qs.foreach { q =>
+      val (e, nOut) = est(q)
+      assert(nOut == n)
+      val target = math.ceil(q * n).toLong
+      // est is the upper edge of the first bucket reaching the target
+      // rank: at least `target` values lie at or below it, and fewer than
+      // `target` lie below the bucket's lower edge.
+      assert(vals.count(_ < e) >= target, s"q=$q: est $e too low")
+      assert(vals.count(_ < e - W) < target, s"q=$q: est $e too high")
+    }
+  }
+}

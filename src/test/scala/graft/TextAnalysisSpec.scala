@@ -76,6 +76,45 @@ class TextAnalysisSpec extends GraftSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("chunkByTokens: full coverage, exact overlap, short-doc edge cases") {
+    import spark.implicits._
+    val docs = Tables.load(spark, SparkTestBase.sf001, "documents")
+      .select("doc_id", "text")
+      .unionAll(Seq((9001L, "one"), (9002L, (1 to 20).map(i => s"t$i").mkString(" ")),
+        (9003L, (1 to 21).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"))
+    val chunks = graft.operators.TextAnalysis
+      .chunkByTokens(docs, "doc_id", "text", 20, 10).collect()
+      .groupBy(_.getLong(0))
+    val nToks = docs.select(col("doc_id"), size(split(col("text"), " ")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    nToks.foreach { case (id, n) =>
+      val cs = chunks(id).sortBy(_.getLong(1))
+      // chunk_ids are 0..k-1; starts advance by exactly the stride.
+      assert(cs.map(_.getLong(1)).toSeq == cs.indices.map(_.toLong))
+      assert(cs.map(_.getLong(2)).toSeq == cs.indices.map(_ * 10L))
+      // Full coverage: the last chunk reaches the final token, and no
+      // chunk is empty; n_toks matches the reassembled text.
+      val last = cs.last
+      assert(last.getLong(2) + last.getLong(3) == n, s"doc $id coverage")
+      cs.foreach { c =>
+        assert(c.getLong(3) >= 1 && c.getLong(3) <= 20)
+        assert(c.getString(4).split(" ").length == c.getLong(3))
+      }
+      // A <= 20-token doc is exactly one chunk; 21 tokens is two.
+      if (n <= 20) assert(cs.length == 1)
+      if (id == 9003L) assert(cs.length == 2)
+      // Interior consecutive chunks overlap by window - stride tokens.
+      cs.sliding(2).foreach {
+        case Array(a, b) =>
+          val aToks = a.getString(4).split(" ")
+          val bToks = b.getString(4).split(" ")
+          assert(aToks.drop(10).sameElements(bToks.take(aToks.length - 10)),
+            s"doc $id: overlap mismatch between ${a.getLong(1)} and ${b.getLong(1)}")
+        case _ =>
+      }
+    }
+  }
+
   test("codegen CharGrams/WordShingles == interpreted HOF forms") {
     import graft.operators.TextHash
     // Real corpus plus the edge shapes: empty text, shorter-than-n,
