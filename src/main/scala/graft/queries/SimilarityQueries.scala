@@ -65,8 +65,11 @@ object SimilarityQueries {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val centroids = Similarity.trainKMeans(corpus, "id", "vec",
-        KmK, Dim, KmIters)
+      // Train on a deterministic 1-in-4 id sample — the documented
+      // corpus-scale recipe (Lloyd on a sample, full corpus only touched
+      // by the final nprobe=1 assignment); the oracle samples identically.
+      val centroids = Similarity.trainKMeans(
+        corpus.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
       Similarity.ivfTopK(corpus, qs, 5, centroids, 3)
         .withColumnRenamed("rank", "rnk")
     },
@@ -108,14 +111,14 @@ object SimilarityQueries {
     * cosine (ties -> lower cid, matching Spark's struct sort) and rebuilds
     * centroids from the same exact floor(x * 2^20) integer sums
     * Similarity.trainKMeans accumulates, rounded once to FLOAT. */
-  private def duckKMeansCtes(k: Int, iters: Int): String = {
-    val init = s"cent0 AS (SELECT id AS cid, v AS cv FROM corp ORDER BY id LIMIT $k)"
+  private def duckKMeansCtes(k: Int, iters: Int, rel: String = "corp"): String = {
+    val init = s"cent0 AS (SELECT id AS cid, v AS cv FROM $rel ORDER BY id LIMIT $k)"
     val rounds = (1 to iters).map { r =>
       s"""a$r AS (SELECT id, v, cid FROM (
          |  SELECT c.id, c.v, ct.cid,
          |    ROW_NUMBER() OVER (PARTITION BY c.id
          |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
-         |  FROM corp c, cent${r - 1} ct) t WHERE rn = 1),
+         |  FROM $rel c, cent${r - 1} ct) t WHERE rn = 1),
          |s$r AS (SELECT cid, u.j,
          |    SUM(CAST(floor(v[u.j+1]::DOUBLE * 1048576.0) AS BIGINT)) AS sm,
          |    COUNT(*) AS n
@@ -157,7 +160,8 @@ object SimilarityQueries {
          |  FROM embeddings WHERE vec_id >= 20),
          |qs AS (SELECT vec_id AS qid, embedding AS qv
          |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
-         |${duckKMeansCtes(KmK, KmIters)},
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
          |cent AS (SELECT cid, cv FROM cent$KmIters),
          |lists AS (SELECT id, cid FROM (
          |  SELECT corp.id, cent.cid,
