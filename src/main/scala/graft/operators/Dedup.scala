@@ -311,11 +311,17 @@ object Dedup {
    */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
       paras: Column): DataFrame = {
+    // The explicit hash repartition on ph makes the exploded/hashed
+    // paragraphs a SHARED shuffle: the stats aggregate and the join both
+    // consume it (exchange reuse) instead of re-running the paragraphize
+    // + md5 scan per consumer, and both sides arrive at the join already
+    // partitioned by ph. No number is pinned, so AQE still sizes it.
     val exploded = docs
       .select(col(idCol).as("doc_id"), posexplode(paras))
       .withColumnRenamed("pos", "para_idx")
       .withColumnRenamed("col", "para")
       .withColumn("ph", md5(col("para")))
+      .repartition(col("ph"))
     val stats = exploded.groupBy("ph").agg(
       countDistinct(col("doc_id")).as("df"),
       min(struct(col("doc_id"), col("para_idx"))).as("keeper"))

@@ -54,12 +54,16 @@ object Similarity {
     }
   }
 
-  /** Integer SRP bucket code of `vec` for one table's plane set. */
+  /** Integer SRP bucket code of `vec` for one table's plane set. Each
+    * projection is the codegen'd FloatVecDot against the plane as a FLOAT
+    * literal array — +-1.0 is exact in float, each term promotes to the
+    * identical double product, and the fold order matches, so this is
+    * bit-identical to the interpreted `aggregate(zip_with(...))` form it
+    * replaced (which burned interpreted-lambda overhead per element on
+    * every vector x table x plane). */
   def srpCode(vec: Column, tablePlanes: Array[Array[Double]]): Column =
     tablePlanes.zipWithIndex.map { case (plane, p) =>
-      val proj = aggregate(
-        zip_with(vec, typedLit(plane.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = VectorOps.dot(vec, typedLit(plane.map(_.toFloat).toSeq))
       when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
