@@ -81,6 +81,51 @@ object TextAnalysis {
   }
 
   /**
+   * BM25 ranked retrieval for a bounded keyword query — the classic
+   * corpus-search scoring (Robertson/Sparck Jones):
+   *
+   *   score(d) = sum over query terms of
+   *     idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+   *   idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+   *
+   * Scale shape: per-term tf is a NARROW per-row filter count (query terms
+   * are a handful of literals — no token explode, no shuffle); N/avgdl/df
+   * are one constant-size aggregate broadcast back as a 1-row cross join;
+   * the final top-k is a TakeOrdered (no global sort materialization).
+   * The only data-sized movement is the corpus scan itself.
+   *
+   * Scores are rounded to 6 decimals: ln() is the one operation here
+   * whose last ulp may differ across engines' libm.
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: need at least one query term")
+    val tk = toks(col(textCol))
+    val withTf = docs.select(
+      (col(idCol).as("doc_id") +: size(tk).cast("double").as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(tk, x => x === lit(t))).cast("double").as(s"tf$i")
+        }): _*)
+    val statAggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val score = queryTerms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      val tf = col(s"tf$i")
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .where(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Overlapping token-window document chunking — the training-prep / RAG
    * staple: chunk i covers tokens [i*stride, i*stride + window), so
    * consecutive chunks share `window - stride` tokens. Chunks tile the
@@ -114,6 +159,31 @@ object TextAnalysis {
         concat_ws(" ", slice(col("tk"), col("col") * stride + 1, lit(window)))
           .as("chunk_text"))
   }
+
+  // ---- PII / URL scrubbing -------------------------------------------------
+
+  /** Redaction patterns, deliberately kept inside the regex subset that
+    * Java regex and RE2 (DuckDB, Go, many scanners) interpret identically:
+    * character classes, counted repetition, alternation — no backrefs, no
+    * lookaround. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Occurrences of a redaction pattern (narrow per-row count). */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Compliance scrub: replaces URLs, then emails, then phone numbers with
+    * typed placeholder tokens (URL first — emails/digits inside a URL
+    * belong to it). A narrow per-row map; at corpus scale this is a free
+    * rider on whatever scan already touches the text. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
 
   /** Polynomial rolling hash of the whole text: fold (acc*31 + codepoint)
     * mod 2147483647 — a native codegen expression

@@ -21,6 +21,26 @@ object TextEventsQueries {
     Tables.load(s, dir, "events")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII scrub: the fixture corpus carries no PII, so the gate PLANTS a
+    // deterministic email/URL/phone per document (same construction in
+    // the oracle), then counts and redacts them. md5 of the redacted text
+    // is the whole-string witness.
+    "text_pii_redact" -> { (s, dir) =>
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com see "),
+        lit("https://ex.com/d"), col("doc_id"), lit(" or 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.piiCount(aug, TextAnalysis.EmailRe).as("n_emails"),
+        TextAnalysis.piiCount(aug, TextAnalysis.UrlRe).as("n_urls"),
+        TextAnalysis.piiCount(aug, TextAnalysis.PhoneRe).as("n_phones"),
+        md5(TextAnalysis.redactPii(aug)).as("redacted_md5"))
+    },
+    // BM25 ranked retrieval over the corpus for a 3-term keyword query.
+    "text_bm25_topk" -> { (s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window", "customer"), 15)
+    },
     // Overlapping token-window chunking (RAG/training prep): 20-token
     // windows, stride 10 (50% overlap), full-coverage tiling.
     "text_chunking" -> { (s, dir) =>
@@ -134,6 +154,40 @@ object TextEventsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_pii_redact" -> {
+      import graft.operators.TextAnalysis.{EmailRe, PhoneRe, UrlRe}
+      s"""WITH a AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com see ' ||
+         |  'https://ex.com/d' || doc_id || ' or 555-123-' ||
+         |  lpad((doc_id % 10000)::VARCHAR, 4, '0') AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '$UrlRe')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$UrlRe', '<URL>', 'g'),
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+         |FROM a""".stripMargin
+    },
+    "text_bm25_topk" -> {
+      val terms = Seq("spark", "window", "customer")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1) * tf$i * 2.2" +
+          s" / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks)::DOUBLE AS dl, $tfs FROM t),
+         |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl, $dfs FROM f),
+         |sc AS (SELECT doc_id, round($score, 6) AS score FROM f, st)
+         |SELECT doc_id, score FROM sc WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    },
     "text_chunking" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |c AS (SELECT doc_id, u.i AS chunk_id, u.i*10 AS start_tok,

@@ -115,6 +115,49 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("bm25TopK: scores positive/descending, term presence required") {
+    import spark.implicits._
+    val docs = Tables.load(spark, SparkTestBase.sf001, "documents")
+    val top = graft.operators.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("spark", "window"), 10).collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // A doc containing a query term many times outranks one with few: the
+    // synthetic heavy doc must land at rank 1.
+    val heavy = Seq((9001L, Array.fill(30)("spark").mkString(" ")))
+      .toDF("doc_id", "text")
+    val top2 = graft.operators.TextAnalysis.bm25TopK(
+      docs.select("doc_id", "text").unionAll(heavy),
+      "doc_id", "text", Seq("spark"), 3).collect()
+    assert(top2.head.getLong(0) == 9001L)
+  }
+
+  test("redactPii removes every planted email/url/phone, counts exact") {
+    import spark.implicits._
+    val df = Seq(
+      ("mail me at bob.smith+x@my-host.org today", 1L, 0L, 0L),
+      ("docs at https://ex.com/a?q=1 and http://b.io/z", 0L, 2L, 0L),
+      ("call 555-123-4567 x2 but not 55-123-4567", 0L, 0L, 1L),
+      ("no pii here", 0L, 0L, 0L))
+      .toDF("text", "ne", "nu", "np")
+    import graft.operators.TextAnalysis._
+    val bad = df.where(
+      piiCount(col("text"), EmailRe) =!= col("ne") ||
+        piiCount(col("text"), UrlRe) =!= col("nu") ||
+        piiCount(col("text"), PhoneRe) =!= col("np") ||
+        piiCount(redactPii(col("text")), EmailRe) =!= 0L ||
+        piiCount(redactPii(col("text")), UrlRe) =!= 0L ||
+        piiCount(redactPii(col("text")), PhoneRe) =!= 0L)
+    assert(bad.isEmpty, bad.collect().mkString("; "))
+    val red = df.select(redactPii(col("text")).as("r")).collect().map(_.getString(0))
+    assert(red(0) == "mail me at <EMAIL> today")
+    assert(red(1) == "docs at <URL> and <URL>")
+    assert(red(2) == "call <PHONE> x2 but not 55-123-4567")
+    assert(red(3) == "no pii here")
+  }
+
   test("codegen CharGrams/WordShingles == interpreted HOF forms") {
     import graft.operators.TextHash
     // Real corpus plus the edge shapes: empty text, shorter-than-n,
