@@ -23,8 +23,8 @@ object DedupQueries {
   // md5-derived base hash per shingle; permutations are the same universal
   // hash (a_p*h + b_p) % p the Spark operator uses, coefficient literals
   // generated from Dedup.minhashCoeffs.
-  private val duckShingles =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  private def duckShinglesFrom(rel: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $rel),
       |sh AS (SELECT doc_id,
       |  list_distinct(CASE WHEN len(t) >= 3
       |    THEN list_transform(range(len(t) - 2),
@@ -35,8 +35,10 @@ object DedupQueries {
       |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
       |  FROM sh)""".stripMargin
 
-  private lazy val minhashPairsOracle: String =
-    s"""$duckShingles,
+  private val duckShingles = duckShinglesFrom("documents")
+
+  private def minhashPairsOracleFrom(rel: String): String =
+    s"""${duckShinglesFrom(rel)},
        |sig AS (SELECT doc_id, shingles,
        |  list_transform(range(32), p -> list_min(list_transform(hs,
        |    h -> (($duckA)[p + 1] * h + ($duckB)[p + 1]) % 2147483647)))
@@ -57,6 +59,36 @@ object DedupQueries {
        |WHERE len(list_intersect(a.shingles, b.shingles)) >=
        |      (len(a.shingles) + len(b.shingles)
        |       - len(list_intersect(a.shingles, b.shingles))) * 0.5""".stripMargin
+
+  private lazy val minhashPairsOracle: String =
+    minhashPairsOracleFrom("documents")
+
+  /** Exact-dedup survivors (min id per content hash). */
+  private val duckExactKeep =
+    "SELECT MIN(doc_id) FROM documents GROUP BY md5(text)"
+
+  /** Paragraph-boilerplate survivors among the exact-dedup survivors:
+    * mirrors Pipeline.cleanCorpus stage 2 (window 15, frac <= 0.6). */
+  private val duckParaFilter: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents WHERE doc_id IN ($duckExactKeep)),
+       |p AS (SELECT doc_id, array_to_string(
+       |        toks[u.i*15+1 : u.i*15+15], ' ') AS para
+       |      FROM w CROSS JOIN
+       |        unnest(range(0, (SELECT (MAX(len(toks))+14)//15 FROM w))) u(i)
+       |      WHERE u.i*15 < len(toks)),
+       |pst AS (SELECT para, count(DISTINCT doc_id) AS df FROM p GROUP BY para),
+       |pagg AS (SELECT p.doc_id, COUNT(*) AS np,
+       |           SUM(CASE WHEN s.df > 1 THEN 1 ELSE 0 END) AS nd
+       |         FROM p JOIN pst s ON p.para = s.para GROUP BY p.doc_id)
+       |SELECT doc_id FROM pagg WHERE nd <= np * 0.6""".stripMargin
+
+  /** The corpus Pipeline.cleanCorpus stage 3 sees: exact survivors that
+    * passed the paragraph-boilerplate filter. */
+  private val duckStage2Rel: String =
+    s"""(SELECT * FROM documents
+       | WHERE doc_id IN ($duckExactKeep)
+       |   AND doc_id IN ($duckParaFilter)) s2src""".stripMargin
 
   /** DuckDB losers set for min-label connected components, exact for ANY
     * pair graph (recursive transitive closure): an id is dropped iff some
@@ -144,11 +176,10 @@ object DedupQueries {
             .as("boilerplate_frac"),
           col("clean_text"))
     },
-    // End-to-end cleaning pipeline: exact dedup -> minhash near-dup ->
-    // quality >= 0.7 -> langid != 'und'. Oracle replays each stage (the
-    // fixtures have no exact dups, so the near-dup stage sees the full
-    // corpus on both sides; the exact stage's keep-min-id is still
-    // replayed for faithfulness).
+    // End-to-end cleaning pipeline: exact dedup -> paragraph-boilerplate
+    // filter (frac <= 0.6) -> minhash near-dup -> quality >= 0.7 ->
+    // langid != 'und'. Oracle replays every stage, including the minhash
+    // pass running only over the boilerplate-filtered survivors.
     "pipeline_clean_corpus" -> { (s, dir) =>
       graft.operators.Pipeline.cleanCorpus(docs(s, dir), "doc_id", "text")
         .select("doc_id")
@@ -241,10 +272,11 @@ object DedupQueries {
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""SELECT doc_id FROM documents
-         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+         |WHERE doc_id IN ($duckExactKeep)
+         |  AND doc_id IN ($duckParaFilter)
          |  AND doc_id NOT IN (
          |${duckComponentLosers(
-             s"SELECT id_a, id_b FROM (\n$minhashPairsOracle\n) mp")}
+             s"SELECT id_a, id_b FROM (\n${minhashPairsOracleFrom(duckStage2Rel)}\n) mp")}
          |)
          |  AND ${TextEventsQueries.duckQualityExpr} >= 0.7
          |  AND (${TextEventsQueries.duckLangCase}) != 'und'""".stripMargin,
