@@ -57,6 +57,30 @@ object TextGramsUtil {
   def wordShingles(text: UTF8String, k: Int): ArrayData =
     toUtf8Array(wordShingleSet(text, k))
 
+  /** EVERY word k-gram in order, duplicates kept (the LM-counts contract,
+    * unlike the dedup shingles' distinct set); a doc shorter than k words
+    * has no k-gram and yields an empty array. */
+  def wordGramsAll(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Full MinHash signature in one narrow call: for every distinct word
     * k-shingle, h = hash60 % p, then sig[j] = min (a_j*h + b_j) % p —
     * identical arithmetic to the explode + 32-way min-aggregate form, but
@@ -289,6 +313,26 @@ case class WordShingles(child: Expression, k: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextGramsUtil.wordShingles($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `word_grams_all(text, k)` — every word k-gram in order, duplicates
+  * kept (LM counts need occurrences, not the dedup shingle SET). Same
+  * codegen-static-helper shape as WordShingles. */
+case class WordGramsAll(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams_all"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextGramsUtil.wordGramsAll(t.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextGramsUtil.wordGramsAll($c, $k);")
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -160,6 +160,35 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /**
+   * N-gram language-model counts — the classic LM training-prep table:
+   * one row per (n-1 word prefix, next word) with its occurrence count
+   * (every occurrence counts, unlike the dedup shingles). `minCount`
+   * prunes the singleton tail, the standard LM vocabulary trim.
+   *
+   * Scale: one narrow explode (~tokens per row), one count aggregate with
+   * map-side partials keyed by (prefix, next) — the same shape at any
+   * corpus size; minCount keeps the output table from being dominated by
+   * hapax n-grams.
+   */
+  def ngramNextCounts(docs: DataFrame, textCol: String, n: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(n >= 2, "ngramNextCounts: n >= 2 (need a prefix and a next)")
+    // Grams come from the WordGramsAll codegen expression (one narrow
+    // call per row — the interpreted struct-building transform lambda it
+    // replaced dominated this operator's runtime); the prefix/next split
+    // is two codegen'd substring_index calls per gram.
+    val grams = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.WordGramsAll(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+          col(textCol)), n))
+    docs.select(explode(grams).as("g"))
+      .groupBy(substring_index(col("g"), " ", n - 1).as("prefix"),
+        substring_index(col("g"), " ", -1).as("next"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   // ---- PII / URL scrubbing -------------------------------------------------
 
   /** Redaction patterns, deliberately kept inside the regex subset that

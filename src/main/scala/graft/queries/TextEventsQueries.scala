@@ -21,6 +21,10 @@ object TextEventsQueries {
     Tables.load(s, dir, "events")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Trigram LM counts: (2-word prefix, next word, occurrences >= 2).
+    "text_lm_trigrams" -> { (s, dir) =>
+      TextAnalysis.ngramNextCounts(docs(s, dir), "text", 3, 2L)
+    },
     // PII scrub: the fixture corpus carries no PII, so the gate PLANTS a
     // deterministic email/URL/phone per document (same construction in
     // the oracle), then counts and redacts them. md5 of the redacted text
@@ -154,6 +158,15 @@ object TextEventsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_lm_trigrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT array_to_string(tk[u.i+1 : u.i+2], ' ') AS prefix,
+        |        tk[u.i+3] AS next
+        |      FROM t CROSS JOIN
+        |        unnest(range(0, (SELECT MAX(len(tk)) - 2 FROM t))) u(i)
+        |      WHERE u.i <= len(tk) - 3)
+        |SELECT prefix, next, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY prefix, next HAVING COUNT(*) >= 2""".stripMargin,
     "text_pii_redact" -> {
       import graft.operators.TextAnalysis.{EmailRe, PhoneRe, UrlRe}
       s"""WITH a AS (SELECT doc_id,

@@ -17,7 +17,9 @@ class PlanAuditSpec extends GraftSuite {
     "events_funnel", // 1-row x 1-row scalar combine
     // Quantile reads crossJoin the CONSTANT-SIZE sketch (its whole point)
     // with a 1-row total and a handful of q literals — never data-scale.
-    "agg_quantile_sketch")
+    "agg_quantile_sketch",
+    // BM25 broadcasts its 1-row (n, avgdl, df...) stats to every doc row.
+    "text_bm25_topk")
 
   // Streaming queries plan at runtime; generator-only queries scan nothing.
   private val skip = Set("stream_hourly", "stream_dedup_pairs",
