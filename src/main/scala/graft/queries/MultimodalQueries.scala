@@ -28,6 +28,26 @@ object MultimodalQueries {
       .as[MediaRecord]
   }
 
+  /** 30-minute-gap sessionization oracle (lag/cumsum form) — shared by
+    * the session_window gate, the batch custom-state sessionizer, and its
+    * live streaming run. */
+  private val duckSessionsSql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |g AS (SELECT user_id, ts,
+      |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |      FROM e),
+      |f AS (SELECT user_id, ts,
+      |        CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS ns
+      |      FROM g),
+      |s AS (SELECT user_id, ts,
+      |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM f)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   /** Shared oracle CTE: per-document gradient-image geometry. */
   private val duckDims =
     """dims AS (SELECT doc_id, n_chars % 33 + 16 AS w, n_chars % 24 + 8 AS h,
@@ -86,6 +106,20 @@ object MultimodalQueries {
     // flatMapGroupsWithState sessionizer == session_window oracle.
     "stream_state_sessions" -> { (s, dir) =>
       EventStream.sessionsViaState(Tables.load(s, dir, "events"))
+        .select(col("userId").as("user_id"),
+          timestamp_micros(col("sessionStartUs")).as("session_start"),
+          col("nEvents").as("n_events"))
+    },
+    // The STREAMING sessionizer run live: GroupState + event-time timeout,
+    // flushed by the far-future sentinel advancing the watermark — must
+    // equal the same batch session oracle.
+    "stream_state_sessions_live" -> { (s, dir) =>
+      EventStream.runToMemory(s,
+          EventStream.sessionsViaStateStream(
+            EventStream.eventsStreamWithSentinel(s, dir), "1 minute"),
+          s"stream_sess_live_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .where(col("userId") >= 0)
         .select(col("userId").as("user_id"),
           timestamp_micros(col("sessionStartUs")).as("session_start"),
           col("nEvents").as("n_events"))
@@ -168,41 +202,14 @@ object MultimodalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "stream_session_window" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |g AS (SELECT user_id, ts,
-        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |      FROM e),
-        |f AS (SELECT user_id, ts,
-        |        CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
-        |             THEN 1 ELSE 0 END AS ns
-        |      FROM g),
-        |s AS (SELECT user_id, ts,
-        |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |      FROM f)
-        |SELECT user_id, MIN(ts) AS session_start,
-        |  CAST(COUNT(*) AS BIGINT) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "stream_session_window" -> duckSessionsSql,
     "stream_gen_source" ->
       ("SELECT CAST(10000 AS BIGINT) AS n, TRUE AS ids_ok, " +
         "TRUE AS bounds_ok"),
-    "stream_state_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |g AS (SELECT user_id, ts,
-        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |      FROM e),
-        |f AS (SELECT user_id, ts,
-        |        CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
-        |             THEN 1 ELSE 0 END AS ns
-        |      FROM g),
-        |s AS (SELECT user_id, ts,
-        |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |      FROM f)
-        |SELECT user_id, MIN(ts) AS session_start,
-        |  CAST(COUNT(*) AS BIGINT) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "stream_state_sessions" -> duckSessionsSql,
+    // Identical oracle: the live streaming run (state + timeout flush)
+    // must reproduce the batch sessionization exactly.
+    "stream_state_sessions_live" -> duckSessionsSql,
     "stream_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "stream_stream_join" ->

@@ -43,6 +43,36 @@ object EventStream {
         "user_id", "event_type", "value", "props")
   }
 
+  /** Like [[eventsStream]], plus one far-future SENTINEL event (user -1,
+    * year 2100): after the fixture's rows are processed, the sentinel
+    * advances the watermark past every open session's timeout, so an
+    * event-time-timeout operator flushes ALL its state — the trick that
+    * lets a finite fixture exercise the genuinely-streaming flush path
+    * end to end (filter user_id >= 0 from results). */
+  def eventsStreamWithSentinel(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    val streamDir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_sent_${src.toString.hashCode.toHexString}")
+    if (!Files.exists(streamDir)) {
+      Files.createDirectories(streamDir)
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
+      import spark.implicits._
+      val sentinelNs = 4102444800L * 1000000000L // 2100-01-01 in nanos
+      val tmp = Files.createTempDirectory("graft_sentinel")
+      Seq((-1L, sentinelNs, -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, streamDir.resolve("z_sentinel.parquet"))
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
+        "user_id", "event_type", "value", "props")
+  }
+
   /** Hourly tumbling-window counts + value sums per event type. Works on
     * both batch and streaming inputs; with a stream, pair with the
     * `complete`/`update` output mode (or `append` + watermark). */

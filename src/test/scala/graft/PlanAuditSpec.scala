@@ -23,7 +23,7 @@ class PlanAuditSpec extends GraftSuite {
 
   // Streaming queries plan at runtime; generator-only queries scan nothing.
   private val skip = Set("stream_hourly", "stream_dedup_pairs",
-    "stream_stream_join", "stream_gen_source")
+    "stream_stream_join", "stream_gen_source", "stream_state_sessions_live")
 
   test("no query plans a CartesianProduct; nested-loop only where intended") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
