@@ -91,6 +91,42 @@ object Sketches {
   def histMerge(sketches: DataFrame): DataFrame =
     sketches.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
 
+  // ---- KLL quantile sketch (DataSketches) ---------------------------------
+
+  /** One KLL(k) sketch built per PARTITION, then all partials merged into
+    * a single sketch returned to the driver as a plan-sized constant
+    * (a few KB — the same "tiny aggregate to driver" contract as trained
+    * k-means centroids). This is the textbook distributed-KLL shape: the
+    * per-partition build touches each value once with no shuffle; only
+    * sketch bytes move. KLL gives the a-priori guarantee the plain
+    * histogram sketch lacks: normalized rank error ~1.65% at k=200 with
+    * 99% confidence, independent of the value distribution. KLL is a
+    * RANDOMIZED algorithm (compaction coin-flips), so gates on it are
+    * property checks, not exact hashes. Uses org.apache.datasketches
+    * (bundled with Spark 4 — the same jar behind hll_sketch_agg). */
+  def kllFromValues(values: org.apache.spark.sql.Dataset[java.lang.Double],
+      k: Int): org.apache.datasketches.kll.KllDoublesSketch = {
+    import values.sparkSession.implicits._
+    val partials = values.mapPartitions { it =>
+      val sk = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+      it.foreach(v => if (v != null) sk.update(v.doubleValue()))
+      Iterator.single(sk.toByteArray)
+    }.collect()
+    kllMergeBytes(partials, k)
+  }
+
+  /** Merges serialized KLL sketches (the cross-partition / cross-group /
+    * cross-day union — lossless in the KLL error model). */
+  def kllMergeBytes(sketches: Seq[Array[Byte]], k: Int)
+      : org.apache.datasketches.kll.KllDoublesSketch = {
+    val u = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+    sketches.foreach { b =>
+      u.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b)))
+    }
+    u
+  }
+
   /** Quantile estimates from a merged sketch: for each q, the upper edge
     * (in cents) of the first bucket whose cumulative count reaches rank
     * ceil(q * n). The window/crossJoin run over the SKETCH (constant

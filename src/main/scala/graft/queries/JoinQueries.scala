@@ -133,6 +133,40 @@ object JoinQueries {
       val merged = Sketches.histMerge(perType)
       Sketches.histQuantiles(merged, Seq(0.1, 0.5, 0.9, 0.99), 500L)
     },
+    // KLL quantile sketch (DataSketches, randomized): per-partition build,
+    // per-event-type sketches merged, both checked against EXACT ranks
+    // within the k=200 error bound (property gate — KLL's compaction
+    // coin-flips make an exact hash impossible by design).
+    "agg_kll_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val direct = Sketches.kllFromValues(
+        ev.select(col("value").cast("double")).as[java.lang.Double], 200)
+      val groupBytes = ev
+        .select(col("event_type"), col("value").cast("double"))
+        .as[(String, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (_, it) =>
+          val sk = org.apache.datasketches.kll.KllDoublesSketch
+            .newHeapInstance(200)
+          it.foreach(r => sk.update(r._2))
+          sk.toByteArray
+        }.collect()
+      val merged = Sketches.kllMergeBytes(groupBytes.toSeq, 200)
+      val qs = Seq(0.1, 0.5, 0.9, 0.99)
+      val ests = qs.map(q => (q, direct.getQuantile(q), merged.getQuantile(q)))
+      val estDf = ests.toDF("q", "est_d", "est_m")
+      ev.crossJoin(broadcast(estDf))
+        .groupBy("q")
+        .agg(
+          (sum(when(col("value") <= col("est_d"), 1.0).otherwise(0.0)) /
+            count(lit(1))).as("rd"),
+          (sum(when(col("value") <= col("est_m"), 1.0).otherwise(0.0)) /
+            count(lit(1))).as("rm"))
+        .select(col("q"),
+          (abs(col("rd") - col("q")) <= 0.05).as("ok_direct"),
+          (abs(col("rm") - col("q")) <= 0.05).as("ok_merged"))
+    },
     // Custom typed UDAF: top-5 prices per return flag, exploded.
     "agg_topk" -> { (s, dir) =>
       TopKAggregator.register(s, 5)
@@ -189,6 +223,9 @@ object JoinQueries {
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |FROM l JOIN r USING (k)
         |GROUP BY o_orderstatus""".stripMargin,
+    "agg_kll_quantiles" ->
+      """SELECT q, TRUE AS ok_direct, TRUE AS ok_merged
+        |FROM unnest([0.1, 0.5, 0.9, 0.99]) t(q)""".stripMargin,
     "agg_quantile_sketch" ->
       """WITH cents AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
         |b AS (SELECT c // 500 AS bucket, COUNT(*) AS cnt FROM cents GROUP BY 1),

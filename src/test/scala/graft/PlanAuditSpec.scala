@@ -19,7 +19,9 @@ class PlanAuditSpec extends GraftSuite {
     // with a 1-row total and a handful of q literals — never data-scale.
     "agg_quantile_sketch",
     // BM25 broadcasts its 1-row (n, avgdl, df...) stats to every doc row.
-    "text_bm25_topk")
+    "text_bm25_topk",
+    // KLL property gate broadcasts 4 (q, estimate) rows to the rank check.
+    "agg_kll_quantiles")
 
   // Streaming queries plan at runtime; generator-only queries scan nothing.
   private val skip = Set("stream_hourly", "stream_dedup_pairs",

@@ -23,6 +23,33 @@ class SketchQuantileSpec extends GraftSuite {
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
 
+  test("KLL: rank error within bound; partition-merge == one-pass build model") {
+    import spark.implicits._
+    val vals = events.select(col("value").cast("double")).as[java.lang.Double]
+    val sk = Sketches.kllFromValues(vals, 200)
+    val sorted = events.select(col("value").cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    val n = sorted.length.toDouble
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = sk.getQuantile(q)
+      val rank = sorted.count(_ <= est) / n
+      assert(math.abs(rank - q) <= 0.05, s"q=$q est=$est rank=$rank")
+    }
+    assert(sk.getN == sorted.length, "every value must be observed exactly once")
+    // Mergeability: sketches of two halves merged cover the same stream.
+    val half = Sketches.kllMergeBytes(Seq(
+      Sketches.kllFromValues(events.where(col("event_id") % 2 === 0)
+        .select(col("value").cast("double")).as[java.lang.Double], 200).toByteArray,
+      Sketches.kllFromValues(events.where(col("event_id") % 2 === 1)
+        .select(col("value").cast("double")).as[java.lang.Double], 200).toByteArray),
+      200)
+    assert(half.getN == sorted.length)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val rank = sorted.count(_ <= half.getQuantile(q)) / n
+      assert(math.abs(rank - q) <= 0.05, s"merged q=$q rank=$rank")
+    }
+  }
+
   test("quantile estimates bracket the target rank (error <= one bucket)") {
     val merged = Sketches.histMerge(
       Sketches.histBuild(events, cents, W, Seq("event_type")))
