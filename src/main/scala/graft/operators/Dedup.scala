@@ -43,6 +43,27 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
+  /**
+   * Incremental exact dedup — the daily-ingestion form: an incoming batch
+   * is deduped against the HISTORICAL content-hash index (anti-join) and
+   * then within itself (keep the min id), returning only the genuinely
+   * new documents. The caller appends `md5(text)` of the survivors to the
+   * index for the next batch.
+   *
+   * Scale: one anti-join and one keep-first aggregate, both
+   * hash-partitioned by content hash — the index side never rewrites and
+   * at 100 TB lives as a bucketed/partitioned table on the same hash, so
+   * the anti-join co-locates instead of reshuffling history every day.
+   */
+  def incrementalExactKeepFirst(incoming: DataFrame, idCol: String,
+      textCol: String, seenHashes: DataFrame): DataFrame = {
+    val withHash = incoming.withColumn("__h", md5(col(textCol)))
+    val unseen = withHash.join(
+      seenHashes.select(col("content_hash").as("__h")), Seq("__h"), "left_anti")
+    val keep = unseen.groupBy("__h").agg(min(col(idCol)).as(idCol))
+    unseen.join(keep, Seq("__h", idCol), "left_semi").drop("__h")
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** The universal-hash prime (Mersenne 2^31 - 1): products a*h stay under

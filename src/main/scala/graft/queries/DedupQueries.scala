@@ -164,6 +164,22 @@ object DedupQueries {
       Dedup.embeddingNearDuplicates(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
     },
+    // Incremental (daily-ingestion) exact dedup: history = hashes of docs
+    // 0..249; the incoming batch mixes genuinely-new docs (250+),
+    // re-crawls of old content (ids+10000, dropped via the index), and
+    // in-batch duplicates (ids+20000, dropped by keep-first).
+    "dedup_incremental" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val seen = d.where(col("doc_id") < 250)
+        .select(md5(col("text")).as("content_hash"))
+      val incoming = d.where(col("doc_id") >= 250)
+        .unionAll(d.where(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 10000))
+        .unionAll(d.where(col("doc_id") >= 300 && col("doc_id") < 320)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      Dedup.incrementalExactKeepFirst(incoming, "doc_id", "text", seen)
+        .select("doc_id")
+    },
     // Paragraph-level dedup: 15-word-window paragraphs, cross-doc exact
     // dup detection, first-occurrence-wins cleaning. The fixture's planted
     // near-dup documents share long aligned stretches, so their windows
@@ -236,6 +252,19 @@ object DedupQueries {
         |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
         |             JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE p.inter >= (sa.n_grams + sb.n_grams - p.inter) * 0.5""".stripMargin,
+    "dedup_incremental" ->
+      """WITH seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 320),
+        |unseen AS (SELECT doc_id, md5(text) AS h FROM incoming
+        |           WHERE md5(text) NOT IN (SELECT h FROM seen))
+        |SELECT doc_id FROM unseen
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM unseen GROUP BY h)""".stripMargin,
     "dedup_paragraph" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |p AS (SELECT doc_id, u.i AS pidx,
