@@ -43,7 +43,13 @@ object Pipeline {
       .where(col("n_dup_paras").cast("double") <=
         col("n_paras") * maxBoilerplate)
       .select(col("doc_id").as(idCol))
+    // Checkpoint the surviving corpus before fuzzy dedup: the minhash
+    // band SELF-join (and its two shingle join-backs) would otherwise
+    // recompute the exact+boilerplate stages once per branch. At cluster
+    // scale this materialization is the inter-stage table a production
+    // pipeline writes anyway.
     val stage2 = exact.join(lowBoiler, Seq(idCol), "left_semi")
+      .localCheckpoint(true)
     // 3. Near-dup: LSH pairs on the surviving set, components, keep the
     //    representative.
     val pairs = Dedup.minhashNearDuplicates(stage2, idCol, textCol,
