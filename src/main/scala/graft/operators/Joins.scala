@@ -57,6 +57,41 @@ object Joins {
   }
 
   /**
+   * Forward as-of join: for every left row, attach the single right row
+   * with the SMALLEST `rightTs >= leftTs` in the same `keys` group — the
+   * "next event after" lookup ([[asofBackward]] mirrored; ties prefer the
+   * smallest `rightTieCols` tuple). Same composition and scale shape;
+   * `toleranceMs` bounds the forward window (`rightTs <= leftTs +
+   * tolerance`), which is what keeps the pre-rank fan-out linear-ish.
+   */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, leftId: String,
+      rightValueCols: Seq[String], toleranceMs: Long = -1L,
+      rightTieCols: Seq[String] = Seq.empty): DataFrame = {
+    val r = right.select(
+      keys.map(k => col(k).as(s"__k_$k")) ++
+        Seq(col(rightTs).as("__rts")) ++
+        rightTieCols.zipWithIndex.map { case (c, i) => col(c).as(s"__tie_$i") } ++
+        rightValueCols.map(c => col(c).as(s"r_$c")): _*)
+    val keyCond = keys.map(k => col(k) === col(s"__k_$k")).reduce(_ && _)
+    val timeCond =
+      if (toleranceMs >= 0)
+        col("__rts") >= col(leftTs) &&
+          col("__rts") <= col(leftTs) + expr(s"INTERVAL $toleranceMs MILLISECOND")
+      else col("__rts") >= col(leftTs)
+    val joined = left.join(r, keyCond && timeCond, "left")
+    val ordering = col("__rts").asc +:
+      rightTieCols.indices.map(i => col(s"__tie_$i").asc)
+    val w = Window.partitionBy(col(leftId)).orderBy(ordering: _*)
+    joined.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+      .drop(keys.map(k => s"__k_$k"): _*)
+      .drop(rightTieCols.indices.map(i => s"__tie_$i"): _*)
+      .withColumnRenamed("__rts", "asof_ts")
+  }
+
+  /**
    * Range (interval-containment) join: pairs every point row with every
    * range row satisfying `lo <= point <= hi`, WITHOUT a nested-loop or
    * cartesian plan.

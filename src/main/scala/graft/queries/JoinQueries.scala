@@ -44,6 +44,16 @@ object JoinQueries {
         .select(col("event_id"), col("user_id"),
           col("r_value").as("prev_click_value"))
     },
+    // Forward as-of: each error event picks up the NEXT click's value.
+    "join_asof_forward" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val errors = ev.where(col("event_type") === "error")
+      val clicks = ev.where(col("event_type") === "click")
+      Joins.asofForward(errors, clicks, Seq("user_id"), "ts", "ts",
+          "event_id", Seq("value"), rightTieCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("r_value").as("next_click_value"))
+    },
     // Salted join result == plain join result (the oracle runs plain).
     "join_salted" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -185,6 +195,11 @@ object JoinQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT e.event_id, e.user_id, c.value AS next_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts <= c.ts""".stripMargin,
     "join_range_bins" ->
       """SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
