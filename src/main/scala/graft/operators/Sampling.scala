@@ -42,6 +42,29 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /**
+   * Exactly-k-per-group deterministic sample (the eval-set / few-shot
+   * primitive): within each group, rows are ranked by their salted
+   * content hash (a stable uniform order) and the k smallest win. Unlike
+   * fraction sampling this guarantees the per-group count (groups with
+   * fewer than k rows keep all); adding new rows can only displace old
+   * picks, never reshuffle the ordering among survivors.
+   *
+   * Scale: one window shuffle keyed by the group column — no global sort,
+   * no collect; identical shape to any per-group top-k.
+   */
+  def kPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int, salt: String = "kpg"): DataFrame = {
+    require(k > 0, "kPerGroup: k must be positive")
+    val h = hash60(concat(lit(s"$salt:"), col(groupCol).cast("string"),
+      lit(":"), col(keyCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Keeps ~`fraction` of rows per stratum, deterministically: a row
     * survives iff its hash bucket < fraction * 10000 under a salt that
     * includes the stratum value. */

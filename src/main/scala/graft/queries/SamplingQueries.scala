@@ -23,6 +23,12 @@ object SamplingQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
     },
+    // Exactly-5-per-language deterministic sample (few-shot/eval picks).
+    "sample_k_per_group" -> { (s, dir) =>
+      Sampling.kPerGroup(Tables.load(s, dir, "documents"),
+          "doc_id", "lang", 5)
+        .select("lang", "doc_id")
+    },
     "rel_q28_math_funcs" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       // ceil/floor/sign return types differ across engines (Spark BIGINT/
@@ -78,6 +84,13 @@ object SamplingQueries {
         |WHERE b < (CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
         |           WHEN 'de' THEN 1000 WHEN 'fr' THEN 10000 ELSE 0 END)
         |GROUP BY lang""".stripMargin,
+    "sample_k_per_group" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5('kpg:' || lang || ':' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5""".stripMargin,
     "rel_q28_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_quantity - 25) AS a,
