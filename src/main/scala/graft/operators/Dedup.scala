@@ -298,12 +298,13 @@ object Dedup {
 
   /** Paragraphs as fixed `windowTokens`-word windows — the segmentation for
     * corpora without structural separators (single-line text). The last
-    * window may be short; an empty document yields an empty array (the
-    * guard matters: an unguarded `sequence(0, -1)` COUNTS DOWN). */
+    * window may be short; a blank document yields an empty array (matching
+    * [[paragraphizeBySep]]'s empty-filtering — note `split("", " ")` is
+    * `[""]`, one empty token, so a size guard alone wouldn't catch it). */
   def paragraphizeByWindow(text: Column, windowTokens: Int): Column = {
     require(windowTokens > 0, "windowTokens must be positive")
     val toks = split(text, " ")
-    when(size(toks) === 0, array().cast("array<string>"))
+    when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), floor((size(toks) - 1) / windowTokens).cast("int")),
         i => concat_ws(" ",

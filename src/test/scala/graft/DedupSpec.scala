@@ -105,6 +105,32 @@ class DedupSpec extends GraftSuite {
     assert(violating == 0)
   }
 
+  test("paragraphDedup edges: empty doc, all-boilerplate doc, keeper keeps one") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaa bbb ccc"),          // unique paragraph
+      (2L, "ddd eee fff"),          // duplicated across docs 2 and 3
+      (3L, "ddd eee fff"),          // fully boilerplate, loses to doc 2
+      (4L, ""),                     // empty text -> zero paragraphs
+      (5L, "ddd eee fff ggg hhh")   // shares doc 2's window? (window=3: "ddd eee fff" + "ggg hh")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "doc_id", "text",
+        Dedup.paragraphizeByWindow(col("text"), 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // Empty doc yields no paragraphs, so it has no output row (posexplode
+    // of an empty array) — callers needing it keep a left join.
+    assert(!out.contains(4L))
+    assert(out(1L) == ((1L, 0L, "aaa bbb ccc")))
+    // Doc 2 is the keeper of the shared paragraph: dup-counted but kept.
+    assert(out(2L) == ((1L, 1L, "ddd eee fff")))
+    // Doc 3 is pure boilerplate and not the keeper: cleaned to empty.
+    assert(out(3L) == ((1L, 1L, "")))
+    // Doc 5 shares the "ddd eee fff" window too (window boundaries align
+    // at multiples of 3): it drops that window, keeps its tail.
+    assert(out(5L) == ((2L, 1L, "ggg hhh")))
+  }
+
   test("docFreq cap: fraction-derived default == pinned cap at fixture scale") {
     // At 500 docs the floor (50) dominates, so the derived default must
     // reproduce the pinned-50 pair set exactly.
