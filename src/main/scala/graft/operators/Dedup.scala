@@ -249,13 +249,11 @@ object Dedup {
     * gram equi-join computes intersections directly; a document-frequency
     * cap drops stop-grams before the join — the skew guard that keeps
     * this linear-ish at corpus scale. `maxDocFreq = 0` (default) derives
-    * the cap from the corpus size via [[effectiveDocFreqCap]] (one cheap
-    * metadata-level count); pass an explicit positive cap to pin it. */
+    * the cap from the corpus size with [[effectiveDocFreqCap]]'s formula,
+    * computed lazily inside the plan; pass a positive cap to pin it. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
       maxDocFreq: Long = 0L): DataFrame = {
-    val cap =
-      if (maxDocFreq > 0) maxDocFreq else effectiveDocFreqCap(docs.count())
     val exploded = docs.select(col(idCol).as("doc_id"),
       explode(charGrams(col(textCol), n)).as("g"))
     // Two-phase document-frequency cap: count first (map-side partial
@@ -263,10 +261,21 @@ object Dedup {
     // single-phase collect_list + HAVING would buffer every stop-gram's
     // full posting list (millions of ids at corpus scale) before the
     // filter could drop it.
-    val keptGrams = exploded.groupBy("g")
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") <= cap)
-      .select("g")
+    val dfStats = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    val keptGrams = (if (maxDocFreq > 0) {
+      dfStats.where(col("df") <= maxDocFreq)
+    } else {
+      // Corpus-derived cap, computed INSIDE the plan (same formula as
+      // [[effectiveDocFreqCap]]): a 1-row count aggregate joined in as a
+      // broadcast scalar, so building this DataFrame runs no job —
+      // plan-only consumers stay metadata-only — and the count rides the
+      // same Spark job as the rest when it executes. The 1-row broadcast
+      // nested loop this plans to is constant-time at any corpus size.
+      val capDf = docs
+        .agg(greatest(lit(50L), ceil(count(lit(1)) * lit(0.001))).as("__cap"))
+      dfStats.crossJoin(broadcast(capDf))
+        .where(col("df") <= col("__cap"))
+    }).select("g")
     val kept = exploded.join(keptGrams, "g")
       .groupBy("g").agg(collect_list(col("doc_id")).as("ids"))
     // Jaccard over the KEPT (informative) grams only: sizes are computed

@@ -47,9 +47,11 @@ object Pipeline {
     // band SELF-join (and its two shingle join-backs) would otherwise
     // recompute the exact+boilerplate stages once per branch. At cluster
     // scale this materialization is the inter-stage table a production
-    // pipeline writes anyway.
+    // pipeline writes anyway. LAZY: it materializes with the first action
+    // on the result, so plan-only consumers (plan audits, .explain) don't
+    // execute the upstream dedup stages at construction time.
     val stage2 = exact.join(lowBoiler, Seq(idCol), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // 3. Near-dup: LSH pairs on the surviving set, components, keep the
     //    representative.
     val pairs = Dedup.minhashNearDuplicates(stage2, idCol, textCol,

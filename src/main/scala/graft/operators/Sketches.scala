@@ -60,9 +60,10 @@ object Sketches {
   // ---- Mergeable quantile sketch ------------------------------------------
 
   /**
-   * Fixed-width bucketed-histogram quantile sketch over a non-negative
-   * integer measure (e.g. money as cents): one (group..., bucket, cnt) row
-   * per populated bucket, bucket = value div widthCents.
+   * Fixed-width bucketed-histogram quantile sketch over an integer
+   * measure (e.g. money as cents, refunds included): one
+   * (group..., bucket, cnt) row per populated bucket,
+   * bucket = floorDiv(value, widthCents).
    *
    * This is the persistable, MERGEABLE companion to the per-query exact /
    * approx percentiles (rel_q26/q35): sketches built over partitions,
@@ -82,7 +83,13 @@ object Sketches {
   def histBuild(df: DataFrame, valueCents: org.apache.spark.sql.Column,
       widthCents: Long, grpCols: Seq[String] = Nil): DataFrame = {
     require(widthCents > 0, "histBuild: widthCents must be positive")
-    val b = floor(valueCents / widthCents).cast("long").as("bucket")
+    // Floor-division in pure integer arithmetic: subtracting pmod makes
+    // the numerator an exact multiple of the width, so the decimal divide
+    // is exact for the full Long range and negatives land in floor (not
+    // truncate-toward-zero) buckets — the same bucket function the DuckDB
+    // oracle replays.
+    val b = ((valueCents - pmod(valueCents, lit(widthCents)))
+      .cast("decimal(38,0)") / lit(widthCents)).cast("long").as("bucket")
     df.groupBy(grpCols.map(col) :+ (b: org.apache.spark.sql.Column): _*)
       .agg(count(lit(1)).as("cnt"))
   }

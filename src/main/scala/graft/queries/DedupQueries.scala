@@ -69,9 +69,13 @@ object DedupQueries {
 
   /** Paragraph-boilerplate survivors among the exact-dedup survivors:
     * mirrors Pipeline.cleanCorpus stage 2 (window 15, frac <= 0.6). */
+  // `trim(text) <> ''` mirrors Dedup.paragraphizeByWindow's blank-text
+  // branch (zero paragraphs); DuckDB string_split('', ' ') would otherwise
+  // fabricate one empty paragraph and keep the doc.
   private val duckParaFilter: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
-       |           FROM documents WHERE doc_id IN ($duckExactKeep)),
+       |           FROM documents WHERE doc_id IN ($duckExactKeep)
+       |             AND trim(text) <> ''),
        |p AS (SELECT doc_id, array_to_string(
        |        toks[u.i*15+1 : u.i*15+15], ' ') AS para
        |      FROM w CROSS JOIN
@@ -240,7 +244,9 @@ object DedupQueries {
         |    ELSE [text] END) AS g FROM documents),
         |ex AS (SELECT doc_id, unnest(g) AS gr FROM grams),
         |kept AS (SELECT gr, list(doc_id) AS ids FROM ex
-        |         GROUP BY gr HAVING count(*) <= 50),
+        |         GROUP BY gr HAVING count(*) <=
+        |           (SELECT greatest(50, CAST(ceil(0.001 * count(*)) AS BIGINT))
+        |            FROM documents)),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
         |          FROM (SELECT unnest(ids) AS doc_id FROM kept) GROUP BY doc_id),
         |e1 AS (SELECT unnest(ids) AS id_a, ids FROM kept),
@@ -266,7 +272,8 @@ object DedupQueries {
         |SELECT doc_id FROM unseen
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM unseen GROUP BY h)""".stripMargin,
     "dedup_paragraph" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE trim(text) <> ''),
         |p AS (SELECT doc_id, u.i AS pidx,
         |        array_to_string(toks[u.i*15+1 : u.i*15+15], ' ') AS para
         |      FROM w CROSS JOIN
@@ -283,9 +290,9 @@ object DedupQueries {
         |    AS n_dup_paras,
         |  sum(CASE WHEN s.df > 1 THEN 1 ELSE 0 END) / count(*)
         |    AS boilerplate_frac,
-        |  array_to_string(list(p.para ORDER BY p.pidx)
-        |      FILTER (s.df = 1 OR (p.doc_id = s.kd AND p.pidx = k.kidx)), ' ')
-        |    AS clean_text
+        |  COALESCE(array_to_string(list(p.para ORDER BY p.pidx)
+        |      FILTER (s.df = 1 OR (p.doc_id = s.kd AND p.pidx = k.kidx)), ' '),
+        |    '') AS clean_text
         |FROM p JOIN st s ON p.para = s.para
         |       JOIN ki k ON p.para = k.para
         |GROUP BY p.doc_id""".stripMargin,

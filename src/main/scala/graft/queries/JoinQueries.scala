@@ -16,6 +16,22 @@ object JoinQueries {
     * keyed by o_orderkey (unique — the hot key matches exactly one right
     * row, so the join stays linear and salted/AQE/plain variants are
     * comparable). Shared by the join_aqe_skew gate and AqeSkewSpec. */
+  /** Child session tuned so AQE's OptimizeSkewedJoin fires at fixture
+    * size: sort-merge forced, skew thresholds scaled down (at real scale
+    * the defaults behave the same). Single source of truth for the
+    * join_aqe_skew gate and AqeSkewSpec — retuning one retunes both. */
+  def skewTunedSession(spark: SparkSession): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    s2
+  }
+
   def skewedPair(lineitem: DataFrame, orders: DataFrame)
       : (DataFrame, DataFrame) = {
     // The round-robin repartition gives the join's key shuffle many map
@@ -68,20 +84,11 @@ object JoinQueries {
             .cast("double").as("revenue"))
     },
     // AQE skew join: ~75% of lineitem rows collapse onto one hot key; the
-    // query runs on a session tuned so AQE's OptimizeSkewedJoin actually
-    // splits the hot partition at fixture size (sort-merge forced, skew
-    // thresholds scaled down — at real scale the defaults do this). The
-    // oracle replays the join; AqeSkewSpec asserts the plan split and
-    // equality with the explicit saltedJoin.
+    // query runs on the shared skew-tuned session. The oracle replays the
+    // join; AqeSkewSpec asserts the plan split and equality with the
+    // explicit saltedJoin.
     "join_aqe_skew" -> { (s, dir) =>
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.adaptive.enabled", "true")
-      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
-      s2.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
-      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      val s2 = skewTunedSession(s)
       val (li, o) = (Tables.load(s2, dir, "lineitem"), Tables.load(s2, dir, "orders"))
       JoinQueries.skewedPair(li, o) match { case (l, r) =>
         l.join(r, "k")
@@ -190,16 +197,31 @@ object JoinQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Window-ranked instead of DuckDB's native ASOF JOIN: ASOF picks an
+    // UNSPECIFIED row among right rows tied on the minimal/maximal ts,
+    // while the Spark operator breaks ties on event_id — the oracle must
+    // pin the same total order or (user_id, ts) click collisions make the
+    // exact-hash gate engine-dependent.
     "join_asof_events" ->
-      """SELECT e.event_id, e.user_id, c.value AS prev_click_value
-        |FROM (SELECT * FROM events WHERE event_type = 'error') e
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+      """WITH ranked AS (
+        |  SELECT e.event_id, e.user_id, c.value,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON e.user_id = c.user_id AND c.ts <= e.ts)
+        |SELECT event_id, user_id, value AS prev_click_value
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "join_asof_forward" ->
-      """SELECT e.event_id, e.user_id, c.value AS next_click_value
-        |FROM (SELECT * FROM events WHERE event_type = 'error') e
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON e.user_id = c.user_id AND e.ts <= c.ts""".stripMargin,
+      """WITH ranked AS (
+        |  SELECT e.event_id, e.user_id, c.value,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                       ORDER BY c.ts ASC, c.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON e.user_id = c.user_id AND c.ts >= e.ts)
+        |SELECT event_id, user_id, value AS next_click_value
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "join_range_bins" ->
       """SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -243,7 +265,8 @@ object JoinQueries {
         |FROM unnest([0.1, 0.5, 0.9, 0.99]) t(q)""".stripMargin,
     "agg_quantile_sketch" ->
       """WITH cents AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
-        |b AS (SELECT c // 500 AS bucket, COUNT(*) AS cnt FROM cents GROUP BY 1),
+        |b AS (SELECT (c - ((c % 500 + 500) % 500)) // 500 AS bucket,
+        |             COUNT(*) AS cnt FROM cents GROUP BY 1),
         |cum AS (SELECT bucket, cnt,
         |    SUM(cnt) OVER (ORDER BY bucket) AS cum,
         |    SUM(cnt) OVER () AS n FROM b),

@@ -24,6 +24,42 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Builds a cached stream directory ATOMICALLY: the content is staged in
+    * a scratch dir and renamed into place in one move, so a crash or a
+    * failed build step can never leave a half-populated directory that
+    * every later JVM would skip-but-trust (the cache guard is
+    * exists-check-only). Losing an atomic-move race to a concurrent
+    * builder is fine — the winner's dir has identical content. */
+  private def ensureStreamDir(name: String)(
+      build: java.nio.file.Path => Unit): java.nio.file.Path = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val target = Paths.get(sys.props("java.io.tmpdir"), name)
+    if (!Files.exists(target)) {
+      val stage = Files.createTempDirectory(
+        Paths.get(sys.props("java.io.tmpdir")), s"${name}_stage")
+      try {
+        build(stage)
+        try Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          case _: java.nio.file.DirectoryNotEmptyException => ()
+        }
+      } finally deleteRecursively(stage)
+    }
+    target
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val st = Files.list(p)
+        try st.forEach(c => deleteRecursively(c)) finally st.close()
+      }
+      Files.deleteIfExists(p)
+    }
+  }
+
   /** Unbounded events stream from the parquet fixture (file source). The
     * file source requires a *directory*, so the single fixture file is
     * exposed through a symlinked temp dir (fixture shim only — a real
@@ -31,11 +67,9 @@ object EventStream {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, "events.parquet").toAbsolutePath
-    val streamDir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_${src.toString.hashCode.toHexString}")
-    if (!Files.exists(streamDir)) {
-      Files.createDirectories(streamDir)
-      Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
+    val streamDir = ensureStreamDir(
+      s"graft_stream_${src.toString.hashCode.toHexString}") { stage =>
+      Files.createSymbolicLink(stage.resolve("events.parquet"), src)
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(rawSchema).parquet(streamDir.toString)
@@ -52,20 +86,22 @@ object EventStream {
   def eventsStreamWithSentinel(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, "events.parquet").toAbsolutePath
-    val streamDir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_sent_${src.toString.hashCode.toHexString}")
-    if (!Files.exists(streamDir)) {
-      Files.createDirectories(streamDir)
-      Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
+    val streamDir = ensureStreamDir(
+      s"graft_stream_sent_${src.toString.hashCode.toHexString}") { stage =>
+      Files.createSymbolicLink(stage.resolve("events.parquet"), src)
       import spark.implicits._
       val sentinelNs = 4102444800L * 1000000000L // 2100-01-01 in nanos
       val tmp = Files.createTempDirectory("graft_sentinel")
-      Seq((-1L, sentinelNs, -1L, "click", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.copy(part, streamDir.resolve("z_sentinel.parquet"))
+      try {
+        Seq((-1L, sentinelNs, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val ls = Files.list(tmp)
+        val part =
+          try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally ls.close()
+        Files.copy(part, stage.resolve("z_sentinel.parquet"))
+      } finally deleteRecursively(tmp)
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(rawSchema).parquet(streamDir.toString)
@@ -188,13 +224,43 @@ object EventStream {
       }.toDF()
   }
 
+  /** All not-yet-final sessions of one user, carried in GroupState between
+    * micro-batches. Pending sessions are pairwise >= gap apart by
+    * construction; the list length is bounded by
+    * (watermark delay / session gap) + 1, so state stays O(1) per user. */
+  case class PendingSessions(sessions: List[OpenSession])
+
+  /** Merges new event times into a user's pending-session set: each event
+    * becomes a singleton interval, then adjacent intervals closer than the
+    * session gap merge (a late event can bridge — and thereby merge — two
+    * previously separate pending sessions, and extend a session's start
+    * downward). Equivalent to re-sessionizing the full event multiset,
+    * because inside a recorded session every consecutive gap was already
+    * `< gap` when it was folded. */
+  private def mergeSessions(existing: Seq[OpenSession],
+      ts: Array[Long]): List[OpenSession] = {
+    val all = (existing ++ ts.map(t => OpenSession(t, t, 1L)))
+      .sortBy(s => (s.startUs, s.lastUs))
+    val out = scala.collection.mutable.ListBuffer.empty[OpenSession]
+    all.foreach { s =>
+      if (out.nonEmpty && s.startUs - out.last.lastUs < SessionGapUs) {
+        val p = out.remove(out.size - 1)
+        out += OpenSession(p.startUs, math.max(p.lastUs, s.lastUs), p.n + s.n)
+      } else out += s
+    }
+    out.toList
+  }
+
   /**
-   * STREAMING entry point of the custom sessionizer: the open session is
-   * persisted in GroupState across micro-batches (a session spanning a
-   * batch boundary is emitted once, merged — not re-fragmented per batch),
-   * and is flushed by event-time timeout once the watermark passes its
-   * last event + the session gap, exactly when no future event can extend
-   * it. Requires `delay` of watermark slack; output is append-mode.
+   * STREAMING entry point of the custom sessionizer: every not-yet-final
+   * session is persisted in GroupState across micro-batches, and a session
+   * is emitted ONLY once the watermark passes its last event + the session
+   * gap — the moment no admissible future event can extend it (the same
+   * hold-until-watermark contract as the built-in `session_window` in
+   * append mode). An in-batch gap alone is NOT emission evidence: a later
+   * micro-batch may deliver an out-of-order event above the watermark that
+   * bridges or back-extends the session, which [[mergeSessions]] handles
+   * by interval-merging. Requires `delay` of watermark slack.
    */
   def sessionsViaStateStream(events: DataFrame,
       delay: String = "10 minutes"): DataFrame = {
@@ -211,22 +277,29 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, java.time.Instant)],
-            state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val open = state.get
-            state.remove()
-            Iterator.single(SessionOut(user, open.startUs, open.n))
+            state: GroupState[PendingSessions]) =>
+          val existing =
+            if (state.exists) state.get.sessions else List.empty[OpenSession]
+          val ts = rows.map { r =>
+            r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+          }.toArray.sorted
+          val merged = mergeSessions(existing, ts)
+          // Final = the watermark has passed last event + gap; anything
+          // else stays in state (even if an in-batch gap follows it).
+          val wmMs = state.getCurrentWatermarkMs()
+          val (done, pending) =
+            merged.partition(s => s.lastUs / 1000 + SessionGapMs <= wmMs)
+          if (pending.isEmpty) {
+            if (state.exists) state.remove()
           } else {
-            val ts = rows.map { r =>
-              r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
-            }.toArray.sorted
-            val (closed, open) = foldSessions(user, ts, state.getOption)
-            state.update(open)
-            // Flush when the watermark proves no event can extend the
-            // open session (its gap window has fully elapsed).
-            state.setTimeoutTimestamp(open.lastUs / 1000 + SessionGapMs)
-            closed.iterator
+            state.update(PendingSessions(pending))
+            // Wake when the earliest pending session becomes final; its
+            // last+gap is > current watermark by the partition above, as
+            // setTimeoutTimestamp requires.
+            state.setTimeoutTimestamp(
+              pending.map(_.lastUs / 1000 + SessionGapMs).min)
           }
+          done.map(s => SessionOut(user, s.startUs, s.n)).iterator
       }.toDF()
   }
 

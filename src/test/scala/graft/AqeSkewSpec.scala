@@ -20,14 +20,7 @@ class AqeSkewSpec extends GraftSuite {
       .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
 
   test("AQE splits the planted-skew partition; output == saltedJoin") {
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.adaptive.enabled", "true")
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
-    s2.conf.set(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
-    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    val s2 = JoinQueries.skewTunedSession(spark)
     val (l, r) = JoinQueries.skewedPair(
       Tables.load(s2, dir, "lineitem"), Tables.load(s2, dir, "orders"))
     val joined = agg(l.join(r, "k"))

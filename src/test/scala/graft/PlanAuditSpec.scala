@@ -20,6 +20,9 @@ class PlanAuditSpec extends GraftSuite {
     "agg_quantile_sketch",
     // BM25 broadcasts its 1-row (n, avgdl, df...) stats to every doc row.
     "text_bm25_topk",
+    // The corpus-derived doc-frequency cap is a 1-row broadcast scalar
+    // joined to the gram stats (constant-time at any corpus size).
+    "dedup_ngram_pairs",
     // KLL property gate broadcasts 4 (q, estimate) rows to the rank check.
     "agg_kll_quantiles")
 
