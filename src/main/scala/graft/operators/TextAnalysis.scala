@@ -189,6 +189,50 @@ object TextAnalysis {
       .where(col("cnt") >= minCount)
   }
 
+  /**
+   * Per-document repetition signals, the Gopher-class quality filters
+   * that catch degenerate/templated text whole-document dedup misses:
+   *
+   *   - `dup_frac`        = 1 - distinct_tokens / tokens (token mass in
+   *                         repeats; near 1 for "spam spam spam ...")
+   *   - `top_frac`        = most frequent token's share of all tokens
+   *   - `top_bigram_frac` = most frequent word bigram's share of all
+   *                         bigrams (0.0 for docs under 2 tokens)
+   *
+   * Shape: two word-count aggregations (explode -> count per gram ->
+   * per-doc roll-up) joined on doc_id — the canonical map-side-partial
+   * word-count plan, linear at any corpus size; bigrams come from the
+   * WordGramsAll codegen expression (duplicates kept). All ratios are a
+   * single two-exact-integer division (plus one subtraction), so both
+   * engines produce bit-identical doubles.
+   */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val uni = docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("__topc"))
+    val bigrams = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.WordGramsAll(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+          col(textCol)), 2))
+    val bi = docs
+      .select(col(idCol).as("doc_id"), explode(bigrams).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("__nb"), max(col("c")).as("__topb"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"),
+        (col("__topc").cast("double") /
+          col("n_tokens").cast("double")).as("top_frac"),
+        coalesce(col("__topb").cast("double") / col("__nb").cast("double"),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
   // ---- PII / URL scrubbing -------------------------------------------------
 
   /** Redaction patterns, deliberately kept inside the regex subset that

@@ -124,6 +124,23 @@ object MultimodalQueries {
           timestamp_micros(col("sessionStartUs")).as("session_start"),
           col("nEvents").as("n_events"))
     },
+    // Stream-static broadcast join: the events stream enriched per
+    // micro-batch with the customer dimension (no shuffle, no join
+    // state), then rolled up per market segment from the sink.
+    "stream_static_join" -> { (s, dir) =>
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      EventStream.runToMemory(s,
+          EventStream.enrichWithStatic(
+              EventStream.eventsStream(s, dir), dim, "user_id", "c_custkey")
+            .select(col("user_id"), col("c_mktsegment"), col("value")),
+          s"stream_static_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+    },
     // Streaming dedup (append mode): first occurrence per key pair.
     "stream_dedup_pairs" -> { (s, dir) =>
       EventStream.runToMemory(s,
@@ -212,6 +229,12 @@ object MultimodalQueries {
     "stream_state_sessions_live" -> duckSessionsSql,
     "stream_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_static_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "stream_stream_join" ->
       """SELECT e.user_id, CAST(e.ts AS TIMESTAMP) AS e_ts,
         |  CAST(c.ts AS TIMESTAMP) AS c_ts

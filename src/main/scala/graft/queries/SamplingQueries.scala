@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Sampling
+import graft.operators.{Packing, Sampling, TextAnalysis}
 
 /** Deterministic split/sample operators + math/set-op tail coverage. */
 object SamplingQueries {
@@ -28,6 +28,22 @@ object SamplingQueries {
       Sampling.kPerGroup(Tables.load(s, dir, "documents"),
           "doc_id", "lang", 5)
         .select("lang", "doc_id")
+    },
+    // Sequence packing: greedy contiguous fill of 256-token training
+    // sequences within 8 deterministic shards (integer-only window math —
+    // the oracle replays it bit-for-bit).
+    "pack_sequences" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Packing.packSequences(d, "doc_id",
+        TextAnalysis.tokenCount(col("text")), 256L, 8)
+    },
+    // Per-sequence roll-up: doc count, token total, fill fraction
+    // (> 1 == the tail doc straddles the capacity boundary).
+    "pack_sequence_stats" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Packing.sequenceStats(
+        Packing.packSequences(d, "doc_id",
+          TextAnalysis.tokenCount(col("text")), 256L, 8), 256L)
     },
     "rel_q28_math_funcs" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -67,7 +83,33 @@ object SamplingQueries {
   private val duckBucket =
     "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000"
 
+  /** Shared packing oracle CTE: per-doc token counts -> per-shard running
+    * totals (start = exclusive cumulative sum; `//` is safe because the
+    * numerator is non-negative, where truncation == floor). */
+  private val duckPackCte =
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+      |             doc_id % 8 AS shard FROM documents),
+      |c AS (SELECT doc_id, shard, nt,
+      |        SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+      |          AS strt
+      |      FROM d)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""$duckPackCte
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST((strt // 256) * 8 + shard AS BIGINT) AS seq_id,
+         |  CAST(strt - (strt // 256) * 256 AS BIGINT) AS offset_tokens,
+         |  CAST(nt AS BIGINT) AS n_tokens
+         |FROM c""".stripMargin,
+    "pack_sequence_stats" ->
+      s"""$duckPackCte
+         |SELECT CAST((strt // 256) * 8 + shard AS BIGINT) AS seq_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS tokens,
+         |  CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE) / 256 AS fill_frac
+         |FROM c GROUP BY 1""".stripMargin,
     "sample_hash_split" ->
       s"""SELECT CASE WHEN $duckBucket < 8000 THEN 'train'
          |            WHEN $duckBucket < 9000 THEN 'val'

@@ -71,6 +71,12 @@ object TextEventsQueries {
         .select(col("lang"), TextAnalysis.languageId(col("text")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
     },
+    // Gopher-class repetition signals (duplicate-token mass, top token /
+    // top bigram dominance) — the quality filters that catch degenerate
+    // text whole-document dedup can't.
+    "text_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+    },
     "text_rolling_hash" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rhash"))
@@ -237,6 +243,26 @@ object TextEventsQueries {
          |                 t -> list_contains($enStop, t)))::DOUBLE
          |               / len(string_split(text, ' '))::DOUBLE), 6) AS quality
          |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |uc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+        |u AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nt,
+        |        CAST(COUNT(*) AS BIGINT) AS nd, MAX(c) AS topc
+        |      FROM uc GROUP BY doc_id),
+        |bgr AS (SELECT doc_id, t[i+1] || ' ' || t[i+2] AS b
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents) s,
+        |             unnest(range(len(t) - 1)) u(i)),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bgr GROUP BY doc_id, b),
+        |b2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, MAX(c) AS topb
+        |       FROM bc GROUP BY doc_id)
+        |SELECT u.doc_id, nt AS n_tokens, nd AS n_distinct,
+        |  1.0 - CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE) AS dup_frac,
+        |  CAST(topc AS DOUBLE) / CAST(nt AS DOUBLE) AS top_frac,
+        |  COALESCE(CAST(topb AS DOUBLE) / CAST(nb AS DOUBLE), 0.0)
+        |    AS top_bigram_frac
+        |FROM u LEFT JOIN b2 ON u.doc_id = b2.doc_id""".stripMargin,
     "text_langid" ->
       s"""SELECT lang, $duckLangCase AS pred, CAST(count(*) AS BIGINT) AS n
          |FROM documents GROUP BY lang, pred""".stripMargin,

@@ -321,6 +321,16 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * a bounded dimension table — the canonical streaming-ETL enrichment
+    * (clicks x user profile, events x geo table). The static side is
+    * broadcast, so the stream never shuffles and no join state accrues
+    * (unlike stream-stream joins, the static side is re-readable per
+    * batch — Spark even picks up some source updates between batches). */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** Stream-stream interval join: every error event joined to the same
     * user's clicks in the preceding 10 minutes. With watermarks on both
     * sides the time bound makes the join state bounded (Spark drops a
