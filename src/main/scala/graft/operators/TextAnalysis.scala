@@ -233,6 +233,58 @@ object TextAnalysis {
           lit(0.0)).as("top_bigram_frac"))
   }
 
+  /**
+   * Inverted index build — the IR structure behind ranked retrieval at
+   * scale (BM25 here scans; a deployed engine probes this index):
+   * one row per term with document frequency, corpus frequency, and the
+   * posting list as an array of (doc_id, tf) structs sorted by doc_id
+   * (the order merge-joins and skip-lists need).
+   *
+   * Shape: explode -> (term, doc) count -> per-term list aggregation —
+   * two keyed shuffles with map-side partials. The posting-list
+   * collect_list is the one unbounded aggregation: `minDf`/stop-term
+   * capping (same dial as the n-gram dedup cap) bounds it in practice,
+   * and at extreme scale posting lists shard by (term, doc_id range).
+   */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1L): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+      .where(col("df") >= minDf)
+
+  /**
+   * Top-k characteristic terms per document by smoothed TF-IDF
+   * (idf = ln((N+1)/(df+1)) + 1, the sklearn-style smooth variant that
+   * never goes negative). Ties break alphabetically, so the result is a
+   * total order both engines replay; scores round to 6 decimals (ln last
+   * ulp may differ across libms).
+   *
+   * Shape: term-count shuffle + a per-doc rank window + a 1-row (N)
+   * broadcast — no corpus-sized movement beyond the word count itself.
+   */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val weight = col("tf") *
+      (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(weight.desc, col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), round(weight, 6).as("score"))
+  }
+
   // ---- PII / URL scrubbing -------------------------------------------------
 
   /** Redaction patterns, deliberately kept inside the regex subset that

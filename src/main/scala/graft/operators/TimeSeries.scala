@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Keyed time-series analytics over pre-bucketed counts (the monitoring /
+ * data-quality layer of an event pipeline): per-key rolling baselines and
+ * z-score anomaly flags.
+ *
+ * Determinism contract: the baseline mean/variance are derived from
+ * INTEGER window sums (sum x, sum x^2 over the trailing frame), then
+ * combined in one fixed expression tree — every float op is a single
+ * correctly-rounded IEEE operation in a fixed order, so DuckDB replays
+ * the z-scores bit-for-bit (no Welford-vs-naive engine drift, no
+ * accumulation-order dependence). sqrt is IEEE-exact; the only rounding
+ * knob is the final round(·, 6).
+ *
+ * Scale shape: one shuffle keyed by the series key; windows are
+ * per-key-ordered frames (no global sort). Frames are ROWS-based with a
+ * fixed width, so state is O(window) per key.
+ */
+object TimeSeries {
+
+  /**
+   * Trailing z-score per row: how far `valueCol` (an integer measure,
+   * e.g. an hourly event count) sits from the mean of the PREVIOUS
+   * `window` rows of the same key (current row excluded — the baseline
+   * must not contain the observation it judges). Rows whose baseline has
+   * fewer than 2 points or zero variance get a null z-score.
+   *
+   * Output: input columns + (base_n, base_mean, z).
+   */
+  def rollingZScores(buckets: DataFrame, keyCols: Seq[String],
+      orderCol: String, valueCol: String, window: Int): DataFrame = {
+    require(window >= 2, "rollingZScores: window must be >= 2")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(-window, -1)
+    val x = col(valueCol).cast("long")
+    val cnt = count(x).over(w)
+    val s = sum(x).over(w)
+    val ss = sum(x * x).over(w)
+    // var = (ss - s^2/n) / (n-1), every step a single double op on
+    // exact-integer inputs — the same expression the oracle computes.
+    val n = cnt.cast("double")
+    val mean = s.cast("double") / n
+    val variance =
+      (ss.cast("double") - s.cast("double") * s.cast("double") / n) /
+        (n - lit(1.0))
+    val z = (x.cast("double") - mean) / sqrt(variance)
+    buckets
+      .withColumn("base_n", cnt)
+      .withColumn("base_mean", when(cnt >= 1, round(mean, 6)))
+      .withColumn("z",
+        when(cnt >= 2 && variance > 0.0, round(z, 6)))
+  }
+}

@@ -77,6 +77,30 @@ object TextEventsQueries {
     "text_repetition" -> { (s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
     },
+    // Inverted index (df/cf + doc_id-sorted posting lists), flattened
+    // back to rows so the exact oracle checks the whole structure.
+    "text_inverted_index" -> { (s, dir) =>
+      TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text", minDf = 2L)
+        .select(col("term"), col("df"), col("cf"),
+          posexplode(col("postings")))
+        .select(col("term"), col("df"), col("cf"),
+          col("pos").cast("long").as("pos"),
+          col("col.doc_id").as("doc_id"), col("col.tf").as("tf"))
+    },
+    // Top-3 characteristic terms per doc by smoothed TF-IDF.
+    "text_tfidf_top" -> { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", 3)
+    },
+    // Rolling z-score anomaly detection on hourly per-type event counts
+    // (trailing-24-bucket baseline, current bucket excluded).
+    "events_anomaly" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.rollingZScores(
+        hourly, Seq("event_type"), "h", "n", 24)
+    },
     "text_rolling_hash" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rhash"))
@@ -243,6 +267,55 @@ object TextEventsQueries {
          |                 t -> list_contains($enStop, t)))::DOUBLE
          |               / len(string_split(text, ' '))::DOUBLE), 6) AS quality
          |FROM documents""".stripMargin,
+    "text_inverted_index" ->
+      """WITH tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) GROUP BY doc_id, w),
+        |st AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |         CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term)
+        |SELECT t.term, s.df, s.cf,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY t.term ORDER BY t.doc_id) - 1
+        |       AS BIGINT) AS pos,
+        |  t.doc_id, CAST(t.tf AS BIGINT) AS tf
+        |FROM tf t JOIN st s USING (term)
+        |WHERE s.df >= 2""".stripMargin,
+    "text_tfidf_top" ->
+      """WITH tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) GROUP BY doc_id, w),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT t.doc_id, t.term,
+        |    t.tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS wgt,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |      ORDER BY t.tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) DESC,
+        |               t.term) AS rank
+        |  FROM tf t JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        |  round(wgt, 6) AS score
+        |FROM sc WHERE rank <= 3""".stripMargin,
+    "events_anomaly" ->
+      """WITH b AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, h, n,
+        |    COUNT(n) OVER fr AS bn, SUM(n) OVER fr AS s,
+        |    SUM(n * n) OVER fr AS ss
+        |  FROM b
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, h, CAST(n AS BIGINT) AS n,
+        |  CAST(bn AS BIGINT) AS base_n,
+        |  CASE WHEN bn >= 1
+        |       THEN round(CAST(s AS DOUBLE) / bn, 6) END AS base_mean,
+        |  CASE WHEN bn >= 2 AND
+        |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / bn)
+        |      / (bn - 1) > 0.0
+        |  THEN round((n - CAST(s AS DOUBLE) / bn) /
+        |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |          / bn) / (bn - 1)), 6)
+        |  END AS z
+        |FROM w""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |           FROM documents),

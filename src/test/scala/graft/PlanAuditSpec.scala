@@ -23,6 +23,8 @@ class PlanAuditSpec extends GraftSuite {
     // The corpus-derived doc-frequency cap is a 1-row broadcast scalar
     // joined to the gram stats (constant-time at any corpus size).
     "dedup_ngram_pairs",
+    // TF-IDF broadcasts the 1-row corpus count N into the scoring.
+    "text_tfidf_top",
     // KLL property gate broadcasts 4 (q, estimate) rows to the rank check.
     "agg_kll_quantiles")
 

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis, TimeSeries}
+
+/**
+ * Hand-checked contracts for the time-series z-scores and the IR
+ * operators (inverted index, TF-IDF) on tiny literal fixtures.
+ */
+class TimeSeriesSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("rolling z-score: trailing baseline excludes the current row") {
+    // Key a: baseline [2,2,2,2] then a spike of 10 -> mean 2, var 0 (null
+    // z); key b: [1,3] then 5 -> mean 2, var 2, z = (5-2)/sqrt(2).
+    val rows = Seq(
+      ("a", 1L, 2L), ("a", 2L, 2L), ("a", 3L, 2L), ("a", 4L, 2L),
+      ("a", 5L, 10L),
+      ("b", 1L, 1L), ("b", 2L, 3L), ("b", 3L, 5L))
+      .toDF("k", "t", "n")
+    val out = TimeSeries.rollingZScores(rows, Seq("k"), "t", "n", 24)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toMap
+    assert(out(("a", 1L)) == ((0L, None)), "no baseline on the first row")
+    assert(out(("a", 5L)) == ((4L, None)),
+      "zero-variance baseline must yield null z, not a division blowup")
+    assert(out(("b", 3L)) ==
+      ((2L, Some(math.rint(3.0 / math.sqrt(2.0) * 1e6) / 1e6))),
+      s"got ${out(("b", 3L))}")
+  }
+
+  test("inverted index: postings sorted by doc_id, df/cf consistent") {
+    val docs = Seq((3L, "b a b"), (1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          r.getSeq[org.apache.spark.sql.Row](3)
+            .map(p => (p.getLong(0), p.getLong(1))))).toMap
+    assert(idx("a") == ((2L, 2L, Seq((1L, 1L), (3L, 1L)))))
+    assert(idx("b") == ((2L, 3L, Seq((1L, 1L), (3L, 2L)))))
+    assert(idx("c") == ((1L, 1L, Seq((2L, 1L)))))
+    assert(TextAnalysis.invertedIndex(docs, "doc_id", "text", minDf = 2L)
+      .count() == 2, "minDf must drop singleton terms")
+  }
+
+  test("tf-idf: rare terms outrank common ones; ranks are 1..k") {
+    // 'rare' appears in 1 of 3 docs, 'the' in all 3: for doc 1 (tf equal)
+    // the rare term must rank first.
+    val docs = Seq((1L, "the rare"), (2L, "the the"), (3L, "the"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(top.count(_._1 == 1L) == 2)
+    assert(top.find(t => t._1 == 1L && t._2 == 1L).get._3 == "rare")
+    assert(top.find(t => t._1 == 1L && t._2 == 2L).get._3 == "the")
+  }
+}
