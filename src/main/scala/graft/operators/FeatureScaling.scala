@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-group feature conditioning for training signals: outlier clamping
+ * (winsorization) and standardization — the last-mile numeric hygiene a
+ * model-input pipeline applies after dedup/quality filtering.
+ *
+ * Determinism contract (same discipline as [[TimeSeries]]): percentile
+ * bounds use NEAREST-RANK (the value at sorted position ceil(q*n)) — no
+ * interpolation arithmetic to drift across engines — and moments come
+ * from exact integer sums combined in one fixed expression tree, so
+ * every output is bit-identical in the DuckDB replay.
+ */
+object FeatureScaling {
+
+  /**
+   * Nearest-rank percentile bounds per group: for each q in `qs`, the
+   * value at 1-based sorted position ceil(q * n). Ties in the sort cannot
+   * change the answer — position k holds the same VALUE under any tie
+   * order. Returns one row per group: (grpCols..., __q<i> bound columns).
+   *
+   * Scale: one per-group sort window over the value column — the same
+   * cost class as any exact percentile; at extreme scale swap in the
+   * mergeable sketches ([[Sketches.histQuantiles]], KLL) and accept their
+   * error model.
+   */
+  def nearestRankBounds(df: DataFrame, grpCols: Seq[String],
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "nearestRankBounds: quantiles must be in (0, 1]")
+    val w = Window.partitionBy(grpCols.map(col): _*).orderBy(valueCol)
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(grpCols.map(col): _*)))
+    val picks = qs.zipWithIndex.map { case (q, i) =>
+      max(when(col("__rn") === ceil(lit(q) * col("__n")),
+        col(valueCol))).as(s"__q$i")
+    }
+    ranked.groupBy(grpCols.map(col): _*).agg(picks.head, picks.tail: _*)
+  }
+
+  /**
+   * Winsorization: clamps `valueCol` into the per-group nearest-rank
+   * [qLo, qHi] band. Adds `value_w` (the clamped value) and
+   * `clipped_lo`/`clipped_hi` flags. The bounds table is group-sized —
+   * broadcast — so the data path is one narrow map after the join.
+   */
+  def winsorize(df: DataFrame, grpCols: Seq[String], valueCol: String,
+      qLo: Double, qHi: Double): DataFrame = {
+    require(qLo < qHi, "winsorize: qLo must be < qHi")
+    val bounds = nearestRankBounds(df, grpCols, valueCol, Seq(qLo, qHi))
+      .withColumnRenamed("__q0", "__lo").withColumnRenamed("__q1", "__hi")
+    df.join(broadcast(bounds), grpCols)
+      .withColumn("value_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .withColumn("clipped_lo", col(valueCol) < col("__lo"))
+      .withColumn("clipped_hi", col(valueCol) > col("__hi"))
+  }
+
+  /**
+   * Per-group standardization of an exact integer measure (e.g. cents):
+   * z = (x - mean) / stddev with mean/variance from integer sums
+   * ((ss - s^2/n) / (n-1)), every float op a single fixed-order IEEE
+   * operation. Groups with fewer than 2 rows or zero variance yield null.
+   * Adds `z` (rounded to 6). One keyed aggregate + a broadcast join-back.
+   */
+  def standardize(df: DataFrame, grpCols: Seq[String],
+      valueCents: Column): DataFrame = {
+    val x = valueCents.cast("long")
+    val stats = df.groupBy(grpCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s"),
+        sum(x * x).as("__ss"))
+    val n = col("__n").cast("double")
+    val mean = col("__s").cast("double") / n
+    val variance =
+      (col("__ss").cast("double") -
+        col("__s").cast("double") * col("__s").cast("double") / n) /
+        (n - lit(1.0))
+    df.join(broadcast(stats), grpCols)
+      .withColumn("z", when(col("__n") >= 2 && variance > 0.0,
+        round((x.cast("double") - mean) / sqrt(variance), 6)))
+      .drop("__n", "__s", "__ss")
+  }
+}

@@ -101,6 +101,25 @@ object TextEventsQueries {
       graft.operators.TimeSeries.rollingZScores(
         hourly, Seq("event_type"), "h", "n", 24)
     },
+    // Winsorization at the per-type nearest-rank [p5, p95] band; the
+    // roll-up counts clips and sums the clamped values in exact cents.
+    "events_winsorize" -> { (s, dir) =>
+      graft.operators.FeatureScaling.winsorize(
+          events(s, dir), Seq("event_type"), "value", 0.05, 0.95)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clipped_lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("clipped_hi"), 1L).otherwise(0L)).as("n_hi"),
+          sum(round(col("value_w") * 100).cast("long")).as("cents_w"))
+    },
+    // Per-type standardization of the exact-cents measure; z per event.
+    "events_standardize" -> { (s, dir) =>
+      graft.operators.FeatureScaling.standardize(
+          events(s, dir).select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+          Seq("event_type"), col("cents"))
+        .select("event_id", "z")
+    },
     "text_rolling_hash" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rhash"))
@@ -316,6 +335,40 @@ object TextEventsQueries {
         |          / bn) / (bn - 1)), 6)
         |  END AS z
         |FROM w""".stripMargin,
+    "events_winsorize" ->
+      """WITH r AS (SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+        |             THEN value END) AS lo,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |             THEN value END) AS hi
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi,
+        |  CAST(SUM(CAST(round(least(greatest(e.value, b.lo), b.hi) * 100)
+        |           AS BIGINT)) AS BIGINT) AS cents_w
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
+    "events_standardize" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS s,
+        |         SUM(cents * cents) AS ss FROM c GROUP BY event_type)
+        |SELECT event_id,
+        |  CASE WHEN n >= 2 AND
+        |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |      / (n - 1) > 0.0
+        |  THEN round((cents - CAST(s AS DOUBLE) / n) /
+        |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |          / n) / (n - 1)), 6)
+        |  END AS z
+        |FROM c JOIN st USING (event_type)""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |           FROM documents),

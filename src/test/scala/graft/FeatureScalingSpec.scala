@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.FeatureScaling
+
+/** Hand-checked winsorize / standardize contracts on literal fixtures. */
+class FeatureScalingSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("nearest-rank bounds and clamping: 1..10 at [0.2, 0.8]") {
+    val df = (1 to 10).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val out = FeatureScaling.winsorize(df, Seq("g"), "v", 0.2, 0.8)
+      .select("v", "value_w", "clipped_lo", "clipped_hi").collect()
+      .map(r => r.getDouble(0) ->
+        (r.getDouble(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    // ceil(0.2*10)=2 -> lo=2.0; ceil(0.8*10)=8 -> hi=8.0.
+    assert(out(1.0) == ((2.0, true, false)))
+    assert(out(2.0) == ((2.0, false, false)), "the bound itself is not clipped")
+    assert(out(5.0) == ((5.0, false, false)))
+    assert(out(8.0) == ((8.0, false, false)))
+    assert(out(9.0) == ((8.0, false, true)))
+    assert(out(10.0) == ((8.0, false, true)))
+  }
+
+  test("bounds are tie-stable: duplicated values give the same clamp") {
+    val df = Seq(1, 1, 1, 5, 5, 5, 9, 9, 9).map(v => ("g", v.toDouble))
+      .toDF("g", "v")
+    // Any tie order puts value 1.0 at rank ceil(0.2*9)=2.
+    val b = FeatureScaling.nearestRankBounds(df, Seq("g"), "v", Seq(0.2))
+      .collect()(0).getDouble(1)
+    assert(b == 1.0)
+  }
+
+  test("standardize: exact moments, zero-variance and singleton null out") {
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      ("b", 4L, 7L), ("b", 5L, 7L), ("c", 6L, 3L))
+      .toDF("g", "id", "cents")
+    val out = FeatureScaling.standardize(df, Seq("g"), col("cents"))
+      .select("id", "z").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // Group a: mean 4, var 4, z = (x-4)/2.
+    assert(out(1L) == Some(-1.0) && out(2L) == Some(0.0) &&
+      out(3L) == Some(1.0))
+    assert(out(4L).isEmpty && out(5L).isEmpty, "zero variance -> null")
+    assert(out(6L).isEmpty, "singleton group -> null")
+  }
+}
