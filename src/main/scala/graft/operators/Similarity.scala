@@ -138,14 +138,25 @@ object Similarity {
     * ascending sort = descending score with ties to the lower cid, the
     * same order the DuckDB oracle's ROW_NUMBER uses. */
   private def probeEntries(vecCol: String,
+      centroids: Seq[(Long, Array[Float])]): Seq[Column] =
+    probeEntriesOf(col(vecCol), centroids)
+
+  private def probeEntriesOf(vec: Column,
       centroids: Seq[(Long, Array[Float])]): Seq[Column] = {
-    val n = VectorOps.norm(col(vecCol))
+    val n = VectorOps.norm(vec)
     centroids.map { case (cid, cv) =>
-      val score = VectorOps.dot(col(vecCol), typedLit(cv.toSeq)) /
+      val score = VectorOps.dot(vec, typedLit(cv.toSeq)) /
         (n * lit(normOf(cv)))
       struct((lit(0.0) - score).as("neg"), lit(cid).as("cid"))
     }
   }
+
+  /** Nearest codebook entry (highest cosine, ties -> lower cid) for an
+    * arbitrary vector expression — a single narrow projection. */
+  private def nearestCid(vec: Column,
+      centroids: Seq[(Long, Array[Float])]): Column =
+    element_at(sort_array(array(probeEntriesOf(vec, centroids): _*)), 1)
+      .getField("cid")
 
   /** IVF probe assignment: each vector's `nprobe` highest-cosine coarse
     * centroids (ties -> lower cid). Centroids are driver-side literals
@@ -266,5 +277,80 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("id"), col("rank"), round(col("score"), 6).as("score"))
+  }
+
+  // ---- Product quantization ------------------------------------------------
+
+  /**
+   * PQ codebook training: one [[trainKMeans]] codebook per contiguous
+   * `subDim`-wide subspace (m of them). Same determinism contract as the
+   * IVF coarse quantizer — lowest-id seeding, cosine assignment with
+   * ties to the lower cid, exact scaled-integer mean sums, fixed rounds —
+   * so the DuckDB oracle replays every codebook bit-for-bit. Train on a
+   * sample at corpus scale, like IVF.
+   */
+  def trainPQ(vecs: DataFrame, idCol: String, vecCol: String, m: Int,
+      subDim: Int, k: Int, iters: Int): Seq[Seq[(Long, Array[Float])]] =
+    (0 until m).map { mi =>
+      trainKMeans(
+        vecs.select(col(idCol),
+          slice(col(vecCol), mi * subDim + 1, subDim).as("__sub")),
+        idCol, "__sub", k, subDim, iters)
+    }
+
+  /**
+   * PQ encoding: each vector compresses to `m` codebook ids — at dim=64,
+   * m=4, k<=256 that is 4 bytes instead of 256, the memory step that
+   * makes billion-vector search fit RAM. One narrow projection per row
+   * (codebooks ride in the plan as literals), exploded to
+   * (id, m, cid) rows.
+   */
+  def pqCodes(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int): DataFrame = {
+    val entries = codebooks.zipWithIndex.map { case (cents, mi) =>
+      nearestCid(slice(col(vecCol), mi * subDim + 1, subDim), cents)
+    }
+    vecs.select(col(idCol).as("id"), posexplode(array(entries: _*)))
+      .select(col("id"), col("pos").cast("long").as("m"),
+        col("col").as("cid"))
+  }
+
+  /**
+   * PQ asymmetric-distance top-k (ADC): the dot product is additive over
+   * subspaces, so dot(q, v) is estimated as sum_m dot(q_m, codebook
+   * centroid of v's code in subspace m). Per query the partials form a
+   * tiny (m x k) lookup table; the corpus side only ever moves its CODE
+   * rows — the full vectors stay in storage, which is the entire point
+   * of PQ at scale. The per-(query, vector) estimate sums the m partials
+   * in a FIXED expression-tree order (max-per-slot then left-fold adds),
+   * keeping the doubles engine-replayable.
+   */
+  def pqAdcTopK(corpusCodes: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
+      k: Int): DataFrame = {
+    val m = codebooks.length
+    val lutEntries = codebooks.zipWithIndex.flatMap { case (cents, mi) =>
+      cents.map { case (cid, cv) =>
+        struct(lit(mi.toLong).as("m"), lit(cid).as("cid"),
+          VectorOps.dot(slice(col("qvec"), mi * subDim + 1, subDim),
+            typedLit(cv.toSeq)).as("p"))
+      }
+    }
+    val lut = queries.select(col("qid"), explode(array(lutEntries: _*)).as("e"))
+      .select(col("qid"), col("e.m").as("m"), col("e.cid").as("cid"),
+        col("e.p").as("p"))
+    val slots = (0 until m).map(mi =>
+      max(when(col("m") === mi.toLong, col("p"))).as(s"__p$mi"))
+    val est = (0 until m).map(mi => col(s"__p$mi"))
+      .reduce(_ + _) // left fold: ((p0 + p1) + p2) + p3 — fixed order
+    val g = corpusCodes.join(broadcast(lut), Seq("m", "cid"))
+      .groupBy("qid", "id")
+      .agg(slots.head, slots.tail: _*)
+      .withColumn("est", est)
+    val w = Window.partitionBy("qid").orderBy(col("est").desc, col("id"))
+    g.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"),
+        round(col("est"), 6).as("est"))
   }
 }

@@ -21,6 +21,10 @@ object SimilarityQueries {
   private val Seed = 42
   private val KmK = 16
   private val KmIters = 2
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 8
+  private val PqIters = 2
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -73,6 +77,23 @@ object SimilarityQueries {
       Similarity.ivfTopK(corpus, qs, 5, centroids, 3)
         .withColumnRenamed("rank", "rnk")
     },
+    // Product quantization + asymmetric-distance top-k: 4 codebooks of 8
+    // entries trained per 16-dim subspace (same deterministic Lloyd as
+    // IVF, on the same 1-in-4 sample), corpus encoded to 4 code ids per
+    // vector, queries ranked by the subspace-additive dot estimate. The
+    // oracle replays all 4 trainings AND the ADC arithmetic exactly.
+    "sim_pq_adc" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val books = Similarity.trainPQ(corpus.where(col("id") % 4 === 0),
+        "id", "vec", PqM, PqSubDim, PqK, PqIters)
+      val codes = Similarity.pqCodes(corpus, "id", "vec", books, PqSubDim)
+      Similarity.pqAdcTopK(codes, qs, books, PqSubDim, 5)
+        .withColumnRenamed("rank", "rnk")
+    },
     // Symmetric int8 scalar quantization, integer evidence per vector.
     "sim_quantize_int8" -> { (s, dir) =>
       emb(s, dir)
@@ -87,11 +108,14 @@ object SimilarityQueries {
 
   // ---- DuckDB oracle generation -------------------------------------------
 
+  /** Sequential-fold dot product, identical to VectorOps.dot. */
+  private def duckDot(x: String, y: String, dim: Int = Dim): String =
+    s"list_reduce(list_transform(range($dim), j -> " +
+      s"$x[j+1]::DOUBLE * $y[j+1]::DOUBLE), (p, q) -> p + q)"
+
   /** Sequential-fold cosine, identical to VectorOps.cosine. */
-  private def duckCos(a: String, b: String): String = {
-    def d(x: String, y: String) =
-      s"list_reduce(list_transform(range($Dim), j -> " +
-        s"$x[j+1]::DOUBLE * $y[j+1]::DOUBLE), (p, q) -> p + q)"
+  private def duckCos(a: String, b: String, dim: Int = Dim): String = {
+    def d(x: String, y: String) = duckDot(x, y, dim)
     s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
   }
 
@@ -111,20 +135,23 @@ object SimilarityQueries {
     * cosine (ties -> lower cid, matching Spark's struct sort) and rebuilds
     * centroids from the same exact floor(x * 2^20) integer sums
     * Similarity.trainKMeans accumulates, rounded once to FLOAT. */
-  private def duckKMeansCtes(k: Int, iters: Int, rel: String = "corp"): String = {
-    val init = s"cent0 AS (SELECT id AS cid, v AS cv FROM $rel ORDER BY id LIMIT $k)"
+  private def duckKMeansCtes(k: Int, iters: Int, rel: String = "corp",
+      dim: Int = Dim, tag: String = ""): String = {
+    val init =
+      s"cent0$tag AS (SELECT id AS cid, v AS cv FROM $rel ORDER BY id LIMIT $k)"
     val rounds = (1 to iters).map { r =>
-      s"""a$r AS (SELECT id, v, cid FROM (
+      s"""a$r$tag AS (SELECT id, v, cid FROM (
          |  SELECT c.id, c.v, ct.cid,
          |    ROW_NUMBER() OVER (PARTITION BY c.id
-         |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
-         |  FROM $rel c, cent${r - 1} ct) t WHERE rn = 1),
-         |s$r AS (SELECT cid, u.j,
+         |      ORDER BY ${duckCos("v", "cv", dim)} DESC, ct.cid) AS rn
+         |  FROM $rel c, cent${r - 1}$tag ct) t WHERE rn = 1),
+         |s$r$tag AS (SELECT cid, u.j,
          |    SUM(CAST(floor(v[u.j+1]::DOUBLE * 1048576.0) AS BIGINT)) AS sm,
          |    COUNT(*) AS n
-         |  FROM a$r CROSS JOIN unnest(range($Dim)) u(j) GROUP BY cid, u.j),
-         |cent$r AS (SELECT cid, list((sm / (1048576.0 * n))::FLOAT ORDER BY j) AS cv
-         |  FROM s$r GROUP BY cid)""".stripMargin
+         |  FROM a$r$tag CROSS JOIN unnest(range($dim)) u(j) GROUP BY cid, u.j),
+         |cent$r$tag AS (SELECT cid,
+         |    list((sm / (1048576.0 * n))::FLOAT ORDER BY j) AS cv
+         |  FROM s$r$tag GROUP BY cid)""".stripMargin
     }
     (init +: rounds).mkString(",\n")
   }
@@ -135,7 +162,49 @@ object SimilarityQueries {
         s"CAST(${duckCode("embedding", ps(t))} AS BIGINT) AS code FROM embeddings"
     }.mkString("codes AS (", " UNION ALL ", ")")
 
+  /** PQ oracle: per-subspace k-means replay (tagged CTE families), code
+    * assignment, and the fixed-order ADC sum. */
+  private lazy val duckPqOracle: String = {
+    val subCtes = (0 until PqM).map { mi =>
+      val lo = mi * PqSubDim + 1
+      val hi = (mi + 1) * PqSubDim
+      s"""sub$mi AS (SELECT id, v[$lo:$hi] AS v FROM train),
+         |${duckKMeansCtes(PqK, PqIters, s"sub$mi", PqSubDim, s"m$mi")},
+         |centm$mi AS (SELECT cid, cv FROM cent${PqIters}m$mi),
+         |codes$mi AS (SELECT id, CAST($mi AS BIGINT) AS m, cid FROM (
+         |  SELECT c.id, ct.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY c.id
+         |      ORDER BY ${duckCos(s"c.v[$lo:$hi]", "cv", PqSubDim)} DESC,
+         |               ct.cid) AS rn
+         |  FROM corp c, centm$mi ct) t WHERE rn = 1),
+         |lut$mi AS (SELECT qid, CAST($mi AS BIGINT) AS m, cid,
+         |  ${duckDot(s"qv[$lo:$hi]", "cv", PqSubDim)} AS p
+         |  FROM qs, centm$mi)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until PqM)
+    s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
+       |  FROM embeddings WHERE vec_id >= 20),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 4),
+       |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+       |$subCtes,
+       |codes AS (${unions.map(i => s"SELECT * FROM codes$i")
+           .mkString(" UNION ALL ")}),
+       |lut AS (${unions.map(i => s"SELECT * FROM lut$i")
+           .mkString(" UNION ALL ")}),
+       |g AS (SELECT l.qid, c.id,
+       |    ${unions.map(i => s"MAX(CASE WHEN c.m = $i THEN l.p END)")
+           .mkString(" + ")} AS est
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+       |  GROUP BY l.qid, c.id),
+       |r AS (SELECT qid, id, est, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY est DESC, id) AS rn FROM g)
+       |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(est, 6) AS est
+       |FROM r WHERE rn <= 5""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sim_pq_adc" -> duckPqOracle,
     "sim_lsh_codes" -> s"WITH $duckCodesCte SELECT vec_id, tbl, code FROM codes",
     "sim_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/**
+ * Product-quantization contracts: code-space shape, compression
+ * faithfulness (a vector's ADC self-estimate must beat random pairs),
+ * and retrieval quality (ADC top-k overlaps the exact top-k).
+ */
+class PqSpec extends GraftSuite {
+  private val (m, subDim, k, iters) = (4, 16, 8, 2)
+
+  private lazy val emb = Tables.load(spark, SparkTestBase.sf001, "embeddings")
+  private lazy val corpus = emb.where(col("vec_id") >= 20)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private lazy val queries = emb.where(col("vec_id") < 4)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private lazy val books = Similarity.trainPQ(
+    corpus.where(col("id") % 4 === 0), "id", "vec", m, subDim, k, iters)
+
+  test("codebooks: m books of <= k centroids of subDim floats") {
+    assert(books.length == m)
+    books.foreach { b =>
+      assert(b.nonEmpty && b.length <= k)
+      b.foreach { case (_, cv) => assert(cv.length == subDim) }
+    }
+  }
+
+  test("codes: every corpus vector gets exactly one code per subspace") {
+    val codes = Similarity.pqCodes(corpus, "id", "vec", books, subDim)
+    val n = corpus.count()
+    assert(codes.count() == n * m)
+    assert(codes.groupBy("id", "m").count().where(col("count") =!= 1)
+      .isEmpty, "one code per (vector, subspace)")
+    val validCids = books.flatMap(_.map(_._1)).toSet
+    assert(codes.select("cid").distinct().collect()
+      .forall(r => validCids.contains(r.getLong(0))))
+  }
+
+  test("ADC top-k recalls most of the exact dot-product top-k") {
+    val adc = Similarity.pqAdcTopK(
+      Similarity.pqCodes(corpus, "id", "vec", books, subDim),
+      queries, books, subDim, 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // Exact top-5 by raw dot product (the quantity ADC estimates).
+    val exact = corpus.crossJoin(broadcast(queries))
+      .withColumn("d", graft.operators.VectorOps.dot(col("qvec"), col("vec")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d").desc, col("id"))))
+      .where(col("rk") <= 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map(q =>
+      (adc(q) & exact(q)).size.toDouble / 5.0).sum / exact.size
+    // 8 entries x 4 subspaces is a coarse 4-byte code over near-uniform
+    // vectors; recall@5 >= 0.3 proves the estimate carries real signal
+    // (random picks from ~480 vectors would land ~0.01).
+    assert(recall >= 0.3, s"ADC recall@5 vs exact dot = $recall")
+  }
+}
