@@ -1,0 +1,48 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/**
+ * `bloom_might_contain_long(key)` — membership probe of a pre-built
+ * Bloom filter over a BIGINT key column, as a codegen'd Catalyst
+ * expression (SURVEY.md §7.3 preference (b)).
+ *
+ * The serialized filter travels inside the expression (task closures get
+ * one copy per executor, like a broadcast variable); it is deserialized
+ * ONCE per JVM via the transient lazy val, and whole-stage codegen probes
+ * it through a pinned object reference — no per-row deserialization, no
+ * UDF boxing. This is the row-level runtime-filter building block that
+ * `Joins.bloomPrefilteredJoin` pushes below a shuffle join's exchange
+ * (the same shape Spark's own InjectRuntimeFilter produces).
+ *
+ * Contract: never a false negative (every inserted key probes true);
+ * false positives at the filter's configured fpp are acceptable because
+ * the downstream join re-verifies equality. Null keys probe null.
+ */
+case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_long"
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+
+  override protected def nullSafeEval(key: Any): Any =
+    filter.mightContainLong(key.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", filter,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, key =>
+      s"${ev.value} = $ref.mightContainLong($key);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
 
 /**
  * Join operators Spark lacks as built-ins, composed from primitives
@@ -145,5 +146,36 @@ object Joins {
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /**
+   * Bloom-prefiltered join — the explicit form of row-level runtime
+   * filtering (what Spark's InjectRuntimeFilter derives automatically when
+   * statistics allow): build a Bloom filter over the small/selective
+   * side's join keys, probe it on the big side BEFORE the join's shuffle,
+   * then run the exact equi-join.
+   *
+   * Scale: the fact side's shuffle shrinks to `selectivity + fpp` of its
+   * rows — at 100 TB, pre-dropping 99% of fact rows before the exchange
+   * is the difference between a 100 TB and a 1 TB shuffle. The filter is
+   * built with one distributed aggregate (`stat.bloomFilter`), sized by
+   * `expectedItems`/`fpp`, and probed through the codegen'd
+   * BloomMightContainLong expression (deserialized once per JVM). False
+   * positives pass the probe but are eliminated by the join itself —
+   * results are exactly the plain join's. On a cluster, ship the filter
+   * as a broadcast variable if it exceeds a few MB.
+   */
+  def bloomPrefilteredJoin(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"bad bloom sizing: items=$expectedItems fpp=$fpp")
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val probe = GraftSqlBridge.column(graft.functions.BloomMightContainLong(
+      GraftSqlBridge.expression(col(factKey).cast("long")), out.toByteArray))
+    fact.where(probe)
+      .join(dim, col(factKey) === col(dimKey))
   }
 }

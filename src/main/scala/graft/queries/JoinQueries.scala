@@ -130,6 +130,22 @@ object JoinQueries {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
     },
+    // Bloom-prefiltered join: a selective dim (urgent orders, ~20%) builds
+    // a Bloom filter probed on lineitem BEFORE the join — the explicit
+    // runtime-filter pattern. False positives die in the join; the oracle
+    // is the plain join.
+    "join_bloom_prune" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.load(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      Joins.bloomPrefilteredJoin(li, "l_orderkey", dim, "o_orderkey",
+          expectedItems = 50000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+    },
     // Count-min sketch: build over lineitem part keys, probe 8 keys.
     "agg_cms_estimate" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -275,6 +291,12 @@ object JoinQueries {
         |  CAST(MAX(n) AS BIGINT) AS n
         |FROM qs JOIN cum ON cum >= ceil(q * n)
         |GROUP BY q""".stripMargin,
+    "join_bloom_prune" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin,
     "join_salted" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

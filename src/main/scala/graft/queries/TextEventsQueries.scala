@@ -177,6 +177,16 @@ object TextEventsQueries {
       firstView.select(count(lit(1)).as("n_viewers")).crossJoin(
         converted.select(count(lit(1)).as("n_converted")))
     },
+    // Benchmark decontamination: eval set = every 20th doc (id % 20 = 7);
+    // each remaining corpus doc gets its distinct-trigram overlap with the
+    // eval set and a >=20% contamination flag. Integer counts only.
+    "text_decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.Decontaminate.ngramOverlap(
+        d.where(col("doc_id") % 20 =!= 7),
+        d.where(col("doc_id") % 20 === 7),
+        "doc_id", "text", k = 3, num = 1, den = 5)
+    },
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -451,5 +461,22 @@ object TextEventsQueries {
         |           AND CAST(p.ts AS TIMESTAMP) <= fv.t0 + INTERVAL 30 MINUTE)
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n_viewers,
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(len(t) - 2),
+        |           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
+        |ev AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 20 = 7),
+        |corpus AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 <> 7),
+        |ex AS (SELECT doc_id, unnest(g) AS gram FROM corpus),
+        |shared AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |           FROM ex WHERE gram IN (SELECT gram FROM ev)
+        |           GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.g) AS BIGINT) AS n_grams,
+        |  COALESCE(s.n_shared, 0) AS n_shared,
+        |  COALESCE(s.n_shared, 0) * 5 >= len(c.g) * 1 AS contaminated
+        |FROM corpus c LEFT JOIN shared s USING (doc_id)""".stripMargin,
   )
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Decontaminate
+
+class DecontaminateSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("ngram overlap counts and contamination flag") {
+    val corpus = Seq(
+      (1L, "a b c d e"),        // shares trigrams "a b c","b c d","c d e"
+      (2L, "x y z w v"),        // disjoint from eval
+      (3L, "a b c q r s")       // shares exactly "a b c" of 4 trigrams
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val r = Decontaminate.ngramOverlap(corpus, eval, "doc_id", "text",
+        k = 3, num = 1, den = 2)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3))).toSeq ==
+      Seq((1L, 3L, 3L, true),   // 3/3 shared >= 1/2
+          (2L, 3L, 0L, false),
+          (3L, 4L, 1L, false))) // 1/4 < 1/2
+  }
+
+  test("short docs collapse to whole-text gram; exact eval copy is contaminated") {
+    val corpus = Seq((1L, "hi there"), (2L, "totally different")).toDF("doc_id", "text")
+    val eval = Seq((9L, "hi there")).toDF("doc_id", "text")
+    val r = Decontaminate.ngramOverlap(corpus, eval, "doc_id", "text", 3, 1, 5)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(2) == 1 && r(0).getBoolean(3))
+    assert(r(1).getLong(2) == 0 && !r(1).getBoolean(3))
+  }
+
+  test("fixture gate shape: every corpus doc present exactly once") {
+    val d = Tables.load(spark, SparkTestBase.sf001, "documents")
+    val out = Decontaminate.ngramOverlap(
+      d.where(col("doc_id") % 20 =!= 7), d.where(col("doc_id") % 20 === 7),
+      "doc_id", "text")
+    val n = d.where(col("doc_id") % 20 =!= 7).count()
+    assert(out.count() == n)
+    assert(out.select("doc_id").distinct().count() == n)
+    assert(out.where(col("n_shared") > col("n_grams")).count() == 0)
+  }
+}
