@@ -178,4 +178,32 @@ object Joins {
     fact.where(probe)
       .join(dim, col(factKey) === col(dimKey))
   }
+
+  /**
+   * Blocked fuzzy (edit-distance) join — the record-linkage staple: an
+   * equi-join on a cheap blocking key narrows candidates, then the exact
+   * Levenshtein threshold keeps real matches.
+   *
+   * Scale: a naive fuzzy join is an O(n*m) cross product (and Catalyst
+   * would plan exactly that for a pure `levenshtein(a,b) <= k` condition
+   * — a nested loop). The blocking key turns it into a plain shuffled
+   * equi-join, linear in input plus the per-block candidate volume; pick
+   * a key that bounds block sizes (a token, a phonetic code, a length
+   * band + prefix). Catalyst evaluates `levenshtein` inside codegen on
+   * the joined pairs only.
+   */
+  def fuzzyJoin(left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String, maxDist: Int,
+      blockKey: String => org.apache.spark.sql.Column): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val l = left.select(col(leftCol).as("name_a"),
+      blockKey(leftCol).as("__blk"))
+    val r = right.select(col(rightCol).as("name_b"),
+      blockKey(rightCol).as("__blk"))
+    l.join(r, Seq("__blk"))
+      .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .drop("__blk")
+  }
 }

@@ -146,6 +146,15 @@ object JoinQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("qty"))
     },
+    // Blocked fuzzy join: distinct part names self-matched at edit
+    // distance <= 3, blocking on the last token (the noun) — a linear
+    // equi-join, never a cross product.
+    "join_fuzzy_names" -> { (s, dir) =>
+      val names = Tables.load(s, dir, "part").select(col("p_name")).distinct()
+      Joins.fuzzyJoin(names, "p_name", names, "p_name", 3,
+          c => element_at(split(col(c), " "), -1))
+        .where(col("name_a") < col("name_b"))
+    },
     // Count-min sketch: build over lineitem part keys, probe 8 keys.
     "agg_cms_estimate" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -291,6 +300,13 @@ object JoinQueries {
         |  CAST(MAX(n) AS BIGINT) AS n
         |FROM qs JOIN cum ON cum >= ceil(q * n)
         |GROUP BY q""".stripMargin,
+    "join_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+        |SELECT a.p_name AS name_a, c.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        |WHERE levenshtein(a.p_name, c.p_name) <= 3""".stripMargin,
     "join_bloom_prune" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty

@@ -147,4 +147,23 @@ class JoinsSpec extends GraftSuite {
     // ALL rows with probability ~ (n_keys/1024)^4 — 0 here.
     assert(est(999999L) == 0L)
   }
+
+  test("fuzzy join: blocked equi-join matches the unblocked filter within blocks") {
+    import spark.implicits._
+    val left = Seq("red bolt", "rod bolt", "blue bolt", "red gear")
+      .toDF("p_name")
+    val out = graft.operators.Joins.fuzzyJoin(left, "p_name", left, "p_name",
+        2, c => element_at(split(col(c), " "), -1))
+      .where(col("name_a") < col("name_b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // "red bolt"~"rod bolt" dist 1; "blue bolt" is 3+ from both; "red
+    // gear" is in another block even though dist("red bolt","red gear")=4.
+    assert(out == Set(("red bolt", "rod bolt", 1L)))
+    // plan stays an equi-join: no cartesian/nested-loop node
+    val plan = graft.operators.Joins.fuzzyJoin(left, "p_name", left, "p_name",
+      2, c => element_at(split(col(c), " "), -1))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
