@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
       graft.queries.JoinQueries.queries ++
-      graft.queries.SamplingQueries.queries
+      graft.queries.SamplingQueries.queries ++
+      graft.queries.MergeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.ExtendedQueries.oracleSql ++
       graft.queries.JoinQueries.oracleSql ++
-      graft.queries.SamplingQueries.oracleSql
+      graft.queries.SamplingQueries.oracleSql ++
+      graft.queries.MergeQueries.oracleSql
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Keyed merge operators (SURVEY.md §2.5 layer C): MERGE-INTO-style upsert
+ * and SCD2 (slowly-changing-dimension, type 2) history maintenance — the
+ * two standard shapes for applying change batches to large tables.
+ *
+ * Scale design: both are key-partitioned joins plus unions — one shuffle
+ * per input keyed by the merge key. At 100 TB the base/current table
+ * lives bucketed on the key, so the join co-locates and only the (small)
+ * change batch shuffles; nothing here sorts globally or collects.
+ */
+object Merge {
+
+  /**
+   * MERGE-INTO upsert: every base row whose key appears in `updates` is
+   * replaced by the update row; update rows with new keys are inserted;
+   * all other base rows pass through. `updates` must be unique per key
+   * (pre-aggregate a CDC stream with keep-latest before calling).
+   */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+  }
+
+  /**
+   * SCD2 apply: `current` carries (keys, attrs, validFromCol,
+   * validToCol) with NULL validTo marking the open row per key;
+   * `changes` carries (keys, attrs) all effective at `effective`.
+   * Returns the new history:
+   *  - open rows whose key arrives with DIFFERENT attrs are closed
+   *    (validTo = effective) and a new open row is appended;
+   *  - changes for unknown keys insert a new open row;
+   *  - changes identical to the open row are no-ops (no spurious
+   *    versions);
+   *  - closed history and untouched open rows pass through unchanged.
+   * Attribute comparison is null-safe per column.
+   */
+  def scd2Apply(current: DataFrame, changes: DataFrame, keys: Seq[String],
+      attrs: Seq[String], validFromCol: String, validToCol: String,
+      effective: Column): DataFrame = {
+    require(keys.nonEmpty && attrs.nonEmpty, "scd2 needs keys and attrs")
+    val open = current.where(col(validToCol).isNull)
+    val closed = current.where(col(validToCol).isNotNull)
+
+    val chg = changes.select(
+      keys.map(col) ++ attrs.map(c => col(c).as(s"__c_$c")): _*)
+    // Side markers survive the full outer join where attr nullability
+    // can't (a NULL attr is a legal value, not an absence witness).
+    val j2 = open.withColumn("__open", lit(true))
+      .join(chg.withColumn("__chg", lit(true)), keys, "full_outer")
+    val same = attrs.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _)
+    val openSide = col("__open").isNotNull
+    val chgSide = col("__chg").isNotNull
+
+    // 1. untouched open rows, and no-op changes: keep the open row
+    val kept = j2.where(openSide && (!chgSide || same))
+      .select(current.columns.map(col): _*)
+    // 2. open rows superseded by a real change: close at `effective`
+    val closedNow = j2.where(openSide && chgSide && !same)
+      .select(current.columns.map(c =>
+        if (c == validToCol) effective.cast(current.schema(c).dataType).as(c)
+        else col(c)): _*)
+    // 3. new open rows: real changes and brand-new keys
+    val opened = j2.where(chgSide && (!openSide || !same))
+      .select(current.columns.map(c =>
+        if (attrs.contains(c)) col(s"__c_$c").as(c)
+        else if (c == validFromCol) effective.cast(current.schema(c).dataType).as(c)
+        else if (c == validToCol) lit(null).cast(current.schema(c).dataType).as(c)
+        else col(c)): _*)
+
+    closed.unionByName(kept).unionByName(closedNow).unionByName(opened)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Merge
+
+/**
+ * Correctness queries for the keyed-merge family (upsert, SCD2). The
+ * change batches are derived deterministically from the fixture tables so
+ * the DuckDB oracle replays the identical MERGE semantics in plain SQL.
+ * Money stays in exact cents (BIGINT); validity bounds are BIGINT epochs.
+ */
+object MergeQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MERGE INTO: every 10th order is updated (status 'U', +1000 price);
+    // every 100th arrives as a brand-new key. Output = merged snapshot.
+    "merge_upsert" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val upd = o.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("status"),
+          round((col("o_totalprice") + 1000) * 100).cast("long").as("cents"))
+        .unionByName(o.where(col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") + 1000000L).as("k"), lit("N").as("status"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")))
+      Merge.upsert(base, upd, Seq("k"))
+    },
+    // SCD2: open rows for every customer (valid_from 0); one change batch
+    // at t=100 rewrites segment for key%7=0, no-ops key%13=0 (same
+    // value), and inserts new keys (+100000 for key%50=0). Output = the
+    // full new history with closed + open validity intervals.
+    "merge_scd2" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val current = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        lit(0L).as("vf"), lit(null).cast("long").as("vt"))
+      val changes = c.where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"), lit("SEG_A").as("seg"))
+        .unionByName(c.where(col("c_custkey") % 13 === 0 &&
+            col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg")))
+        .unionByName(c.where(col("c_custkey") % 50 === 0)
+          .select((col("c_custkey") + 100000L).as("k"),
+            lit("SEG_NEW").as("seg")))
+      Merge.scd2Apply(current, changes, Seq("k"), Seq("seg"),
+        "vf", "vt", lit(100L))
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey AS k, 'U' AS status,
+        |    CAST(round((o_totalprice + 1000) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, 'N',
+        |    CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT k, status, cents FROM base
+        |WHERE k NOT IN (SELECT k FROM upd)
+        |UNION ALL
+        |SELECT k, status, cents FROM upd""".stripMargin,
+    "merge_scd2" ->
+      """WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(0 AS BIGINT) AS vf, CAST(NULL AS BIGINT) AS vt
+        |  FROM customer),
+        |chg AS (
+        |  SELECT c_custkey AS k, 'SEG_A' AS seg FROM customer
+        |  WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, 'SEG_NEW' FROM customer
+        |  WHERE c_custkey % 50 = 0),
+        |j AS (SELECT COALESCE(c.k, g.k) AS k, c.seg AS bseg, c.vf AS vf,
+        |             g.seg AS cseg, c.k IS NOT NULL AS op,
+        |             g.k IS NOT NULL AS ch
+        |      FROM cur c FULL OUTER JOIN chg g ON c.k = g.k)
+        |SELECT k, bseg AS seg, vf, CAST(NULL AS BIGINT) AS vt FROM j
+        |WHERE op AND (NOT ch OR bseg IS NOT DISTINCT FROM cseg)
+        |UNION ALL
+        |SELECT k, bseg, vf, CAST(100 AS BIGINT) FROM j
+        |WHERE op AND ch AND bseg IS DISTINCT FROM cseg
+        |UNION ALL
+        |SELECT k, cseg, CAST(100 AS BIGINT), CAST(NULL AS BIGINT) FROM j
+        |WHERE ch AND (NOT op OR bseg IS DISTINCT FROM cseg)""".stripMargin,
+  )
+}
