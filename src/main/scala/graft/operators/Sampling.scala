@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextHash.hash60
@@ -63,6 +64,55 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /**
+   * Temperature-based domain rebalancing (the data-mixing staple): domain
+   * d with n_d rows is sampled at a rate proportional to n_d^alpha /
+   * n_d, so alpha = 1 preserves the natural mix and alpha < 1 flattens
+   * it (upweights small domains), scaled so the expected total is
+   * `targetFraction` of the corpus. Rows are kept by the same
+   * content-hash rule as the other samplers — deterministic under
+   * retries, growth, and repartitioning.
+   *
+   * Scale: one tiny per-domain count aggregate broadcast back onto the
+   * corpus — the corpus itself never shuffles. Cross-engine determinism:
+   * alpha = 0.5 uses `sqrt` (IEEE correctly-rounded in every engine,
+   * unlike libm `pow`), and the weight SUM is computed over
+   * 2^20-scaled integers so float addition order can't flip a
+   * threshold; the DuckDB oracle replays the identical expression tree.
+   */
+  def temperatureSample(df: DataFrame, keyCol: String, domainCol: String,
+      alpha: Double, targetFraction: Double,
+      salt: String = "temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction in (0,1], got $targetFraction")
+    def weight(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+    // Global totals via an unpartitioned window over the COUNTS frame —
+    // bounded at one row per domain, so the single-partition window is a
+    // few dozen rows at any corpus size (and avoids the self-join
+    // ambiguity a counts-crossJoin-agg(counts) plan trips over).
+    val g = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // NB: resolution is case-insensitive — "__N" would silently REPLACE
+    // "__n" in withColumn; keep names case-distinct-proof.
+    val frac = counts
+      .withColumn("__wsum",
+        sum(floor(weight(col("__n")) * 1048576.0).cast("long")).over(g))
+      .withColumn("__ntot", sum(col("__n")).over(g).cast("double"))
+      .withColumn("__fd", least(lit(1.0),
+        lit(targetFraction) * col("__ntot") * weight(col("__n")) * 1048576.0 /
+          col("__wsum") / col("__n")))
+      .select(col(domainCol), col("__fd"))
+    val b = hash60(concat(lit(s"$salt:"), col(domainCol), lit(":"),
+      col(keyCol).cast("string"))) % Buckets
+    df.join(broadcast(frac), Seq(domainCol))
+      .where(b < round(col("__fd") * Buckets))
+      .drop("__fd")
   }
 
   /** Keeps ~`fraction` of rows per stratum, deterministically: a row

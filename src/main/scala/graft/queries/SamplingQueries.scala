@@ -29,6 +29,14 @@ object SamplingQueries {
           "doc_id", "lang", 5)
         .select("lang", "doc_id")
     },
+    // Temperature rebalancing at alpha=0.5: small sources are upweighted
+    // toward a flatter mix, expected total ~50% of the corpus. Exact
+    // row-level oracle (hash-rule replay).
+    "sample_temperature" -> { (s, dir) =>
+      Sampling.temperatureSample(Tables.load(s, dir, "documents"),
+          "doc_id", "source", alpha = 0.5, targetFraction = 0.5)
+        .select("doc_id", "source")
+    },
     // Sequence packing: greedy contiguous fill of 256-token training
     // sequences within 8 deterministic shards (integer-only window math —
     // the oracle replays it bit-for-bit).
@@ -96,6 +104,20 @@ object SamplingQueries {
       |      FROM d)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(CAST(floor(sqrt(n) * 1048576.0) AS BIGINT))
+        |               AS BIGINT) AS wsum,
+        |             CAST(SUM(n) AS DOUBLE) AS ntot FROM c),
+        |f AS (SELECT source,
+        |        least(1.0, 0.5 * ntot * sqrt(n) * 1048576.0 / wsum / n) AS fd
+        |      FROM c, t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN f USING (source)
+        |WHERE ('0x' || substr(md5('temp:' || d.source || ':' ||
+        |         CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+        |      < round(fd * 10000)""".stripMargin,
     "pack_sequences" ->
       s"""$duckPackCte
          |SELECT doc_id, CAST(shard AS BIGINT) AS shard,

@@ -51,4 +51,30 @@ class SamplingSpec extends GraftSuite {
     assert(math.abs(got("en").toDouble / totals("en") - 0.5) < 0.15)
     assert(math.abs(got("es").toDouble / totals("es") - 0.25) < 0.15)
   }
+
+  test("temperature sample flattens the domain mix and hits the target size") {
+    import org.apache.spark.sql.functions._
+    // lang is the genuinely skewed domain (en dominates ~2-5x the rest).
+    val kept = Sampling.temperatureSample(docs, "doc_id", "lang", 0.5, 0.5)
+    val total = docs.count().toDouble
+    val n = kept.count().toDouble
+    assert(math.abs(n / total - 0.5) < 0.1, s"kept $n of $total")
+    // alpha<1 upweights small domains: the kept fraction of the smallest
+    // lang must exceed the kept fraction of the largest.
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptSizes = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = sizes.minBy(_._2)._1
+    val largest = sizes.maxBy(_._2)._1
+    val fSmall = keptSizes.getOrElse(smallest, 0L).toDouble / sizes(smallest)
+    val fLarge = keptSizes.getOrElse(largest, 0L).toDouble / sizes(largest)
+    assert(fSmall > fLarge,
+      s"expected flattening: small=$fSmall large=$fLarge")
+    // deterministic under repartitioning
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(docs.repartition(13), "doc_id",
+      "lang", 0.5, 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
