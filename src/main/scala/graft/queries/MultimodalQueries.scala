@@ -81,6 +81,13 @@ object MultimodalQueries {
         EventStream.hourlyCounts(EventStream.eventsStream(s, dir)),
         s"stream_hourly_${System.nanoTime()}")
     },
+    // Overlapping sliding windows (2h every 1h) run as a live stream —
+    // every event lands in exactly two windows; sums in exact cents.
+    "stream_sliding" -> { (s, dir) =>
+      EventStream.runToMemory(s,
+        EventStream.slidingCounts(EventStream.eventsStream(s, dir)),
+        s"stream_sliding_${System.nanoTime()}")
+    },
     "stream_session_window" -> { (s, dir) =>
       // Batch execution of the same session_window transform the stream
       // uses (StreamingSpec asserts batch == streaming).
@@ -219,6 +226,13 @@ object MultimodalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sliding" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |    - k * INTERVAL 1 HOUR AS ws, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events, unnest(range(2)) AS u(k)
+        |GROUP BY 1, 2""".stripMargin,
     "stream_session_window" -> duckSessionsSql,
     "stream_gen_source" ->
       ("SELECT CAST(10000 AS BIGINT) AS n, TRUE AS ids_ok, " +

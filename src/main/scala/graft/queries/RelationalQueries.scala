@@ -358,6 +358,35 @@ object RelationalQueries {
           |UNION ALL
           |SELECT o_orderkey, 'cust', CAST(o_custkey AS DOUBLE)
           |FROM orders WHERE o_orderkey < 200""".stripMargin)),
+
+    // IGNORE NULLS window navigation: carry-forward of the latest
+    // purchase (last_value) and the PREVIOUS purchase strictly before the
+    // current row (lag). Dialects differ only in where IGNORE NULLS sits
+    // (Spark: after the parens; DuckDB: inside them).
+    Q("rel_q41_ignore_nulls",
+      """SELECT event_id,
+        |  last_value(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) IGNORE NULLS
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_cents,
+        |  lag(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) END, 1) IGNORE NULLS
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_purchase_cents
+        |FROM events""".stripMargin,
+      oracle = Some(
+        """SELECT event_id,
+          |  last_value(CASE WHEN event_type = 'purchase'
+          |    THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS last_purchase_cents,
+          |  lag(CASE WHEN event_type = 'purchase'
+          |    THEN CAST(round(value * 100) AS BIGINT) END, 1 IGNORE NULLS)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |    AS prev_purchase_cents
+          |FROM events""".stripMargin)),
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

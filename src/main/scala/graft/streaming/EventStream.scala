@@ -120,6 +120,19 @@ object EventStream {
       .select(col("window.start").as("h"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** Sliding-window counts: overlapping `size`-wide windows every
+    * `slide`, per event type — each event lands in size/slide windows.
+    * Exact cents keep the overlap sums oracle-portable. Works on batch
+    * and streaming inputs alike. */
+  def slidingCounts(events: DataFrame, size: String = "2 hours",
+      slide: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("cents"))
+
   /** Built-in session windows: 30-minute-gap sessions per user. */
   def sessionWindows(events: DataFrame): DataFrame =
     events
