@@ -110,3 +110,146 @@ case class FloatVecQuantizeInt8(child: Expression)
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+object PqOps {
+  /** All m product-quantization codes of one vector: for each contiguous
+    * subDim-wide subspace mi, the cid of the minimum-L2 codebook entry.
+    * The ranking key is norms2(e) - 2*dot(sub, cent_e) — ||sub||^2 is
+    * constant within a subspace — with the dot accumulated in the SAME
+    * sequential double fold as FloatVecDot, and strict `<` keeping the
+    * first (= lowest-cid, entries arrive cid-sorted) entry on exact
+    * ties. Bit-identical to the sort_array(struct(dist, cid)) form it
+    * replaces and to the DuckDB oracle's ROW_NUMBER replay. */
+  def pqEncode(v: org.apache.spark.sql.catalyst.util.ArrayData, subDim: Int,
+      offsets: Array[Int], cids: Array[Long], norms2: Array[Double],
+      cents: Array[Float]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = offsets.length - 1
+    val out = new Array[Long](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * subDim
+      var bestCid = 0L
+      var bestD = Double.PositiveInfinity
+      var e = offsets(mi)
+      while (e < offsets(mi + 1)) {
+        var acc = 0.0
+        var j = 0
+        while (j < subDim) {
+          acc += v.getFloat(base + j).toDouble * cents(e * subDim + j).toDouble
+          j += 1
+        }
+        val d = norms2(e) - 2.0 * acc
+        if (d < bestD) { bestD = d; bestCid = cids(e) }
+        e += 1
+      }
+      out(mi) = bestCid
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-query ADC LUT rows (m, cid, p): p = sequential-fold double dot
+    * of the query's subspace-mi slice with entry e's centroid. */
+  def pqLut(v: org.apache.spark.sql.catalyst.util.ArrayData, subDim: Int,
+      offsets: Array[Int], cids: Array[Long], cents: Array[Float])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = offsets.length - 1
+    val out = new Array[Any](cids.length)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * subDim
+      var e = offsets(mi)
+      while (e < offsets(mi + 1)) {
+        var acc = 0.0
+        var j = 0
+        while (j < subDim) {
+          acc += v.getFloat(base + j).toDouble * cents(e * subDim + j).toDouble
+          j += 1
+        }
+        out(e) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](mi.toLong, cids(e), acc))
+        e += 1
+      }
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
+ * `pq_encode(vec)` — all m PQ subspace codes in ONE narrow codegen call.
+ *
+ * Why a custom Expression: the declarative form (an m-wide array of
+ * sort_array-over-k-struct argmins) generates O(m*k) inline expression
+ * code — at m=32, k=16 that single projection overflows the JVM's 64 KB
+ * method limit and Spark silently falls back to interpreted evaluation
+ * for the whole stage. Here the codebooks ride along as reference
+ * objects (driver-trained literals, broadcast with the plan) and the
+ * generated code is one static call.
+ *
+ * Codebooks are flattened entry-major: entry e spans
+ * cents[e*subDim, (e+1)*subDim); book mi owns entries
+ * [offsets(mi), offsets(mi+1)); norms2(e) is the driver-precomputed
+ * sequential-fold ||cent_e||^2.
+ */
+case class PqEncode(child: Expression, subDim: Int, offsets: Array[Int],
+    cids: Array[Long], norms2: Array[Double], cents: Array[Float])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PqOps.pqEncode(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      subDim, offsets, cids, norms2, cents)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val offRef = ctx.addReferenceObj("pqOffsets", offsets, "int[]")
+    val cidRef = ctx.addReferenceObj("pqCids", cids, "long[]")
+    val nrmRef = ctx.addReferenceObj("pqNorms2", norms2, "double[]")
+    val cenRef = ctx.addReferenceObj("pqCents", cents, "float[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqOps.pqEncode(" +
+        s"$c, $subDim, $offRef, $cidRef, $nrmRef, $cenRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * `pq_lut(qvec)` — the per-query ADC lookup table as one
+ * array<struct<m, cid, p>>: for every codebook entry, the double dot
+ * product of the query's subspace slice with that entry's centroid
+ * (same sequential fold as FloatVecDot, so the DuckDB oracle replays it
+ * bit-for-bit). Same 64 KB rationale as PqEncode: the declarative
+ * m*k-struct array overflowed the method limit at m=32.
+ */
+case class PqLut(child: Expression, subDim: Int, offsets: Array[Int],
+    cids: Array[Long], cents: Array[Float])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("m", LongType, nullable = false),
+    StructField("cid", LongType, nullable = false),
+    StructField("p", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PqOps.pqLut(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      subDim, offsets, cids, cents)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val offRef = ctx.addReferenceObj("pqOffsets", offsets, "int[]")
+    val cidRef = ctx.addReferenceObj("pqCids", cids, "long[]")
+    val cenRef = ctx.addReferenceObj("pqCents", cents, "float[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqOps.pqLut(" +
+        s"$c, $subDim, $offRef, $cidRef, $cenRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

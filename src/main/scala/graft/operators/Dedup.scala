@@ -64,6 +64,59 @@ object Dedup {
     unseen.join(keep, Seq("__h", idCol), "left_semi").drop("__h")
   }
 
+  /**
+   * Persisted MinHash LSH band index of a historical corpus: one
+   * (doc_id, band, band_hash) row per document band. At 100 TB this is
+   * the artifact that lives between daily runs — written once per day,
+   * bucketed/partitioned by (band, band_hash), never recomputed from
+   * historical text.
+   */
+  def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerm: Int = 32, numBands: Int = 8): DataFrame =
+    minhashBands(minhashSignatures(docs, idCol, textCol, shingleK, numPerm),
+      numBands, numPerm / numBands)
+
+  /**
+   * Incremental NEAR-dedup — the daily-ingestion form of fuzzy dedup,
+   * which [[incrementalExactKeepFirst]] only covers for byte-identical
+   * re-crawls: the incoming batch is screened against the HISTORICAL
+   * [[minhashBandIndex]] (any shared (band, band_hash) = LSH near-dup
+   * evidence against history => drop), then near-deduped within itself
+   * (a doc is dropped when it shares a band with a LOWER-id batch doc —
+   * the greedy keep-first rule, applied after the history screen so a
+   * batch doc never loses to one already dropped as historical).
+   * Returns the surviving incoming rows; the caller appends their bands
+   * to the index for the next day.
+   *
+   * Scale shape: history is touched ONLY through its band index — no
+   * historical text or signatures are ever recomputed, and the probe is
+   * a (band, band_hash) semi-join that co-locates with an index bucketed
+   * on the same key, so day N costs O(batch), never corpus-vs-corpus.
+   * Batch bands are repartitioned on the band key once and that single
+   * exchange feeds BOTH the index probe and the in-batch self-join.
+   */
+  def incrementalMinhashKeepFirst(incoming: DataFrame, idCol: String,
+      textCol: String, bandIndex: DataFrame, shingleK: Int = 3,
+      numPerm: Int = 32, numBands: Int = 8): DataFrame = {
+    val bands = minhashBands(
+        minhashSignatures(incoming, idCol, textCol, shingleK, numPerm),
+        numBands, numPerm / numBands)
+      .repartition(col("band"), col("band_hash"))
+    val hitHistory = bands
+      .join(bandIndex.select(col("band"), col("band_hash")),
+        Seq("band", "band_hash"), "left_semi")
+      .select("doc_id").distinct()
+    val fresh = bands.join(hitHistory, Seq("doc_id"), "left_anti")
+    val losers = fresh.as("x").join(fresh.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") > col("y.doc_id"), "left_semi")
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    incoming
+      .join(hitHistory.unionAll(losers).withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_anti")
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** The universal-hash prime (Mersenne 2^31 - 1): products a*h stay under

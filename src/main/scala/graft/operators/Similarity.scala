@@ -158,6 +158,36 @@ object Similarity {
     element_at(sort_array(array(probeEntriesOf(vec, centroids): _*)), 1)
       .getField("cid")
 
+  /** Sequential-fold squared norm of a centroid (no sqrt) — same fold
+    * order as the DuckDB oracle's list_reduce, so L2 distances stay
+    * bit-comparable across engines. */
+  private def sqNormOf(v: Array[Float]): Double =
+    v.foldLeft(0.0)((acc, f) => acc + f.toDouble * f.toDouble)
+
+  /** All m minimum-L2 subspace codes of `vec` as one array<long> — the
+    * standard product-quantization assignment (||c||^2 - 2 dot(v,c)
+    * ranking, ||v||^2 constant per row; ties -> lower cid). Cosine
+    * assignment (magnitude-blind) must NOT feed an additive dot-product
+    * estimator: a subvector snapped to a direction-aligned but
+    * wrong-magnitude centroid corrupts every ADC partial.
+    *
+    * Delegates to the PqEncode codegen expression: the declarative
+    * sort_array-of-structs form generates O(m*k) inline code and
+    * overflows the 64 KB method limit at m=32, dropping the whole stage
+    * to interpreted evaluation. */
+  private def pqEncodeCol(vec: Column,
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int): Column = {
+    require(codebooks.forall(_.nonEmpty), "pqEncodeCol: empty codebook")
+    val offsets = codebooks.scanLeft(0)(_ + _.length).toArray
+    val cids = codebooks.flatMap(_.map(_._1)).toArray
+    val norms2 = codebooks.flatMap(_.map(e => sqNormOf(e._2))).toArray
+    val cents = codebooks.toArray.flatMap(_.flatMap(_._2))
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(vec),
+        subDim, offsets, cids, norms2, cents))
+  }
+
   /** IVF probe assignment: each vector's `nprobe` highest-cosine coarse
     * centroids (ties -> lower cid). Centroids are driver-side literals
     * (the trained coarse quantizer — k entries of dim floats), so the
@@ -282,21 +312,53 @@ object Similarity {
   // ---- Product quantization ------------------------------------------------
 
   /**
-   * PQ codebook training: one [[trainKMeans]] codebook per contiguous
-   * `subDim`-wide subspace (m of them). Same determinism contract as the
-   * IVF coarse quantizer — lowest-id seeding, cosine assignment with
-   * ties to the lower cid, exact scaled-integer mean sums, fixed rounds —
-   * so the DuckDB oracle replays every codebook bit-for-bit. Train on a
-   * sample at corpus scale, like IVF.
+   * PQ codebook training: one Lloyd codebook per contiguous `subDim`-wide
+   * subspace (m of them), assigned by MINIMUM L2 per subspace (the
+   * standard PQ objective — see [[nearestCidL2]] for why cosine
+   * assignment breaks the ADC estimator). Same determinism contract as
+   * the IVF coarse quantizer — lowest-id seeding, ties to the lower cid,
+   * exact scaled-integer mean sums, fixed rounds — so the DuckDB oracle
+   * replays every codebook bit-for-bit. Train on a sample at corpus
+   * scale, like IVF.
+   *
+   * All m codebooks train in ONE scan per Lloyd round: PqEncode assigns
+   * every subspace's code in one narrow codegen call, the (subspace,
+   * cid, subvector) rows posexplode out, and one groupBy(subspace, cid)
+   * accumulates every codebook's exact sums together — iters+1 jobs
+   * total instead of m*(iters+1).
    */
   def trainPQ(vecs: DataFrame, idCol: String, vecCol: String, m: Int,
-      subDim: Int, k: Int, iters: Int): Seq[Seq[(Long, Array[Float])]] =
-    (0 until m).map { mi =>
-      trainKMeans(
-        vecs.select(col(idCol),
-          slice(col(vecCol), mi * subDim + 1, subDim).as("__sub")),
-        idCol, "__sub", k, subDim, iters)
+      subDim: Int, k: Int, iters: Int): Seq[Seq[(Long, Array[Float])]] = {
+    require(m > 0 && subDim > 0 && k > 0 && iters >= 0,
+      "trainPQ: m, subDim, k > 0, iters >= 0")
+    val seedRows = vecs.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol)).collect()
+    var books: IndexedSeq[Seq[(Long, Array[Float])]] = (0 until m).map { mi =>
+      seedRows.map(r => (r.getLong(0),
+        r.getSeq[Float](1).slice(mi * subDim, (mi + 1) * subDim).toArray))
+        .toSeq
     }
+    val sums = (0 until subDim).map(j =>
+      sum(floor(element_at(col("sv"), j + 1).cast("double") *
+        KMeansScale).cast("long")).as(s"s$j"))
+    for (_ <- 0 until iters) {
+      val rows = vecs
+        .select(col(vecCol), posexplode(pqEncodeCol(col(vecCol), books, subDim)))
+        .select(col("pos").as("mi"), col("col").as("cid"),
+          slice(col(vecCol), col("pos") * subDim + 1, lit(subDim)).as("sv"))
+        .groupBy("mi", "cid")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      books = (0 until m).map { mi =>
+        rows.filter(_.getInt(0) == mi).map { r =>
+          val n = r.getLong(2)
+          (r.getLong(1), Array.tabulate(subDim)(j =>
+            (r.getLong(j + 3) / (KMeansScale * n)).toFloat))
+        }.sortBy(_._1).toSeq
+      }
+    }
+    books
+  }
 
   /**
    * PQ encoding: each vector compresses to `m` codebook ids — at dim=64,
@@ -306,14 +368,11 @@ object Similarity {
    * (id, m, cid) rows.
    */
   def pqCodes(vecs: DataFrame, idCol: String, vecCol: String,
-      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int): DataFrame = {
-    val entries = codebooks.zipWithIndex.map { case (cents, mi) =>
-      nearestCid(slice(col(vecCol), mi * subDim + 1, subDim), cents)
-    }
-    vecs.select(col(idCol).as("id"), posexplode(array(entries: _*)))
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int): DataFrame =
+    vecs.select(col(idCol).as("id"),
+        posexplode(pqEncodeCol(col(vecCol), codebooks, subDim)))
       .select(col("id"), col("pos").cast("long").as("m"),
         col("col").as("cid"))
-  }
 
   /**
    * PQ asymmetric-distance top-k (ADC): the dot product is additive over
@@ -329,14 +388,14 @@ object Similarity {
       codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
       k: Int): DataFrame = {
     val m = codebooks.length
-    val lutEntries = codebooks.zipWithIndex.flatMap { case (cents, mi) =>
-      cents.map { case (cid, cv) =>
-        struct(lit(mi.toLong).as("m"), lit(cid).as("cid"),
-          VectorOps.dot(slice(col("qvec"), mi * subDim + 1, subDim),
-            typedLit(cv.toSeq)).as("p"))
-      }
-    }
-    val lut = queries.select(col("qid"), explode(array(lutEntries: _*)).as("e"))
+    val offsets = codebooks.scanLeft(0)(_ + _.length).toArray
+    val cids = codebooks.flatMap(_.map(_._1)).toArray
+    val cents = codebooks.toArray.flatMap(_.flatMap(_._2))
+    val lutCol = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.PqLut(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(col("qvec")),
+        subDim, offsets, cids, cents))
+    val lut = queries.select(col("qid"), explode(lutCol).as("e"))
       .select(col("qid"), col("e.m").as("m"), col("e.cid").as("cid"),
         col("e.p").as("p"))
     val slots = (0 until m).map(mi =>

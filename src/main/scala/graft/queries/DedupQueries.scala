@@ -63,6 +63,30 @@ object DedupQueries {
   private lazy val minhashPairsOracle: String =
     minhashPairsOracleFrom("documents")
 
+  /** Tagged CTE chain: (doc_id, b, bh) LSH band keys of `rel` — the same
+    * shingle/signature/band arithmetic as [[duckShinglesFrom]] +
+    * minhashPairsOracleFrom, instantiable twice in one query (incoming
+    * batch vs historical index). */
+  private def duckBandsCtes(rel: String, tag: String): String =
+    s"""toks$tag AS (SELECT doc_id, string_split(text, ' ') AS t FROM $rel),
+       |sh$tag AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(len(t) - 2),
+       |           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+       |    ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks$tag),
+       |hsh$tag AS (SELECT doc_id,
+       |  list_transform(shingles,
+       |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+       |  FROM sh$tag),
+       |sig$tag AS (SELECT doc_id,
+       |  list_transform(range(32), p -> list_min(list_transform(hs,
+       |    h -> (($duckA)[p + 1] * h + ($duckB)[p + 1]) % 2147483647)))
+       |    AS sg FROM hsh$tag),
+       |bands$tag AS (SELECT doc_id, b,
+       |  md5(array_to_string(list_transform(
+       |    list_slice(sg, b*4 + 1, b*4 + 4), x -> x::VARCHAR), ',')) AS bh
+       |  FROM sig$tag, unnest(range(8)) AS br(b))""".stripMargin
+
   /** Exact-dedup survivors (min id per content hash). */
   private val duckExactKeep =
     "SELECT MIN(doc_id) FROM documents GROUP BY md5(text)"
@@ -184,6 +208,27 @@ object DedupQueries {
       Dedup.incrementalExactKeepFirst(incoming, "doc_id", "text", seen)
         .select("doc_id")
     },
+    // Incremental NEAR-dedup vs a historical MinHash band index: history
+    // = docs 0..249 (present only as band keys); the incoming batch
+    // mixes genuinely-new docs (250+, though any planted near-dup of an
+    // old doc is caught by the index), near-re-crawls of old content
+    // (ids+10000 with one appended word — caught by the index, not by
+    // exact hashing), and in-batch near-dups (ids+20000 with a different
+    // appended word — dropped by band-key keep-first).
+    "dedup_incremental_minhash" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val history = d.where(col("doc_id") < 250)
+      val incoming = d.where(col("doc_id") >= 250)
+        .unionAll(d.where(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 10000)
+          .withColumn("text", concat(col("text"), lit(" update"))))
+        .unionAll(d.where(col("doc_id") >= 300 && col("doc_id") < 320)
+          .withColumn("doc_id", col("doc_id") + 20000)
+          .withColumn("text", concat(col("text"), lit(" extra"))))
+      val index = Dedup.minhashBandIndex(history, "doc_id", "text")
+      Dedup.incrementalMinhashKeepFirst(incoming, "doc_id", "text", index)
+        .select("doc_id")
+    },
     // Paragraph-level dedup: 15-word-window paragraphs, cross-doc exact
     // dup detection, first-occurrence-wins cleaning. The fixture's planted
     // near-dup documents share long aligned stretches, so their windows
@@ -271,6 +316,28 @@ object DedupQueries {
         |           WHERE md5(text) NOT IN (SELECT h FROM seen))
         |SELECT doc_id FROM unseen
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM unseen GROUP BY h)""".stripMargin,
+    "dedup_incremental_minhash" ->
+      s"""WITH inc AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' update' FROM documents
+         |  WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' extra' FROM documents
+         |  WHERE doc_id >= 300 AND doc_id < 320),
+         |hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |${duckBandsCtes("inc", "i")},
+         |${duckBandsCtes("hist", "h")},
+         |hit AS (SELECT DISTINCT i.doc_id FROM bandsi i
+         |  WHERE EXISTS (SELECT 1 FROM bandsh h
+         |                WHERE h.b = i.b AND h.bh = i.bh)),
+         |fresh AS (SELECT * FROM bandsi
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+         |losers AS (SELECT DISTINCT x.doc_id FROM fresh x JOIN fresh y
+         |  ON x.b = y.b AND x.bh = y.bh AND x.doc_id > y.doc_id)
+         |SELECT doc_id FROM inc
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "dedup_paragraph" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE trim(text) <> ''),
