@@ -187,9 +187,72 @@ object TextEventsQueries {
         d.where(col("doc_id") % 20 === 7),
         "doc_id", "text", k = 3, num = 1, den = 5)
     },
+    // In-engine-TRAINED quality classifier: logistic regression over
+    // hashed bag-of-words presence features (64 buckets, 3 full-batch
+    // rounds, fixed-point weights). Train: docs 0..199 as "good" vs the
+    // same docs vowel-stripped (ids +10000) as "bad"; score the 200..299
+    // holdout plus its stripped twins. Margins are exact scaled-integer
+    // BIGINTs; the oracle unrolls all 3 gradient rounds in DuckDB and
+    // hash-matches the trained margins bit-for-bit.
+    "text_quality_model" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stripped = (df: DataFrame) => df
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", regexp_replace(col("text"), "[aeiou]", ""))
+      val good = d.where(col("doc_id") < 200)
+      val train = good.withColumn("label", lit(1))
+        .unionAll(stripped(good).withColumn("label", lit(0)))
+      val holdBase = d.where(col("doc_id") >= 200 && col("doc_id") < 300)
+      val hold = holdBase.unionAll(stripped(holdBase))
+      val (w, b) = graft.operators.QualityModel.trainLogReg(
+        train, "doc_id", "text", "label",
+        numBuckets = QmBuckets, iters = QmIters, lr = QmLr)
+      graft.operators.QualityModel.score(
+        hold, "doc_id", "text", QmBuckets, w, b)
+    },
   )
 
+  private val QmBuckets = 64
+  private val QmIters = 3
+  private val QmLr = 1.0
+
   // ---- DuckDB oracles ------------------------------------------------------
+
+  /** Unrolled DuckDB replay of QualityModel.trainLogReg over a `train`
+    * CTE (doc_id, text, label): hashed presence features, fixed-point
+    * weights, per-row floor-quantized gradients — bit-identical to the
+    * Spark training loop. Produces w{iters} / b{iters}. */
+  private def duckLogRegCtes(iters: Int, buckets: Int, lr: Double): String = {
+    val base =
+      s"""feats AS (SELECT DISTINCT doc_id,
+         |    ('0x' || substr(md5(w), 1, 15))::BIGINT % $buckets AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM train) WHERE w <> ''),
+         |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM train),
+         |w0 AS (SELECT u.b AS bucket, CAST(0 AS BIGINT) AS ws
+         |       FROM unnest(range($buckets)) u(b)),
+         |b0 AS (SELECT CAST(0 AS BIGINT) AS bs)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""m$r AS (SELECT t.doc_id, t.label,
+         |    COALESCE(SUM(w.ws), 0) + MIN(b.bs) AS ms
+         |  FROM train t CROSS JOIN b${r - 1} b
+         |  LEFT JOIN feats f ON f.doc_id = t.doc_id
+         |  LEFT JOIN w${r - 1} w ON w.bucket = f.bucket
+         |  GROUP BY t.doc_id, t.label),
+         |g$r AS (SELECT doc_id, CAST(floor((label
+         |    - 1.0 / (1.0 + exp(-(ms::DOUBLE / 1048576.0)))) * 1048576.0)
+         |    AS BIGINT) AS g FROM m$r),
+         |w$r AS (SELECT w.bucket, w.ws + CAST(floor(COALESCE(gs.s, 0)::DOUBLE
+         |      * $lr / (SELECT n FROM nn)) AS BIGINT) AS ws
+         |  FROM w${r - 1} w LEFT JOIN (SELECT f.bucket, SUM(g.g) AS s
+         |    FROM feats f JOIN g$r g USING (doc_id) GROUP BY 1) gs
+         |    USING (bucket)),
+         |b$r AS (SELECT b.bs + CAST(floor(SUM(g.g)::DOUBLE * $lr
+         |      / (SELECT n FROM nn)) AS BIGINT) AS bs
+         |  FROM b${r - 1} b, g$r g GROUP BY b.bs)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
 
   private val enStop = TextAnalysis.langProfiles.head._2
     .map(w => s"'$w'").mkString("[", ", ", "]")
@@ -478,5 +541,29 @@ object TextEventsQueries {
         |  COALESCE(s.n_shared, 0) AS n_shared,
         |  COALESCE(s.n_shared, 0) * 5 >= len(c.g) * 1 AS contaminated
         |FROM corpus c LEFT JOIN shared s USING (doc_id)""".stripMargin,
+    "text_quality_model" ->
+      s"""WITH train AS (
+         |  SELECT doc_id, text, 1 AS label FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '[aeiou]', '', 'g'), 0
+         |  FROM documents WHERE doc_id < 200),
+         |hold AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 200 AND doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '[aeiou]', '', 'g')
+         |  FROM documents WHERE doc_id >= 200 AND doc_id < 300),
+         |${duckLogRegCtes(QmIters, QmBuckets, QmLr)},
+         |hfeats AS (SELECT DISTINCT doc_id,
+         |    ('0x' || substr(md5(w), 1, 15))::BIGINT % $QmBuckets AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM hold) WHERE w <> '')
+         |SELECT h.doc_id,
+         |  COALESCE(SUM(w.ws), 0) + MIN(b.bs) AS margin_scaled,
+         |  (COALESCE(SUM(w.ws), 0) + MIN(b.bs)) > 0 AS pred_good
+         |FROM hold h CROSS JOIN b$QmIters b
+         |LEFT JOIN hfeats f ON f.doc_id = h.doc_id
+         |LEFT JOIN w$QmIters w ON w.bucket = f.bucket
+         |GROUP BY h.doc_id""".stripMargin,
   )
 }
