@@ -49,4 +49,47 @@ object Decontaminate {
       .withColumn("contaminated",
         col("n_shared") * den >= col("n_grams") * num)
   }
+
+  /**
+   * Semantic (embedding-level) decontamination: [[ngramOverlap]] catches
+   * verbatim leakage only — paraphrased eval material needs an
+   * eval-vs-corpus join in embedding space. Candidates come from an
+   * SRP-LSH bucket equi-join ([[Similarity.lshCodes]] on both sides, the
+   * eval side BROADCAST — same asymmetry as the n-gram path: benchmarks
+   * are thousands of vectors, the corpus is billions), then an exact
+   * cosine ≥ `threshold` refilter. Returns one row per contaminated
+   * corpus document: how many eval items it matches and the max cosine
+   * (rounded once, after the max).
+   *
+   * Scale shape: the corpus computes its bucket codes in one narrow
+   * codegen scan and joins a broadcast eval-code set — no corpus-vs-
+   * corpus join, no shuffle of the corpus beyond the final per-doc
+   * aggregate; recall is dialed by numTables/numPlanes exactly as in
+   * [[Similarity.lshNearDuplicates]].
+   */
+  def semanticOverlap(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      vecCol: String, evalIdCol: String, evalVecCol: String,
+      threshold: Double, numTables: Int = 8, numPlanes: Int = 3,
+      seed: Int = 42, dim: Int = 64): DataFrame = {
+    val cCodes = Similarity.lshCodes(corpus, idCol, vecCol,
+      numTables, numPlanes, seed, dim)
+    val eCodes = Similarity.lshCodes(evalSet, evalIdCol, evalVecCol,
+        numTables, numPlanes, seed, dim)
+      .withColumnRenamed("vec_id", "eval_id")
+    val cand = cCodes.join(broadcast(eCodes), Seq("tbl", "code"))
+      .select(col("vec_id").as("doc_id"), col("eval_id"))
+      .distinct()
+    val cv = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    val ev = evalSet
+      .select(col(evalIdCol).as("eval_id"), col(evalVecCol).as("ev"))
+      .withColumn("en", VectorOps.norm(col("ev")))
+    cand.join(cv, Seq("doc_id")).join(broadcast(ev), Seq("eval_id"))
+      .withColumn("cos",
+        VectorOps.dot(col("cv"), col("ev")) / (col("cn") * col("en")))
+      .where(col("cos") >= threshold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_hits"),
+        round(max(col("cos")), 6).as("max_cos"))
+  }
 }

@@ -98,6 +98,24 @@ object SimilarityQueries {
       Similarity.pqAdcTopK(codes, qs, books, PqSubDim, 5)
         .withColumnRenamed("rank", "rnk")
     },
+    // Semantic decontamination: the eval set is a planted paraphrase
+    // leak — every 50th corpus vector rescaled/shifted in double and
+    // rounded once to float (cosine ≈ 0.999 with its source, vs ≤ ~0.51
+    // between unrelated fixture vectors). LSH bucket join (eval side
+    // broadcast) + exact cosine ≥ 0.98 refilter; the oracle replays the
+    // perturbation, both code sets, and the refilter.
+    "text_decontaminate_semantic" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val evalSet = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eval_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(0.9) + lit(0.01)).cast("float"))
+            .as("evec"))
+      graft.operators.Decontaminate.semanticOverlap(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        evalSet, "id", "vec", "eval_id", "evec",
+        threshold = 0.98, NumTables, NumPlanes, Seed, Dim)
+    },
     // Symmetric int8 scalar quantization, integer evidence per vector.
     "sim_quantize_int8" -> { (s, dir) =>
       emb(s, dir)
@@ -174,6 +192,15 @@ object SimilarityQueries {
         s"CAST(${duckCode("embedding", ps(t))} AS BIGINT) AS code FROM embeddings"
     }.mkString("codes AS (", " UNION ALL ", ")")
 
+  /** SRP code CTE over an arbitrary (idCol, vecCol) relation — the
+    * reusable form of [[duckCodesCte]] (same planes, same arithmetic). */
+  private def duckCodesCteFor(name: String, rel: String, idCol: String,
+      vecCol: String): String =
+    (0 until NumTables).map { t =>
+      s"SELECT $idCol AS vid, CAST($t AS BIGINT) AS tbl, " +
+        s"CAST(${duckCode(vecCol, ps(t))} AS BIGINT) AS code FROM $rel"
+    }.mkString(s"$name AS (", " UNION ALL ", ")")
+
   /** PQ oracle: per-subspace k-means replay (tagged CTE families), code
     * assignment, and the fixed-order ADC sum. */
   private lazy val duckPqOracle: String = {
@@ -218,6 +245,23 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_pq_adc" -> duckPqOracle,
+    "text_decontaminate_semantic" ->
+      s"""WITH ev AS (SELECT vec_id AS eid,
+         |    list_transform(embedding,
+         |      x -> CAST(x::DOUBLE * 0.9 + 0.01 AS FLOAT)) AS evec
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |$duckCodesCte,
+         |${duckCodesCteFor("ecodes", "ev", "eid", "evec")},
+         |cand AS (SELECT DISTINCT c.vec_id AS doc_id, e.vid AS eid
+         |  FROM codes c JOIN ecodes e
+         |    ON c.tbl = e.tbl AND c.code = e.code),
+         |hits AS (SELECT cand.doc_id, cand.eid,
+         |    ${duckCos("a.embedding", "ev.evec")} AS cos
+         |  FROM cand JOIN embeddings a ON cand.doc_id = a.vec_id
+         |            JOIN ev ON cand.eid = ev.eid)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+         |  round(MAX(cos), 6) AS max_cos
+         |FROM hits WHERE cos >= 0.98 GROUP BY doc_id""".stripMargin,
     "sim_lsh_codes" -> s"WITH $duckCodesCte SELECT vec_id, tbl, code FROM codes",
     "sim_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

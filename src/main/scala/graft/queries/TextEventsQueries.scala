@@ -210,6 +210,33 @@ object TextEventsQueries {
       graft.operators.QualityModel.score(
         hold, "doc_id", "text", QmBuckets, w, b)
     },
+    // HTML boilerplate extraction: each doc is wrapped in a deterministic
+    // page (head script/style + comment, nav/ad/footer link-heavy divs
+    // around the prose) built identically in the oracle. Link-density
+    // keeps the two prose blocks and drops all three boilerplate blocks;
+    // page_chars witnesses the whole-page stripMarkup path (script bodies
+    // with bare '<' removed before tag stripping).
+    "text_html_extract" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">var x = 1; " +
+          "if (x < 2) { x = 3; }</script><style>.a { color: red; }" +
+          "</style></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<div class=\"ad\"><a href=\"x\">Buy</a> " +
+          "<a href=\"y\">Now</a> cheap</div>"),
+        lit("<p>Tail paragraph "), col("doc_id"), lit(" &amp; more</p>"),
+        lit("<!-- tracking pixel --><div class=\"footer\">" +
+          "<a href=\"/tos\">Terms</a> &nbsp; <a href=\"/p\">Privacy</a> " +
+          "copyright</div></body></html>"))
+      val d = docs(s, dir).select(col("doc_id"), html.as("html"))
+      graft.operators.HtmlExtract.extractMainContent(d, "doc_id", "html")
+        .join(d.select(col("doc_id"),
+          length(graft.operators.HtmlExtract.stripMarkup(col("html")))
+            .cast("long").as("page_chars")), Seq("doc_id"))
+    },
   )
 
   private val QmBuckets = 64
@@ -217,6 +244,15 @@ object TextEventsQueries {
   private val QmLr = 1.0
 
   // ---- DuckDB oracles ------------------------------------------------------
+
+  /** DuckDB replay of HtmlExtract.decodeEntities (same order, `&amp;`
+    * last). `&#39;` decodes to an escaped single quote. */
+  private def duckDecode(e: String): String =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "''",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(e) { case (acc, (a, b)) =>
+        s"regexp_replace($acc, '$a', '$b', 'g')"
+      }
 
   /** Unrolled DuckDB replay of QualityModel.trainLogReg over a `train`
     * CTE (doc_id, text, label): hashed presence features, fixed-point
@@ -565,5 +601,47 @@ object TextEventsQueries {
          |LEFT JOIN hfeats f ON f.doc_id = h.doc_id
          |LEFT JOIN w$QmIters w ON w.bucket = f.bucket
          |GROUP BY h.doc_id""".stripMargin,
+    "text_html_extract" -> {
+      val pageStripped = duckDecode(
+        """regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          |  '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          |  '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          |  '(?s)<!--.*?-->', ' ', 'g'),
+          |  '<[^>]*>', ' ', 'g')""".stripMargin.replace("\n", " "))
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || doc_id ||
+         |  '</title><script type="text/javascript">var x = 1; if (x < 2) { x = 3; }</script><style>.a { color: red; }</style></head><body>'
+         |  || '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>'
+         |  || '<p>' || text || '</p>'
+         |  || '<div class="ad"><a href="x">Buy</a> <a href="y">Now</a> cheap</div>'
+         |  || '<p>Tail paragraph ' || doc_id || ' &amp; more</p>'
+         |  || '<!-- tracking pixel --><div class="footer"><a href="/tos">Terms</a> &nbsp; <a href="/p">Privacy</a> copyright</div></body></html>'
+         |  AS html FROM documents),
+         |l AS (SELECT doc_id,
+         |  regexp_extract_all(html, '<(?:p|div)[^>]*>(.*?)</(?:p|div)>', 1)
+         |  AS bl FROM h),
+         |b AS (SELECT doc_id, i AS pos, bl[i + 1] AS blk
+         |      FROM l, unnest(range(len(bl))) t(i)),
+         |c AS (SELECT doc_id, pos,
+         |    trim(regexp_replace(regexp_replace(blk, '<[^>]*>', ' ', 'g'),
+         |      ' +', ' ', 'g')) AS vtxt,
+         |    trim(regexp_replace(${duckDecode(
+               "regexp_replace(blk, '<[^>]*>', ' ', 'g')")},
+         |      ' +', ' ', 'g')) AS ctxt,
+         |    length(COALESCE(array_to_string(regexp_extract_all(blk,
+         |      '<a[^>]*>([^<]*)</a>', 1), ''), '')) AS alen
+         |  FROM b),
+         |k AS (SELECT doc_id, pos, ctxt,
+         |    alen * 3 <= length(vtxt) * 1 AS keep FROM c),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    COALESCE(string_agg(CASE WHEN keep THEN ctxt END, ' '
+         |      ORDER BY pos), '') AS content
+         |  FROM k GROUP BY doc_id)
+         |SELECT a.doc_id, a.n_blocks, a.n_kept, a.content,
+         |  length(trim(regexp_replace($pageStripped, ' +', ' ', 'g')))
+         |    AS page_chars
+         |FROM agg a JOIN h USING (doc_id)""".stripMargin
+    },
   )
 }
