@@ -46,3 +46,55 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Per-JVM cache of deserialized Bloom filters keyed by broadcast id —
+  * the executor-side half of [[BloomMightContainLongBcast]]. */
+object BloomOps {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
+
+  def filterFor(b: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      : BloomFilter =
+    cache.computeIfAbsent(b.id,
+      _ => BloomFilter.readFrom(new ByteArrayInputStream(b.value)))
+}
+
+/**
+ * Broadcast-backed variant of [[BloomMightContainLong]] for LARGE
+ * filters: the serialized bits ship as a Spark broadcast variable (one
+ * torrent-distributed copy per executor) instead of riding inside the
+ * serialized plan (one copy per task closure, re-shipped with every
+ * stage that references the expression). At a 100M-key dimension and 1%
+ * fpp the bits are ~115 MB — plan-embedding that is a driver-memory and
+ * task-launch hazard; a broadcast is the intended mechanism.
+ *
+ * The generated code resolves the filter ONCE per operator instance
+ * (mutable-state init, a per-JVM cache lookup keyed by broadcast id) —
+ * the per-row probe is the same pinned-reference call as the inline
+ * variant, still inside whole-stage codegen.
+ */
+case class BloomMightContainLongBcast(child: Expression,
+    filterBc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_long_bcast"
+
+  @transient private lazy val filter: BloomFilter = BloomOps.filterFor(filterBc)
+
+  override protected def nullSafeEval(key: Any): Any =
+    filter.mightContainLong(key.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftBloomBc", filterBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bfVar = ctx.addMutableState(classOf[BloomFilter].getName, "graftBf",
+      v => s"$v = graft.functions.BloomOps.filterFor(" +
+        s"(org.apache.spark.broadcast.Broadcast) $bcRef);")
+    nullSafeCodeGen(ctx, ev, key =>
+      s"${ev.value} = $bfVar.mightContainLong($key);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

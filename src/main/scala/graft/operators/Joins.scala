@@ -162,19 +162,34 @@ object Joins {
    * `expectedItems`/`fpp`, and probed through the codegen'd
    * BloomMightContainLong expression (deserialized once per JVM). False
    * positives pass the probe but are eliminated by the join itself —
-   * results are exactly the plain join's. On a cluster, ship the filter
-   * as a broadcast variable if it exceeds a few MB.
+   * results are exactly the plain join's.
+   *
+   * Filter shipping auto-switches on serialized size: small filters ride
+   * inside the plan (simple, no broadcast lifecycle); anything above
+   * `bcastThresholdBytes` ships as a Spark broadcast variable instead
+   * (BloomMightContainLongBcast) — a plan-embedded 100M-key/1% filter is
+   * ~115 MB re-serialized into every task closure of every stage that
+   * references it, while a broadcast is torrent-distributed once per
+   * executor. Both paths probe below the exchange and agree exactly
+   * (spec'd).
    */
   def bloomPrefilteredJoin(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01,
+      bcastThresholdBytes: Long = 4L << 20): DataFrame = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"bad bloom sizing: items=$expectedItems fpp=$fpp")
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
-    val probe = GraftSqlBridge.column(graft.functions.BloomMightContainLong(
-      GraftSqlBridge.expression(col(factKey).cast("long")), out.toByteArray))
+    val bytes = out.toByteArray
+    val keyExpr = GraftSqlBridge.expression(col(factKey).cast("long"))
+    val probe = GraftSqlBridge.column(
+      if (bytes.length <= bcastThresholdBytes)
+        graft.functions.BloomMightContainLong(keyExpr, bytes)
+      else
+        graft.functions.BloomMightContainLongBcast(keyExpr,
+          dim.sparkSession.sparkContext.broadcast(bytes)))
     fact.where(probe)
       .join(dim, col(factKey) === col(dimKey))
   }

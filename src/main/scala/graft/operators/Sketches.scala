@@ -153,4 +153,73 @@ object Sketches {
       .agg(((min(col("bucket")) + 1) * widthCents).as("est_cents"),
         max(col("n")).as("n"))
   }
+
+  // ---- Theta sketch set operations (DataSketches) -------------------------
+
+  /**
+   * Per-group theta sketches over a long key column — the
+   * distinct-SET sketch family whose point is SET ALGEBRA: unlike HLL
+   * (union only, `rel_q40`), theta sketches support intersection and
+   * difference, which is how cross-corpus overlap questions ("how many
+   * training docs also appear in corpus B / in neither") are answered at
+   * 100 TB without a distinct-key join.
+   *
+   * Scale shape mirrors [[kllFromValues]]: one UpdateSketch per (group,
+   * partition) built in a single `mapPartitions` pass — no shuffle of
+   * the keys, only compact sketch bytes (≤ ~16 KB each at the default
+   * nominal 4096) move to the driver, where per-group Unions merge them.
+   * Below `nominal` distinct keys a theta sketch is EXACT (it retains
+   * every key hash), so fixture-scale results are deterministic;
+   * above it, estimates carry the standard ~1/sqrt(nominal) relative
+   * error — gate as a property, not a hash.
+   */
+  def thetaPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      nominal: Int = 4096)
+      : Map[String, org.apache.datasketches.theta.CompactSketch] = {
+    import org.apache.datasketches.theta.{SetOperation, UpdateSketch}
+    import df.sparkSession.implicits._
+    val partials = df
+      .select(col(groupCol).cast("string"), col(keyCol).cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.Map[String, UpdateSketch]()
+        it.foreach { case (g, k) =>
+          m.getOrElseUpdate(g, UpdateSketch.builder()
+            .setNominalEntries(nominal).build()).update(k)
+        }
+        m.iterator.map { case (g, sk) => (g, sk.compact().toByteArray) }
+      }.collect()
+    partials.groupBy(_._1).map { case (g, bs) =>
+      val u = SetOperation.builder().setNominalEntries(nominal).buildUnion()
+      bs.foreach(b => u.union(org.apache.datasketches.theta.CompactSketch
+        .heapify(org.apache.datasketches.memory.Memory.wrap(b._2))))
+      g -> u.getResult
+    }
+  }
+
+  /** Union of already-built sketches (cross-group / cross-day rollup). */
+  def thetaUnion(sketches: Seq[org.apache.datasketches.theta.Sketch],
+      nominal: Int = 4096): org.apache.datasketches.theta.CompactSketch = {
+    val u = org.apache.datasketches.theta.SetOperation.builder()
+      .setNominalEntries(nominal).buildUnion()
+    sketches.foreach(u.union)
+    u.getResult
+  }
+
+  /** A ∩ B. */
+  def thetaIntersect(a: org.apache.datasketches.theta.Sketch,
+      b: org.apache.datasketches.theta.Sketch)
+      : org.apache.datasketches.theta.CompactSketch = {
+    val i = org.apache.datasketches.theta.SetOperation.builder()
+      .buildIntersection()
+    i.intersect(a); i.intersect(b)
+    i.getResult
+  }
+
+  /** A \ B. */
+  def thetaANotB(a: org.apache.datasketches.theta.Sketch,
+      b: org.apache.datasketches.theta.Sketch)
+      : org.apache.datasketches.theta.CompactSketch =
+    org.apache.datasketches.theta.SetOperation.builder().buildANotB()
+      .aNotB(a, b)
 }

@@ -209,6 +209,40 @@ object JoinQueries {
           (abs(col("rd") - col("q")) <= 0.05).as("ok_direct"),
           (abs(col("rm") - col("q")) <= 0.05).as("ok_merged"))
     },
+    // Theta-sketch set algebra: per-segment customer-key sketches
+    // intersected / differenced against the "has orders" key sketch —
+    // the cross-corpus overlap estimator (HLL can only union). Below the
+    // 4096 nominal the sketches are exact, but theta estimation is
+    // randomized above it, so the gate is a property: estimates within
+    // max(2, 5%) of the exact joins, per segment.
+    "agg_theta_intersect" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          col("c_custkey").cast("long").as("k"))
+      val buyers = Tables.load(s, dir, "orders")
+        .select(lit("all").as("seg"), col("o_custkey").cast("long").as("k"))
+      val segSk = Sketches.thetaPerGroup(cust, "seg", "k")
+      val buySk = Sketches.thetaPerGroup(buyers, "seg", "k")("all")
+      val ests = segSk.toSeq.map { case (g, sk) =>
+        (g, math.rint(Sketches.thetaIntersect(sk, buySk).getEstimate).toLong,
+          math.rint(Sketches.thetaANotB(sk, buySk).getEstimate).toLong)
+      }
+      val estDf = ests.toDF("seg", "est_inter", "est_diff")
+      val exact = cust
+        .join(buyers.select(col("k")).distinct()
+          .withColumn("buyer", lit(1)), Seq("k"), "left")
+        .groupBy("seg")
+        .agg(countDistinct(when(col("buyer").isNotNull, col("k")))
+            .as("x_inter"),
+          countDistinct(when(col("buyer").isNull, col("k"))).as("x_diff"))
+      estDf.join(exact, Seq("seg"))
+        .select(col("seg"),
+          (abs(col("est_inter") - col("x_inter")) <=
+            greatest(lit(2.0), col("x_inter") * 0.05)).as("ok_inter"),
+          (abs(col("est_diff") - col("x_diff")) <=
+            greatest(lit(2.0), col("x_diff") * 0.05)).as("ok_diff"))
+    },
     // Custom typed UDAF: top-5 prices per return flag, exploded.
     "agg_topk" -> { (s, dir) =>
       TopKAggregator.register(s, 5)
@@ -288,6 +322,9 @@ object JoinQueries {
     "agg_kll_quantiles" ->
       """SELECT q, TRUE AS ok_direct, TRUE AS ok_merged
         |FROM unnest([0.1, 0.5, 0.9, 0.99]) t(q)""".stripMargin,
+    "agg_theta_intersect" ->
+      """SELECT DISTINCT c_mktsegment AS seg, TRUE AS ok_inter,
+        |  TRUE AS ok_diff FROM customer""".stripMargin,
     "agg_quantile_sketch" ->
       """WITH cents AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
         |b AS (SELECT (c - ((c % 500 + 500) % 500)) // 500 AS bucket,

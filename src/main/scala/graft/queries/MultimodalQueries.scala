@@ -166,6 +166,30 @@ object MultimodalQueries {
         s"stream_ssj_${System.nanoTime()}",
         org.apache.spark.sql.streaming.OutputMode.Append())
     },
+    // Stream-stream LEFT OUTER interval join: matched pairs emit
+    // immediately; unmatched errors emit (c_ts null) only after the
+    // watermark proves no click can arrive. Watermark is applied BEFORE
+    // the type filters so the far-future sentinel advances BOTH sides
+    // (filtering first would starve the error side's watermark and hold
+    // the tail's null rows forever); sentinel user filtered from output.
+    "stream_stream_left_join" -> { (s, dir) =>
+      val base = EventStream.eventsStreamWithSentinel(s, dir)
+        .withWatermark("ts", "1 hour")
+      EventStream.runToMemory(s,
+          EventStream.errorClickPairsLeftOuter(
+            base.where(col("event_type") === "error"),
+            base.where(col("event_type") === "click")),
+          s"stream_ssjl_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .where(col("user_id") >= 0)
+        // null-free witness of the outer semantics: the matched flag
+        // carries the null/not-null bit, c_ts coalesces to epoch so the
+        // exact-hash gate never compares engine-specific null encodings
+        .select(col("user_id"), col("e_ts"),
+          col("c_ts").isNotNull.as("matched"),
+          coalesce(col("c_ts"), to_timestamp(lit("1970-01-01")))
+            .as("c_ts_or_epoch"))
+    },
     // Custom-state operator: the state carries integer cents, so both the
     // count AND the sum hash-match the DuckDB oracle exactly.
     "stream_running_totals" -> { (s, dir) =>
@@ -255,6 +279,15 @@ object MultimodalQueries {
         |FROM events e JOIN events c ON e.user_id = c.user_id
         |  AND e.event_type = 'error' AND c.event_type = 'click'
         |  AND c.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts""".stripMargin,
+    "stream_stream_left_join" ->
+      """SELECT e.user_id, CAST(e.ts AS TIMESTAMP) AS e_ts,
+        |  c.ts IS NOT NULL AS matched,
+        |  COALESCE(CAST(c.ts AS TIMESTAMP), TIMESTAMP '1970-01-01')
+        |    AS c_ts_or_epoch
+        |FROM events e LEFT JOIN events c ON e.user_id = c.user_id
+        |  AND c.event_type = 'click'
+        |  AND c.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts
+        |WHERE e.event_type = 'error'""".stripMargin,
     "stream_running_totals" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

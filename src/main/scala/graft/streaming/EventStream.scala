@@ -350,12 +350,29 @@ object EventStream {
     * side's rows once they can no longer match future input). Emits raw
     * pairs (append-mode compatible — a post-join aggregation would need
     * its own watermarked window). */
-  def errorClickPairs(errors: DataFrame, clicks: DataFrame): DataFrame = {
+  def errorClickPairs(errors: DataFrame, clicks: DataFrame): DataFrame =
+    errorClickJoin(errors, clicks, "inner")
+
+  /** LEFT OUTER form of [[errorClickPairs]] — the semantics users trip
+    * on: a matched pair emits as soon as both rows arrive, but an
+    * UNMATCHED error emits (with a null `c_ts`) only once the watermark
+    * proves no qualifying click can still arrive (the error's join state
+    * ages past the interval's upper bound plus the click side's
+    * watermark delay). Until then the row is held in state — so on a
+    * finite input the watermark must be advanced past the data (see
+    * `eventsStreamWithSentinel`) or the tail's nulls stay unflushed. */
+  def errorClickPairsLeftOuter(errors: DataFrame,
+      clicks: DataFrame): DataFrame =
+    errorClickJoin(errors, clicks, "left_outer")
+
+  private def errorClickJoin(errors: DataFrame, clicks: DataFrame,
+      joinType: String): DataFrame = {
     val e = errors.select(col("user_id").as("e_user"), col("ts").as("e_ts"))
     val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
     e.join(c, expr(
         """e_user = c_user AND
-          |c_ts BETWEEN e_ts - INTERVAL 10 MINUTES AND e_ts""".stripMargin))
+          |c_ts BETWEEN e_ts - INTERVAL 10 MINUTES AND e_ts""".stripMargin),
+        joinType)
       .select(col("e_user").as("user_id"), col("e_ts"), col("c_ts"))
   }
 

@@ -48,6 +48,32 @@ class BloomJoinSpec extends GraftSuite {
     assert(viaBloom == plain)
   }
 
+  test("size auto-switch: large filters ship as a broadcast, results agree") {
+    val fact = li.select("l_orderkey", "l_quantity")
+    // threshold 0 forces the broadcast path; default keeps plan-embedding
+    val viaBcast = Joins.bloomPrefilteredJoin(
+      fact, "l_orderkey", dim, "o_orderkey", 50000L,
+      bcastThresholdBytes = 0L)
+    val viaInline = Joins.bloomPrefilteredJoin(
+      fact, "l_orderkey", dim, "o_orderkey", 50000L)
+    val bcastPlan = viaBcast.queryExecution.executedPlan.toString
+    val inlinePlan = viaInline.queryExecution.executedPlan.toString
+    assert(bcastPlan.contains("bloom_might_contain_long_bcast"),
+      s"broadcast probe missing:\n${bcastPlan.take(1500)}")
+    assert(inlinePlan.contains("bloom_might_contain_long") &&
+      !inlinePlan.contains("bloom_might_contain_long_bcast"),
+      s"inline probe missing:\n${inlinePlan.take(1500)}")
+    // the probe still sits below the join on the broadcast path
+    val probeAt = bcastPlan.indexOf("bloom_might_contain_long_bcast")
+    val joinAt = bcastPlan.indexOf("Join")
+    assert(joinAt >= 0 && probeAt > joinAt, "bcast probe not below join")
+    val a = viaBcast.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = viaInline.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a == b, "broadcast and inline paths must agree exactly")
+  }
+
   test("probe sits below the join in the physical plan (runtime-filter shape)") {
     val joined = Joins.bloomPrefilteredJoin(
       li.select("l_orderkey", "l_quantity"), "l_orderkey",

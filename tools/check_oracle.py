@@ -60,8 +60,9 @@ def main(sf_dir: str, out_dir: str) -> int:
         for col in got.columns:
             ga, wa = got[col].tolist(), want[col].tolist()
             for i, (x, y) in enumerate(zip(ga, wa)):
-                x = None if (isinstance(x, float) and pd.isna(x)) else x
-                y = None if (isinstance(y, float) and pd.isna(y)) else y
+                # scalar NA of any dtype (float NaN, NaT, pd.NA) -> None
+                x = None if (x is not None and pd.isna(x)) else x
+                y = None if (y is not None and pd.isna(y)) else y
                 if not cells_equal(x, y):
                     print(f"FAIL {name}: col {col} row {i}: spark={x!r} duckdb={y!r}")
                     ok = False
