@@ -76,4 +76,71 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /**
+   * Per-file min/max statistics index over a parquet directory — the
+   * table-format data-skipping primitive (Delta/Iceberg keep exactly this
+   * in their metadata; here it is materialized as a DataFrame so the
+   * pruning is observable and testable).
+   *
+   * One linear scan of the key column grouped by `input_file_name()`:
+   * the index has one row per FILE, so at 100 TB it is ~N_files rows
+   * (metadata-sized), cheap to persist next to the table and rebuild
+   * incrementally per newly-written file.
+   */
+  def fileStatsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"),
+        count(lit(1)).as("n_rows"))
+
+  /**
+   * Range scan that reads ONLY the files whose [key_min, key_max] spans
+   * overlap [lo, hi], per a previously built [[fileStatsIndex]]. The
+   * surviving file list is collected on the driver — that is a METADATA
+   * operation (one row per file, the same size class as the catalog's own
+   * file listing), not a data collect. Rows are re-filtered after the
+   * pruned read, so correctness never depends on the index being tight.
+   *
+   * Returns (scan, filesRead, filesTotal) so callers/tests can assert the
+   * pruning actually happened.
+   */
+  def prunedRangeScan(spark: org.apache.spark.sql.SparkSession, path: String,
+      index: DataFrame, keyCol: String, lo: Long, hi: Long)
+      : (DataFrame, Long, Long) = {
+    require(lo <= hi, s"prunedRangeScan: empty range [$lo, $hi]")
+    val rows = index.select(col("file"), col("key_min").cast("long"),
+      col("key_max").cast("long")).collect()
+    val keep = rows.filter(r => !(r.isNullAt(1) || r.isNullAt(2)) &&
+      r.getLong(1) <= hi && r.getLong(2) >= lo).map(_.getString(0))
+    val scan =
+      if (keep.isEmpty) spark.read.parquet(path).where(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+        .where(col(keyCol) >= lo && col(keyCol) <= hi)
+    (scan, keep.length.toLong, rows.length.toLong)
+  }
+
+  /**
+   * Small-file compaction: rewrite a fragmented parquet directory into
+   * `ceil(rows / targetRowsPerFile)` files. Uses `coalesce` when SHRINKING
+   * the file count — coalesce merges existing partitions with NO shuffle,
+   * which is the whole point of compaction (at 100 TB the data volume is
+   * the cost; a round-robin repartition would move every byte twice) —
+   * and falls back to repartition only when the target exceeds the
+   * current parallelism (growing the file count cannot be shuffle-free).
+   * Returns the file count written.
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0, "compact: targetRowsPerFile must be > 0")
+    val in = spark.read.parquet(inPath)
+    val n = in.count() // parquet count() is footer-metadata only
+    val files = math.max(1, ((n + targetRowsPerFile - 1) / targetRowsPerFile).toInt)
+    val sized =
+      if (files <= in.rdd.getNumPartitions) in.coalesce(files)
+      else in.repartition(files)
+    sized.write.mode("overwrite").parquet(outPath)
+    files
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -74,5 +75,37 @@ object Merge {
         else col(c)): _*)
 
     closed.unionByName(kept).unionByName(closedNow).unionByName(opened)
+  }
+
+  /**
+   * CDC changelog apply: folds a raw change log of (keys, attrs, seqCol,
+   * opCol) rows — opCol in {"I","U","D"} — into a base snapshot. The log
+   * may arrive OUT OF ORDER and may carry many rows per key; per key the
+   * row with the highest sequence number wins:
+   *  - winner op I/U: the key's row in the result is the winner's attrs
+   *    (insert-or-replace — upsert semantics);
+   *  - winner op D: the key is absent from the result;
+   *  - keys never mentioned in the log pass through from base unchanged.
+   * Sequence numbers must be unique per key (the CDC source's log offset
+   * is); with duplicates the winner among equals is unspecified.
+   *
+   * Scale shape: one window shuffle of the LOG keyed by the merge key
+   * (the log is the small, recent side), then one key-partitioned
+   * left-anti join against base plus a union — the same single-shuffle
+   * shape as [[upsert]]. At 100 TB base lives bucketed on the key, so the
+   * anti join co-locates and only the change batch moves.
+   */
+  def applyChangelog(base: DataFrame, log: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    require(keys.nonEmpty, "applyChangelog needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val winners = log
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    val upserts = winners.where(col(opCol) =!= "D")
+      .select(base.columns.map(col): _*)
+    base.join(winners.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(upserts)
   }
 }

@@ -355,4 +355,94 @@ object TextAnalysis {
       .where(col("rnk") <= k)
       .select("doc_id", "rnk", "h")
   }
+
+  /**
+   * Per-document perplexity-class LM score under an in-engine-trained
+   * add-one-smoothed word n-gram model — the model-based quality signal
+   * ("how surprising is this doc under the corpus LM") that heuristic
+   * ratio filters can't give. For each n-gram in a document:
+   *
+   *   logp = ln((count(prefix, next) + 1) / (count(prefix) + V))
+   *
+   * with V = distinct next-word vocabulary size, and the per-doc score is
+   * the mean negative log-prob (lower = more typical of the corpus).
+   *
+   * Determinism contract: each gram's logp is ONE ln() on a ratio of
+   * exact integers, floor-quantized to 1e-6 fixed point; per-doc totals
+   * are exact BIGINT sums (order-independent), and the final mean is one
+   * division rounded to 6 — the same fixed-point discipline as
+   * QualityModel.trainLogReg, so the DuckDB oracle replays it exactly.
+   *
+   * Scale shape: the LM count tables are vocabulary-sized (aggregates of
+   * one narrow gram explode, map-side partial); scoring is two keyed
+   * equi-joins of the gram stream against those tables plus one per-doc
+   * re-aggregation — every stage linear in corpus size, nothing quadratic,
+   * no driver loops. Output: (doc_id, n_grams, nll_scaled, avg_nll).
+   */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 2, "lmPerplexity: n >= 2 (need a prefix and a next)")
+    val gramsCol = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.WordGramsAll(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+          col(textCol)), n))
+    val grams = docs.select(col(idCol).as("doc_id"), explode(gramsCol).as("g"))
+      .select(col("doc_id"),
+        substring_index(col("g"), " ", n - 1).as("prefix"),
+        substring_index(col("g"), " ", -1).as("next"))
+    // Persisted: prefixCnt and vocab both derive from pairCnt, and without
+    // materialization Catalyst re-expands the lineage into three more
+    // full corpus scans + gram explodes. pairCnt is VOCABULARY-sized
+    // (distinct n-grams), so caching it is metadata-class storage while
+    // the corpus is scanned exactly twice (once for counts, once for the
+    // scoring stream) — the minimum for a train-then-score pass.
+    val pairCnt = grams.groupBy("prefix", "next").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixCnt = pairCnt.groupBy("prefix").agg(sum(col("cnt")).as("pcnt"))
+    val vocab = pairCnt.agg(count_distinct(col("next")).as("v"))
+    val logp = log((col("cnt") + lit(1L)).cast("double") /
+      (col("pcnt") + col("v")).cast("double"))
+    grams.join(pairCnt, Seq("prefix", "next"))
+      .join(prefixCnt, Seq("prefix"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(logp * lit(1000000.0)).cast("long").as("lp_scaled"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        (-sum(col("lp_scaled"))).as("nll_scaled"))
+      .withColumn("avg_nll", round(col("nll_scaled").cast("double") /
+        (col("n_grams") * lit(1000000L)).cast("double"), 6))
+  }
+
+  /**
+   * Tokenizer-vocabulary coverage: build the top-`vocabSize` word
+   * vocabulary by corpus frequency (ties break toward the
+   * lexicographically smaller word), then report each document's
+   * out-of-vocabulary token mass — the standard pre-tokenizer health
+   * check before committing a vocab to a training run.
+   *
+   * Scale shape: the word-count aggregate is the canonical map-side
+   * partial word count; the top-V cut is a window over the VOCABULARY
+   * (not the corpus) — bounded data, single partition is fine at any
+   * corpus size; scoring joins the per-doc word counts against the
+   * broadcast vocab. Output: (doc_id, n_tokens, n_oov, oov_rate).
+   */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabCoverage: vocabSize must be > 0")
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("w"))
+    val docCnt = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val vocab = docCnt.groupBy("w").agg(sum(col("c")).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w"))))
+      .where(col("rn") <= vocabSize)
+      .select(col("w"), lit(true).as("in_vocab"))
+    docCnt.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(
+        col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
 }

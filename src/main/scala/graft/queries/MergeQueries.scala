@@ -50,6 +50,74 @@ object MergeQueries {
       Merge.scd2Apply(current, changes, Seq("k"), Seq("seg"),
         "vf", "vt", lit(100L))
     },
+    // CDC changelog apply: an out-of-order log where key%10 gets an
+    // update at seq 1, key%20 additionally a delete at seq 2, and key%40
+    // a re-insert at seq 3 (which must beat the delete despite the union
+    // order), plus brand-new keys at seq 1. Output = folded snapshot.
+    "merge_changelog" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val log = o.where(col("o_orderkey") % 40 === 0)
+        .select(col("o_orderkey").as("k"), lit("R").as("status"),
+          lit(0L).as("cents"), lit(3L).as("seq"), lit("I").as("op"))
+        .unionByName(o.where(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey").as("k"), lit("X").as("status"),
+            lit(0L).as("cents"), lit(2L).as("seq"), lit("D").as("op")))
+        .unionByName(o.where(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").as("k"), lit("U").as("status"),
+            round((col("o_totalprice") + 1000) * 100).cast("long").as("cents"),
+            lit(1L).as("seq"), lit("U").as("op")))
+        .unionByName(o.where(col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") + 2000000L).as("k"), lit("N").as("status"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            lit(1L).as("seq"), lit("I").as("op")))
+      Merge.applyChangelog(base, log, Seq("k"), "seq", "op")
+    },
+    // Streaming CDC materialization: the SAME changelog as
+    // merge_changelog, delivered as three seq-ordered log files (one
+    // micro-batch each — mtimes force file-source order, matching a
+    // key-partitioned CDC log's per-key ordering), folded into versioned
+    // snapshots by foreachBatch. Final snapshot == the batch fold, so it
+    // shares merge_changelog's oracle.
+    "stream_changelog_apply" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val slices = Seq(
+        o.where(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").as("k"), lit("U").as("status"),
+            round((col("o_totalprice") + 1000) * 100).cast("long").as("cents"),
+            lit(1L).as("seq"), lit("U").as("op"))
+          .unionByName(o.where(col("o_orderkey") % 100 === 0)
+            .select((col("o_orderkey") + 2000000L).as("k"),
+              lit("N").as("status"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"),
+              lit(1L).as("seq"), lit("I").as("op"))),
+        o.where(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey").as("k"), lit("X").as("status"),
+            lit(0L).as("cents"), lit(2L).as("seq"), lit("D").as("op")),
+        o.where(col("o_orderkey") % 40 === 0)
+          .select(col("o_orderkey").as("k"), lit("R").as("status"),
+            lit(0L).as("cents"), lit(3L).as("seq"), lit("I").as("op")))
+      val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val logDir = s"$root/log"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        val stage = s"$root/stage$i"
+        slice.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = java.nio.file.Paths.get(logDir, f"seq$i%03d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      graft.streaming.ChangelogStream.materialize(s, base, logDir,
+        slices.head.schema, s"$root/state", Seq("k"), "seq", "op")
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -93,5 +161,33 @@ object MergeQueries {
         |UNION ALL
         |SELECT k, cseg, CAST(100 AS BIGINT), CAST(NULL AS BIGINT) FROM j
         |WHERE ch AND (NOT op OR bseg IS DISTINCT FROM cseg)""".stripMargin,
+    "merge_changelog" -> changelogOracle,
+    // The streamed fold must land exactly where the batch fold does.
+    "stream_changelog_apply" -> changelogOracle,
   )
+
+  private lazy val changelogOracle: String =
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |log AS (
+        |  SELECT o_orderkey AS k, 'R' AS status, CAST(0 AS BIGINT) AS cents,
+        |    3 AS seq, 'I' AS op FROM orders WHERE o_orderkey % 40 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', CAST(0 AS BIGINT), 2, 'D'
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U',
+        |    CAST(round((o_totalprice + 1000) * 100) AS BIGINT), 1, 'U'
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000, 'N',
+        |    CAST(round(o_totalprice * 100) AS BIGINT), 1, 'I'
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |win AS (SELECT k, status, cents, op FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC)
+        |      AS rn FROM log) WHERE rn = 1)
+        |SELECT k, status, cents FROM base
+        |WHERE k NOT IN (SELECT k FROM win)
+        |UNION ALL
+        |SELECT k, status, cents FROM win WHERE op <> 'D'""".stripMargin
 }

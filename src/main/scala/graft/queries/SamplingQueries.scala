@@ -86,6 +86,44 @@ object SamplingQueries {
           graft.operators.Layout
             .interleaveBits(col("l_orderkey"), col("l_partkey")).as("z"))
     },
+    // File-level min/max data skipping: write lineitem range-clustered on
+    // l_orderkey, build the per-file stats index, then answer a key-range
+    // query reading ONLY overlapping files. The result must equal a plain
+    // filter (the oracle) no matter how the range boundaries fell;
+    // LayoutSpec asserts files were actually skipped.
+    "layout_minmax_prune" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_layout_stats_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(out)
+      val index = graft.operators.Layout.fileStatsIndex(s, out, "l_orderkey")
+      val (scan, _, _) = graft.operators.Layout.prunedRangeScan(
+        s, out, index, "l_orderkey", 1000L, 2000L)
+      scan.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          min(col("l_orderkey")).as("k_min"), max(col("l_orderkey")).as("k_max"))
+    },
+    // Small-file compaction: 50 fragment files -> ceil(n/5000) compacted
+    // files (coalesce, shuffle-free), then prove the rewrite lost nothing
+    // with a full-table aggregate the oracle replays on the source table.
+    "layout_compact_roundtrip" -> { (s, dir) =>
+      val base = s"${sys.props("java.io.tmpdir")}/graft_layout_compact_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.load(s, dir, "lineitem").where(col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .repartition(50)
+        .write.mode("overwrite").parquet(s"$base/in")
+      graft.operators.Layout.compact(s, s"$base/in", s"$base/out", 5000L)
+      s.read.parquet(s"$base/out")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          sum(col("l_orderkey") * col("l_linenumber")).as("checksum"))
+    },
   )
 
   private val duckBucket =
@@ -178,5 +216,18 @@ object SamplingQueries {
          |  CAST(${graft.operators.Layout.duckSql("l_orderkey", "l_partkey")}
          |       AS BIGINT) AS z
          |FROM lineitem WHERE l_orderkey < 500""".stripMargin,
+    "layout_minmax_prune" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(MIN(l_orderkey) AS BIGINT) AS k_min,
+        |  CAST(MAX(l_orderkey) AS BIGINT) AS k_max
+        |FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey <= 2000
+        |GROUP BY l_returnflag""".stripMargin,
+    "layout_compact_roundtrip" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS checksum
+        |FROM lineitem WHERE l_orderkey < 2000
+        |GROUP BY l_returnflag""".stripMargin,
   )
 }

@@ -237,6 +237,32 @@ object TextEventsQueries {
           length(graft.operators.HtmlExtract.stripMarkup(col("html")))
             .cast("long").as("page_chars")), Seq("doc_id"))
     },
+    // Per-doc LM score under the corpus-trained add-one trigram model:
+    // exact fixed-point log-prob sums, mean NLL rounded once at the end.
+    "text_lm_perplexity" -> { (s, dir) =>
+      TextAnalysis.lmPerplexity(docs(s, dir), "doc_id", "text", 3)
+    },
+    // Top-500 corpus vocabulary -> per-doc OOV token mass.
+    "text_vocab_coverage" -> { (s, dir) =>
+      TextAnalysis.vocabCoverage(docs(s, dir), "doc_id", "text", 500)
+    },
+    // URL canonicalization: messy synthetic URLs (mixed-case scheme/host,
+    // userinfo, ports, www., tracking params, fragments) built identically
+    // in the oracle; output is the canonical form + registered domain.
+    "text_url_normalize" -> { (s, dir) =>
+      val tld = when(col("doc_id") % 3 === 0, ".ExAmple.COM:443")
+        .when(col("doc_id") % 3 === 1, ".Site.NET:8080")
+        .otherwise(".Docs.ORG")
+      val pathPart = when(col("doc_id") % 2 === 0,
+        concat(lit("/Path/"), col("doc_id"))).otherwise(lit(""))
+      val url = concat(lit("HTTPS://user:pw@WWW."), col("source"), tld,
+        pathPart, lit("?utm_source=feed&id="), col("doc_id"),
+        lit("&gclid=abc&q=x%20y&utm_campaign=z#frag"))
+      docs(s, dir).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          graft.operators.UrlOps.normalizeUrl(col("url")).as("url_norm"),
+          graft.operators.UrlOps.registeredDomain(col("url")).as("domain"))
+    },
   )
 
   private val QmBuckets = 64
@@ -643,5 +669,69 @@ object TextEventsQueries {
          |    AS page_chars
          |FROM agg a JOIN h USING (doc_id)""".stripMargin
     },
+    "text_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, array_to_string(tk[u.i+1 : u.i+2], ' ') AS prefix,
+        |        tk[u.i+3] AS next
+        |      FROM t CROSS JOIN
+        |        unnest(range(0, (SELECT MAX(len(tk)) - 2 FROM t))) u(i)
+        |      WHERE u.i <= len(tk) - 3),
+        |pc AS (SELECT prefix, next, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |pf AS (SELECT prefix, SUM(cnt) AS pcnt FROM pc GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT next) AS v FROM pc),
+        |sc AS (SELECT g.doc_id, CAST(floor(
+        |    ln((cnt + 1)::DOUBLE / (pcnt + v)::DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS lp
+        |  FROM g JOIN pc USING (prefix, next) JOIN pf USING (prefix)
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(-SUM(lp) AS BIGINT) AS nll_scaled,
+        |  round(CAST(-SUM(lp) AS DOUBLE)
+        |        / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS avg_nll
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    "text_vocab_coverage" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |dc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        |vc AS (SELECT w, SUM(c) AS cnt FROM dc GROUP BY 1),
+        |v AS (SELECT w FROM (SELECT w,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rn FROM vc)
+        |  WHERE rn <= 500)
+        |SELECT dc.doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN dc.c ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(SUM(CASE WHEN v.w IS NULL THEN dc.c ELSE 0 END)
+        |          AS DOUBLE) / CAST(SUM(dc.c) AS DOUBLE), 6) AS oov_rate
+        |FROM dc LEFT JOIN v ON dc.w = v.w
+        |GROUP BY dc.doc_id""".stripMargin,
+    "text_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://user:pw@WWW.' || source ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '.ExAmple.COM:443'
+        |       WHEN doc_id % 3 = 1 THEN '.Site.NET:8080'
+        |       ELSE '.Docs.ORG' END ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '/Path/' || doc_id ELSE '' END ||
+        |  '?utm_source=feed&id=' || doc_id ||
+        |  '&gclid=abc&q=x%20y&utm_campaign=z#frag' AS url
+        |  FROM documents),
+        |parts AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |    '^[^@]*@', ''), ':[0-9]*$', ''), '^www\.', '') AS hst,
+        |  regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        |  array_to_string(list_filter(
+        |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p,
+        |      '^(utm_[^=]*|fbclid|gclid)(=|$)')), '&') AS q
+        |  FROM u)
+        |SELECT doc_id,
+        |  sch || '://' || hst ||
+        |    (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+        |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_norm,
+        |  regexp_extract(hst, '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM parts""".stripMargin,
   )
 }

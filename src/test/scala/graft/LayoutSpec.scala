@@ -47,4 +47,47 @@ class LayoutSpec extends GraftSuite {
     assert(spans.getDouble(1) < g.getLong(1) * 0.7,
       s"partkey avg file span ${spans.getDouble(1)} vs global ${g.getLong(1)}")
   }
+
+  test("min-max file stats index prunes non-overlapping files") {
+    val out = java.nio.file.Files.createTempDirectory("graft_minmax").toString
+    val slice = Tables.load(spark, SparkTestBase.sf001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    slice.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(out)
+    val index = Layout.fileStatsIndex(spark, out, "l_orderkey")
+    assert(index.count() == 8, "one index row per written file")
+    val (lo, hi) = (100L, 300L)
+    val (scan, read, total) =
+      Layout.prunedRangeScan(spark, out, index, "l_orderkey", lo, hi)
+    assert(total == 8)
+    assert(read < total, s"no files pruned ($read/$total)")
+    // Pruned result == full filter, exactly.
+    val expect = slice.where(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+    assert(scan.exceptAll(expect).isEmpty && expect.exceptAll(scan).isEmpty)
+    // A range outside every file's span reads nothing.
+    val (empty, read0, _) =
+      Layout.prunedRangeScan(spark, out, index, "l_orderkey",
+        10000000L, 20000000L)
+    assert(read0 == 0 && empty.count() == 0)
+  }
+
+  test("compact rewrites fragments into the target file count, lossless") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val slice = Tables.load(spark, SparkTestBase.sf001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    slice.repartition(40).write.mode("overwrite").parquet(s"$base/in")
+    val nIn = new java.io.File(s"$base/in").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nIn == 40)
+    val n = slice.count()
+    val target = 1000L
+    val files = Layout.compact(spark, s"$base/in", s"$base/out", target)
+    assert(files == ((n + target - 1) / target).toInt)
+    val nOut = new java.io.File(s"$base/out").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nOut == files, s"wrote $nOut files, planned $files")
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.exceptAll(slice).isEmpty && slice.exceptAll(back).isEmpty)
+  }
 }

@@ -51,4 +51,38 @@ class MergeSpec extends GraftSuite {
     // intervals never invert
     assert(out.where(col("vt").isNotNull && col("vt") <= col("vf")).count() == 0)
   }
+
+  test("applyChangelog: out-of-order log folds to highest-seq winner") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    // Log arrives shuffled: key 1 updated then deleted (delete wins by
+    // seq); key 2 deleted then re-inserted (insert wins); key 5 inserted
+    // then updated; key 3 untouched; key 4 single delete.
+    val log = Seq(
+      (2L, "b2", 9L, "I"), (1L, "a1", 1L, "U"), (5L, "e0", 1L, "I"),
+      (1L, "gone", 2L, "D"), (4L, "gone", 1L, "D"), (5L, "e1", 3L, "U"),
+      (2L, "gone", 5L, "D")
+    ).toDF("k", "v", "seq", "op")
+    val out = Merge.applyChangelog(base, log, Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((2L, "b2"), (3L, "c"), (5L, "e1")))
+  }
+
+  test("changelog gate invariants: deletes gone, re-inserts win, keys unique") {
+    val out = graft.queries.MergeQueries.queries("merge_changelog")(
+      spark, SparkTestBase.sf001)
+    out.cache()
+    try {
+      // one row per key
+      assert(out.groupBy("k").count().where(col("count") =!= 1).count() == 0)
+      // key%40 re-inserted with status R (seq 3 beats the seq-2 delete)
+      assert(out.where(col("k") % 40 === 0 && col("k") < 2000000L &&
+        col("status") =!= "R").count() == 0)
+      // key%20 (but not %40) deleted
+      assert(out.where(col("k") % 20 === 0 && col("k") % 40 =!= 0 &&
+        col("k") < 2000000L).count() == 0)
+      // key%10 (but not %20) updated
+      assert(out.where(col("k") % 10 === 0 && col("k") % 20 =!= 0 &&
+        col("k") < 2000000L && col("status") =!= "U").count() == 0)
+    } finally out.unpersist()
+  }
 }

@@ -26,7 +26,10 @@ class PlanAuditSpec extends GraftSuite {
     // TF-IDF broadcasts the 1-row corpus count N into the scoring.
     "text_tfidf_top",
     // KLL property gate broadcasts 4 (q, estimate) rows to the rank check.
-    "agg_kll_quantiles")
+    "agg_kll_quantiles",
+    // LM scoring broadcasts the 1-row vocabulary size V into the
+    // smoothing denominator (constant-size at any corpus size).
+    "text_lm_perplexity")
 
   // Streaming queries plan at runtime; generator-only queries scan nothing.
   private val skip = Set("stream_hourly", "stream_dedup_pairs",
