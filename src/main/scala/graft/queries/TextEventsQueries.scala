@@ -242,6 +242,22 @@ object TextEventsQueries {
     "text_lm_perplexity" -> { (s, dir) =>
       TextAnalysis.lmPerplexity(docs(s, dir), "doc_id", "text", 3)
     },
+    // In-engine-TRAINED BPE: 8 merge rounds over the corpus word table;
+    // the oracle unrolls all 8 rounds (pair count -> argmax -> literal
+    // replace) and must reproduce the merge table bit-for-bit.
+    "text_bpe_merges" -> { (s, dir) =>
+      graft.operators.BpeTokenizer.trainBpeMerges(docs(s, dir), "text", BpeRounds)
+    },
+    // The trained merges applied back to the corpus: per-doc piece counts
+    // and compression ratio (chars per piece).
+    "text_bpe_tokenize" -> { (s, dir) =>
+      val m = graft.operators.BpeTokenizer
+        .trainBpeMerges(docs(s, dir), "text", BpeRounds)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      graft.operators.BpeTokenizer.tokenizeStats(
+        docs(s, dir), "doc_id", "text", m.toSeq)
+    },
     // Top-500 corpus vocabulary -> per-doc OOV token mass.
     "text_vocab_coverage" -> { (s, dir) =>
       TextAnalysis.vocabCoverage(docs(s, dir), "doc_id", "text", 500)
@@ -268,6 +284,38 @@ object TextEventsQueries {
   private val QmBuckets = 64
   private val QmIters = 3
   private val QmLr = 1.0
+  private val BpeRounds = 8
+
+  /** Unrolled DuckDB replay of BpeTokenizer.trainBpeMerges: per-round
+    * pair-count CTE, total-tie-order argmax, and the SAME literal
+    * `|A||B|` -> `|AB|` replace. Produces w0..w{k} (word, freq, s) and
+    * m1..m{k} (l, r2, c). */
+  private def duckBpeCtes(k: Int): String = {
+    val base =
+      """wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY word),
+        |w0 AS MATERIALIZED (SELECT word, freq,
+        |    '|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'
+        |      AS s
+        |  FROM wf)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT t.l, t.r2, CAST(SUM(t.freq) AS BIGINT) AS c FROM (
+         |    SELECT freq, toks[u.i] AS l, toks[u.i + 1] AS r2
+         |    FROM (SELECT freq,
+         |            string_split(substr(s, 2, length(s) - 2), '||') AS toks
+         |          FROM w${r - 1}) x,
+         |         unnest(range(1, len(toks))) u(i)) t
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT l, r2, c FROM p$r ORDER BY c DESC, l, r2 LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word, freq, replace(s,
+         |    '|' || (SELECT l FROM m$r) || '||' || (SELECT r2 FROM m$r) || '|',
+         |    '|' || (SELECT l FROM m$r) || (SELECT r2 FROM m$r) || '|') AS s
+         |  FROM w${r - 1})""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -669,6 +717,28 @@ object TextEventsQueries {
          |    AS page_chars
          |FROM agg a JOIN h USING (doc_id)""".stripMargin
     },
+    "text_bpe_merges" -> {
+      val rows = (1 to BpeRounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS "round", l AS "left", r2 AS "right",
+           |  l || r2 AS merged, c AS pair_count FROM m$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH ${duckBpeCtes(BpeRounds)}\n$rows"
+    },
+    "text_bpe_tokenize" ->
+      s"""WITH ${duckBpeCtes(BpeRounds)},
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |       FROM documents),
+         |j AS (SELECT d.doc_id, length(d.word) AS chars,
+         |        len(string_split(substr(w.s, 2, length(w.s) - 2), '||'))
+         |          AS pieces
+         |      FROM dw d JOIN w$BpeRounds w ON d.word = w.word
+         |      WHERE d.word <> '' AND d.word NOT LIKE '%|%')
+         |SELECT doc_id, CAST(SUM(chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  round(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(pieces) AS DOUBLE), 6)
+         |    AS compression
+         |FROM j GROUP BY doc_id""".stripMargin,
     "text_lm_perplexity" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, array_to_string(tk[u.i+1 : u.i+2], ' ') AS prefix,
