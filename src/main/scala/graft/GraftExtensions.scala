@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.RandgenFunctions
+import graft.functions.{RandgenFunctions, TextFunctions}
 
 /**
  * Cluster install path (SURVEY.md §3 EP1): makes the whole `randgen_*`
@@ -20,7 +20,7 @@ import graft.functions.RandgenFunctions
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
-    RandgenFunctions.all.foreach { case (name, builder) =>
+    (RandgenFunctions.all ++ TextFunctions.all).foreach { case (name, builder) =>
       extensions.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
