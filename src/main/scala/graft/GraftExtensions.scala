@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     extensions.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    extensions.injectPlannerStrategy(_ => graft.plans.GraftTopKStrategy)
   }
 }

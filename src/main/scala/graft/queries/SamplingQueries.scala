@@ -91,6 +91,18 @@ object SamplingQueries {
     // query reading ONLY overlapping files. The result must equal a plain
     // filter (the oracle) no matter how the range boundaries fell;
     // LayoutSpec asserts files were actually skipped.
+    // Custom heap-bounded top-k-per-key physical operator (partial below
+    // the exchange + final above, no sort anywhere) under a TOTAL order;
+    // the oracle is the row_number window form it replaces.
+    "topk_per_key" -> { (s, dir) =>
+      graft.operators.TopK.perKey(
+        Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_linenumber",
+            "l_extendedprice"),
+        Seq(col("l_returnflag")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber")), 5)
+    },
     "layout_minmax_prune" -> { (s, dir) =>
       val out = s"${sys.props("java.io.tmpdir")}/graft_layout_stats_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -216,6 +228,15 @@ object SamplingQueries {
          |  CAST(${graft.operators.Layout.duckSql("l_orderkey", "l_partkey")}
          |       AS BIGINT) AS z
          |FROM lineitem WHERE l_orderkey < 500""".stripMargin,
+    "topk_per_key" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |        l_extendedprice,
+        |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |          AS rn
+        |      FROM lineitem) t
+        |WHERE rn <= 5""".stripMargin,
     "layout_minmax_prune" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,

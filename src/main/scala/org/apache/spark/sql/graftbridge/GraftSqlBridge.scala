@@ -24,4 +24,17 @@ object GraftSqlBridge {
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
+
+  /** Wraps a logical plan as a DataFrame (for custom LogicalPlan nodes). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's experimental-methods hook (runtime strategy install). */
+  def experimentalMethods(spark: SparkSession)
+      : org.apache.spark.sql.ExperimentalMethods =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.experimentalMethods
 }
