@@ -122,6 +122,50 @@ object Layout {
   }
 
   /**
+   * Per-file BLOOM index over a parquet directory — the point-lookup
+   * complement of [[fileStatsIndex]]: min/max spans only help when the
+   * layout is range-clustered on the key; a Bloom per file skips for
+   * exact-key probes on ANY layout (a key's rows land in a handful of
+   * files regardless of clustering). One linear scan, one
+   * object-hash-aggregated Bloom per file; the index is
+   * files x filterBytes — metadata-sized, like a table format's
+   * dictionary/bloom column metadata.
+   */
+  def fileBloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, expectedPerFile: Long, fpp: Double = 0.01): DataFrame = {
+    val bloomAgg = org.apache.spark.sql.functions.udaf(
+      graft.functions.BloomAggregator(expectedPerFile, fpp))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(bloomAgg(col(keyCol).cast("long")).as("bloom"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /**
+   * Exact-key scan reading ONLY files whose Bloom filter might contain
+   * one of `keys`, per a previously built [[fileBloomIndex]]. Driver-side
+   * probing is one filter deserialization per FILE (metadata-scale);
+   * rows are re-filtered after the pruned read, so Bloom false positives
+   * cost I/O, never correctness.
+   */
+  def prunedPointScan(spark: org.apache.spark.sql.SparkSession, path: String,
+      index: DataFrame, keyCol: String, keys: Seq[Long])
+      : (DataFrame, Long, Long) = {
+    require(keys.nonEmpty, "prunedPointScan: need at least one key")
+    val rows = index.select(col("file"), col("bloom")).collect()
+    val keep = rows.filter { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      keys.exists(bf.mightContainLong)
+    }.map(_.getString(0))
+    val scan =
+      if (keep.isEmpty) spark.read.parquet(path).where(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+        .where(col(keyCol).isin(keys: _*))
+    (scan, keep.length.toLong, rows.length.toLong)
+  }
+
+  /**
    * Small-file compaction: rewrite a fragmented parquet directory into
    * `ceil(rows / targetRowsPerFile)` files. Uses `coalesce` when SHRINKING
    * the file count — coalesce merges existing partitions with NO shuffle,

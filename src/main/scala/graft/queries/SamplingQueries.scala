@@ -86,11 +86,6 @@ object SamplingQueries {
           graft.operators.Layout
             .interleaveBits(col("l_orderkey"), col("l_partkey")).as("z"))
     },
-    // File-level min/max data skipping: write lineitem range-clustered on
-    // l_orderkey, build the per-file stats index, then answer a key-range
-    // query reading ONLY overlapping files. The result must equal a plain
-    // filter (the oracle) no matter how the range boundaries fell;
-    // LayoutSpec asserts files were actually skipped.
     // Custom heap-bounded top-k-per-key physical operator (partial below
     // the exchange + final above, no sort anywhere) under a TOTAL order;
     // the oracle is the row_number window form it replaces.
@@ -103,6 +98,11 @@ object SamplingQueries {
         Seq(col("l_extendedprice").desc, col("l_orderkey"),
           col("l_linenumber")), 5)
     },
+    // File-level min/max data skipping: write lineitem range-clustered on
+    // l_orderkey, build the per-file stats index, then answer a key-range
+    // query reading ONLY overlapping files. The result must equal a plain
+    // filter (the oracle) no matter how the range boundaries fell;
+    // LayoutSpec asserts files were actually skipped.
     "layout_minmax_prune" -> { (s, dir) =>
       val out = s"${sys.props("java.io.tmpdir")}/graft_layout_stats_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -118,6 +118,25 @@ object SamplingQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
           min(col("l_orderkey")).as("k_min"), max(col("l_orderkey")).as("k_max"))
+    },
+    // Per-file BLOOM index point lookup: lineitem written UNCLUSTERED
+    // (hash repartition - min/max spans are useless here), Bloom index
+    // built per file, a 3-key probe reads only might-contain files. The
+    // result must equal a plain IN filter; LayoutSpec asserts skipping.
+    "layout_bloom_prune" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_layout_bloom_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .repartition(8, col("l_quantity"), col("l_linenumber"))
+        .write.mode("overwrite").parquet(out)
+      val index = graft.operators.Layout.fileBloomIndex(
+        s, out, "l_orderkey", expectedPerFile = 100000L)
+      val (scan, _, _) = graft.operators.Layout.prunedPointScan(
+        s, out, index, "l_orderkey", Seq(7L, 1000L, 4999L))
+      scan.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
     },
     // Small-file compaction: 50 fragment files -> ceil(n/5000) compacted
     // files (coalesce, shuffle-free), then prove the rewrite lost nothing
@@ -244,6 +263,11 @@ object SamplingQueries {
         |  CAST(MAX(l_orderkey) AS BIGINT) AS k_max
         |FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey <= 2000
         |GROUP BY l_returnflag""".stripMargin,
+    "layout_bloom_prune" ->
+      """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_orderkey IN (7, 1000, 4999)
+        |GROUP BY l_orderkey""".stripMargin,
     "layout_compact_roundtrip" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,

@@ -72,6 +72,31 @@ class LayoutSpec extends GraftSuite {
     assert(read0 == 0 && empty.count() == 0)
   }
 
+  test("bloom file index skips files for point lookups on unclustered layout") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bloomidx").toString
+    val slice = Tables.load(spark, SparkTestBase.sf001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    // hash-clustered on DIFFERENT columns: orderkey min/max spans are
+    // near-global in every file, so min-max skipping would read all 8
+    slice.repartition(8, col("l_quantity"), col("l_linenumber"))
+      .write.mode("overwrite").parquet(out)
+    val index = Layout.fileBloomIndex(spark, out, "l_orderkey", 100000L)
+    assert(index.count() == 8)
+    val keys = Seq(7L, 1000L)
+    val (scan, read, total) =
+      Layout.prunedPointScan(spark, out, index, "l_orderkey", keys)
+    assert(total == 8)
+    assert(read < total, s"bloom skipped nothing ($read/$total)")
+    val expect = slice.where(col("l_orderkey").isin(keys: _*))
+    assert(scan.exceptAll(expect).isEmpty && expect.exceptAll(scan).isEmpty)
+    // a key that does not exist anywhere reads (almost) nothing and
+    // returns zero rows regardless
+    val (miss, readMiss, _) =
+      Layout.prunedPointScan(spark, out, index, "l_orderkey", Seq(999999999L))
+    assert(miss.count() == 0)
+    assert(readMiss <= 1, s"absent key should probe ~0 files, read $readMiss")
+  }
+
   test("compact rewrites fragments into the target file count, lossless") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val slice = Tables.load(spark, SparkTestBase.sf001, "lineitem")
