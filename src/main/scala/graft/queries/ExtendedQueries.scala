@@ -220,6 +220,44 @@ object ExtendedQueries {
             (lit(1) - col("l_discount")).cast("decimal(18,2)")))
             .cast("double").as("revenue"))
     },
+    // Corrupt-record quarantine — the bad-record side channel every
+    // ingest needs: JSON payloads with planted malformed rows (id%50)
+    // parse PERMISSIVE-style (null on corrupt), and the roll-up reports
+    // clean/quarantined counts plus a checksum of the quarantined ids so
+    // nothing is silently dropped. Oracle replays with json_valid.
+    "io_corrupt_quarantine" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val payload = when(col("event_id") % 50 === 0,
+        concat(lit("{\"k\": broken"), col("event_id"))).otherwise(col("props"))
+      ev.select(col("event_id"), col("event_type"),
+          get_json_object(payload, "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(col("k").isNull, col("event_id")).otherwise(0L))
+            .as("quarantined_id_sum"),
+          sum(coalesce(col("k"), lit(0L))).as("sum_valid_k"))
+    },
+    // Schema evolution across file batches: day-1 files lack a column
+    // day-2 files carry; mergeSchema reads the union schema with NULLs
+    // for the old files — the way a 100 TB table grows columns without
+    // rewriting history.
+    "io_schema_evolution" -> { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_io_evo_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val li = Tables.load(s, dir, "lineitem")
+      li.where(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .write.mode("overwrite").parquet(s"$out/day=1")
+      li.where(col("l_orderkey") >= 1000 && col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").parquet(s"$out/day=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(coalesce(col("l_returnflag"), lit("<pre-schema>")).as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          sum(col("l_orderkey")).as("key_sum"))
+    },
   )
 
   /** Writes a lineitem slice through `format`, reads it back, aggregates.
@@ -326,5 +364,33 @@ object ExtendedQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_orderkey < 2000 AND o_orderkey < 2000
         |GROUP BY o_orderstatus""".stripMargin,
+    "io_corrupt_quarantine" ->
+      """WITH p AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 50 = 0
+        |         THEN '{"k": broken' || event_id ELSE props END AS payload
+        |  FROM events),
+        |x AS (SELECT event_id, event_type,
+        |    CASE WHEN json_valid(payload)
+        |         THEN CAST(payload->>'$.k' AS BIGINT) END AS k
+        |  FROM p)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quarantined,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN event_id ELSE 0 END) AS BIGINT)
+        |    AS quarantined_id_sum,
+        |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_valid_k
+        |FROM x GROUP BY event_type""".stripMargin,
+    "io_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, l_quantity, NULL AS l_returnflag
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_quantity, l_returnflag
+        |  FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000)
+        |SELECT COALESCE(l_returnflag, '<pre-schema>') AS flag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        |FROM u GROUP BY 1""".stripMargin,
   )
 }

@@ -190,6 +190,30 @@ object MultimodalQueries {
           coalesce(col("c_ts"), to_timestamp(lit("1970-01-01")))
             .as("c_ts_or_epoch"))
     },
+    // Stream-stream FULL OUTER interval join: every error AND every click
+    // accounted for exactly once — matched pairs immediately, unmatched
+    // rows of EITHER side once the watermark proves no partner can
+    // arrive. Same sentinel/watermark-before-filter discipline as the
+    // left-outer gate; null timestamps witnessed via flags + epoch
+    // coalesce so the hash compare never sees engine null encodings.
+    "stream_stream_full_join" -> { (s, dir) =>
+      val base = EventStream.eventsStreamWithSentinel(s, dir)
+        .withWatermark("ts", "1 hour")
+      EventStream.runToMemory(s,
+          EventStream.errorClickPairsFullOuter(
+            base.where(col("event_type") === "error"),
+            base.where(col("event_type") === "click")),
+          s"stream_ssjf_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .where(col("user_id") >= 0)
+        .select(col("user_id"),
+          col("e_ts").isNotNull.as("has_error"),
+          coalesce(col("e_ts"), to_timestamp(lit("1970-01-01")))
+            .as("e_ts_or_epoch"),
+          col("c_ts").isNotNull.as("has_click"),
+          coalesce(col("c_ts"), to_timestamp(lit("1970-01-01")))
+            .as("c_ts_or_epoch"))
+    },
     // Custom-state operator: the state carries integer cents, so both the
     // count AND the sum hash-match the DuckDB oracle exactly.
     "stream_running_totals" -> { (s, dir) =>
@@ -288,6 +312,18 @@ object MultimodalQueries {
         |  AND c.event_type = 'click'
         |  AND c.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts
         |WHERE e.event_type = 'error'""".stripMargin,
+    "stream_stream_full_join" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT COALESCE(e.user_id, c.user_id) AS user_id,
+        |  e.ts IS NOT NULL AS has_error,
+        |  COALESCE(e.ts, TIMESTAMP '1970-01-01') AS e_ts_or_epoch,
+        |  c.ts IS NOT NULL AS has_click,
+        |  COALESCE(c.ts, TIMESTAMP '1970-01-01') AS c_ts_or_epoch
+        |FROM e FULL OUTER JOIN c ON e.user_id = c.user_id
+        |  AND c.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts""".stripMargin,
     "stream_running_totals" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

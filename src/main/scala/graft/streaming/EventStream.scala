@@ -365,6 +365,14 @@ object EventStream {
       clicks: DataFrame): DataFrame =
     errorClickJoin(errors, clicks, "left_outer")
 
+  /** FULL OUTER form: additionally emits clicks no error followed within
+    * the interval (e_ts null) once the watermark proves none can — the
+    * "both sides audited" shape (every error AND every click accounted
+    * for exactly once). Same state-flush caveat as the left-outer form. */
+  def errorClickPairsFullOuter(errors: DataFrame,
+      clicks: DataFrame): DataFrame =
+    errorClickJoin(errors, clicks, "full_outer")
+
   private def errorClickJoin(errors: DataFrame, clicks: DataFrame,
       joinType: String): DataFrame = {
     val e = errors.select(col("user_id").as("e_user"), col("ts").as("e_ts"))
@@ -373,7 +381,9 @@ object EventStream {
         """e_user = c_user AND
           |c_ts BETWEEN e_ts - INTERVAL 10 MINUTES AND e_ts""".stripMargin),
         joinType)
-      .select(col("e_user").as("user_id"), col("e_ts"), col("c_ts"))
+      // coalesce carries the key through outer rows of EITHER side
+      .select(coalesce(col("e_user"), col("c_user")).as("user_id"),
+        col("e_ts"), col("c_ts"))
   }
 
   /** foreachBatch sink: the operational pattern for pushing a stream into

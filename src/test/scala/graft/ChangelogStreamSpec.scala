@@ -48,5 +48,14 @@ class ChangelogStreamSpec extends GraftSuite {
     val v1 = spark.read.parquet(root.resolve("state/v1").toString)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(v1 == Set((1L, "a1"), (3L, "c"), (4L, "d0")))
+    // vacuum keeps the newest 2 versions, deletes v0, final data intact
+    val deleted = ChangelogStream.vacuum(root.resolve("state").toString, 2)
+    assert(deleted == Seq(0L), s"expected [0], got $deleted")
+    assert(!java.nio.file.Files.exists(root.resolve("state/v0")))
+    assert(java.nio.file.Files.exists(root.resolve("state/v1")) &&
+      java.nio.file.Files.exists(root.resolve("state/v2")))
+    val after = spark.read.parquet(root.resolve("state/v2").toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == got)
   }
 }
