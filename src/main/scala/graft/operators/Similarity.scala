@@ -90,6 +90,23 @@ object Similarity {
         col("col").as("code"))
   }
 
+
+  /** Shared ranking tail: trims the scored candidate stream to k rows per
+    * query with the heap-bounded [[TopK]] physical operator (map-side trim
+    * BEFORE the exchange — the window form would shuffle and fully sort
+    * every scored row), then ranks the tiny queries x k result. Total
+    * order (score desc, id) keeps the output identical to the window
+    * form, row for row. */
+  private def rankTopKPerQuery(scored: DataFrame, k: Int,
+      scoreCol: String): DataFrame = {
+    val trimmed = TopK.perKey(scored, Seq(col("qid")),
+      Seq(col(scoreCol).desc, col("id")), k)
+    val w = Window.partitionBy("qid").orderBy(col(scoreCol).desc, col("id"))
+    trimmed.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("qid"), col("id"), col("rank"),
+        round(col(scoreCol), 6).as(scoreCol))
+  }
+
   /** Exact top-k neighbors per query by brute-force cosine.
     * `queries` (qid, qvec) is broadcast; corpus (id, vec) streams. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -99,10 +116,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .withColumn("score",
         VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("id"), col("rank"), round(col("score"), 6).as("score"))
+    rankTopKPerQuery(scored, k, "score")
   }
 
   /** Corpus-scale embedding near-duplicate pairs: SRP-LSH bucket equi-join
@@ -279,10 +293,7 @@ object Similarity {
       .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
       .withColumn("score",
         VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("id"), col("rank"), round(col("score"), 6).as("score"))
+    rankTopKPerQuery(scored, k, "score")
   }
 
   /** Approximate top-k via SRP-LSH: bucket-join candidates, exact cosine
@@ -303,10 +314,7 @@ object Similarity {
       .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
       .withColumn("score",
         VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("id"), col("rank"), round(col("score"), 6).as("score"))
+    rankTopKPerQuery(scored, k, "score")
   }
 
   // ---- Product quantization ------------------------------------------------
@@ -406,10 +414,6 @@ object Similarity {
       .groupBy("qid", "id")
       .agg(slots.head, slots.tail: _*)
       .withColumn("est", est)
-    val w = Window.partitionBy("qid").orderBy(col("est").desc, col("id"))
-    g.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("id"), col("rank"),
-        round(col("est"), 6).as("est"))
+    rankTopKPerQuery(g, k, "est")
   }
 }
