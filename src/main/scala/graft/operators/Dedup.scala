@@ -256,22 +256,29 @@ object Dedup {
     * candidate set shrinks ~(2^12/2^4 x bands) ~100x, which is the
     * difference between a linear-ish join and a quadratic blowup once the
     * corpus no longer fits a single bucket space. */
-  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 48, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol, bits)
+  /** Wide pigeonhole (band, nib) rows of a simhash column: maxHamming+1
+    * bands, the first `bits % numBands` one bit wider — any partition of
+    * the bits preserves the pigeonhole bound. Shared by pair mining and
+    * the incremental band index. */
+  private def simhashWideBands(sh: DataFrame, bits: Int,
+      maxHamming: Int): DataFrame = {
     val numBands = maxHamming + 1
     val base = bits / numBands
     val rem = bits % numBands
-    // Band b covers [offset, offset + width) with the first `rem` bands one
-    // bit wider — any partition of the bits preserves the pigeonhole bound.
     val widths = (0 until numBands).map(b => base + (if (b < rem) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until numBands).map(b =>
         shiftright(col("simhash"), offsets(b))
           .bitwiseAND(lit((1L << widths(b)) - 1))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "nib")
+  }
+
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48, maxHamming: Int = 3): DataFrame = {
+    val banded = simhashWideBands(
+      simhash(docs, idCol, textCol, bits), bits, maxHamming)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.nib") === col("y.nib") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -280,6 +287,52 @@ object Dedup {
           .as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Persisted SimHash band index of a corpus: one (doc_id, band, nib,
+    * simhash) row per wide band — the SimHash sibling of
+    * [[minhashBandIndex]]. The signature rides along because SimHash's
+    * 12-bit bands (unlike MinHash's ~60-bit band hashes) have a real
+    * random-collision rate, so probes must Hamming-VERIFY against the
+    * indexed signature — 8 bytes per row, still metadata-class. At rest
+    * this is bucketable on (band, nib), so daily probes co-locate. */
+  def simhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48, maxHamming: Int = 3): DataFrame =
+    simhashWideBands(simhash(docs, idCol, textCol, bits), bits, maxHamming)
+      .select("doc_id", "band", "nib", "simhash")
+
+  /**
+   * Incremental SimHash near-dedup — [[incrementalMinhashKeepFirst]]'s
+   * sibling for the SimHash family: the incoming batch is screened
+   * against the historical [[simhashBandIndex]] (shared wide (band, nib)
+   * candidates, confirmed by Hamming distance <= maxHamming against the
+   * indexed signature => drop), then verified-band-keep-first'd within
+   * itself. History is touched only through its band index — no
+   * historical text re-read, no signatures recomputed; day-N cost
+   * O(batch).
+   */
+  def incrementalSimhashKeepFirst(incoming: DataFrame, idCol: String,
+      textCol: String, bandIndex: DataFrame, bits: Int = 48,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = simhashWideBands(
+        simhash(incoming, idCol, textCol, bits), bits, maxHamming)
+      .repartition(col("band"), col("nib"))
+    val hitHistory = bands.as("i")
+      .join(bandIndex.as("h"),
+        col("i.band") === col("h.band") && col("i.nib") === col("h.nib") &&
+          bit_count(col("i.simhash").bitwiseXOR(col("h.simhash")))
+            <= maxHamming, "left_semi")
+      .select(col("i.doc_id").as("doc_id")).distinct()
+    val fresh = bands.join(hitHistory, Seq("doc_id"), "left_anti")
+    val losers = fresh.as("x").join(fresh.as("y"),
+        col("x.band") === col("y.band") && col("x.nib") === col("y.nib") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+            <= maxHamming &&
+          col("x.doc_id") > col("y.doc_id"), "left_semi")
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    incoming
+      .join(hitHistory.unionAll(losers).withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_anti")
   }
 
   // ---- Character n-gram Jaccard -------------------------------------------

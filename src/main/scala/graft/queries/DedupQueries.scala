@@ -150,6 +150,26 @@ object DedupQueries {
        |sim AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM s)""".stripMargin
   }
 
+  /** Parameterized DuckDB replay of Dedup.simhash + simhashWideBands over
+    * relation `rel` (doc_id, text): sim{tag} signatures and wband{tag}
+    * wide 4 x 12-bit (band, nib) rows carrying the signature. */
+  private def duckSimhashWideBands(rel: String, tag: String): String = {
+    val sums = (0 until 48).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val assemble = (0 until 48).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""tok$tag AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM $rel),
+       |hh$tag AS (SELECT doc_id,
+       |  ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok$tag),
+       |ss$tag AS (SELECT doc_id, $sums FROM hh$tag GROUP BY doc_id),
+       |sim$tag AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+       |  FROM ss$tag),
+       |wband$tag AS (SELECT doc_id, b AS band,
+       |    (simhash >> (b*12)) & 4095 AS nib, simhash
+       |  FROM sim$tag, unnest(range(4)) AS br(b))""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_stats" -> { (s, dir) =>
       Dedup.exactKeepFirst(docs(s, dir), "doc_id", "text")
@@ -227,6 +247,24 @@ object DedupQueries {
           .withColumn("text", concat(col("text"), lit(" extra"))))
       val index = Dedup.minhashBandIndex(history, "doc_id", "text")
       Dedup.incrementalMinhashKeepFirst(incoming, "doc_id", "text", index)
+        .select("doc_id")
+    },
+    // SimHash sibling of the incremental gate: same day-over-day fixture,
+    // but near-dup evidence is a shared wide 12-bit band CONFIRMED by
+    // Hamming <= 3 against the indexed signature (SimHash bands collide
+    // randomly at 2^-12 — verification is part of the contract).
+    "dedup_incremental_simhash" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val history = d.where(col("doc_id") < 250)
+      val incoming = d.where(col("doc_id") >= 250)
+        .unionAll(d.where(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 10000)
+          .withColumn("text", concat(col("text"), lit(" update"))))
+        .unionAll(d.where(col("doc_id") >= 300 && col("doc_id") < 320)
+          .withColumn("doc_id", col("doc_id") + 20000)
+          .withColumn("text", concat(col("text"), lit(" extra"))))
+      val index = Dedup.simhashBandIndex(history, "doc_id", "text")
+      Dedup.incrementalSimhashKeepFirst(incoming, "doc_id", "text", index)
         .select("doc_id")
     },
     // Paragraph-level dedup: 15-word-window paragraphs, cross-doc exact
@@ -335,6 +373,31 @@ object DedupQueries {
          |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
          |losers AS (SELECT DISTINCT x.doc_id FROM fresh x JOIN fresh y
          |  ON x.b = y.b AND x.bh = y.bh AND x.doc_id > y.doc_id)
+         |SELECT doc_id FROM inc
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "dedup_incremental_simhash" ->
+      s"""WITH inc AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' update' FROM documents
+         |  WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' extra' FROM documents
+         |  WHERE doc_id >= 300 AND doc_id < 320),
+         |hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |${duckSimhashWideBands("inc", "i")},
+         |${duckSimhashWideBands("hist", "h")},
+         |hit AS (SELECT DISTINCT i.doc_id FROM wbandi i
+         |  WHERE EXISTS (SELECT 1 FROM wbandh h
+         |    WHERE h.band = i.band AND h.nib = i.nib
+         |      AND bit_count(xor(h.simhash, i.simhash)) <= 3)),
+         |fresh AS (SELECT * FROM wbandi
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+         |losers AS (SELECT DISTINCT x.doc_id FROM fresh x JOIN fresh y
+         |  ON x.band = y.band AND x.nib = y.nib
+         |    AND bit_count(xor(x.simhash, y.simhash)) <= 3
+         |    AND x.doc_id > y.doc_id)
          |SELECT doc_id FROM inc
          |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
          |  AND doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
