@@ -166,6 +166,39 @@ object Layout {
   }
 
   /**
+   * Stable dense row ids 0..n-1 in `sortCols` order — the scalable
+   * replacement for the two classic traps: a global `row_number()`
+   * window (single partition — one task sorts the world) and
+   * `monotonically_increasing_id` (sparse, partition-layout-dependent).
+   *
+   * Two-pass shape: a range repartition + in-partition sort makes the
+   * partition CONCATENATION the total order, then `zipWithIndex` runs
+   * one counting job (per-partition sizes -> driver, numPartitions longs)
+   * and assigns offsets partition-locally. Nothing global is sorted on
+   * one node; driver traffic is metadata-sized. The brief RDD hop is the
+   * documented per-partition-imperative exception — id assignment is the
+   * textbook case.
+   *
+   * `sortCols` must be a TOTAL order (break ties with a unique column):
+   * with ties, range-boundary sampling may split them differently across
+   * runs and the ids of tied rows would swap.
+   */
+  def stableDenseIds(df: DataFrame, sortCols: Seq[Column],
+      numPartitions: Int): DataFrame = {
+    require(sortCols.nonEmpty && numPartitions > 0,
+      "stableDenseIds: need sort columns and partitions")
+    val sorted = df.repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "row_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val withIds = sorted.rdd.zipWithIndex().map { case (row, id) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ id)
+    }
+    df.sparkSession.createDataFrame(withIds, schema)
+  }
+
+  /**
    * Small-file compaction: rewrite a fragmented parquet directory into
    * `ceil(rows / targetRowsPerFile)` files. Uses `coalesce` when SHRINKING
    * the file count — coalesce merges existing partitions with NO shuffle,

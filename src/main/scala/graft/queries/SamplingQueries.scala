@@ -119,6 +119,17 @@ object SamplingQueries {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
           min(col("l_orderkey")).as("k_min"), max(col("l_orderkey")).as("k_max"))
     },
+    // Stable dense row ids in total (l_orderkey, l_linenumber) order via
+    // the two-pass range-partition + zipWithIndex pattern; oracle is the
+    // global row_number the single-partition window would compute.
+    "layout_dense_ids" -> { (s, dir) =>
+      graft.operators.Layout.stableDenseIds(
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey") < 3000)
+          .select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq(col("l_orderkey"), col("l_linenumber")), 8)
+        .select("row_id", "l_orderkey", "l_linenumber")
+    },
     // Per-file BLOOM index point lookup: lineitem written UNCLUSTERED
     // (hash repartition - min/max spans are useless here), Bloom index
     // built per file, a 3-key probe reads only might-contain files. The
@@ -263,6 +274,11 @@ object SamplingQueries {
         |  CAST(MAX(l_orderkey) AS BIGINT) AS k_max
         |FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey <= 2000
         |GROUP BY l_returnflag""".stripMargin,
+    "layout_dense_ids" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)
+        |       - 1 AS BIGINT) AS row_id,
+        |  l_orderkey, l_linenumber
+        |FROM lineitem WHERE l_orderkey < 3000""".stripMargin,
     "layout_bloom_prune" ->
       """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

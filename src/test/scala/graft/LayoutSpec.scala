@@ -97,6 +97,25 @@ class LayoutSpec extends GraftSuite {
     assert(readMiss <= 1, s"absent key should probe ~0 files, read $readMiss")
   }
 
+  test("stableDenseIds: dense 0..n-1 in sort order across partitions") {
+    val slice = Tables.load(spark, SparkTestBase.sf001, "lineitem")
+      .select("l_orderkey", "l_linenumber")
+    val n = slice.count()
+    val ids = Layout.stableDenseIds(slice,
+      Seq(col("l_orderkey"), col("l_linenumber")), 8)
+    // dense coverage: exactly 0..n-1
+    val agg = ids.agg(count(lit(1)), min("row_id"), max("row_id"),
+      count_distinct(col("row_id"))).collect()(0)
+    assert(agg.getLong(0) == n && agg.getLong(1) == 0L &&
+      agg.getLong(2) == n - 1 && agg.getLong(3) == n)
+    // order agreement: id order == total sort order
+    import org.apache.spark.sql.expressions.Window
+    val misordered = ids.withColumn("rk", row_number().over(
+        Window.orderBy(col("l_orderkey"), col("l_linenumber"))) - 1)
+      .where(col("rk") =!= col("row_id")).count()
+    assert(misordered == 0)
+  }
+
   test("compact rewrites fragments into the target file count, lossless") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val slice = Tables.load(spark, SparkTestBase.sf001, "lineitem")
