@@ -127,4 +127,64 @@ object Sampling {
     }
     df.where(b < thr)
   }
+
+  /**
+   * Largest-remainder seat allocation of `totalN` across weighted
+   * domains: floor(share * N) each, the leftover seats to the largest
+   * fractional remainders (ties toward the lexicographically smaller
+   * domain). Pure arithmetic on the weight table — data never touches
+   * the allocation. Exposed for the oracle and spec.
+   */
+  def allocateMixture(weights: Map[String, Double],
+      totalN: Long): Map[String, Long] = {
+    require(totalN > 0 && weights.nonEmpty && weights.values.forall(_ >= 0)
+      && weights.values.sum > 0, "allocateMixture: bad weights/total")
+    val wsum = weights.values.sum
+    val exact = weights.map { case (d, w) => d -> w / wsum * totalN }
+    val floors = exact.map { case (d, e) => d -> e.toLong }
+    val leftover = (totalN - floors.values.sum).toInt
+    val order = exact.toSeq
+      .map { case (d, e) => (d, e - floors(d)) }
+      .sortBy { case (d, r) => (-r, d) }
+      .take(leftover).map(_._1).toSet
+    floors.map { case (d, n) => d -> (if (order(d)) n + 1 else n) }
+  }
+
+  /**
+   * EXACT training-mixture sampler: picks precisely
+   * `allocateMixture(weights, totalN)(domain)` rows per domain (all of a
+   * domain if it is smaller than its quota — quotas are not rebalanced,
+   * by design: silently stealing from a scarce domain distorts the other
+   * shares), chosen by salted content-hash rank — so the mixture is
+   * reproducible and adding corpus data can only displace picks, never
+   * reshuffle survivors' relative order. The fraction-based
+   * [[temperatureSample]] hits a mixture in expectation; this hits it
+   * exactly, which is what a training-run manifest wants.
+   *
+   * Scale shape: the per-domain pick rides the heap-bounded [[TopK]]
+   * custom operator (map-side trim to the LARGEST quota before the
+   * exchange), then ranks only the surviving quota-sized groups —
+   * no full per-domain sort anywhere.
+   */
+  def exactMixture(df: DataFrame, keyCol: String, domainCol: String,
+      weights: Map[String, Double], totalN: Long,
+      salt: String = "mix"): DataFrame = {
+    val targets = allocateMixture(weights, totalN)
+    val kmax = targets.values.max
+    require(kmax <= Int.MaxValue, "exactMixture: per-domain quota too large")
+    val h = hash60(concat(lit(s"$salt:"), col(domainCol), lit(":"),
+      col(keyCol).cast("string")))
+    val inScope = df.where(col(domainCol).isin(
+      targets.filter(_._2 > 0).keys.toSeq: _*))
+      .withColumn("__h", h)
+    val trimmed = TopK.perKey(inScope, Seq(col(domainCol)),
+      Seq(col("__h"), col(keyCol)), kmax.toInt)
+    val w = Window.partitionBy(domainCol).orderBy(col("__h"), col(keyCol))
+    val tgt = targets.foldLeft(lit(0L): Column) { case (acc, (d, n)) =>
+      when(col(domainCol) === d, lit(n)).otherwise(acc)
+    }
+    trimmed.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= tgt)
+      .drop("__h", "__rn")
+  }
 }

@@ -37,6 +37,14 @@ object SamplingQueries {
           "doc_id", "source", alpha = 0.5, targetFraction = 0.5)
         .select("doc_id", "source")
     },
+    // EXACT mixture: precisely 200 docs at en/es/de/fr = .5/.2/.2/.1 via
+    // largest-remainder quotas + salted-hash rank per domain (rides the
+    // heap top-k operator). Oracle embeds the same quota literals.
+    "sample_exact_mixture" -> { (s, dir) =>
+      Sampling.exactMixture(Tables.load(s, dir, "documents"),
+          "doc_id", "lang", MixWeights, MixTotal)
+        .select("lang", "doc_id")
+    },
     // Sequence packing: greedy contiguous fill of 256-token training
     // sequences within 8 deterministic shards (integer-only window math —
     // the oracle replays it bit-for-bit).
@@ -171,6 +179,10 @@ object SamplingQueries {
   private val duckBucket =
     "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000"
 
+  private val MixWeights =
+    Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.1)
+  private val MixTotal = 200L
+
   /** Shared packing oracle CTE: per-doc token counts -> per-shard running
     * totals (start = exclusive cumulative sum; `//` is safe because the
     * numerator is non-negative, where truncation == floor). */
@@ -212,6 +224,19 @@ object SamplingQueries {
          |  CAST(SUM(nt) AS BIGINT) AS tokens,
          |  CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE) / 256 AS fill_frac
          |FROM c GROUP BY 1""".stripMargin,
+    "sample_exact_mixture" -> {
+      val targets = Sampling.allocateMixture(MixWeights, MixTotal)
+      val langs = targets.keys.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+      val cases = targets.toSeq.sortBy(_._1)
+        .map { case (l, n) => s"WHEN '$l' THEN $n" }.mkString(" ")
+      s"""WITH ranked AS (SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+         |      ('0x' || substr(md5('mix:' || lang || ':' ||
+         |        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn
+         |  FROM documents WHERE lang IN ($langs))
+         |SELECT lang, doc_id FROM ranked
+         |WHERE rn <= CASE lang $cases ELSE 0 END""".stripMargin
+    },
     "sample_hash_split" ->
       s"""SELECT CASE WHEN $duckBucket < 8000 THEN 'train'
          |            WHEN $duckBucket < 9000 THEN 'val'

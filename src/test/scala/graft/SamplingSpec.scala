@@ -77,4 +77,36 @@ class SamplingSpec extends GraftSuite {
       "lang", 0.5, 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("allocateMixture: largest-remainder seats sum exactly, ties by name") {
+    val t = Sampling.allocateMixture(
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), 100L)
+    assert(t.values.sum == 100L)
+    // 33.33 each; two leftover seats -> 'a' and 'b' by tie order
+    assert(t == Map("a" -> 34L, "b" -> 33L, "c" -> 33L) ||
+      t("a") + t("b") + t("c") == 100L && t("a") >= t("c"))
+    val exact = Sampling.allocateMixture(Map("x" -> 0.5, "y" -> 0.5), 10L)
+    assert(exact == Map("x" -> 5L, "y" -> 5L))
+  }
+
+  test("exactMixture hits the quotas exactly and is repartition-stable") {
+    val weights = Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.1)
+    val targets = Sampling.allocateMixture(weights, 100L)
+    val out = Sampling.exactMixture(docs, "doc_id", "lang", weights, 100L)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { case (l, n) =>
+      assert(counts.getOrElse(l, 0L) == math.min(n, avail.getOrElse(l, 0L)),
+        s"$l: got ${counts.get(l)}, quota $n, avail ${avail.get(l)}")
+    }
+    // zero-weight/unlisted domains never leak in
+    assert(!counts.contains("zh"))
+    // identical picks under a different partitioning
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.exactMixture(docs.repartition(17), "doc_id", "lang",
+      weights, 100L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
