@@ -267,6 +267,39 @@ object DedupQueries {
       Dedup.incrementalSimhashKeepFirst(incoming, "doc_id", "text", index)
         .select("doc_id")
     },
+    // STREAMING incremental near-dedup: two daily document files arrive
+    // as micro-batches; day 0 is screened against the day-(-1) history
+    // index, day 1 against history PLUS day-0 survivors (the index grows
+    // per batch — the +20000 re-crawls of day-0 docs are only caught if
+    // it does). Output = union of per-batch survivors.
+    "stream_dedup_incremental" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = d.where(col("doc_id") < 100)
+      val day0 = d.where(col("doc_id") >= 100 && col("doc_id") < 200)
+        .unionAll(d.where(col("doc_id") < 100)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" update")).as("text")))
+      val day1 = d.where(col("doc_id") >= 200 && col("doc_id") < 300)
+        .unionAll(d.where(col("doc_id") >= 100 && col("doc_id") < 150)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" update")).as("text")))
+      val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+      val logDir = s"$root/days"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+      Seq(day0, day1).zipWithIndex.foreach { case (slice, i) =>
+        val stage = s"$root/stage$i"
+        slice.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      graft.streaming.DedupStream.incrementalMinhash(s, history, logDir,
+          day0.schema, s"$root/state", "doc_id", "text")
+        .select("doc_id")
+    },
     // Paragraph-level dedup: 15-word-window paragraphs, cross-doc exact
     // dup detection, first-occurrence-wins cleaning. The fixture's planted
     // near-dup documents share long aligned stretches, so their windows
@@ -376,6 +409,50 @@ object DedupQueries {
          |SELECT doc_id FROM inc
          |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
          |  AND doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "stream_dedup_incremental" ->
+      s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |d0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 100 AND doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' update' FROM documents
+         |  WHERE doc_id < 100),
+         |d1 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 200 AND doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' update' FROM documents
+         |  WHERE doc_id >= 100 AND doc_id < 150),
+         |${duckBandsCtes("hist", "h")},
+         |${duckBandsCtes("d0", "a")},
+         |${duckBandsCtes("d1", "c")},
+         |hit0 AS (SELECT DISTINCT i.doc_id FROM bandsa i
+         |  WHERE EXISTS (SELECT 1 FROM bandsh h
+         |                WHERE h.b = i.b AND h.bh = i.bh)),
+         |fresh0 AS (SELECT * FROM bandsa
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit0)),
+         |losers0 AS (SELECT DISTINCT x.doc_id FROM fresh0 x JOIN fresh0 y
+         |  ON x.b = y.b AND x.bh = y.bh AND x.doc_id > y.doc_id),
+         |surv0 AS (SELECT doc_id FROM d0
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit0)
+         |    AND doc_id NOT IN (SELECT doc_id FROM losers0)),
+         |idx1 AS (SELECT b, bh FROM bandsh
+         |  UNION ALL
+         |  SELECT b, bh FROM bandsa
+         |  WHERE doc_id IN (SELECT doc_id FROM surv0)),
+         |hit1 AS (SELECT DISTINCT i.doc_id FROM bandsc i
+         |  WHERE EXISTS (SELECT 1 FROM idx1 h
+         |                WHERE h.b = i.b AND h.bh = i.bh)),
+         |fresh1 AS (SELECT * FROM bandsc
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit1)),
+         |losers1 AS (SELECT DISTINCT x.doc_id FROM fresh1 x JOIN fresh1 y
+         |  ON x.b = y.b AND x.bh = y.bh AND x.doc_id > y.doc_id),
+         |surv1 AS (SELECT doc_id FROM d1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit1)
+         |    AND doc_id NOT IN (SELECT doc_id FROM losers1))
+         |SELECT doc_id FROM surv0
+         |UNION ALL
+         |SELECT doc_id FROM surv1""".stripMargin,
     "dedup_incremental_simhash" ->
       s"""WITH inc AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
