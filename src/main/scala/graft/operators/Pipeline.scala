@@ -62,4 +62,58 @@ object Pipeline {
       .where(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
       .where(TextAnalysis.languageId(col(textCol)) =!= "und")
   }
+
+  /**
+   * Web-corpus training-manifest pipeline — the raw-crawl-to-manifest
+   * composition of the newer operator families, each individually gated:
+   *
+   *   1. HTML main-content extraction  (HtmlExtract: boilerplate blocks
+   *                                     dropped by link density)
+   *   2. URL canonicalization          (UrlOps.registeredDomain tag)
+   *   3. exact dedup on the EXTRACTED  (crawl dups differ in chrome, not
+   *      content                        content — dedup after extraction)
+   *   4. heuristic quality floor       (TextAnalysis.qualityScore)
+   *   5. benchmark decontamination     (n-gram overlap vs the eval set)
+   *   6. EXACT mixture                 (largest-remainder quotas by
+   *                                     domain column, hash-rank picks)
+   *
+   * Input `pages`: (idCol, htmlCol, urlCol, mixCol). Returns the
+   * manifest: (idCol, mixCol, domain, n_tokens).
+   *
+   * Scale: extraction/URL/quality are narrow maps fused into the scan;
+   * dedup is the content-hash shuffle; decontamination broadcasts the
+   * eval gram set; the mixture rides the heap top-k operator. The
+   * extracted corpus is lazily checkpointed once — every later stage
+   * branches from the materialized table, as a production pipeline's
+   * inter-stage storage would.
+   */
+  def webCorpusManifest(pages: DataFrame, idCol: String, htmlCol: String,
+      urlCol: String, mixCol: String, evalIds: DataFrame,
+      weights: Map[String, Double], totalN: Long,
+      minQuality: Double = 0.5): DataFrame = {
+    val content = HtmlExtract
+      .extractMainContent(pages, idCol, htmlCol)
+      .select(col("doc_id").as(idCol), col("content"))
+    val doc = pages.join(content, Seq(idCol))
+      .withColumn("domain", UrlOps.registeredDomain(col(urlCol)))
+      .select(col(idCol), col(mixCol), col("domain"), col("content"))
+      .localCheckpoint(false)
+    val corpus = doc.join(evalIds, Seq(idCol), "left_anti")
+    val keep = Dedup.exactKeepFirst(corpus, idCol, "content")
+      .select(col("keep_id").as(idCol))
+    val d1 = corpus.join(keep, Seq(idCol), "left_semi")
+    val d2 = d1.where(
+      TextAnalysis.qualityScore(col("content")) >= minQuality)
+    val evalDocs = doc.join(evalIds, Seq(idCol), "left_semi")
+      .select(col(idCol), col("content"))
+    val clean = Decontaminate.ngramOverlap(
+        d2.select(col(idCol), col("content")), evalDocs,
+        idCol, "content", k = 3, num = 1, den = 5)
+      .where(!col("contaminated"))
+      .select(col("doc_id").as(idCol))
+    val d3 = d2.join(clean, Seq(idCol), "left_semi")
+    Sampling.exactMixture(d3, idCol, mixCol, weights, totalN)
+      .select(col(idCol), col(mixCol), col("domain"),
+        TextAnalysis.tokenCount(col("content")).as("n_tokens"))
+  }
 }

@@ -217,25 +217,25 @@ object TextEventsQueries {
     // page_chars witnesses the whole-page stripMarkup path (script bodies
     // with bare '<' removed before tag stripping).
     "text_html_extract" -> { (s, dir) =>
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id"),
-        lit("</title><script type=\"text/javascript\">var x = 1; " +
-          "if (x < 2) { x = 3; }</script><style>.a { color: red; }" +
-          "</style></head><body>"),
-        lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
-          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>"),
-        lit("<p>"), col("text"), lit("</p>"),
-        lit("<div class=\"ad\"><a href=\"x\">Buy</a> " +
-          "<a href=\"y\">Now</a> cheap</div>"),
-        lit("<p>Tail paragraph "), col("doc_id"), lit(" &amp; more</p>"),
-        lit("<!-- tracking pixel --><div class=\"footer\">" +
-          "<a href=\"/tos\">Terms</a> &nbsp; <a href=\"/p\">Privacy</a> " +
-          "copyright</div></body></html>"))
-      val d = docs(s, dir).select(col("doc_id"), html.as("html"))
+      val d = docs(s, dir).select(col("doc_id"), htmlPage.as("html"))
       graft.operators.HtmlExtract.extractMainContent(d, "doc_id", "html")
         .join(d.select(col("doc_id"),
           length(graft.operators.HtmlExtract.stripMarkup(col("html")))
             .cast("long").as("page_chars")), Seq("doc_id"))
+    },
+    // End-to-end web-corpus manifest: HTML pages -> main-content
+    // extraction -> registered-domain tag -> exact dedup on the EXTRACTED
+    // text -> quality floor -> eval-set decontamination -> exact mixture
+    // quotas by lang. Every stage is an individually-gated operator; the
+    // oracle replays the whole chain.
+    "pipeline_web_manifest" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pages = d.select(col("doc_id"), col("lang"),
+        htmlPage.as("html"), messyUrl.as("url"))
+      val evalIds = d.where(col("doc_id") % 20 === 7).select("doc_id")
+      graft.operators.Pipeline.webCorpusManifest(pages, "doc_id", "html",
+        "url", "lang", evalIds, WebMixWeights, WebMixTotal,
+        minQuality = 0.9)
     },
     // Per-doc LM score under the corpus-trained add-one trigram model:
     // exact fixed-point log-prob sums, mean NLL rounded once at the end.
@@ -266,15 +266,7 @@ object TextEventsQueries {
     // userinfo, ports, www., tracking params, fragments) built identically
     // in the oracle; output is the canonical form + registered domain.
     "text_url_normalize" -> { (s, dir) =>
-      val tld = when(col("doc_id") % 3 === 0, ".ExAmple.COM:443")
-        .when(col("doc_id") % 3 === 1, ".Site.NET:8080")
-        .otherwise(".Docs.ORG")
-      val pathPart = when(col("doc_id") % 2 === 0,
-        concat(lit("/Path/"), col("doc_id"))).otherwise(lit(""))
-      val url = concat(lit("HTTPS://user:pw@WWW."), col("source"), tld,
-        pathPart, lit("?utm_source=feed&id="), col("doc_id"),
-        lit("&gclid=abc&q=x%20y&utm_campaign=z#frag"))
-      docs(s, dir).select(col("doc_id"), url.as("url"))
+      docs(s, dir).select(col("doc_id"), messyUrl.as("url"))
         .select(col("doc_id"),
           graft.operators.UrlOps.normalizeUrl(col("url")).as("url_norm"),
           graft.operators.UrlOps.registeredDomain(col("url")).as("domain"))
@@ -285,6 +277,85 @@ object TextEventsQueries {
   private val QmIters = 3
   private val QmLr = 1.0
   private val BpeRounds = 8
+  private val WebMixWeights =
+    Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1)
+  private val WebMixTotal = 120L
+
+  /** The deterministic messy-URL fixture (Spark Column form), shared by
+    * text_url_normalize and the web pipeline. */
+  private def messyUrl: org.apache.spark.sql.Column = {
+    val tld = when(col("doc_id") % 3 === 0, ".ExAmple.COM:443")
+      .when(col("doc_id") % 3 === 1, ".Site.NET:8080")
+      .otherwise(".Docs.ORG")
+    val pathPart = when(col("doc_id") % 2 === 0,
+      concat(lit("/Path/"), col("doc_id"))).otherwise(lit(""))
+    concat(lit("HTTPS://user:pw@WWW."), col("source"), tld,
+      pathPart, lit("?utm_source=feed&id="), col("doc_id"),
+      lit("&gclid=abc&q=x%20y&utm_campaign=z#frag"))
+  }
+
+  /** DuckDB replay of [[messyUrl]] (an expression over documents rows). */
+  private val duckMessyUrl: String =
+    """('HTTPS://user:pw@WWW.' || source ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '.ExAmple.COM:443'
+      |       WHEN doc_id % 3 = 1 THEN '.Site.NET:8080'
+      |       ELSE '.Docs.ORG' END ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '/Path/' || doc_id ELSE '' END ||
+      |  '?utm_source=feed&id=' || doc_id ||
+      |  '&gclid=abc&q=x%20y&utm_campaign=z#frag')"""
+      .stripMargin.replace("\n", " ")
+
+  /** The deterministic HTML-page fixture (Spark Column form), shared by
+    * text_html_extract and the web pipeline. */
+  private def htmlPage: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id"),
+    lit("</title><script type=\"text/javascript\">var x = 1; " +
+      "if (x < 2) { x = 3; }</script><style>.a { color: red; }" +
+      "</style></head><body>"),
+    lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+      "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>"),
+    lit("<p>"), col("text"), lit("</p>"),
+    lit("<div class=\"ad\"><a href=\"x\">Buy</a> " +
+      "<a href=\"y\">Now</a> cheap</div>"),
+    lit("<p>Tail paragraph "), col("doc_id"), lit(" &amp; more</p>"),
+    lit("<!-- tracking pixel --><div class=\"footer\">" +
+      "<a href=\"/tos\">Terms</a> &nbsp; <a href=\"/p\">Privacy</a> " +
+      "copyright</div></body></html>"))
+
+  /** DuckDB replay of [[htmlPage]] + HtmlExtract.extractMainContent: the
+    * `h` (pages) through `agg` (doc_id, n_blocks, n_kept, content) CTE
+    * chain, shared by text_html_extract and the web pipeline oracle. */
+  private lazy val duckHtmlCtes: String =
+    s"""h AS (SELECT doc_id,
+       |  '<html><head><title>Doc ' || doc_id ||
+       |  '</title><script type="text/javascript">var x = 1; if (x < 2) { x = 3; }</script><style>.a { color: red; }</style></head><body>' ||
+       |  '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>' ||
+       |  '<p>' || text || '</p>' ||
+       |  '<div class="ad"><a href="x">Buy</a> <a href="y">Now</a> cheap</div>' ||
+       |  '<p>Tail paragraph ' || doc_id || ' &amp; more</p>' ||
+       |  '<!-- tracking pixel --><div class="footer"><a href="/tos">Terms</a> &nbsp; <a href="/p">Privacy</a> copyright</div></body></html>'
+       |  AS html FROM documents),
+       |l AS (SELECT doc_id,
+       |  regexp_extract_all(html, '<(?:p|div)[^>]*>(.*?)</(?:p|div)>', 1)
+       |  AS bl FROM h),
+       |b AS (SELECT doc_id, i AS pos, bl[i + 1] AS blk
+       |      FROM l, unnest(range(len(bl))) t(i)),
+       |c AS (SELECT doc_id, pos,
+       |    trim(regexp_replace(regexp_replace(blk, '<[^>]*>', ' ', 'g'),
+       |      ' +', ' ', 'g')) AS vtxt,
+       |    trim(regexp_replace(${duckDecode(
+             "regexp_replace(blk, '<[^>]*>', ' ', 'g')")},
+       |      ' +', ' ', 'g')) AS ctxt,
+       |    length(COALESCE(array_to_string(regexp_extract_all(blk,
+       |      '<a[^>]*>([^<]*)</a>', 1), ''), '')) AS alen
+       |  FROM b),
+       |k AS (SELECT doc_id, pos, ctxt,
+       |    alen * 3 <= length(vtxt) * 1 AS keep FROM c),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    COALESCE(string_agg(CASE WHEN keep THEN ctxt END, ' '
+       |      ORDER BY pos), '') AS content
+       |  FROM k GROUP BY doc_id)""".stripMargin
 
   /** Unrolled DuckDB replay of BpeTokenizer.trainBpeMerges: per-round
     * pair-count CTE, total-tie-order argmax, and the SAME literal
@@ -682,40 +753,68 @@ object TextEventsQueries {
           |  '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
           |  '(?s)<!--.*?-->', ' ', 'g'),
           |  '<[^>]*>', ' ', 'g')""".stripMargin.replace("\n", " "))
-      s"""WITH h AS (SELECT doc_id,
-         |  '<html><head><title>Doc ' || doc_id ||
-         |  '</title><script type="text/javascript">var x = 1; if (x < 2) { x = 3; }</script><style>.a { color: red; }</style></head><body>'
-         |  || '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>'
-         |  || '<p>' || text || '</p>'
-         |  || '<div class="ad"><a href="x">Buy</a> <a href="y">Now</a> cheap</div>'
-         |  || '<p>Tail paragraph ' || doc_id || ' &amp; more</p>'
-         |  || '<!-- tracking pixel --><div class="footer"><a href="/tos">Terms</a> &nbsp; <a href="/p">Privacy</a> copyright</div></body></html>'
-         |  AS html FROM documents),
-         |l AS (SELECT doc_id,
-         |  regexp_extract_all(html, '<(?:p|div)[^>]*>(.*?)</(?:p|div)>', 1)
-         |  AS bl FROM h),
-         |b AS (SELECT doc_id, i AS pos, bl[i + 1] AS blk
-         |      FROM l, unnest(range(len(bl))) t(i)),
-         |c AS (SELECT doc_id, pos,
-         |    trim(regexp_replace(regexp_replace(blk, '<[^>]*>', ' ', 'g'),
-         |      ' +', ' ', 'g')) AS vtxt,
-         |    trim(regexp_replace(${duckDecode(
-               "regexp_replace(blk, '<[^>]*>', ' ', 'g')")},
-         |      ' +', ' ', 'g')) AS ctxt,
-         |    length(COALESCE(array_to_string(regexp_extract_all(blk,
-         |      '<a[^>]*>([^<]*)</a>', 1), ''), '')) AS alen
-         |  FROM b),
-         |k AS (SELECT doc_id, pos, ctxt,
-         |    alen * 3 <= length(vtxt) * 1 AS keep FROM c),
-         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
-         |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |    COALESCE(string_agg(CASE WHEN keep THEN ctxt END, ' '
-         |      ORDER BY pos), '') AS content
-         |  FROM k GROUP BY doc_id)
+      s"""WITH $duckHtmlCtes
          |SELECT a.doc_id, a.n_blocks, a.n_kept, a.content,
          |  length(trim(regexp_replace($pageStripped, ' +', ' ', 'g')))
          |    AS page_chars
          |FROM agg a JOIN h USING (doc_id)""".stripMargin
+    },
+    "pipeline_web_manifest" -> {
+      val targets = graft.operators.Sampling
+        .allocateMixture(WebMixWeights, WebMixTotal)
+      val langs = targets.keys.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+      val cases = targets.toSeq.sortBy(_._1)
+        .map { case (l, n) => s"WHEN '$l' THEN $n" }.mkString(" ")
+      s"""WITH $duckHtmlCtes,
+         |dom AS (SELECT doc_id,
+         |  regexp_extract(regexp_replace(regexp_replace(regexp_replace(
+         |    lower(regexp_extract($duckMessyUrl,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+         |    '^[^@]*@', ''), ':[0-9]*$$', ''), '^www\\.', ''),
+         |    '([^.]+\\.[^.]+)$$', 1) AS domain
+         |  FROM documents),
+         |doc AS (SELECT a.doc_id, d.lang, dom.domain, a.content
+         |  FROM agg a JOIN documents d USING (doc_id)
+         |  JOIN dom USING (doc_id)),
+         |corp AS (SELECT * FROM doc WHERE doc_id % 20 <> 7),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM corp
+         |  GROUP BY md5(content)),
+         |q AS (SELECT doc_id, lang, domain, content FROM (
+         |    SELECT doc_id, lang, domain, content, content AS text
+         |    FROM corp WHERE doc_id IN (SELECT doc_id FROM keep))
+         |  WHERE $duckQualityExpr >= 0.9),
+         |csh AS (SELECT doc_id, list_distinct(
+         |    CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(len(t) - 2),
+         |             i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+         |      ELSE [array_to_string(t, ' ')] END) AS g
+         |  FROM (SELECT doc_id, string_split(content, ' ') AS t FROM q)),
+         |ev AS (SELECT DISTINCT unnest(g) AS gram FROM (
+         |    SELECT doc_id, list_distinct(
+         |      CASE WHEN len(t) >= 3
+         |        THEN list_transform(range(len(t) - 2),
+         |               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+         |        ELSE [array_to_string(t, ' ')] END) AS g
+         |    FROM (SELECT doc_id, string_split(content, ' ') AS t
+         |          FROM doc WHERE doc_id % 20 = 7))),
+         |shared AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM (SELECT doc_id, unnest(g) AS gram FROM csh)
+         |  WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
+         |clean AS (SELECT c.doc_id FROM csh c LEFT JOIN shared s
+         |    USING (doc_id)
+         |  WHERE NOT (COALESCE(s.n_shared, 0) * 5 >= len(c.g) * 1)),
+         |d3 AS (SELECT * FROM q
+         |  WHERE doc_id IN (SELECT doc_id FROM clean)
+         |    AND lang IN ($langs)),
+         |ranked AS (SELECT lang, doc_id, domain, content,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+         |      ('0x' || substr(md5('mix:' || lang || ':' ||
+         |        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn
+         |  FROM d3)
+         |SELECT doc_id, lang, domain,
+         |  CAST(len(string_split(content, ' ')) AS BIGINT) AS n_tokens
+         |FROM ranked
+         |WHERE rn <= CASE lang $cases ELSE 0 END""".stripMargin
     },
     "text_bpe_merges" -> {
       val rows = (1 to BpeRounds).map { r =>
