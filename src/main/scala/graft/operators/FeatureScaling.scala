@@ -86,4 +86,28 @@ object FeatureScaling {
         round((x.cast("double") - mean) / sqrt(variance), 6)))
       .drop("__n", "__s", "__ss")
   }
+
+  /**
+   * Robust per-group location/scale: exact nearest-rank MEDIAN and the
+   * median absolute deviation (MAD) around it — the outlier-resistant
+   * (mean, stddev) replacement monitoring pipelines prefer (one wild
+   * value cannot move either statistic). Both medians are nearest-rank
+   * (position ceil(n/2)), so the whole computation is value-exact and
+   * engine-portable — no interpolation, no float accumulation.
+   *
+   * Shape: two per-group rank windows (values, then absolute deviations
+   * against the broadcast medians). Output: one row per group
+   * (grpCols..., n, median, mad).
+   */
+  def robustStats(df: DataFrame, grpCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val med = nearestRankBounds(df, grpCols, valueCol, Seq(0.5))
+      .withColumnRenamed("__q0", "median")
+    val dev = df.join(broadcast(med), grpCols)
+      .withColumn("__dev", abs(col(valueCol) - col("median")))
+    val mad = nearestRankBounds(dev, grpCols, "__dev", Seq(0.5))
+      .withColumnRenamed("__q0", "mad")
+    df.groupBy(grpCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .join(med, grpCols).join(mad, grpCols)
+  }
 }

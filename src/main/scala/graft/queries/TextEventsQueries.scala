@@ -112,6 +112,14 @@ object TextEventsQueries {
           sum(when(col("clipped_hi"), 1L).otherwise(0L)).as("n_hi"),
           sum(round(col("value_w") * 100).cast("long")).as("cents_w"))
     },
+    // Robust per-type location/scale: exact nearest-rank median + MAD on
+    // the cents measure (value-exact in both engines, no interpolation).
+    "events_robust_stats" -> { (s, dir) =>
+      graft.operators.FeatureScaling.robustStats(
+        events(s, dir).select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+        Seq("event_type"), "cents")
+    },
     // Per-type standardization of the exact-cents measure; z per event.
     "events_standardize" -> { (s, dir) =>
       graft.operators.FeatureScaling.standardize(
@@ -609,6 +617,29 @@ object TextEventsQueries {
         |           AS BIGINT)) AS BIGINT) AS cents_w
         |FROM events e JOIN b USING (event_type)
         |GROUP BY e.event_type""".stripMargin,
+    "events_robust_stats" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM c),
+        |med AS (SELECT event_type,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |             THEN cents END) AS median
+        |  FROM r GROUP BY event_type),
+        |d AS (SELECT c.event_type, abs(c.cents - m.median) AS dev
+        |      FROM c JOIN med m USING (event_type)),
+        |r2 AS (SELECT event_type, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mad AS (SELECT event_type,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |             THEN dev END) AS mad
+        |  FROM r2 GROUP BY event_type)
+        |SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(m.median) AS median, MIN(mad.mad) AS mad
+        |FROM c JOIN med m USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY c.event_type""".stripMargin,
     "events_standardize" ->
       """WITH c AS (SELECT event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -46,4 +46,22 @@ class FeatureScalingSpec extends GraftSuite {
     assert(out(4L).isEmpty && out(5L).isEmpty, "zero variance -> null")
     assert(out(6L).isEmpty, "singleton group -> null")
   }
+
+  test("robustStats: median/MAD are exact and outlier-resistant") {
+    import spark.implicits._
+    val base = Seq.tabulate(9)(i => ("a", (i + 1).toLong * 10)) // 10..90
+    val withOutlier = base :+ (("a", 1000000L))
+    val clean = graft.operators.FeatureScaling.robustStats(
+      base.toDF("g", "v"), Seq("g"), "v").collect()(0)
+    // n=9: median = position ceil(4.5)=5 -> 50; deviations sorted
+    // (0,10,10,20,20,30,30,40,40) -> position 5 -> 20
+    assert(clean.getLong(1) == 9 && clean.getLong(2) == 50L &&
+      clean.getLong(3) == 20L, s"clean $clean")
+    val dirty = graft.operators.FeatureScaling.robustStats(
+      withOutlier.toDF("g", "v"), Seq("g"), "v").collect()(0)
+    // one wild value moves the median only one rank (50 stays at
+    // position ceil(5)=5) and MAD stays rank-bounded
+    assert(dirty.getLong(2) == 50L, s"median moved: $dirty")
+    assert(dirty.getLong(3) <= 30L, s"MAD blew up: $dirty")
+  }
 }
