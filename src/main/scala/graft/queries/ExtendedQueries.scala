@@ -238,6 +238,26 @@ object ExtendedQueries {
             .as("quarantined_id_sum"),
           sum(coalesce(col("k"), lit(0L))).as("sum_valid_k"))
     },
+    // Declarative expectations: orders with planted violations (negative
+    // price, bogus status, null custkey); every row carries its violated
+    // rule list (rule order, null predicate = violation) and the clean
+    // flag. Oracle replays the rule set as CASE arithmetic.
+    "io_expectations" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("price"),
+          when(col("o_orderkey") % 89 === 0, lit("ZZ"))
+            .otherwise(col("o_orderstatus")).as("status"),
+          when(col("o_orderkey") % 83 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("cust"))
+      graft.operators.Expectations.check(o, Seq(
+          "positive_price" -> (col("price") > 0),
+          "valid_status" -> col("status").isin("O", "F", "P"),
+          "customer_present" -> col("cust").isNotNull))
+        .select(col("k"), concat_ws(",", col("violations")).as("violated"),
+          col("is_clean"))
+    },
     // Schema evolution across file batches: day-1 files lack a column
     // day-2 files carry; mergeSchema reads the union schema with NULLs
     // for the old files — the way a 100 TB table grows columns without
@@ -380,6 +400,27 @@ object ExtendedQueries {
         |    AS quarantined_id_sum,
         |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_valid_k
         |FROM x GROUP BY event_type""".stripMargin,
+    "io_expectations" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN 'ZZ'
+        |         ELSE o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 83 = 0 THEN NULL
+        |         ELSE o_custkey END AS cust
+        |  FROM orders)
+        |SELECT k,
+        |  COALESCE(array_to_string(list_filter([
+        |    CASE WHEN NOT COALESCE(price > 0, false)
+        |         THEN 'positive_price' END,
+        |    CASE WHEN NOT COALESCE(status IN ('O', 'F', 'P'), false)
+        |         THEN 'valid_status' END,
+        |    CASE WHEN cust IS NULL THEN 'customer_present' END],
+        |    v -> v IS NOT NULL), ','), '') AS violated,
+        |  COALESCE(price > 0, false)
+        |    AND COALESCE(status IN ('O', 'F', 'P'), false)
+        |    AND cust IS NOT NULL AS is_clean
+        |FROM o""".stripMargin,
     "io_schema_evolution" ->
       """WITH u AS (
         |  SELECT l_orderkey, l_quantity, NULL AS l_returnflag
