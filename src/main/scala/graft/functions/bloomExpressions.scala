@@ -98,3 +98,32 @@ case class BloomMightContainLongBcast(child: Expression,
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** `bloom_bytes_contains_any(filterBytes)` — probes a PER-ROW serialized
+  * Bloom filter column against a fixed key set: true iff any key might be
+  * contained. The file-skipping index probe ([[graft.operators.Layout
+  * .prunedPointScan]]): the index row carries its file's filter bytes, so
+  * the probe runs WHERE the index lives — only matching file names travel
+  * to the driver, never the filters (at 100 TB, files x filterBytes is
+  * driver-fatal; file names are not). One deserialization per row — the
+  * row count is the FILE count, metadata-scale. Eval-only: this runs over
+  * index tables, never in a data-path hot loop, so codegen would buy
+  * nothing (Spark falls back to interpreted eval transparently).
+  */
+case class BloomBytesContainsAny(child: Expression, keys: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(keys.nonEmpty, "bloom_bytes_contains_any: empty key set")
+
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_bytes_contains_any"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val bf = BloomFilter.readFrom(
+      new ByteArrayInputStream(bytes.asInstanceOf[Array[Byte]]))
+    keys.exists(bf.mightContainLong)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -143,26 +143,30 @@ object Layout {
 
   /**
    * Exact-key scan reading ONLY files whose Bloom filter might contain
-   * one of `keys`, per a previously built [[fileBloomIndex]]. Driver-side
-   * probing is one filter deserialization per FILE (metadata-scale);
-   * rows are re-filtered after the pruned read, so Bloom false positives
-   * cost I/O, never correctness.
+   * one of `keys`, per a previously built [[fileBloomIndex]]. The probe
+   * runs DISTRIBUTED over the index (the `BloomBytesContainsAny`
+   * expression deserializes each row's filter where it lives) — only the
+   * matching FILE NAMES reach the driver. At 100 TB, files x filterBytes
+   * is a driver-fatal collect; file-name lists are the same metadata the
+   * catalog's listing already is. Rows are re-filtered after the pruned
+   * read, so Bloom false positives cost I/O, never correctness.
    */
   def prunedPointScan(spark: org.apache.spark.sql.SparkSession, path: String,
       index: DataFrame, keyCol: String, keys: Seq[Long])
       : (DataFrame, Long, Long) = {
     require(keys.nonEmpty, "prunedPointScan: need at least one key")
-    val rows = index.select(col("file"), col("bloom")).collect()
-    val keep = rows.filter { r =>
-      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-      keys.exists(bf.mightContainLong)
-    }.map(_.getString(0))
+    val probe = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.BloomBytesContainsAny(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+          col("bloom")), keys.toArray))
+    val total = index.count()
+    val keep = index.where(probe).select(col("file"))
+      .collect().map(_.getString(0))
     val scan =
       if (keep.isEmpty) spark.read.parquet(path).where(lit(false))
       else spark.read.parquet(keep.toIndexedSeq: _*)
         .where(col(keyCol).isin(keys: _*))
-    (scan, keep.length.toLong, rows.length.toLong)
+    (scan, keep.length.toLong, total)
   }
 
   /**
