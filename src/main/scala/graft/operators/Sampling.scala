@@ -129,6 +129,39 @@ object Sampling {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement: exactly `k` rows, each row's
+   * inclusion odds proportional to its positive integer weight, chosen by
+   * the Efraimidis–Spirakis A-Res rule — but expressed in PURE INTEGER
+   * hashing so the pick is bit-reproducible across engines, partitionings
+   * and retries. A-Res ranks rows by exponential keys Exp(rate = w);
+   * the minimum of w i.i.d. Exp(1) draws IS an Exp(w) draw, and ranking
+   * ascending by min(-ln(u_j)) is ranking DESCENDING by max(u_j) — so
+   * "top-k by the max of w salted hashes" is A-Res exactly, with no
+   * ln/pow in sight (libm last-ulp differences can never flip a pick).
+   *
+   * Rows with weight < 1 are excluded (weight 0 = never sampled).
+   * Ties (a 2^-60 event) break toward the smaller key value.
+   *
+   * Scale shape: the key is a narrow per-row projection (w hashes, so
+   * O(sum of weights) work — cap weights upstream; they only need to be
+   * proportional), then the heap-bounded [[TopK]] operator trims each
+   * map partition to k rows BEFORE the single-point exchange — k rows
+   * per partition is all that ever moves, no global sort.
+   */
+  def weightedK(df: DataFrame, keyCol: String, weight: Column, k: Int,
+      salt: String = "wk"): DataFrame = {
+    require(k > 0, "weightedK: k must be positive")
+    val w = weight.cast("long")
+    val key = array_max(transform(sequence(lit(1L), w),
+      j => hash60(concat(lit(s"$salt:"), col(keyCol).cast("string"),
+        lit(":"), j.cast("string")))))
+    val withKey = df.where(w >= 1L).withColumn("__wkey", key)
+    TopK.perKey(withKey, Seq(lit(1)),
+        Seq(col("__wkey").desc, col(keyCol).asc), k)
+      .drop("__wkey")
+  }
+
+  /**
    * Largest-remainder seat allocation of `totalN` across weighted
    * domains: floor(share * N) each, the leftover seats to the largest
    * fractional remainders (ties toward the lexicographically smaller

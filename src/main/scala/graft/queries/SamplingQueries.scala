@@ -45,6 +45,15 @@ object SamplingQueries {
           "doc_id", "lang", MixWeights, MixTotal)
         .select("lang", "doc_id")
     },
+    // Weighted sampling WITHOUT replacement (A-Res): exactly 100 docs,
+    // odds proportional to 1 + floor(n_chars/100) — longer docs more
+    // likely, expressed as top-k by max-of-w-salted-hashes (pure integer
+    // math; the oracle replays the identical rule).
+    "sample_weighted_k" -> { (s, dir) =>
+      Sampling.weightedK(Tables.load(s, dir, "documents"), "doc_id",
+          lit(1L) + floor(col("n_chars") / 100.0).cast("long"), 100)
+        .select("doc_id", "lang")
+    },
     // Sequence packing: greedy contiguous fill of 256-token training
     // sequences within 8 deterministic shards (integer-only window math —
     // the oracle replays it bit-for-bit).
@@ -237,6 +246,17 @@ object SamplingQueries {
          |SELECT lang, doc_id FROM ranked
          |WHERE rn <= CASE lang $cases ELSE 0 END""".stripMargin
     },
+    "sample_weighted_k" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    list_max(list_transform(
+        |      generate_series(1, CAST(1 + floor(d.n_chars / 100.0) AS BIGINT)),
+        |      j -> ('0x' || substr(md5('wk:' ||
+        |        CAST(d.doc_id AS VARCHAR) || ':' ||
+        |        CAST(j AS VARCHAR)), 1, 15))::BIGINT)) AS wkey
+        |  FROM documents d
+        |  WHERE CAST(1 + floor(d.n_chars / 100.0) AS BIGINT) >= 1
+        |) ORDER BY wkey DESC, doc_id LIMIT 100""".stripMargin,
     "sample_hash_split" ->
       s"""SELECT CASE WHEN $duckBucket < 8000 THEN 'train'
          |            WHEN $duckBucket < 9000 THEN 'val'

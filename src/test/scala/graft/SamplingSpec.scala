@@ -78,6 +78,29 @@ class SamplingSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("weightedK: exactly k rows, repartition-stable, weight-monotone") {
+    val weighted = docs.withColumn("w",
+      when(col("doc_id") < 50, 10L).otherwise(1L))
+    val out = Sampling.weightedK(weighted, "doc_id", col("w"), 100)
+    val picked = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked.size == 100)
+    // identical picks under a different partitioning (pure hash rule)
+    val again = Sampling.weightedK(weighted.repartition(17), "doc_id",
+      col("w"), 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+    // A-Res proportionality: the 50 weight-10 docs carry 500 of the 950
+    // total weight, so ~53 of the 100 picks should be theirs — far above
+    // their 10% row share. Bound loosely (binomial sd ~5).
+    val heavy = picked.count(_ < 50)
+    assert(heavy > 30 && heavy < 75, s"heavy picks=$heavy, expected ~53")
+    // weight 0 rows never selected
+    val withZero = docs.withColumn("w",
+      when(col("doc_id") < 250, 0L).otherwise(1L))
+    val z = Sampling.weightedK(withZero, "doc_id", col("w"), 100)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(z.forall(_ >= 250) && z.length == 100)
+  }
+
   test("allocateMixture: largest-remainder seats sum exactly, ties by name") {
     val t = Sampling.allocateMixture(
       Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), 100L)
