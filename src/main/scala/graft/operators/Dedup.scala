@@ -526,6 +526,30 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /**
+   * Cluster resolution keeping the BEST member of each near-dup cluster
+   * by an explicit score (quality, length, recency …) instead of the
+   * smallest id — what production corpora actually want: when a page was
+   * crawled five times, keep the cleanest capture, not the first id.
+   * Ties break toward the smaller id (total order, engine-replayable).
+   *
+   * Scale shape: [[resolveClusters]]' iterative label propagation (the
+   * pair graph only — the corpus never enters the loop), one join to
+   * attach scores to CLUSTERED ids only, one per-cluster window over
+   * cluster-sized groups, one anti-join back. Singletons never shuffle.
+   */
+  def keepBestRepresentatives(docs: DataFrame, idCol: String,
+      pairs: DataFrame, score: Column): DataFrame = {
+    val labels = resolveClusters(pairs)
+    val scored = docs.select(col(idCol).as("id"), score.as("__score"))
+      .join(labels, "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("__score").desc, col("id").asc)
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1).select("id")
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   // ---- Embedding cosine ----------------------------------------------------
 
   /** Cosine similarity between two float-array columns, computed in double

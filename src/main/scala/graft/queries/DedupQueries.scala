@@ -208,6 +208,17 @@ object DedupQueries {
           .select("id_a", "id_b"))
         .select("doc_id")
     },
+    // Cluster resolution keeping the HIGHEST-QUALITY member per near-dup
+    // cluster (ties -> lower id) — the production rule: of five crawls of
+    // the same page, keep the cleanest capture, not the first id.
+    "dedup_resolve_best" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.keepBestRepresentatives(d, "doc_id",
+        Dedup.minhashNearDuplicates(d, "doc_id", "text", 0.5)
+          .select("id_a", "id_b"),
+        graft.operators.TextAnalysis.qualityScore(col("text")))
+        .select("doc_id")
+    },
     "dedup_embedding_pairs" -> { (s, dir) =>
       Dedup.embeddingNearDuplicates(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
@@ -509,6 +520,24 @@ object DedupQueries {
          |${duckComponentLosers(
              s"SELECT id_a, id_b FROM (\n$minhashPairsOracle\n) mp")}
          |)""".stripMargin,
+    "dedup_resolve_best" ->
+      s"""WITH RECURSIVE pr AS (
+         |  SELECT id_a, id_b FROM (\n$minhashPairsOracle\n) mp),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (SELECT a AS id, least(a, MIN(b)) AS cluster
+         |        FROM reach GROUP BY a),
+         |scored AS (SELECT l.id, l.cluster,
+         |             ${TextEventsQueries.duckQualityExpr} AS q
+         |           FROM lbl l JOIN documents d ON d.doc_id = l.id),
+         |ranked AS (SELECT id, ROW_NUMBER() OVER (PARTITION BY cluster
+         |             ORDER BY q DESC, id) AS rn FROM scored)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)""".stripMargin,
     "dedup_embedding_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -51,4 +51,20 @@ class ClusterSpec extends GraftSuite {
     assert(losers.forall(l => !keptIds.contains(l)))
     assert(members.filterNot(losers).forall(keptIds.contains))
   }
+
+  test("keepBestRepresentatives keeps the argmax-score member, ties to lower id") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // one cluster: 2 and 3 tie on score
+      (10L, 0.5), (11L, 0.8), // pair: 11 wins on score despite higher id
+      (42L, 0.1)) // singleton, never enters the pair graph
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestRepresentatives(docs, "doc_id", pairs, col("q"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 11L, 42L), s"got $kept")
+    // contrast: keep-first would have kept 1 and 10
+    val first = Dedup.keepRepresentatives(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first == Set(1L, 10L, 42L))
+  }
 }
