@@ -91,6 +91,36 @@ object Similarity {
   }
 
 
+  /**
+   * Johnson–Lindenstrauss random projection: reduces `dim`-d vectors to
+   * `outDim`-d via deterministic Rademacher (+-1) planes scaled by
+   * 1/sqrt(outDim) — the standard JL map, which preserves pairwise
+   * Euclidean distances in expectation (E||y_a-y_b||^2 = ||x_a-x_b||^2)
+   * with distortion O(1/sqrt(outDim)). The cheap first stage before ANN
+   * at corpus scale: a 4x dimension cut is a 4x cut in every downstream
+   * dot product, shuffle byte, and cache miss.
+   *
+   * One narrow codegen projection per row (planes are plan literals from
+   * the same md5 scheme as [[planes]] — no RNG state, engine-replayable);
+   * output is exploded (vec_id, j, y) rows, y rounded to 6 dp.
+   */
+  def randomProject(vecs: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Int = 42, dim: Int = 64): DataFrame = {
+    require(outDim > 0, "randomProject: outDim > 0")
+    val ps = planes(1, outDim, dim, seed)(0)
+    val checked = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"randomProject: expected vector dim=$dim, got "),
+        size(col(vecCol)).cast("string"))))
+    val scale = lit(math.sqrt(outDim.toDouble))
+    vecs.select(col(idCol).as("vec_id"),
+        posexplode(array(ps.map(p =>
+          round(VectorOps.dot(checked, typedLit(p.map(_.toFloat).toSeq)) /
+            scale, 6)): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        col("col").as("y"))
+  }
+
   /** Shared ranking tail: trims the scored candidate stream to k rows per
     * query with the heap-bounded [[TopK]] physical operator (map-side trim
     * BEFORE the exchange — the window form would shuffle and fully sort

@@ -25,6 +25,7 @@ object SimilarityQueries {
   private val PqSubDim = 2
   private val PqK = 16
   private val PqIters = 5
+  private val RpOutDim = 16
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -41,6 +42,13 @@ object SimilarityQueries {
     "sim_lsh_codes" -> { (s, dir) =>
       Similarity.lshCodes(emb(s, dir), "vec_id", "embedding",
         NumTables, NumPlanes, Seed)
+    },
+    // Johnson–Lindenstrauss reduction 64d -> 16d via deterministic
+    // Rademacher planes / sqrt(16) — the dimension-cut stage before ANN.
+    // The oracle replays the identical plane literals and fold order.
+    "sim_rp_reduce" -> { (s, dir) =>
+      Similarity.randomProject(emb(s, dir), "vec_id", "embedding",
+        RpOutDim, Seed)
     },
     "sim_brute_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(corpusDf(s, dir, 5), queriesDf(s, dir, 5), 10)
@@ -263,6 +271,18 @@ object SimilarityQueries {
          |  round(MAX(cos), 6) AS max_cos
          |FROM hits WHERE cos >= 0.98 GROUP BY doc_id""".stripMargin,
     "sim_lsh_codes" -> s"WITH $duckCodesCte SELECT vec_id, tbl, code FROM codes",
+    "sim_rp_reduce" -> {
+      val rp = Similarity.planes(1, RpOutDim, Dim, Seed)(0)
+      rp.zipWithIndex.map { case (plane, j) =>
+        val lits = plane.map(w => if (w > 0) "1.0" else "-1.0")
+          .mkString(", ")
+        val proj = s"list_reduce(list_transform(range($Dim), jj -> " +
+          s"embedding[jj+1]::DOUBLE * ([$lits]::DOUBLE[])[jj+1]), " +
+          "(p, q) -> p + q)"
+        s"SELECT vec_id, CAST($j AS BIGINT) AS j, " +
+          s"round($proj / sqrt(${RpOutDim}.0), 6) AS y FROM embeddings"
+      }.mkString(" UNION ALL ")
+    },
     "sim_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |c AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id >= 5),

@@ -12,6 +12,30 @@ class SimilaritySpec extends GraftSuite {
   private lazy val corpus = emb.where(col("vec_id") >= 10)
     .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
+  test("randomProject preserves pairwise squared distances in expectation (JL)") {
+    // Reduce 64d -> 16d; over many pairs the mean ratio of projected to
+    // original squared distance must sit near 1 (single-pair distortion
+    // ~1/sqrt(16) = 25%, but the MEAN over ~100 pairs concentrates hard).
+    val reduced = Similarity.randomProject(emb, "vec_id", "embedding", 16)
+      .groupBy("vec_id").agg(array_sort(collect_list(
+        struct(col("j"), col("y")))).as("ys"))
+      .select(col("vec_id"), transform(col("ys"), s => s.getField("y")).as("y"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    val orig = emb.where(col("vec_id") < 30)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      (ia, va) <- orig; (ib, vb) <- orig if ia < ib
+      d0 = sq(va, vb) if d0 > 1e-9
+    } yield sq(reduced(ia), reduced(ib)) / d0
+    val mean = ratios.sum / ratios.length
+    assert(ratios.length > 100)
+    assert(mean > 0.85 && mean < 1.15, s"mean distance ratio $mean")
+  }
+
   test("brute-force top-k: k rows per query, ranks 1..k, scores descending") {
     val tk = Similarity.bruteForceTopK(corpus, queries, 10).collect()
     assert(tk.length == 100) // 10 queries x 10
