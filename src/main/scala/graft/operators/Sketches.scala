@@ -197,6 +197,40 @@ object Sketches {
     }
   }
 
+  /**
+   * EXACT heavy hitters in two bounded passes — every item whose count is
+   * at least ceil(minFraction * N), with its exact count, and nothing
+   * else. Pass 1 runs a [[graft.functions.MisraGriesAggregator]] with
+   * s = ceil(1/minFraction) counters: MG guarantees every item with
+   * count > N/(s+1) survives, and N * minFraction > N/(s+1) whenever
+   * s >= 1/minFraction — so no qualifying item can be missed. Pass 2
+   * broadcast-joins the ≤ s candidates back and counts them exactly,
+   * erasing both MG's undercount and its merge-order nondeterminism.
+   *
+   * The 100 TB story: a full `GROUP BY item` shuffles the entire key
+   * cardinality (billions of tokens); here pass 1's map-side state is
+   * capped at s counters per partition and ships s rows total, and pass 2
+   * shuffles only rows matching the ≤ s candidates. Output:
+   * (item, cnt) for the qualifying items.
+   */
+  def exactHeavyHitters(items: DataFrame, itemCol: String,
+      minFraction: Double): DataFrame = {
+    require(minFraction > 0 && minFraction < 1,
+      s"exactHeavyHitters: minFraction in (0,1), got $minFraction")
+    val s = math.ceil(1.0 / minFraction).toInt
+    import items.sparkSession.implicits._
+    val mg = org.apache.spark.sql.functions.udaf(
+      graft.functions.MisraGriesAggregator(s))
+    val src = items.select(col(itemCol).cast("string").as("item"))
+    val cands = src.agg(mg(col("item")).as("cands"))
+      .select(explode(col("cands")).as("item"))
+    src.join(broadcast(cands), "item")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(src.agg(count(lit(1)).as("__n"))))
+      .where(col("cnt") >= ceil(lit(minFraction) * col("__n")).cast("long"))
+      .select("item", "cnt")
+  }
+
   /** Union of already-built sketches (cross-group / cross-day rollup). */
   def thetaUnion(sketches: Seq[org.apache.datasketches.theta.Sketch],
       nominal: Int = 4096): org.apache.datasketches.theta.CompactSketch = {

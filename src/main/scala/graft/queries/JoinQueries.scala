@@ -215,6 +215,15 @@ object JoinQueries {
     // 4096 nominal the sketches are exact, but theta estimation is
     // randomized above it, so the gate is a property: estimates within
     // max(2, 5%) of the exact joins, per segment.
+    // EXACT heavy hitters: tokens covering >= 0.5% of the word stream,
+    // via a bounded Misra-Gries candidate pass + exact recount — the
+    // output provably equals the plain GROUP BY ... HAVING oracle, but
+    // never materializes the full vocabulary.
+    "agg_heavy_hitters" -> { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      Sketches.exactHeavyHitters(toks, "w", 0.005)
+    },
     "agg_theta_intersect" -> { (s, dir) =>
       import s.implicits._
       val cust = Tables.load(s, dir, "customer")
@@ -325,6 +334,13 @@ object JoinQueries {
     "agg_theta_intersect" ->
       """SELECT DISTINCT c_mktsegment AS seg, TRUE AS ok_inter,
         |  TRUE AS ok_diff FROM customer""".stripMargin,
+    "agg_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS item
+        |             FROM documents),
+        |t AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tok, t GROUP BY item, n
+        |HAVING COUNT(*) >= CAST(ceil(0.005 * n) AS BIGINT)""".stripMargin,
     "agg_quantile_sketch" ->
       """WITH cents AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
         |b AS (SELECT (c - ((c % 500 + 500) % 500)) // 500 AS bucket,

@@ -70,4 +70,23 @@ class SketchQuantileSpec extends GraftSuite {
       assert(vals.count(_ < e - W) < target, s"q=$q: est $e too high")
     }
   }
+
+  test("exactHeavyHitters == plain GROUP BY/HAVING, stable under repartitioning") {
+    import spark.implicits._
+    // Adversarial stream: 2 genuinely heavy items drowned in 5000
+    // singletons (vocabulary far exceeds the MG counter budget s=100).
+    val rows = Seq.fill(300)("alpha") ++ Seq.fill(120)("beta") ++
+      (0 until 5000).map(i => s"noise_$i")
+    val df = rows.toDF("w")
+    val hh = Sketches.exactHeavyHitters(df, "w", 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows.length
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= math.ceil(0.01 * n)).toMap
+    assert(hh == exact, s"got $hh want $exact")
+    // merge-order independence: different partitioning, same answer
+    val hh2 = Sketches.exactHeavyHitters(df.repartition(23), "w", 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh2 == exact)
+  }
 }
