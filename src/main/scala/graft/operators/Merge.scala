@@ -108,4 +108,43 @@ object Merge {
     base.join(winners.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(upserts)
   }
+
+  /**
+   * Time-travel read: the table AS OF sequence number `asOfSeq` — the
+   * changelog fold restricted to entries with seq <= asOfSeq. Because
+   * [[applyChangelog]] folds by per-key max-seq, any historical version
+   * is reconstructable from base + log alone; no per-version snapshot
+   * storage. Same single-shuffle scale shape — the seq filter only
+   * SHRINKS the log side.
+   */
+  def snapshotAsOf(base: DataFrame, log: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String, asOfSeq: Long): DataFrame =
+    applyChangelog(base, log.where(col(seqCol) <= asOfSeq), keys,
+      seqCol, opCol)
+
+  /**
+   * Diff of two snapshots of the same schema: one row per key whose state
+   * changed, op in I (only in `after`), D (only in `before`), U (present
+   * in both, any non-key attribute differs — null-safe compare).
+   * Unchanged keys are absent. One key-partitioned full-outer join; at
+   * rest both snapshots live bucketed on the key, so it co-locates.
+   */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(before.columns.sameElements(after.columns),
+      "snapshotDiff: schemas must match")
+    val attrs = before.columns.filterNot(keys.contains)
+    require(attrs.nonEmpty, "snapshotDiff: no non-key attributes")
+    val b = before.select(keys.map(col) :+
+      struct(attrs.map(col): _*).as("__b"): _*)
+    val a = after.select(keys.map(col) :+
+      struct(attrs.map(col): _*).as("__a"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("op",
+        when(col("__a").isNull, "D")
+          .when(col("__b").isNull, "I")
+          .when(!(col("__a") <=> col("__b")), "U"))
+      .where(col("op").isNotNull)
+      .select(keys.map(col) :+ col("op"): _*)
+  }
 }

@@ -85,4 +85,30 @@ class MergeSpec extends GraftSuite {
         col("k") < 2000000L && col("status") =!= "U").count() == 0)
     } finally out.unpersist()
   }
+
+  test("snapshotAsOf reconstructs every version; diff reports exact I/U/D") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val log = Seq(
+      (1L, "a1", 1L, "U"), (2L, "gone", 2L, "D"), (9L, "i9", 2L, "I"),
+      (2L, "b3", 3L, "I")
+    ).toDF("k", "v", "seq", "op")
+    def snap(s: Long) = Merge.snapshotAsOf(base, log, Seq("k"), "seq", "op", s)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap(0L) == Set((1L, "a"), (2L, "b"), (3L, "c"))) // pre-log
+    assert(snap(1L) == Set((1L, "a1"), (2L, "b"), (3L, "c")))
+    assert(snap(2L) == Set((1L, "a1"), (3L, "c"), (9L, "i9")))
+    assert(snap(3L) == Set((1L, "a1"), (2L, "b3"), (3L, "c"), (9L, "i9")))
+    // diff v1 -> v3: 2 changed (delete+reinsert nets to U), 9 inserted
+    val d = Merge.snapshotDiff(
+      Merge.snapshotAsOf(base, log, Seq("k"), "seq", "op", 1L),
+      Merge.snapshotAsOf(base, log, Seq("k"), "seq", "op", 3L), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((2L, "U"), (9L, "I")), s"got $d")
+    // diff v3 -> v1 is the inverse op set
+    val inv = Merge.snapshotDiff(
+      Merge.snapshotAsOf(base, log, Seq("k"), "seq", "op", 3L),
+      Merge.snapshotAsOf(base, log, Seq("k"), "seq", "op", 1L), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(inv == Set((2L, "U"), (9L, "D")))
+  }
 }
