@@ -476,6 +476,60 @@ object Dedup {
           s => s.getField("para"))).as("clean_text"))
   }
 
+  /**
+   * Cross-document duplicated-SPAN detection (the exact-substring dedup
+   * signal of Lee et al., "Deduplicating Training Data Makes Language
+   * Models Better", 2022): every OVERLAPPING `w`-token window (stride 1,
+   * unlike [[paragraphizeByWindow]]'s aligned blocks — so a copied
+   * passage is caught at ANY offset) is hashed corpus-wide; a window
+   * appearing in >= 2 distinct documents marks its token span as
+   * duplicated. Per document the overlapping duplicated windows are
+   * union-ed EXACTLY (sorted-position interval union via one lead()),
+   * yielding the duplicated-token fraction real pipelines threshold on.
+   * Documents shorter than `w` tokens contribute their whole text as one
+   * window. Output: (doc_id, n_tokens, n_dup_windows, dup_tokens,
+   * dup_frac) for documents with at least one duplicated span.
+   *
+   * Scale shape: one shared shuffle of (window-hash) keyed rows feeding
+   * both the frequency aggregate and the join back (exchange reuse), then
+   * one doc-keyed window — same three-shuffle linear shape as
+   * [[paragraphDedup]]; full text never rides through the aggregate.
+   * Stride-1 windows mean O(total tokens) rows — the price of offset
+   * insensitivity; raise `w` or pre-filter with [[paragraphDedup]] when
+   * the corpus is mostly clean.
+   */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w > 0, "duplicatedSpans: w must be positive")
+    val toks = split(col(textCol), " ")
+    val wins = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(when(size(toks) >= w,
+        transform(sequence(lit(0), size(toks) - w),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+        .otherwise(array(concat_ws(" ", toks))))
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), size(toks).as("ntok"),
+        posexplode(wins))
+      .select(col("doc_id"), col("ntok"), col("pos"),
+        md5(col("col")).as("wh"))
+      .repartition(col("wh"))
+    val stats = exploded.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val dup = exploded.join(stats, "wh").where(col("df") >= 2)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dup.withColumn("nxt", lead(col("pos"), 1).over(byDoc))
+      .groupBy("doc_id")
+      .agg(max(col("ntok")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_dup_windows"),
+        sum(when(col("nxt").isNull, least(lit(w), col("ntok") - col("pos")))
+          .otherwise(least(col("nxt") - col("pos"), lit(w))))
+          .cast("long").as("dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
   // ---- Cluster resolution --------------------------------------------------
 
   /**

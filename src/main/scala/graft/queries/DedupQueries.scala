@@ -311,6 +311,13 @@ object DedupQueries {
           day0.schema, s"$root/state", "doc_id", "text")
         .select("doc_id")
     },
+    // Exact-substring duplicated spans (Lee et al. 2022): overlapping
+    // 8-token windows catch copied passages at ANY offset (aligned-block
+    // paragraph dedup misses off-by-one copies); per-doc duplicated-token
+    // coverage via exact interval union.
+    "text_dup_spans" -> { (s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", 8)
+    },
     // Paragraph-level dedup: 15-word-window paragraphs, cross-doc exact
     // dup detection, first-occurrence-wins cleaning. The fixture's planted
     // near-dup documents share long aligned stretches, so their windows
@@ -520,6 +527,29 @@ object DedupQueries {
          |${duckComponentLosers(
              s"SELECT id_a, id_b FROM (\n$minhashPairsOracle\n) mp")}
          |)""".stripMargin,
+    "text_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |win AS (SELECT doc_id, len(toks) AS ntok, p AS pos,
+        |          md5(array_to_string(toks[p+1:p+8], ' ')) AS wh
+        |        FROM d, unnest(generate_series(0,
+        |          CASE WHEN len(toks) >= 8 THEN len(toks) - 8 ELSE 0 END))
+        |          AS t(p)),
+        |st AS (SELECT wh, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY wh),
+        |dup AS (SELECT w.doc_id, w.ntok, w.pos
+        |        FROM win w JOIN st USING (wh) WHERE st.df >= 2),
+        |c AS (SELECT doc_id, ntok, pos,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |      FROM dup),
+        |agg AS (SELECT doc_id, CAST(MAX(ntok) AS BIGINT) AS n_tokens,
+        |          CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+        |          CAST(SUM(CASE WHEN nxt IS NULL
+        |                THEN least(8, ntok - pos)
+        |                ELSE least(nxt - pos, 8) END) AS BIGINT) AS dup_tokens
+        |        FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_dup_windows, dup_tokens,
+        |  round(dup_tokens::DOUBLE / n_tokens, 6) AS dup_frac
+        |FROM agg""".stripMargin,
     "dedup_resolve_best" ->
       s"""WITH RECURSIVE pr AS (
          |  SELECT id_a, id_b FROM (\n$minhashPairsOracle\n) mp),

@@ -14,6 +14,36 @@ class DedupSpec extends GraftSuite {
     assert(Dedup.exact(docs, Seq("text")).count() == 500)
   }
 
+  test("duplicatedSpans: exact interval union, catches copies at ANY offset") {
+    import spark.implicits._
+    // doc 1: 12 unique tokens + an 8-token passage; doc 2 carries the SAME
+    // passage at a different offset (3 leading tokens) — aligned-block
+    // paragraph dedup would miss it, stride-1 windows must not.
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    val fixture = Seq(
+      (1L, (1 to 12).map(i => s"u$i").mkString(" ") + " " + passage),
+      (2L, "x1 x2 x3 " + passage + " y1 y2"),
+      (3L, (1 to 10).map(i => s"z$i").mkString(" "))) // clean doc
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(fixture, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // Only the one 8-token window (the passage itself) is shared, so each
+    // carrier flags exactly 1 dup window covering 8 tokens; doc 3 absent.
+    assert(out.keySet == Set(1L, 2L), s"got $out")
+    assert(out(1L) == ((20L, 1L, 8L)))
+    assert(out(2L) == ((13L, 1L, 8L)))
+    // Overlap union: two docs sharing a 10-token passage have 3
+    // overlapping dup windows but only 10 covered tokens, not 24.
+    val long = (1 to 10).map(i => s"q$i").mkString(" ")
+    val f2 = Seq((1L, long + " a b c"), (2L, "k1 k2 " + long))
+      .toDF("doc_id", "text")
+    val o2 = Dedup.duplicatedSpans(f2, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(o2(1L) == ((3L, 10L)), s"got $o2")
+    assert(o2(2L) == ((3L, 10L)))
+  }
+
   test("minhash LSH finds exactly the 25 planted near-dup pairs at j>=0.5") {
     val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 0.5).collect()
     assert(pairs.length == 25, s"expected 25 planted pairs, got ${pairs.length}")
