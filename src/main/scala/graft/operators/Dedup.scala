@@ -98,20 +98,29 @@ object Dedup {
   def incrementalMinhashKeepFirst(incoming: DataFrame, idCol: String,
       textCol: String, bandIndex: DataFrame, shingleK: Int = 3,
       numPerm: Int = 32, numBands: Int = 8): DataFrame = {
+    // Lazy localCheckpoint: the band rows feed THREE consumers (index
+    // probe, in-batch dedup, and transitively the final anti-join) and
+    // Spark's exchange reuse does not fire across them — without the
+    // checkpoint the text scan + signature compute re-runs per consumer.
+    // Band rows are (doc_id, band, band_hash) — tiny vs the text.
     val bands = minhashBands(
         minhashSignatures(incoming, idCol, textCol, shingleK, numPerm),
         numBands, numPerm / numBands)
-      .repartition(col("band"), col("band_hash"))
+      .localCheckpoint(false)
     val hitHistory = bands
       .join(bandIndex.select(col("band"), col("band_hash")),
         Seq("band", "band_hash"), "left_semi")
       .select("doc_id").distinct()
     val fresh = bands.join(hitHistory, Seq("doc_id"), "left_anti")
-    val losers = fresh.as("x").join(fresh.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") > col("y.doc_id"), "left_semi")
-      .select(col("x.doc_id").as("doc_id")).distinct()
+    // In-batch keep-first among the fresh docs: "some shared band has a
+    // smaller doc_id" == "doc_id > min(doc_id) over the band" — one
+    // window shuffle instead of the former self-join's two.
+    val byBand = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_hash")
+    val losers = fresh
+      .withColumn("__mn", min(col("doc_id")).over(byBand))
+      .where(col("doc_id") > col("__mn"))
+      .select("doc_id").distinct()
     incoming
       .join(hitHistory.unionAll(losers).withColumnRenamed("doc_id", idCol),
         Seq(idCol), "left_anti")
@@ -314,9 +323,13 @@ object Dedup {
   def incrementalSimhashKeepFirst(incoming: DataFrame, idCol: String,
       textCol: String, bandIndex: DataFrame, bits: Int = 48,
       maxHamming: Int = 3): DataFrame = {
+    // Lazy localCheckpoint, as in incrementalMinhashKeepFirst: three
+    // consumers, no exchange reuse across them — checkpoint the tiny
+    // (doc_id, band, nib, simhash) rows instead of recomputing
+    // signatures per consumer.
     val bands = simhashWideBands(
         simhash(incoming, idCol, textCol, bits), bits, maxHamming)
-      .repartition(col("band"), col("nib"))
+      .localCheckpoint(false)
     val hitHistory = bands.as("i")
       .join(bandIndex.as("h"),
         col("i.band") === col("h.band") && col("i.nib") === col("h.nib") &&
