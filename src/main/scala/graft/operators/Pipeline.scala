@@ -106,9 +106,13 @@ object Pipeline {
       TextAnalysis.qualityScore(col("content")) >= minQuality)
     val evalDocs = doc.join(evalIds, Seq(idCol), "left_semi")
       .select(col(idCol), col("content"))
+    // 5-gram decontamination: 3-grams look fine on a 500-doc fixture but
+    // are vocabulary-collision noise at 10x the corpus (97% of clean docs
+    // crossed the 20% overlap bar at sf0.1); 5-gram overlap stays
+    // proportional to genuinely shared passages as both sides grow.
     val clean = Decontaminate.ngramOverlap(
         d2.select(col(idCol), col("content")), evalDocs,
-        idCol, "content", k = 3, num = 1, den = 5)
+        idCol, "content", k = 5, num = 1, den = 5)
       .where(!col("contaminated"))
       .select(col("doc_id").as(idCol))
     val d3 = d2.join(clean, Seq(idCol), "left_semi")

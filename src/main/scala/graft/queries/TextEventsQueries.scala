@@ -193,7 +193,7 @@ object TextEventsQueries {
       graft.operators.Decontaminate.ngramOverlap(
         d.where(col("doc_id") % 20 =!= 7),
         d.where(col("doc_id") % 20 === 7),
-        "doc_id", "text", k = 3, num = 1, den = 5)
+        "doc_id", "text", k = 5, num = 1, den = 5)
     },
     // In-engine-TRAINED quality classifier: logistic regression over
     // hashed bag-of-words presence features (64 buckets, 3 full-batch
@@ -739,9 +739,9 @@ object TextEventsQueries {
     "text_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
-        |  list_distinct(CASE WHEN len(t) >= 3
-        |    THEN list_transform(range(len(t) - 2),
-        |           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+        |  list_distinct(CASE WHEN len(t) >= 5
+        |    THEN list_transform(range(len(t) - 4),
+        |           i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
         |    ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
         |ev AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 20 = 7),
         |corpus AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 <> 7),
@@ -815,16 +815,16 @@ object TextEventsQueries {
          |    FROM corp WHERE doc_id IN (SELECT doc_id FROM keep))
          |  WHERE $duckQualityExpr >= 0.9),
          |csh AS (SELECT doc_id, list_distinct(
-         |    CASE WHEN len(t) >= 3
-         |      THEN list_transform(range(len(t) - 2),
-         |             i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+         |    CASE WHEN len(t) >= 5
+         |      THEN list_transform(range(len(t) - 4),
+         |             i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
          |      ELSE [array_to_string(t, ' ')] END) AS g
          |  FROM (SELECT doc_id, string_split(content, ' ') AS t FROM q)),
          |ev AS (SELECT DISTINCT unnest(g) AS gram FROM (
          |    SELECT doc_id, list_distinct(
-         |      CASE WHEN len(t) >= 3
-         |        THEN list_transform(range(len(t) - 2),
-         |               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+         |      CASE WHEN len(t) >= 5
+         |        THEN list_transform(range(len(t) - 4),
+         |               i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
          |        ELSE [array_to_string(t, ' ')] END) AS g
          |    FROM (SELECT doc_id, string_split(content, ' ') AS t
          |          FROM doc WHERE doc_id % 20 = 7))),
