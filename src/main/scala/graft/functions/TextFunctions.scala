@@ -35,6 +35,11 @@ object TextFunctions {
       case args => throw new IllegalArgumentException(
         s"graft_rolling_hash expects (text), got ${args.length}")
     },
+    "graft_normalize_text" -> {
+      case Seq(t) => NormalizeText(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_normalize_text expects (text), got ${args.length}")
+    },
     "graft_char_grams" -> {
       case Seq(t, n) => CharGrams(t, intLit("graft_char_grams", n))
       case args => throw new IllegalArgumentException(

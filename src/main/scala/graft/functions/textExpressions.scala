@@ -201,6 +201,26 @@ object TextGramsUtil {
     acc
   }
 
+  /** NFC -> accent strip (NFD + drop \p{Mn} combining marks + NFC) ->
+    * lowercase(ROOT). Kept to canonical (not compatibility) forms so
+    * ligatures/full-width chars survive, matching DuckDB
+    * lower(strip_accents(nfc_normalize(x))). */
+  def normalizeText(text: UTF8String): UTF8String = {
+    import java.text.Normalizer
+    val nfc = Normalizer.normalize(text.toString, Normalizer.Form.NFC)
+    val decomposed = Normalizer.normalize(nfc, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val cp = decomposed.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    val stripped = Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+    UTF8String.fromString(stripped.toLowerCase(java.util.Locale.ROOT))
+  }
+
   private def toUtf8Array(seen: java.util.LinkedHashSet[String]): ArrayData = {
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
@@ -333,6 +353,31 @@ case class WordGramsAll(child: Expression, k: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextGramsUtil.wordGramsAll($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `normalize_text(text)` — Unicode NFC, accent strip (NFD decompose +
+  * drop combining marks, recompose), then lowercase: the standard
+  * pre-tokenization canonicalization of multilingual web text. Matches
+  * DuckDB `lower(strip_accents(nfc_normalize(x)))` on Latin accents
+  * (é→e, ü→u, ñ→n, ç→c …); compatibility characters (ligatures, full-
+  * width forms) are deliberately PRESERVED on both engines (NFC, not
+  * NFKC). One static call inside whole-stage codegen; the java.text
+  * Normalizer works on the decoded string once per row. */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextGramsUtil.normalizeText(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextGramsUtil.normalizeText($c);")
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -310,6 +310,16 @@ object TextAnalysis {
         EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** Unicode canonicalization for multilingual corpora: NFC, accent strip
+    * (NFD + drop combining marks), lowercase — the pre-tokenization
+    * normalize every multilingual pipeline runs first. Narrow codegen
+    * expression (graft.functions.NormalizeText); ligatures/full-width
+    * compatibility chars survive by design (NFC, not NFKC). */
+  def normalizeText(text: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.NormalizeText(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(text)))
+
   /** Polynomial rolling hash of the whole text: fold (acc*31 + codepoint)
     * mod 2147483647 — a native codegen expression
     * (graft.functions.RollingHash); the interpreted HOF form below is its

@@ -270,6 +270,16 @@ object TextEventsQueries {
     "text_vocab_coverage" -> { (s, dir) =>
       TextAnalysis.vocabCoverage(docs(s, dir), "doc_id", "text", 500)
     },
+    // Unicode text normalization (NFC + accent strip + lowercase): the
+    // pre-tokenization canonicalize; accented fixture chars are injected
+    // since the base corpus is ASCII. Oracle replays via DuckDB
+    // lower(strip_accents(nfc_normalize(...))).
+    "text_normalize" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.normalizeText(concat(col("text"),
+          lit(" Café NAÏVE Über piñata Çedilla")))
+          .as("text_norm"))
+    },
     // URL canonicalization: messy synthetic URLs (mixed-case scheme/host,
     // userinfo, ports, www., tracking params, fragments) built identically
     // in the oracle; output is the canonical form + registered domain.
@@ -904,6 +914,11 @@ object TextEventsQueries {
         |          AS DOUBLE) / CAST(SUM(dc.c) AS DOUBLE), 6) AS oov_rate
         |FROM dc LEFT JOIN v ON dc.w = v.w
         |GROUP BY dc.doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  lower(strip_accents(nfc_normalize(
+        |    text || ' Café NAÏVE Über piñata Çedilla'))) AS text_norm
+        |FROM documents""".stripMargin,
     "text_url_normalize" ->
       """WITH u AS (SELECT doc_id,
         |  'HTTPS://user:pw@WWW.' || source ||

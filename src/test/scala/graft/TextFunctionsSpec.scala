@@ -54,4 +54,27 @@ class TextFunctionsSpec extends GraftSuite {
     assert(e.getMessage.contains("integer literal") ||
       e.getMessage.contains("graft_word_shingles"))
   }
+
+  test("normalize_text: accents stripped, case folded, ligatures preserved") {
+    val rows = Seq(
+      (1L, "Café NAÏVE Über piñata Çedilla"),
+      // pre-DECOMPOSED input (e + combining acute) must land identically
+      (2L, "Café"),
+      (3L, "ﬁt THE End"), // fi ligature survives (NFC, not NFKC)
+      (4L, "plain ascii 123")
+    ).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        graft.operators.TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "cafe naive uber pinata cedilla")
+    assert(got(2L) == "cafe")
+    assert(got(3L) == "ﬁt the end")
+    assert(got(4L) == "plain ascii 123")
+    // SQL registration agrees
+    rows.createOrReplaceTempView("nt_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_normalize_text(text) FROM nt_docs WHERE doc_id = 1")
+      .collect()(0).getString(0)
+    assert(viaSql == "cafe naive uber pinata cedilla")
+  }
 }
