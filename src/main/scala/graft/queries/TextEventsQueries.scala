@@ -270,6 +270,35 @@ object TextEventsQueries {
     "text_vocab_coverage" -> { (s, dir) =>
       TextAnalysis.vocabCoverage(docs(s, dir), "doc_id", "text", 500)
     },
+    // STREAMING global top-k: corpus word counts maintained across two
+    // document micro-batches (complete-mode aggregation + in-stream
+    // sort/limit — legal only in Complete mode); the final table must
+    // equal the batch top-10, which is the oracle.
+    "stream_topk_words" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val slices = Seq(d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1))
+      val root = java.nio.file.Files.createTempDirectory("graft_stopk").toString
+      val logDir = s"$root/days"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        val stage = s"$root/stage$i"
+        slice.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stream = s.readStream.schema(slices.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(logDir)
+      val topk = stream.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(10)
+      graft.streaming.EventStream.runToMemory(s, topk,
+        s"stream_topk_words_${System.nanoTime()}")
+    },
     // Unicode text normalization (NFC + accent strip + lowercase): the
     // pre-tokenization canonicalize; accented fixture chars are injected
     // since the base corpus is ASCII. Oracle replays via DuckDB
@@ -914,6 +943,12 @@ object TextEventsQueries {
         |          AS DOUBLE) / CAST(SUM(dc.c) AS DOUBLE), 6) AS oov_rate
         |FROM dc LEFT JOIN v ON dc.w = v.w
         |GROUP BY dc.doc_id""".stripMargin,
+    "stream_topk_words" ->
+      """SELECT w, CAST(cnt AS BIGINT) AS cnt FROM (
+        |  SELECT w, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w)
+        |ORDER BY cnt DESC, w LIMIT 10""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  lower(strip_accents(nfc_normalize(
