@@ -173,4 +173,76 @@ object Multimodal {
         posexplode(sequence(lit(0L), col("meta.durationMs"), lit(everyMs))))
       .select(col("media_id"), col("pos").cast("long").as("frame_idx"),
         col("col").as("ts_ms"))
+
+  /**
+   * 8x8 average-hash (aHash) perceptual signature from REAL decoded
+   * pixels: nearest-neighbor sample to an 8x8 grid, per-sample gray mass
+   * r+g+b, bit i set iff 64*v_i > total (strict — ties to 0, integer
+   * exact). Brightness-shift invariant by construction (a constant added
+   * to every sample cancels in the comparison). Returned as two 32-bit
+   * halves (rows 0-3 / 4-7) so downstream engines without 64-bit shifts
+   * replay it exactly.
+   *
+   * Scale shape: one mapPartitions decode pass — payloads never shuffle,
+   * 2x4 bytes of signature per image is all that moves downstream.
+   */
+  def averageHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        require(img != null,
+          s"media ${m.mediaId}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val vals = new Array[Long](64)
+        var i = 0
+        while (i < 64) {
+          val rgb = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+          vals(i) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          i += 1
+        }
+        val total = vals.sum
+        var hi = 0L
+        var lo = 0L
+        i = 0
+        while (i < 64) {
+          if (64L * vals(i) > total) {
+            if (i < 32) hi |= 1L << i else lo |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (m.mediaId, hi, lo)
+      }
+    }.toDF("media_id", "ahash_hi", "ahash_lo")
+  }
+
+  /**
+   * Perceptual near-duplicate pairs at Hamming distance <= `maxHamming`
+   * over [[averageHash]] signatures: the 64 bits split into 4x16-bit
+   * bands, so by pigeonhole any pair within Hamming 3 shares at least one
+   * band EXACTLY — candidates come from a (band, value) equi-join (linear
+   * shuffle, never all-pairs), then the true bit distance verifies.
+   * Same banded shape as the SimHash text path, lifted to images.
+   */
+  def perceptualNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val banded = hashes.select(col("media_id"),
+        col("ahash_hi"), col("ahash_lo"),
+        posexplode(array(
+          col("ahash_hi") % 65536L, floor(col("ahash_hi") / 65536L),
+          col("ahash_lo") % 65536L, floor(col("ahash_lo") / 65536L))))
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        col("pos").as("band"), col("col").cast("long").as("bval"))
+    val ham =
+      bit_count(col("x.ahash_hi").bitwiseXOR(col("y.ahash_hi"))) +
+        bit_count(col("x.ahash_lo").bitwiseXOR(col("y.ahash_lo")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.media_id") < col("y.media_id"))
+      .where(ham <= maxHamming)
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        ham.cast("long").as("hamming"))
+      .distinct()
+  }
 }

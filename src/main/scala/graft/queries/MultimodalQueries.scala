@@ -53,6 +53,27 @@ object MultimodalQueries {
     """dims AS (SELECT doc_id, n_chars % 33 + 16 AS w, n_chars % 24 + 8 AS h,
       |  doc_id % 150 AS d FROM documents)""".stripMargin
 
+  /** Closed-form aHash replay: gray mass at gradient pixel (x, y) is
+    * (d+x) + 3y + (100+x+y) = d + 100 + 2x + 4y; 8x8 nearest-neighbor
+    * sample i reads x = (i%8)*w//8, y = (i//8)*h//8; bit i set iff
+    * 64*v_i > total, packed into two 32-bit halves (no 64-bit shifts). */
+  private lazy val duckAhashCtes: String =
+    s"""$duckDims,
+       |v AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
+       |    (d + 100 + 2 * (((i % 8) * w) // 8)
+       |       + 4 * (((i // 8) * h) // 8))::BIGINT) AS vals
+       |  FROM dims),
+       |t AS (SELECT doc_id, vals,
+       |        list_reduce(vals, (a, b) -> a + b) AS total FROM v),
+       |hh AS (SELECT doc_id AS media_id,
+       |  CAST(list_reduce(list_transform(generate_series(0, 31), i ->
+       |    CASE WHEN 64 * vals[i+1] > total THEN (1::BIGINT << i)
+       |         ELSE 0::BIGINT END), (a, b) -> a + b) AS BIGINT) AS ahash_hi,
+       |  CAST(list_reduce(list_transform(generate_series(32, 63), i ->
+       |    CASE WHEN 64 * vals[i+1] > total THEN (1::BIGINT << (i - 32))
+       |         ELSE 0::BIGINT END), (a, b) -> a + b) AS BIGINT) AS ahash_lo
+       |  FROM t)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> { (s, dir) =>
       Multimodal.decodeFeatures(typedMedia(s, dir)).toDF()
@@ -76,6 +97,17 @@ object MultimodalQueries {
     "mm_frame_sample" -> { (s, dir) =>
       Multimodal.frameSamplePlan(media(s, dir), 500L)
     },
+    // Perceptual average-hash from REAL decoded pixels; the gradient
+    // fixture's closed form (gray mass d+100+2x+4y) lets the oracle
+    // replay every bit.
+    "mm_ahash" -> { (s, dir) =>
+      Multimodal.averageHash(typedMedia(s, dir))
+    },
+    // (perceptualNearDup is spec-gated with constructed discriminative
+    // images — the fixture's gradients are all brightness-variants of one
+    // pattern, so an all-pairs fixture gate would be degenerate: ~31% of
+    // pairs fall within Hamming 3 and the count explodes quadratically
+    // with corpus growth.)
     "stream_hourly" -> { (s, dir) =>
       EventStream.runToMemory(s,
         EventStream.hourlyCounts(EventStream.eventsStream(s, dir)),
@@ -269,6 +301,7 @@ object MultimodalQueries {
       """SELECT doc_id AS media_id, CAST(t // 500 AS BIGINT) AS frame_idx,
         |  CAST(t AS BIGINT) AS ts_ms
         |FROM documents, unnest(range(0, n_chars * 10 + 1, 500)) AS u(t)""".stripMargin,
+    "mm_ahash" -> s"WITH $duckAhashCtes SELECT media_id, ahash_hi, ahash_lo FROM hh",
     "stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,

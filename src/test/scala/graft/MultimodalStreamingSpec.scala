@@ -77,6 +77,47 @@ class MultimodalStreamingSpec extends GraftSuite {
       .as[MediaRecord]
   }
 
+  test("averageHash + perceptualNearDup: banding finds exactly the brute-force pairs") {
+    import spark.implicits._
+    import graft.operators.MediaMeta
+    // 8x8 images where each pixel IS one aHash sample: full bit control.
+    // Pattern = set of bright pixels (r=250, rest black).
+    def img(bright: Set[Int]): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (i <- 0 until 64)
+        bi.setRGB(i % 8, i / 8, if (bright(i)) 250 << 16 else 0)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", out)
+      out.toByteArray
+    }
+    val base = (0 until 20).toSet // top 20 pixels bright
+    val near = base - 3 + 45 // Hamming 2 from base
+    val far = (40 until 64).toSet // very different pattern
+    val media = Seq(
+      MediaRecord(1L, "image", img(base), MediaMeta(8, 8, 0, 0, "image/png")),
+      MediaRecord(2L, "image", img(near), MediaMeta(8, 8, 0, 0, "image/png")),
+      MediaRecord(3L, "image", img(far), MediaMeta(8, 8, 0, 0, "image/png")),
+      MediaRecord(4L, "image", img(base), MediaMeta(8, 8, 0, 0, "image/png"))
+    ).toDS()
+    val hashes = Multimodal.averageHash(media)
+    val got = Multimodal.perceptualNearDup(hashes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force ground truth from the hashes themselves
+    val hs = hashes.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: Long, b: Long) = {
+      val (ah, al) = hs(a); val (bh, bl) = hs(b)
+      java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(al ^ bl)
+    }
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b && ham(a, b) <= 3
+    } yield (a, b) -> ham(a, b).toLong).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 2L) // the planted near pair
+    assert(got.contains((1L, 4L)) && got((1L, 4L)) == 0L) // exact dup
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L))) // far stays out
+  }
+
   test("decodeFeatures decodes real PNG pixels: closed-form gradient sums") {
     val nChars = Tables.load(spark, dir, "documents")
       .select("doc_id", "n_chars").collect()
