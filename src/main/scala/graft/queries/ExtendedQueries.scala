@@ -18,6 +18,33 @@ object ExtendedQueries {
     Tables.registerAll(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus health report: the per-(lang, source) observability roll-up a
+    // pipeline run publishes — doc/token counts, mean quality, mean size.
+    // One map-side-partial aggregate over the corpus scan; quality sums
+    // accumulate as 2^20-scaled integers so the mean is order-exact.
+    "report_corpus_stats" -> { (s, dir) =>
+      val q = graft.operators.TextAnalysis.qualityScore(col("text"))
+      Tables.load(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.operators.TextAnalysis.tokenCount(col("text")))
+            .as("n_tokens"),
+          round(sum(floor(q * 1048576.0).cast("long")) /
+            (lit(1048576.0) * count(lit(1))), 6).as("mean_quality"),
+          round(avg(col("n_chars")), 6).as("mean_chars"))
+    },
+    // Join-key skew diagnostic: the top-N heaviest keys with their share
+    // of the table — what you read BEFORE choosing salting/AQE strategy.
+    "diag_key_skew" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val total = ev.agg(count(lit(1)).as("__t"))
+      graft.operators.TopK.perKey(
+          ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt")),
+          Seq(lit(1)), Seq(col("cnt").desc, col("user_id")), 20)
+        .crossJoin(broadcast(total))
+        .select(col("user_id"), col("cnt"),
+          round(col("cnt").cast("double") / col("__t"), 6).as("share"))
+    },
     // Pivot: explicit value list so the schema is static.
     "rel_q23_pivot" -> { (s, dir) =>
       reg(s, dir)
@@ -308,6 +335,20 @@ object ExtendedQueries {
       |FROM lineitem WHERE l_orderkey < 100 GROUP BY l_returnflag""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "report_corpus_stats" ->
+      s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  round(SUM(CAST(floor(${TextEventsQueries.duckQualityExpr}
+         |      * 1048576.0) AS BIGINT)) / (1048576.0 * COUNT(*)), 6)
+         |    AS mean_quality,
+         |  round(AVG(n_chars), 6) AS mean_chars
+         |FROM documents GROUP BY lang, source""".stripMargin,
+    "diag_key_skew" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT COUNT(*) AS tot FROM events)
+        |SELECT user_id, cnt, round(cnt::DOUBLE / tot, 6) AS share
+        |FROM c, t ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
     "rel_q23_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
