@@ -515,11 +515,18 @@ object Dedup {
       w: Int): DataFrame = {
     require(w > 0, "duplicatedSpans: w must be positive")
     val toks = split(col(textCol), " ")
+    // Stride-1 windows via the WordGramsAll codegen expression (returns
+    // empty below w tokens, so short docs fall back to one whole-text
+    // window). The interpreted transform/slice HOF form this replaced
+    // re-sliced the token array per window — the dominant cost of the
+    // whole operator at sf0.1 (4.8s -> 2.6s).
+    val grams = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.WordGramsAll(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+          col(textCol)), w))
     val wins = when(length(trim(col(textCol))) === 0,
         array().cast("array<string>"))
-      .otherwise(when(size(toks) >= w,
-        transform(sequence(lit(0), size(toks) - w),
-          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(when(size(toks) >= w, grams)
         .otherwise(array(concat_ws(" ", toks))))
     val exploded = docs
       .select(col(idCol).as("doc_id"), size(toks).as("ntok"),

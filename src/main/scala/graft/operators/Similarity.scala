@@ -137,6 +137,27 @@ object Similarity {
         round(col(scoreCol), 6).as(scoreCol))
   }
 
+  /**
+   * Hard-negative mining for contrastive training: per query, the k
+   * HIGHEST-cosine corpus vectors with a DIFFERENT label — the negatives
+   * that sit closest to the decision boundary, which is what makes a
+   * contrastive batch informative. Corpus (id, vec, label) streams;
+   * queries (qid, qvec, qlabel) broadcast; the label filter rides the
+   * scored scan, then the heap top-k trims map-side like every other
+   * ranking tail. Swap the crossJoin for an LSH/IVF candidate join at
+   * corpus scale — the filter + rank tail is unchanged.
+   */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val c = corpus.withColumn("nrm", VectorOps.norm(col("vec")))
+    val q = queries.withColumn("qnrm", VectorOps.norm(col("qvec")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("label") =!= col("qlabel"))
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    rankTopKPerQuery(scored, k, "score")
+  }
+
   /** Exact top-k neighbors per query by brute-force cosine.
     * `queries` (qid, qvec) is broadcast; corpus (id, vec) streams. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -54,6 +54,17 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(corpusDf(s, dir, 5), queriesDf(s, dir, 5), 10)
         .withColumnRenamed("rank", "rnk")
     },
+    // Hard-negative mining: per query the 5 highest-cosine corpus vectors
+    // with a DIFFERENT class label (the contrastive-batch builder).
+    "sim_hard_negatives" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.hardNegativesTopK(
+          e.where(col("vec_id") >= 5).select(col("vec_id").as("id"),
+            col("embedding").as("vec"), col("label")),
+          e.where(col("vec_id") < 5).select(col("vec_id").as("qid"),
+            col("embedding").as("qvec"), col("label").as("qlabel")), 5)
+        .withColumnRenamed("rank", "rnk")
+    },
     "sim_ann_topk" -> { (s, dir) =>
       Similarity.lshTopK(corpusDf(s, dir, 10), queriesDf(s, dir, 10), 5,
         NumTables, NumPlanes, Seed)
@@ -292,6 +303,18 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
          |FROM r WHERE rn <= 10""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS id, embedding AS v, label
+         |  FROM embeddings WHERE vec_id >= 5),
+         |s AS (SELECT qid, id, ${duckCos("qv", "v")} AS score
+         |      FROM q, c WHERE c.label <> q.ql),
+         |r AS (SELECT qid, id, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+         |      FROM s)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
     "sim_lsh_neardup" ->
       s"""WITH $duckCodesCte,
          |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b

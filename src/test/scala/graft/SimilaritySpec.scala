@@ -36,6 +36,31 @@ class SimilaritySpec extends GraftSuite {
     assert(mean > 0.85 && mean < 1.15, s"mean distance ratio $mean")
   }
 
+  test("hardNegativesTopK: every mined negative has a different label") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val c = e.where(col("vec_id") >= 10).select(col("vec_id").as("id"),
+      col("embedding").as("vec"), col("label"))
+    val q = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"), col("label").as("qlabel"))
+    val negs = graft.operators.Similarity.hardNegativesTopK(c, q, 5)
+    assert(negs.count() == 50) // 10 queries x 5
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    negs.select("qid", "id").collect().foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(1)),
+        s"negative ${r.getLong(1)} shares label with query ${r.getLong(0)}")
+    }
+    // hard negatives rank BELOW the same-label nearest hit only if that
+    // hit is nearer — i.e. scores are the max over the different-label
+    // subset: spot-check against brute force restricted by label.
+    val brute = graft.operators.Similarity.bruteForceTopK(c, q, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val got = negs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    got.foreach { case (qid, id, s) =>
+      assert(math.abs(brute((qid, id)) - s) < 1e-9)
+    }
+  }
+
   test("brute-force top-k: k rows per query, ranks 1..k, scores descending") {
     val tk = Similarity.bruteForceTopK(corpus, queries, 10).collect()
     assert(tk.length == 100) // 10 queries x 10
