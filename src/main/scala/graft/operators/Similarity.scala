@@ -368,6 +368,74 @@ object Similarity {
     rankTopKPerQuery(scored, k, "score")
   }
 
+  // ---- PCA (power iteration) ----------------------------------------------
+
+  /**
+   * Top-`k` principal directions trained IN-ENGINE: one bounded
+   * [[graft.functions.GramAggregator]] pass accumulates the exact
+   * scaled-integer second moments (dim^2 longs of state per partition —
+   * the corpus is never exploded), then the driver centers the matrix
+   * and runs FIXED-round power iteration with deflation on the 64x64
+   * doubles. Deterministic end to end: integer sums are order-free, the
+   * driver math is sequential, the start vector is e_0 — same discipline
+   * as [[trainKMeans]]. Returned directions are unit-norm, mutually
+   * orthogonal, sign-fixed (first nonzero coordinate positive).
+   */
+  def trainTopPCs(vecs: DataFrame, vecCol: String, dim: Int, k: Int,
+      iters: Int = 30): Array[Array[Double]] = {
+    require(k > 0 && k <= dim && iters > 0, "trainTopPCs: bad k/iters")
+    import vecs.sparkSession.implicits._
+    val agg = org.apache.spark.sql.functions.udaf(
+      graft.functions.GramAggregator(dim))
+    val st = vecs.select(agg(col(vecCol).cast("array<float>")).as("s"))
+      .select(col("s.gram"), col("s.sums"), col("s.n"))
+      .as[(Seq[Long], Seq[Long], Long)].head()
+    val (tri, sums, n) = (st._1.toArray, st._2.toArray, st._3)
+    require(n > 1, "trainTopPCs: need more than one vector")
+    val scale = 1048576.0
+    val mean = sums.map(_ / (scale * n))
+    // centered covariance C = E[xx^T] - mu mu^T (driver-side doubles)
+    val c = Array.ofDim[Double](dim, dim)
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val e = tri(idx) / (scale * n) - mean(i) * mean(j)
+      c(i)(j) = e; c(j)(i) = e
+      idx += 1
+    }
+    val dirs = new Array[Array[Double]](k)
+    for (pc <- 0 until k) {
+      var v = Array.tabulate(dim)(i => if (i == pc) 1.0 else 0.0)
+      for (_ <- 0 until iters) {
+        val w = Array.tabulate(dim)(i =>
+          (0 until dim).foldLeft(0.0)((acc, j) => acc + c(i)(j) * v(j)))
+        // re-orthogonalize against found directions (deflation-stable)
+        for (d <- 0 until pc) {
+          val proj = (0 until dim).foldLeft(0.0)((acc, j) =>
+            acc + w(j) * dirs(d)(j))
+          for (j <- 0 until dim) w(j) -= proj * dirs(d)(j)
+        }
+        val nrm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+        v = if (nrm > 0) w.map(_ / nrm) else v
+      }
+      val lead = v.indexWhere(math.abs(_) > 1e-12)
+      dirs(pc) = if (lead >= 0 && v(lead) < 0) v.map(-_) else v
+    }
+    dirs
+  }
+
+  /** Projects vectors onto trained directions: (vec_id, pc, coord) —
+    * directions ride the plan as literals, one narrow codegen projection
+    * per row. Coordinates are centered on the training mean implicitly
+    * only if the caller centered; this projects raw vectors. */
+  def pcProject(vecs: DataFrame, idCol: String, vecCol: String,
+      dirs: Array[Array[Double]]): DataFrame =
+    vecs.select(col(idCol).as("vec_id"),
+        posexplode(array(dirs.map(d =>
+          round(VectorOps.dot(col(vecCol),
+            typedLit(d.map(_.toFloat).toSeq)), 6)): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("pc"),
+        col("col").as("coord"))
+
   // ---- Product quantization ------------------------------------------------
 
   /**

@@ -43,6 +43,29 @@ object SimilarityQueries {
       Similarity.lshCodes(emb(s, dir), "vec_id", "embedding",
         NumTables, NumPlanes, Seed)
     },
+    // In-engine PCA (bounded gram aggregator + driver power iteration):
+    // eigen-iteration isn't reasonably SQL-replayable, so this is a
+    // PROPERTY gate (theta-style): unit norms, orthogonality, variance
+    // ordering, and top-PC variance >= a JL plane's variance.
+    "sim_pca_props" -> { (s, dir) =>
+      import s.implicits._
+      val e = emb(s, dir)
+      val dirs = Similarity.trainTopPCs(e, "embedding", Dim, 2)
+      val normsOk = dirs.forall(v =>
+        math.abs(1.0 - math.sqrt(v.map(x => x * x).sum)) < 1e-9)
+      val orthoOk = math.abs(
+        dirs(0).zip(dirs(1)).map { case (a, b) => a * b }.sum) < 1e-6
+      val vproj = Similarity.pcProject(e, "vec_id", "embedding", dirs)
+        .groupBy("pc").agg(var_samp(col("coord")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val rpPlane = Similarity.planes(1, 1, Dim, Seed)(0)(0)
+        .map(_ / 8.0) // unit-normalized +-1 plane (||p|| = sqrt(64))
+      val rpVar = Similarity.pcProject(e, "vec_id", "embedding",
+          Array(rpPlane))
+        .agg(var_samp(col("coord"))).collect()(0).getDouble(0)
+      Seq((normsOk, orthoOk, vproj(0L) >= vproj(1L), vproj(0L) >= rpVar))
+        .toDF("norms_ok", "ortho_ok", "var_order_ok", "beats_rp")
+    },
     // Johnson–Lindenstrauss reduction 64d -> 16d via deterministic
     // Rademacher planes / sqrt(16) — the dimension-cut stage before ANN.
     // The oracle replays the identical plane literals and fold order.
@@ -282,6 +305,9 @@ object SimilarityQueries {
          |  round(MAX(cos), 6) AS max_cos
          |FROM hits WHERE cos >= 0.98 GROUP BY doc_id""".stripMargin,
     "sim_lsh_codes" -> s"WITH $duckCodesCte SELECT vec_id, tbl, code FROM codes",
+    "sim_pca_props" ->
+      """SELECT TRUE AS norms_ok, TRUE AS ortho_ok,
+        |  TRUE AS var_order_ok, TRUE AS beats_rp""".stripMargin,
     "sim_rp_reduce" -> {
       val rp = Similarity.planes(1, RpOutDim, Dim, Seed)(0)
       rp.zipWithIndex.map { case (plane, j) =>

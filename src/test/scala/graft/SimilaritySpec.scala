@@ -36,6 +36,26 @@ class SimilaritySpec extends GraftSuite {
     assert(mean > 0.85 && mean < 1.15, s"mean distance ratio $mean")
   }
 
+  test("trainTopPCs recovers a planted dominant axis; deterministic across partitioning") {
+    import spark.implicits._
+    // Planted anisotropy in 8d: coordinate 2 has 10x the spread of the
+    // rest (deterministic pseudo-noise from index arithmetic, no RNG).
+    def noise(i: Int, j: Int): Float = (((i * 31 + j * 17) % 11) - 5) / 50.0f
+    val rows = (0 until 200).map { i =>
+      val v = Array.tabulate(8)((j: Int) => noise(i, j))
+      v(2) = v(2) + (i % 21 - 10) / 5.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val dirs = Similarity.trainTopPCs(rows, "embedding", 8, 2)
+    assert(math.abs(dirs(0)(2)) > 0.95,
+      s"top PC should align with axis 2, got ${dirs(0).mkString(",")}")
+    assert(math.abs(1.0 - math.sqrt(dirs(0).map(x => x * x).sum)) < 1e-9)
+    assert(math.abs(dirs(0).zip(dirs(1)).map { case (a, b) => a * b }.sum) < 1e-6)
+    // exact scaled-integer gram sums => identical under repartitioning
+    val again = Similarity.trainTopPCs(rows.repartition(13), "embedding", 8, 2)
+    assert(dirs(0).toSeq == again(0).toSeq && dirs(1).toSeq == again(1).toSeq)
+  }
+
   test("hardNegativesTopK: every mined negative has a different label") {
     val e = Tables.load(spark, dir, "embeddings")
     val c = e.where(col("vec_id") >= 10).select(col("vec_id").as("id"),
