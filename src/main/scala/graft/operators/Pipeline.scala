@@ -102,8 +102,13 @@ object Pipeline {
     val keep = Dedup.exactKeepFirst(corpus, idCol, "content")
       .select(col("keep_id").as(idCol))
     val d1 = corpus.join(keep, Seq(idCol), "left_semi")
+    // d2 feeds BOTH the decontamination gram explode and the final
+    // semi-join; checkpoint the survivors once instead of re-running
+    // extract->dedup->quality per consumer (exchange reuse does not
+    // cross the two shapes).
     val d2 = d1.where(
       TextAnalysis.qualityScore(col("content")) >= minQuality)
+      .localCheckpoint(false)
     val evalDocs = doc.join(evalIds, Seq(idCol), "left_semi")
       .select(col(idCol), col("content"))
     // 5-gram decontamination: 3-grams look fine on a 500-doc fixture but
