@@ -25,7 +25,8 @@ case class MisraGriesAggregator(s: Int)
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
-    buf.get(item) match {
+    if (item == null) buf // null keys would NPE the sorted finish
+    else buf.get(item) match {
       case Some(c) => buf.updated(item, c + 1)
       case None if buf.size < s => buf.updated(item, 1L)
       case None =>

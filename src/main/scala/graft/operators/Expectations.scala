@@ -22,6 +22,9 @@ object Expectations {
     * `is_clean`. */
   def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "check: need at least one rule")
+    require(!df.columns.contains("violations") && !df.columns.contains("is_clean"),
+      "check: input already has a 'violations'/'is_clean' column — the audit " +
+        "columns would silently replace it; rename the input column first")
     val marks = rules.map { case (name, cond) =>
       when(!coalesce(cond, lit(false)), lit(name))
     }

@@ -19,10 +19,15 @@ import TextHash.hash60
  *  - weights and bias live on a fixed-point grid (scaled by 2^20 =
  *    [[Similarity.KMeansScale]]) as LONGs, so per-document margins are
  *    EXACT integer sums — order-independent across partitions and engines;
- *  - the only floating-point step is the per-row sigmoid, and each row's
- *    gradient contribution is floor-quantized back to the integer grid
- *    BEFORE the cross-row sum, so partial-aggregation order can never
- *    change the trained model;
+ *  - the per-row sigmoid is a RATIONAL approximation evaluated entirely
+ *    in integer arithmetic — σ(x) ≈ (1/2)(1 + x/(2+|x|)), same slope 1/4
+ *    at 0 and same limits as the logistic — so no libm `exp` (whose ULP
+ *    differences between the JVM and DuckDB could flip a floor at a grid
+ *    boundary) ever enters training: engine agreement is by construction,
+ *    not by luck (see QualityModelSpec's portability test);
+ *  - each row's gradient contribution is therefore already ON the integer
+ *    grid before the cross-row sum, so partial-aggregation order can
+ *    never change the trained model;
  *  - a FIXED number of full-batch gradient rounds (no early stop — the
  *    replayed oracle unrolls the same count).
  *
@@ -72,10 +77,18 @@ object QualityModel {
 
   /**
    * Full-batch logistic-regression training over `labeled`
-   * (`labelCol` ∈ {0, 1}). Per round: p = sigmoid(margin / 2^20), each
-   * row contributes g = floor((label − p)·2^20) to the gradient of every
+   * (`labelCol` ∈ {0, 1}). Per round, with m the scaled margin and
+   * S = 2^20, the predicted probability on the grid is the integer
+   * rational sigmoid
+   *   pScaled = (S·(2S + |m| + m)) div (2·(2S + |m|)),
+   * each row contributes g = label·S − pScaled to the gradient of every
    * bucket it contains (and to the bias via a sentinel bucket), weights
-   * step by floor(gradient · lr / n) on the integer grid.
+   * step by floor(gradient · lr / n) on the integer grid. Every per-row
+   * step is BIGINT arithmetic (div = truncating integer division; both
+   * operands are non-negative, so Spark's `div` and DuckDB's `//` agree).
+   * Overflow headroom: the numerator stays below 2^63 for |m| up to
+   * ~4.4e12; margins are bounded by iters·(numBuckets+1)·S — orders of
+   * magnitude inside it for any sane configuration.
    *
    * Returns (weightsScaled, biasScaled) — fixed-point longs.
    */
@@ -86,13 +99,19 @@ object QualityModel {
       "trainLogReg: numBuckets > 0, iters >= 0, lr > 0")
     val n = labeled.count()
     require(n > 0, "trainLogReg: empty training set")
+    val S = KMeansScale.toLong
     val w = Array.fill(numBuckets)(0L)
     var bias = 0L
     for (_ <- 0 until iters) {
+      // pScaled's numerator is always >= 0 (m < 0 makes |m| + m vanish)
+      // and the denominator > 0, so truncating div == floor div in both
+      // engines — no float touches the per-row gradient.
       val g = margins(labeled, idCol, textCol, labelCol, numBuckets, w, bias)
-        .withColumn("g", floor((col("label") -
-          lit(1.0) / (lit(1.0) + exp(lit(0.0) - col("ms") / lit(KMeansScale))))
-          * lit(KMeansScale)).cast("long"))
+        .withColumn("__num",
+          lit(S) * (lit(2L * S) + abs(col("ms")) + col("ms")))
+        .withColumn("__den", lit(2L) * (lit(2L * S) + abs(col("ms"))))
+        .withColumn("g",
+          col("label").cast("long") * lit(S) - expr("__num div __den"))
         .select(col("doc_id"), col("g"))
       // Bias = sentinel bucket -1: one aggregate serves every parameter.
       val grads = hashedFeatures(labeled, idCol, textCol, numBuckets)

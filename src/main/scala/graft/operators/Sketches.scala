@@ -222,11 +222,13 @@ object Sketches {
     val mg = org.apache.spark.sql.functions.udaf(
       graft.functions.MisraGriesAggregator(s))
     val src = items.select(col(itemCol).cast("string").as("item"))
-    val cands = src.agg(mg(col("item")).as("cands"))
-      .select(explode(col("cands")).as("item"))
+      .where(col("item").isNotNull)
+    // One scan yields BOTH the MG candidates and the stream total N —
+    // the corpus really is read exactly twice (this pass + the recount).
+    val cands = src.agg(mg(col("item")).as("cands"), count(lit(1)).as("__n"))
+      .select(explode(col("cands")).as("item"), col("__n"))
     src.join(broadcast(cands), "item")
-      .groupBy("item").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(src.agg(count(lit(1)).as("__n"))))
+      .groupBy("item", "__n").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= ceil(lit(minFraction) * col("__n")).cast("long"))
       .select("item", "cnt")
   }

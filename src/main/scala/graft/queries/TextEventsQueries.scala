@@ -407,7 +407,11 @@ object TextEventsQueries {
   /** Unrolled DuckDB replay of BpeTokenizer.trainBpeMerges: per-round
     * pair-count CTE, total-tie-order argmax, and the SAME literal
     * `|A||B|` -> `|AB|` replace. Produces w0..w{k} (word, freq, s) and
-    * m1..m{k} (l, r2, c). */
+    * m1..m{k} (l, r2, c). Mirrors the engine's early stop: m{r} is empty
+    * when no pair occurs twice (c >= 2 gate) and w{r} then falls through
+    * unchanged (COALESCE over the NULL-pattern replace), so on a corpus
+    * that exhausts pairs before k rounds both sides emit the same
+    * truncated merge table. */
   private def duckBpeCtes(k: Int): String = {
     val base =
       """wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -426,10 +430,11 @@ object TextEventsQueries {
          |          FROM w${r - 1}) x,
          |         unnest(range(1, len(toks))) u(i)) t
          |  GROUP BY 1, 2),
-         |m$r AS MATERIALIZED (SELECT l, r2, c FROM p$r ORDER BY c DESC, l, r2 LIMIT 1),
-         |w$r AS MATERIALIZED (SELECT word, freq, replace(s,
+         |m$r AS MATERIALIZED (SELECT l, r2, c FROM p$r WHERE c >= 2
+         |  ORDER BY c DESC, l, r2 LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word, freq, COALESCE(replace(s,
          |    '|' || (SELECT l FROM m$r) || '||' || (SELECT r2 FROM m$r) || '|',
-         |    '|' || (SELECT l FROM m$r) || (SELECT r2 FROM m$r) || '|') AS s
+         |    '|' || (SELECT l FROM m$r) || (SELECT r2 FROM m$r) || '|'), s) AS s
          |  FROM w${r - 1})""".stripMargin
     }
     (base +: rounds).mkString(",\n")
@@ -448,8 +453,10 @@ object TextEventsQueries {
 
   /** Unrolled DuckDB replay of QualityModel.trainLogReg over a `train`
     * CTE (doc_id, text, label): hashed presence features, fixed-point
-    * weights, per-row floor-quantized gradients — bit-identical to the
-    * Spark training loop. Produces w{iters} / b{iters}. */
+    * weights, and the integer rational sigmoid (BIGINT `//` division —
+    * Spark's `div` twin on the non-negative operands) — bit-identical to
+    * the Spark training loop with no libm call on either side. Produces
+    * w{iters} / b{iters}. */
   private def duckLogRegCtes(iters: Int, buckets: Int, lr: Double): String = {
     val base =
       s"""feats AS (SELECT DISTINCT doc_id,
@@ -462,14 +469,14 @@ object TextEventsQueries {
          |b0 AS (SELECT CAST(0 AS BIGINT) AS bs)""".stripMargin
     val rounds = (1 to iters).map { r =>
       s"""m$r AS (SELECT t.doc_id, t.label,
-         |    COALESCE(SUM(w.ws), 0) + MIN(b.bs) AS ms
+         |    CAST(COALESCE(SUM(w.ws), 0) + MIN(b.bs) AS BIGINT) AS ms
          |  FROM train t CROSS JOIN b${r - 1} b
          |  LEFT JOIN feats f ON f.doc_id = t.doc_id
          |  LEFT JOIN w${r - 1} w ON w.bucket = f.bucket
          |  GROUP BY t.doc_id, t.label),
-         |g$r AS (SELECT doc_id, CAST(floor((label
-         |    - 1.0 / (1.0 + exp(-(ms::DOUBLE / 1048576.0)))) * 1048576.0)
-         |    AS BIGINT) AS g FROM m$r),
+         |g$r AS (SELECT doc_id, CAST(label AS BIGINT) * 1048576
+         |    - (1048576 * (2097152 + abs(ms) + ms))
+         |      // (2 * (2097152 + abs(ms))) AS g FROM m$r),
          |w$r AS (SELECT w.bucket, w.ws + CAST(floor(COALESCE(gs.s, 0)::DOUBLE
          |      * $lr / (SELECT n FROM nn)) AS BIGINT) AS ws
          |  FROM w${r - 1} w LEFT JOIN (SELECT f.bucket, SUM(g.g) AS s
@@ -810,7 +817,7 @@ object TextEventsQueries {
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
          |        FROM hold) WHERE w <> '')
          |SELECT h.doc_id,
-         |  COALESCE(SUM(w.ws), 0) + MIN(b.bs) AS margin_scaled,
+         |  CAST(COALESCE(SUM(w.ws), 0) + MIN(b.bs) AS BIGINT) AS margin_scaled,
          |  (COALESCE(SUM(w.ws), 0) + MIN(b.bs)) > 0 AS pred_good
          |FROM hold h CROSS JOIN b$QmIters b
          |LEFT JOIN hfeats f ON f.doc_id = h.doc_id

@@ -60,26 +60,29 @@ object ChangelogStream {
   }
 
   /**
-   * Retention cut for the versioned snapshot chain: keeps the newest
+   * Retention cut for a versioned state chain: keeps the newest
    * `keep` versions (the replay anchors still inside the checkpoint's
    * possible-retry horizon) and deletes older ones. Returns the deleted
    * version numbers. The table-format analogue is VACUUM; the retention
    * floor exists for the same reason — a version still referencable by a
-   * retried batch must never be removed, so `keep >= 2`.
+   * retried batch must never be removed, so `keep >= 2`. `prefix` names
+   * the chain ("v" for CDC snapshots, "idx_v" for the dedup band index —
+   * [[DedupStream]] reuses this for its index lifecycle).
    */
-  def vacuum(stateDir: String, keep: Int): Seq[Long] = {
+  def vacuum(stateDir: String, keep: Int, prefix: String = "v"): Seq[Long] = {
     require(keep >= 2, "vacuum: keep >= 2 (current + its replay anchor)")
     val dir = new java.io.File(stateDir)
+    val pat = java.util.regex.Pattern.quote(prefix) + "\\d+"
     val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(f => f.getName.drop(1).toLong).sorted
+      .filter(f => f.isDirectory && f.getName.matches(pat))
+      .map(f => f.getName.drop(prefix.length).toLong).sorted
     val cut = versions.drop(math.max(0, versions.length - keep))
     val doomed = versions.filterNot(cut.contains)
     doomed.foreach { v =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
       }
-      rm(new java.io.File(dir, s"v$v"))
+      rm(new java.io.File(dir, s"$prefix$v"))
     }
     doomed.toIndexedSeq
   }

@@ -29,10 +29,22 @@ object DedupStream {
    * band index becomes v0), folding survivors + index under `stateDir`.
    * `maxFilesPerTrigger 1` makes each file its own micro-batch. Returns
    * the union of all surviving batch outputs.
+   *
+   * Index lifecycle: each batch rewrites the FULL band index as
+   * idx_v{b+1}, so without retention the state dir holds every historical
+   * copy of a growing index — O(batches²) storage at one batch per ingest
+   * hour. After each batch the chain is cut back to the newest
+   * `retainIndexVersions` (floor 2: the version a retried batch re-reads
+   * must survive — [[ChangelogStream.vacuum]]'s contract). The out_v*
+   * directories are NOT state: each holds one batch's disjoint surviving
+   * documents (the landed corpus itself) and is never pruned.
    */
   def incrementalMinhash(spark: SparkSession, history: DataFrame,
       docsDir: String, schema: StructType, stateDir: String,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String,
+      retainIndexVersions: Int = 3): DataFrame = {
+    require(retainIndexVersions >= 2,
+      "incrementalMinhash: retainIndexVersions >= 2 (current + replay anchor)")
     Dedup.minhashBandIndex(history, idCol, textCol)
       .write.mode("overwrite").parquet(s"$stateDir/idx_v0")
     @volatile var last = 0L
@@ -49,9 +61,13 @@ object DedupStream {
       val landed = spark.read.parquet(s"$stateDir/out_v${id + 1}")
       index.unionByName(Dedup.minhashBandIndex(landed, idCol, textCol))
         .write.mode("overwrite").parquet(s"$stateDir/idx_v${id + 1}")
+      ChangelogStream.vacuum(stateDir, retainIndexVersions, prefix = "idx_v")
       last = id + 1
     })
     (1L to last).map(v => spark.read.parquet(s"$stateDir/out_v$v"))
-      .reduce(_.unionByName(_))
+      .reduceOption(_.unionByName(_))
+      // Empty stream (no files in docsDir): no batch ever landed.
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
   }
 }

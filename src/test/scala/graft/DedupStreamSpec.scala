@@ -54,4 +54,54 @@ class DedupStreamSpec extends GraftSuite {
     val v1 = spark.read.parquet(root.resolve("state/idx_v1").toString).count()
     assert(v1 > v0)
   }
+
+  test("index retention prunes old versions; replay anchors stay usable") {
+    val mk = (tag: String) => (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val history = Seq((1L, mk("alpha"))).toDF("doc_id", "text")
+    // 4 daily batches: each day one new doc + one re-crawl of the
+    // previous day's doc (caught only if the index keeps growing).
+    val tags = Seq("bravo", "delta", "gamma", "omega")
+    val days = tags.zipWithIndex.map { case (tag, i) =>
+      val prev = if (i == 0) "alpha" else tags(i - 1)
+      Seq((10L + i) -> mk(tag),
+        (20L + i) -> (mk(prev) + " update")).toDF("doc_id", "text")
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_sdvac")
+    val logDir = root.resolve("days")
+    java.nio.file.Files.createDirectories(logDir)
+    days.zipWithIndex.foreach { case (slice, i) =>
+      val stage = root.resolve(s"stage$i").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = logDir.resolve(f"day$i%03d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val state = root.resolve("state").toString
+    val out = DedupStream.incrementalMinhash(spark, history,
+      logDir.toString, days.head.schema, state, "doc_id", "text",
+      retainIndexVersions = 2)
+    // Only the fresh docs survive; every re-crawl was screened out, so
+    // the index chain genuinely grew across all four batches.
+    val got = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(10L, 11L, 12L, 13L), s"survivors $got")
+    // Retention: exactly the newest 2 index versions remain; every
+    // batch's output shard is untouched (outputs are corpus, not state).
+    val names = new java.io.File(state).listFiles().map(_.getName).toSet
+    assert(names.filter(_.startsWith("idx_v")) == Set("idx_v3", "idx_v4"),
+      s"index versions after retention: $names")
+    (1 to 4).foreach(v => assert(names.contains(s"out_v$v"), s"out_v$v gone"))
+    // A replayed final batch still lands idempotently from the kept
+    // anchor: re-running batch 3's handler body from idx_v3 reproduces
+    // out_v4 exactly.
+    val idx3 = spark.read.parquet(s"$state/idx_v3")
+    val replayed = graft.operators.Dedup.incrementalMinhashKeepFirst(
+      days(3), "doc_id", "text", idx3)
+    val landed = spark.read.parquet(s"$state/out_v4")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val again = replayed.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == landed, s"replay $again != landed $landed")
+  }
 }

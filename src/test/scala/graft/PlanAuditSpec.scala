@@ -29,7 +29,12 @@ class PlanAuditSpec extends GraftSuite {
     "agg_kll_quantiles",
     // LM scoring broadcasts the 1-row vocabulary size V into the
     // smoothing denominator (constant-size at any corpus size).
-    "text_lm_perplexity")
+    "text_lm_perplexity",
+    // Skew diagnostic broadcasts the 1-row total count into per-key shares.
+    "diag_key_skew",
+    // Intended brute-force exactness baseline (queries x corpus); the
+    // bucketed scale twin is sim_hard_negatives_lsh.
+    "sim_hard_negatives")
 
   // Streaming queries plan at runtime; generator-only queries scan nothing.
   private val skip = Set("stream_hourly", "stream_dedup_pairs",

@@ -73,6 +73,39 @@ class QualityModelSpec extends GraftSuite {
     assert(w1.toSeq == w2.toSeq && b1 == b2)
   }
 
+  test("sigmoid is an integer rational — engine-portable by construction") {
+    // Training's per-row probability is
+    //   pScaled = (S·(2S+|m|+m)) div (2·(2S+|m|)),  S = 2^20
+    // — pure BIGINT arithmetic with a non-negative numerator, so Spark's
+    // `div` and DuckDB's `//` (both truncating) produce identical longs
+    // with NO libm exp() on either side. Verify Spark's column evaluation
+    // equals exact BigInt math across the grid, including negative
+    // margins and magnitudes near the long-overflow headroom bound.
+    val S = 1048576L
+    // Long-overflow headroom: S·(2S + 2|m|) < 2^63 requires
+    // |m| < 2^42 - 2^20 ≈ 4.39e12; training margins are bounded by
+    // iters·(buckets+1)·S ≈ 2e8, four orders of magnitude inside it.
+    val ms = Seq(-4000000000000L, -300L * S, -3000000L, -1L, 0L, 1L,
+      3000000L, 300L * S, 4000000000000L)
+    import spark.implicits._
+    val got = ms.toDF("ms")
+      .withColumn("__num", lit(S) * (lit(2L * S) + abs(col("ms")) + col("ms")))
+      .withColumn("__den", lit(2L) * (lit(2L * S) + abs(col("ms"))))
+      .withColumn("p", expr("__num div __den"))
+      .orderBy("ms").select("p").collect().map(_.getLong(0)).toSeq
+    val want = ms.sorted.map { m =>
+      (BigInt(S) * (BigInt(2L * S) + BigInt(m).abs + BigInt(m)) /
+        (BigInt(2) * (BigInt(2L * S) + BigInt(m).abs))).toLong
+    }
+    assert(got == want, s"Spark div disagrees with exact integer math")
+    // Genuine sigmoid shape on the grid: monotone, pinned at S/2 for
+    // m = 0, and p(m) + p(-m) ∈ {S-1, S} (floor-adjusted symmetry).
+    assert(want.zip(want.tail).forall { case (a, b) => a <= b })
+    assert(want(ms.size / 2) == S / 2)
+    assert(want.zip(want.reverse).forall { case (a, b) =>
+      a + b == S || a + b == S - 1 })
+  }
+
   test("zero iterations leave the zero model (bias-only margins)") {
     val (w, b) =
       QualityModel.trainLogReg(train, "doc_id", "text", "label", D, 0)
