@@ -158,6 +158,41 @@ object Similarity {
     rankTopKPerQuery(scored, k, "score")
   }
 
+  /**
+   * [[hardNegativesTopK]]'s corpus-scale twin: SRP-LSH bucket equi-join
+   * for candidates (the [[lshTopK]] shape) instead of the all-pairs
+   * crossJoin, then the identical label-inequality filter + exact cosine
+   * + heap top-k tail — so at equal table/plane settings its recall vs
+   * the brute baseline matches [[lshTopK]]'s vs [[bruteForceTopK]]
+   * (SimilaritySpec holds it to the same bar).
+   *
+   * Scale shape: the corpus is touched by ONE code projection (narrow,
+   * codegen) + one equi-shuffle on (tbl, code) against the tiny query
+   * code table; candidates are the only rows that reach the scorer, and
+   * the heap trims to k per query map-side. More tables / fewer planes
+   * dial recall against candidate volume, exactly like [[lshTopK]].
+   */
+  def hardNegativesTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+      numTables: Int = 8, numPlanes: Int = 3, seed: Int = 42,
+      dim: Int = 64): DataFrame = {
+    val qCodes = lshCodes(queries.select(col("qid").as("vec_id"), col("qvec")),
+      "vec_id", "qvec", numTables, numPlanes, seed, dim)
+      .select(col("vec_id").as("qid"), col("tbl"), col("code"))
+    val cCodes = lshCodes(corpus.select(col("id").as("vec_id"), col("vec")),
+      "vec_id", "vec", numTables, numPlanes, seed, dim)
+      .select(col("vec_id").as("id"), col("tbl"), col("code"))
+    val cand = cCodes.join(broadcast(qCodes), Seq("tbl", "code"))
+      .select("qid", "id").distinct()
+    val scored = cand
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .where(col("label") =!= col("qlabel"))
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    rankTopKPerQuery(scored, k, "score")
+  }
+
   /** Exact top-k neighbors per query by brute-force cosine.
     * `queries` (qid, qvec) is broadcast; corpus (id, vec) streams. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -88,6 +88,19 @@ object SimilarityQueries {
             col("embedding").as("qvec"), col("label").as("qlabel")), 5)
         .withColumnRenamed("rank", "rnk")
     },
+    // Hard-negative mining's scale path: SRP-bucket candidate join
+    // (no all-pairs crossJoin), exact cosine + label filter + heap top-k.
+    // The oracle replays codes, bucket join, and scoring identically.
+    "sim_hard_negatives_lsh" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.hardNegativesTopKLsh(
+          e.where(col("vec_id") >= 5).select(col("vec_id").as("id"),
+            col("embedding").as("vec"), col("label")),
+          e.where(col("vec_id") < 5).select(col("vec_id").as("qid"),
+            col("embedding").as("qvec"), col("label").as("qlabel")), 5,
+          NumTables, NumPlanes, Seed)
+        .withColumnRenamed("rank", "rnk")
+    },
     "sim_ann_topk" -> { (s, dir) =>
       Similarity.lshTopK(corpusDf(s, dir, 10), queriesDf(s, dir, 10), 5,
         NumTables, NumPlanes, Seed)
@@ -390,6 +403,21 @@ object SimilarityQueries {
         |  CAST(MAX(qv) AS BIGINT) AS qmax,
         |  CAST(SUM(qv) AS BIGINT) AS qsum
         |FROM q GROUP BY vec_id""".stripMargin,
+    "sim_hard_negatives_lsh" ->
+      s"""WITH $duckCodesCte,
+         |cand AS (SELECT DISTINCT qc.vec_id AS qid, cc.vec_id AS id
+         |  FROM codes qc JOIN codes cc ON qc.tbl = cc.tbl AND qc.code = cc.code
+         |  WHERE qc.vec_id < 5 AND cc.vec_id >= 5),
+         |s AS (SELECT cand.qid, cand.id,
+         |        ${duckCos("q.embedding", "c.embedding")} AS score
+         |      FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+         |                JOIN embeddings c ON cand.id = c.vec_id
+         |      WHERE c.label <> q.label),
+         |r AS (SELECT qid, id, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+         |      FROM s)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
     "sim_ann_topk" ->
       s"""WITH $duckCodesCte,
          |cand AS (SELECT DISTINCT qc.vec_id AS qid, cc.vec_id AS id

@@ -98,6 +98,37 @@ class SimilaritySpec extends GraftSuite {
     assert(s.getDouble(0) >= -1.0 - 1e-9 && s.getDouble(1) <= 1.0 + 1e-9)
   }
 
+  test("LSH hard negatives: recall vs brute >= the lshTopK bar; labels differ; subset scores exact") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val c = e.where(col("vec_id") >= 10).select(col("vec_id").as("id"),
+      col("embedding").as("vec"), col("label"))
+    val q = e.where(col("vec_id") < 10).select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"), col("label").as("qlabel"))
+    val truth = graft.operators.Similarity.hardNegativesTopK(c, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Similarity.hardNegativesTopKLsh(c, q, 5)
+    val got = lsh.collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(pairs).size.toDouble / truth.size
+    // Same bar the plain ANN path (lshTopK vs bruteForceTopK) is held to.
+    assert(recall > 0.6, s"hard-negative recall@5 = $recall")
+    // Every mined negative carries a different label than its query.
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pairs.foreach { case (qid, id) =>
+      assert(labels(qid) != labels(id), s"negative $id shares label with $qid")
+    }
+    // Scores of returned pairs are the exact cosines (brute agrees).
+    val brute = graft.operators.Similarity.bruteForceTopK(c, q, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    got.foreach(r => assert(math.abs(
+      brute((r.getLong(0), r.getLong(1))) - r.getDouble(3)) < 1e-9))
+    // Candidate join shape: no all-pairs nested loop anywhere in the plan.
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"must stay an equi-join:\n$plan")
+  }
+
   test("LSH ANN recall@5 vs brute force is useful (> 0.6 with 8x3-bit tables)") {
     val truth = Similarity.bruteForceTopK(corpus, queries, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
