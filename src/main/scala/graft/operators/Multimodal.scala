@@ -88,6 +88,129 @@ object Multimodal {
         col("meta"))
   }
 
+  /** JPEG twin of [[fromDocuments]]: the SAME gradient pixels, encoded
+    * lossy (explicit quality 0.9) through the JDK's JPEG writer. Exercises
+    * a second real codec through the identical decode path — dimensions
+    * survive exactly; channel statistics survive within a small tolerance
+    * the mm_decode_jpeg gate bounds per image. */
+  def fromDocumentsJpeg(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // One writer per partition — the codec-handle reuse pattern a
+        // payload-heavy scan needs (writer instances are not thread-safe
+        // but partitions are single-threaded).
+        val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(0.9f)
+        it.map { case (did, nc) =>
+          val (w, h) = dims(nc)
+          val d = (did % 150).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgbAt(d, x, y)); x += 1 }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          val ios = ImageIO.createImageOutputStream(out)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+          ios.close()
+          MediaRecord(did, "image", out.toByteArray,
+            MediaMeta(w, h, 16000, nc * 10, "image/jpeg"))
+        }
+      }
+      .toDF()
+      .select(col("mediaId").as("media_id"), col("kind"), col("payload"),
+        col("meta"))
+  }
+
+  /** Per-frame solid color of the GIF fixture: frame f of doc d is
+    * uniformly (d + f, 3f, 100 + f) — wrap-free and palette-exact (one
+    * color per frame), so multi-frame decode is bit-replayable. */
+  private[operators] def gifFrameColor(d: Int, f: Int): (Int, Int, Int) =
+    (d + f, 3 * f, 100 + f)
+
+  /** Frame count of the GIF fixture for a document: 2..5 frames. */
+  private[operators] def gifFrames(nChars: Long): Int = (nChars % 4 + 2).toInt
+
+  /** Multi-frame fixture shim: a REAL animated GIF per document — 2..5
+    * solid-color 16x12 frames written through the JDK's sequence writer
+    * (`prepareWriteSequence`/`writeToSequence`). Solid frames make the
+    * palette lossless, so [[decodeFrames]]' per-frame pixels have exact
+    * closed forms the oracle replays. */
+  def fromDocumentsGif(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (w, h) = (16, 12)
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        it.map { case (did, nc) =>
+          val d = (did % 150).toInt
+          val n = gifFrames(nc)
+          val out = new ByteArrayOutputStream()
+          val ios = ImageIO.createImageOutputStream(out)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < n) {
+            val (r, g, b) = gifFrameColor(d, f)
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val rgb = (r << 16) | (g << 8) | b
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          MediaRecord(did, "video", out.toByteArray,
+            MediaMeta(w, h, 0, n * 1000L, "image/gif"))
+        }
+      }
+      .toDF()
+      .select(col("mediaId").as("media_id"), col("kind"), col("payload"),
+        col("meta"))
+  }
+
+  /**
+   * TRUE multi-frame decode: every frame of an animated payload is read
+   * through a `javax.imageio` GIF reader (`getNumImages` + indexed
+   * `read`), one output row per frame with the frame's top-left pixel
+   * channels — the container's actual bytes drive the row count and the
+   * values, unlike [[frameSamplePlan]] which only PLANS extraction from
+   * metadata. One reader per partition; only (id, frame, 5 ints) moves
+   * downstream, payloads never shuffle.
+   */
+  def decodeFrames(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { m =>
+        reader.setInput(
+          ImageIO.createImageInputStream(new ByteArrayInputStream(m.payload)))
+        val n = reader.getNumImages(true)
+        require(n > 0, s"media ${m.mediaId}: no decodable frames")
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          val rgb = img.getRGB(0, 0)
+          (m.mediaId, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
+            ((rgb >> 16) & 0xff).toLong, ((rgb >> 8) & 0xff).toLong,
+            (rgb & 0xff).toLong)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "r", "g", "b")
+  }
+
   /**
    * Real image decode + feature extraction over payload bytes via
    * `mapPartitions`: each payload is decoded with `javax.imageio` and the

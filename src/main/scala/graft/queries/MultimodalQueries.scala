@@ -97,6 +97,48 @@ object MultimodalQueries {
     "mm_frame_sample" -> { (s, dir) =>
       Multimodal.frameSamplePlan(media(s, dir), 500L)
     },
+    // A SECOND real codec through the same decode path: the gradient
+    // encoded lossy (JPEG q=0.9). Dimensions survive decode exactly;
+    // channel sums are held within 3 gray levels per pixel of the
+    // closed-form source — a broken decode (wrong pixels, wrong image,
+    // swapped channels) flips the booleans and cannot hash-match.
+    "mm_decode_jpeg" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val m = Multimodal.fromDocumentsJpeg(docs).select(
+          col("media_id").as("mediaId"), col("kind"), col("payload"),
+          col("meta")).as[MediaRecord]
+      val f = Multimodal.decodeFeatures(m).toDF()
+      val exp = docs.select(col("doc_id"),
+          (col("n_chars") % 33 + 16).cast("long").as("ew"),
+          (col("n_chars") % 24 + 8).cast("long").as("eh"),
+          (col("doc_id") % 150).cast("long").as("d"))
+        .withColumn("er", col("eh") *
+          (col("ew") * col("d") + (col("ew") * (col("ew") - 1) / 2).cast("long")))
+        .withColumn("eg",
+          col("ew") * 3 * (col("eh") * (col("eh") - 1) / 2).cast("long"))
+        .withColumn("eb", lit(100L) * col("ew") * col("eh") +
+          col("eh") * (col("ew") * (col("ew") - 1) / 2).cast("long") +
+          col("ew") * (col("eh") * (col("eh") - 1) / 2).cast("long"))
+        .withColumn("px", col("ew") * col("eh"))
+      f.join(exp, f("mediaId") === exp("doc_id"))
+        .select(col("mediaId").as("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          (abs(col("sumR") - col("er")) <= lit(3L) * col("px")).as("r_close"),
+          (abs(col("sumG") - col("eg")) <= lit(3L) * col("px")).as("g_close"),
+          (abs(col("sumB") - col("eb")) <= lit(3L) * col("px")).as("b_close"))
+    },
+    // TRUE multi-frame decode: every frame of a real animated GIF payload
+    // is read back; row count, dimensions, and per-frame colors all come
+    // from the container's bytes and replay in closed form.
+    "mm_frame_decode" -> { (s, dir) =>
+      import s.implicits._
+      val m = Multimodal.fromDocumentsGif(Tables.load(s, dir, "documents"))
+        .select(col("media_id").as("mediaId"), col("kind"), col("payload"),
+          col("meta")).as[MediaRecord]
+      Multimodal.decodeFrames(m)
+    },
     // Perceptual average-hash from REAL decoded pixels; the gradient
     // fixture's closed form (gray mass d+100+2x+4y) lets the oracle
     // replay every bit.
@@ -301,6 +343,22 @@ object MultimodalQueries {
       """SELECT doc_id AS media_id, CAST(t // 500 AS BIGINT) AS frame_idx,
         |  CAST(t AS BIGINT) AS ts_ms
         |FROM documents, unnest(range(0, n_chars * 10 + 1, 500)) AS u(t)""".stripMargin,
+    "mm_decode_jpeg" ->
+      s"""WITH $duckDims
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  TRUE AS r_close, TRUE AS g_close, TRUE AS b_close
+        |FROM dims""".stripMargin,
+    // Frame f of doc d is the solid color (d+f, 3f, 100+f) on a 16x12
+    // canvas, n = n_chars%4 + 2 frames per payload.
+    "mm_frame_decode" ->
+      """WITH f AS (SELECT doc_id, doc_id % 150 AS d, n_chars % 4 + 2 AS n
+        |           FROM documents)
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        |  CAST(d + i AS BIGINT) AS r, CAST(3 * i AS BIGINT) AS g,
+        |  CAST(100 + i AS BIGINT) AS b
+        |FROM f, unnest(range(n)) u(i)""".stripMargin,
     "mm_ahash" -> s"WITH $duckAhashCtes SELECT media_id, ahash_hi, ahash_lo FROM hh",
     "stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,

@@ -140,6 +140,61 @@ class MultimodalStreamingSpec extends GraftSuite {
     }
   }
 
+  test("JPEG decode: exact dimensions, channel means within 3 gray levels") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val m = Multimodal.fromDocumentsJpeg(docs).select(
+        col("media_id").as("mediaId"), col("kind"), col("payload"),
+        col("meta")).as[MediaRecord]
+    val nChars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feats = Multimodal.decodeFeatures(m).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      val nc = nChars(f.mediaId)
+      val (w, h) = ((nc % 33 + 16).toInt, (nc % 24 + 8).toInt)
+      val d = f.mediaId % 150
+      // Lossy codec, lossless geometry.
+      assert(f.width == w && f.height == h)
+      // Channel MEANS survive a q=0.9 encode of a smooth gradient well
+      // within 3 gray levels — a decode bug (swapped channels, wrong
+      // image, garbage pixels) lands far outside.
+      val px = w.toLong * h
+      val er = h.toLong * (w.toLong * d + w.toLong * (w - 1) / 2)
+      val eg = w.toLong * 3 * (h.toLong * (h - 1) / 2)
+      val eb = 100L * w * h + h.toLong * (w.toLong * (w - 1) / 2) +
+        w.toLong * (h.toLong * (h - 1) / 2)
+      assert(math.abs(f.sumR - er) <= 3L * px, s"media ${f.mediaId} R drift")
+      assert(math.abs(f.sumG - eg) <= 3L * px, s"media ${f.mediaId} G drift")
+      assert(math.abs(f.sumB - eb) <= 3L * px, s"media ${f.mediaId} B drift")
+    }
+  }
+
+  test("GIF multi-frame decode: true frame count and bit-exact solid colors") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val m = Multimodal.fromDocumentsGif(docs).select(
+        col("media_id").as("mediaId"), col("kind"), col("payload"),
+        col("meta")).as[MediaRecord]
+    val frames = Multimodal.decodeFrames(m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val nChars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Row count comes from the CONTAINER, not metadata arithmetic.
+    assert(frames.size == nChars.values.map(nc => nc % 4 + 2).sum)
+    nChars.foreach { case (did, nc) =>
+      val d = did % 150
+      (0 until (nc % 4 + 2).toInt).foreach { f =>
+        val (w, h, r, g, b) = frames((did, f.toLong))
+        assert(w == 16 && h == 12)
+        assert(r == d + f && g == 3L * f && b == 100L + f,
+          s"doc $did frame $f: got ($r,$g,$b)")
+      }
+    }
+  }
+
   test("resizeDecoded resamples real pixels: nearest-neighbor red sums") {
     val nChars = Tables.load(spark, dir, "documents")
       .select("doc_id", "n_chars").collect()
