@@ -318,12 +318,25 @@ object TextEventsQueries {
           graft.operators.UrlOps.normalizeUrl(col("url")).as("url_norm"),
           graft.operators.UrlOps.registeredDomain(col("url")).as("domain"))
     },
+    // In-engine-TRAINED unigram-LM (SentencePiece-class) vocabulary:
+    // 2 hard-EM rounds (segment under the candidate set, keep the top
+    // pieces by usage, re-segment) over the distinct-word table; the
+    // oracle unrolls both rounds — candidate generation, the priority-
+    // ordered greedy cover as chained literal replaces, and the exact
+    // integer usage counts — and must reproduce the vocabulary
+    // bit-for-bit.
+    "text_unigram_vocab" -> { (s, dir) =>
+      graft.operators.UnigramTokenizer.trainUnigram(
+        docs(s, dir), "text", UgPieces, UgRounds)
+    },
   )
 
   private val QmBuckets = 64
   private val QmIters = 3
   private val QmLr = 1.0
   private val BpeRounds = 8
+  private val UgPieces = 16
+  private val UgRounds = 2
   private val WebMixWeights =
     Map("en" -> 0.4, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1)
   private val WebMixTotal = 120L
@@ -438,6 +451,58 @@ object TextEventsQueries {
          |  FROM w${r - 1})""".stripMargin
     }
     (base +: rounds).mkString(",\n")
+  }
+
+  /** Unrolled DuckDB replay of UnigramTokenizer.trainUnigram: candidate
+    * substrings (len 2..4, corpus-weighted occurrences), then per EM
+    * round a priority CTE (len desc, weight desc, piece asc) and the
+    * greedy cover as a statically-unrolled chain of literal replaces
+    * (char-split form of the prio-j piece -> the piece as one token),
+    * then exact integer usage counts and the top-V M-step. COALESCE
+    * makes step j a no-op when the vocabulary has fewer than j pieces
+    * (NULL pattern -> NULL replace -> fall through), mirroring the
+    * engine's shorter fold. Produces uv1..uv{rounds}. */
+  private def duckUnigramCtes(v: Int, rounds: Int): String = {
+    val base =
+      s"""uw AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    '|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'
+         |      AS s
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY word),
+         |ucand AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS w
+         |  FROM (SELECT freq, substr(word, u.i + 1, ls.l) AS piece
+         |        FROM uw, unnest([2, 3, 4]) ls(l),
+         |             unnest(range(len(word) - ls.l + 1)) u(i))
+         |  GROUP BY piece),
+         |uv0 AS MATERIALIZED (SELECT piece, w FROM ucand
+         |  ORDER BY w DESC, piece LIMIT ${2 * v})""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val steps = if (r == 1) 2 * v else v
+      val prio =
+        s"""up$r AS MATERIALIZED (SELECT piece,
+           |  ROW_NUMBER() OVER (ORDER BY len(piece) DESC, w DESC, piece)
+           |    AS prio FROM uv${r - 1}),
+           |ua${r}_0 AS (SELECT word, freq, s FROM uw)""".stripMargin
+      val folds = (1 to steps).map { j =>
+        s"""ua${r}_$j AS (SELECT word, freq, COALESCE(replace(s,
+           |    '|' || array_to_string(regexp_extract_all(
+           |      (SELECT piece FROM up$r WHERE prio = $j), '.'), '||') || '|',
+           |    '|' || (SELECT piece FROM up$r WHERE prio = $j) || '|'), s)
+           |    AS s FROM ua${r}_${j - 1})""".stripMargin
+      }
+      val tally =
+        s"""ut$r AS MATERIALIZED (SELECT tok, CAST(SUM(freq) AS BIGINT) AS w
+           |  FROM (SELECT freq,
+           |          unnest(string_split(substr(s, 2, length(s) - 2), '||'))
+           |            AS tok
+           |        FROM ua${r}_$steps)
+           |  WHERE len(tok) >= 2 GROUP BY tok),
+           |uv$r AS MATERIALIZED (SELECT tok AS piece, w FROM ut$r
+           |  ORDER BY w DESC, tok LIMIT $v)""".stripMargin
+      (prio +: folds :+ tally).mkString(",\n")
+    }
+    (base +: roundCtes).mkString(",\n")
   }
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -893,6 +958,11 @@ object TextEventsQueries {
          |FROM ranked
          |WHERE rn <= CASE lang $cases ELSE 0 END""".stripMargin
     },
+    "text_unigram_vocab" ->
+      s"""WITH ${duckUnigramCtes(UgPieces, UgRounds)}
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY w DESC, piece) AS BIGINT)
+         |    AS "rank", piece, w AS usage
+         |FROM uv$UgRounds""".stripMargin,
     "text_bpe_merges" -> {
       val rows = (1 to BpeRounds).map { r =>
         s"""SELECT CAST($r AS BIGINT) AS "round", l AS "left", r2 AS "right",
