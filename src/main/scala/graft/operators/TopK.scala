@@ -28,9 +28,16 @@ object TopK {
    * `col.desc` for largest-first). Pass a TOTAL order — ties at the k
    * boundary are kept arbitrarily otherwise, same as `row_number`.
    * Output rows come grouped per key in sort order.
+   *
+   * `maxPartialKeys` caps the map-side pass's tracked keys per input
+   * partition (state O(cap x k)); beyond it rows pass through to the
+   * exact final pass untrimmed — see [[graft.plans.TopKPerKey]] for the
+   * memory contract. Near-unique key columns should prefer the window
+   * form: their top-k-per-key output is input-sized by definition.
    */
   def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
-      k: Int): DataFrame = {
+      k: Int,
+      maxPartialKeys: Int = TopKPerKey.DefaultMaxPartialKeys): DataFrame = {
     require(keys.nonEmpty && order.nonEmpty, "topKPerKey: keys and order required")
     ensureStrategy(df)
     // Resolve the Columns to CATALYST expressions by analyzing throwaway
@@ -50,6 +57,6 @@ object TopK {
         s"topKPerKey: unexpected key plan ${other.nodeName}")
     }
     GraftSqlBridge.ofRows(df.sparkSession,
-      TopKPerKey(keyExprs, sortExprs, k, child))
+      TopKPerKey(keyExprs, sortExprs, k, child, maxPartialKeys))
   }
 }

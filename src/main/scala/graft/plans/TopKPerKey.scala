@@ -30,10 +30,16 @@ import org.apache.spark.sql.graftbridge.GraftSqlBridge
  *    the survivors, again into k-heaps, and emits each key's rows in
  *    sort order.
  *
- * Memory is O(distinct-keys-per-partition x k) — bounded and
- * spill-free where the window form is input-sized. At 100 TB with a
- * selective k this is the difference between shuffling the table and
- * shuffling the answer.
+ * Memory contract: the partial pass holds O(tracked-keys x k) rows; the
+ * number of tracked keys per input partition is CAPPED at
+ * `maxPartialKeys` — when a partition sees more distinct keys than
+ * that, rows of untracked keys PASS THROUGH to the exchange untrimmed
+ * (correct, since the final pass recomputes the exact top-k; only the
+ * map-side-combine benefit degrades, exactly like a hash aggregate
+ * falling back to sort when its hash map fills). The FINAL pass holds
+ * one k-heap per key it owns — that is the OUTPUT's own size
+ * (keys x k); a caller whose key column is near-unique should use the
+ * window form instead, because then top-k-per-key IS the input.
  *
  * Determinism contract: rows TIED at the k boundary are kept arbitrarily
  * — pass a TOTAL sort order (break ties on a unique id) for
@@ -46,27 +52,38 @@ import org.apache.spark.sql.graftbridge.GraftSqlBridge
  * (also injected by `graft.GraftExtensions`).
  */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan,
+    maxPartialKeys: Int = TopKPerKey.DefaultMaxPartialKeys) extends UnaryNode {
   require(k > 0, "TopKPerKey: k must be > 0")
+  require(maxPartialKeys > 0, "TopKPerKey: maxPartialKeys must be > 0")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan)
       : TopKPerKey = copy(child = newChild)
 }
 
+object TopKPerKey {
+  /** Partial-pass tracked-key cap: 64k keys x k rows of heap state per
+    * input partition is a few hundred MB at worst for typical k — above
+    * it the map-side trim stops paying for itself anyway. */
+  val DefaultMaxPartialKeys: Int = 1 << 16
+}
+
 /** Plans the logical node as partial-below-exchange + final-above. */
 object GraftTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
+    case TopKPerKey(keys, order, k, child, maxPartialKeys) =>
       TopKPerKeyExec(keys, order, k, partial = false,
         TopKPerKeyExec(keys, order, k, partial = true,
-          planLater(child))) :: Nil
+          planLater(child), maxPartialKeys)) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    k: Int, partial: Boolean, child: SparkPlan,
+    maxPartialKeys: Int = TopKPerKey.DefaultMaxPartialKeys)
+    extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
@@ -85,27 +102,39 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keysLocal = keys
     val orderLocal = order
     val outAttrs = child.output
+    val partialLocal = partial
+    val keyCapLocal = if (partial) maxPartialKeys else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keysLocal, outAttrs)
       // Codegen'd row comparator for the sort order; the heap keeps the
       // k SMALLEST rows under it (ordering.lt = "ranks before").
       val cmp = GenerateOrdering.generate(orderLocal, outAttrs)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      // Rows of keys beyond the partial pass's tracked-key cap stream
+      // straight through (lazily, before the heap drain below) — the
+      // exchange carries them untrimmed and the final pass, which never
+      // caps (it must own every key it receives), produces the exact
+      // answer. State stays O(cap x k) no matter the key cardinality.
+      val passedThrough = iter.flatMap { row =>
         val key = keyProj(row) // reused buffer — copy only on first sight
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
+        heaps.get(key) match {
+          case Some(h) =>
+            if (h.size < kLocal) h.enqueue(row.copy())
+            else if (cmp.compare(row, h.head) < 0) {
+              h.dequeue(); h.enqueue(row.copy())
+            }
+            None
+          case None if heaps.size < keyCapLocal =>
             val h = mutable.PriorityQueue.empty[InternalRow](cmp) // head = worst kept
+            h.enqueue(row.copy())
             heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (cmp.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+            None
+          case None =>
+            assert(partialLocal, "final top-k pass must track every key")
+            Some(row.copy())
         }
       }
-      heaps.iterator.flatMap { case (_, heap) =>
+      passedThrough ++ heaps.iterator.flatMap { case (_, heap) =>
         heap.dequeueAll.reverseIterator // worst-first dequeue -> sort order
       }
     }, preservesPartitioning = true)

@@ -60,6 +60,30 @@ class TopKPerKeySpec extends GraftSuite {
     assert(got == Seq(1, 2, 3), s"expected sorted emit, got $got")
   }
 
+  test("near-unique keys: partial pass caps tracked state, result stays exact") {
+    // 10k rows, ~9k distinct keys, cap of 64 tracked keys per partition:
+    // the map-side pass overflows immediately and streams untracked keys
+    // through — the answer must still equal the window form exactly, and
+    // the heap map never grows past the cap (asserted indirectly: with a
+    // 64-key cap a blowup would mean the overflow path never ran).
+    val df = spark.range(10000)
+      .select((col("id") % 9000).as("g"), (col("id") * 37 % 1000).as("v"),
+        col("id"))
+    val viaOp = TopK.perKey(df, Seq(col("g")),
+        Seq(col("v"), col("id")), 2, maxPartialKeys = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val viaWin = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaOp == viaWin)
+    // The plan still has exactly one exchange and no sort — the fallback
+    // changes what the partial pass SHIPS, not the plan shape.
+    val plan = TopK.perKey(df, Seq(col("g")), Seq(col("v"), col("id")), 2,
+      maxPartialKeys = 64).queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKPerKeyPartial") && !plan.contains("SortExec"))
+  }
+
   test("null keys and null order values are handled like the window form") {
     val df = Seq((Option("a"), Option(2)), (Option("a"), None),
       (None, Option(1)), (None, Option(7)), (Option("a"), Option(5)))
