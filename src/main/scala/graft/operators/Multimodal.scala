@@ -297,6 +297,93 @@ object Multimodal {
       .select(col("media_id"), col("pos").cast("long").as("frame_idx"),
         col("col").as("ts_ms"))
 
+  /** Deterministic PCM16 sample i of doc d's fixture waveform: a pure
+    * integer sawtooth, period 64 + d%32 samples, amplitude scaled by 256
+    * — wrap-free closed forms for the oracle, no trig, no floats. */
+  private[operators] def wavSample(d: Int, i: Int): Int = {
+    val period = 64 + d % 32
+    (i % period - period / 2) * 256
+  }
+
+  /** Sample count of doc (d, nChars): 800..1599 samples. */
+  private[operators] def wavSamples(nChars: Long): Int =
+    (nChars % 800 + 800).toInt
+
+  /**
+   * Audio fixture shim: a REAL RIFF/WAVE container per document —
+   * PCM16 mono, 16 kHz, a deterministic integer sawtooth — written
+   * through `javax.sound.sampled.AudioSystem` (the JDK's audio codec).
+   * Payload is genuine WAV bytes: any RIFF parser decodes it.
+   */
+  def fromDocumentsWav(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (did, nc) =>
+          val d = (did % 150).toInt
+          val n = wavSamples(nc)
+          val pcm = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = wavSample(d, i)
+            pcm(2 * i) = (s & 0xff).toByte         // little-endian PCM16
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
+            true, false) // signed, little-endian
+          val out = new ByteArrayOutputStream()
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(pcm), fmt, n.toLong)
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          MediaRecord(did, "audio", out.toByteArray,
+            MediaMeta(0, 0, 16000, n * 1000L / 16000, "audio/wav"))
+        }
+      }
+      .toDF()
+      .select(col("mediaId").as("media_id"), col("kind"), col("payload"),
+        col("meta"))
+  }
+
+  /**
+   * Real audio decode + feature extraction: each WAV payload is decoded
+   * through `AudioSystem.getAudioInputStream` (header parse + PCM frame
+   * stream) and the features are exact integers over the ACTUAL decoded
+   * samples — count, sample rate, sum of |amplitude|, peak |amplitude| —
+   * so the gradient-free fixture's closed forms replay in the oracle.
+   * Same shape as the image path: one mapPartitions decode pass, only
+   * (id, 4 ints) moves downstream.
+   */
+  def decodeAudioFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"media ${m.mediaId}: expected PCM16 mono, got $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var absSum = 0L
+        var peak = 0L
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt // sign-carrying high byte
+          val s = (hi << 8) | lo
+          val a = math.abs(s).toLong
+          absSum += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        (m.mediaId, n.toLong, fmt.getSampleRate.toLong, absSum, peak)
+      }
+    }.toDF("media_id", "n_samples", "sample_rate", "abs_sum", "peak")
+  }
+
   /**
    * 8x8 average-hash (aHash) perceptual signature from REAL decoded
    * pixels: nearest-neighbor sample to an 8x8 grid, per-sample gray mass

@@ -129,6 +129,17 @@ object MultimodalQueries {
           (abs(col("sumG") - col("eg")) <= lit(3L) * col("px")).as("g_close"),
           (abs(col("sumB") - col("eb")) <= lit(3L) * col("px")).as("b_close"))
     },
+    // REAL audio: a RIFF/WAVE container per doc (PCM16 mono sawtooth,
+    // integer samples) decoded through the JDK's AudioSystem; the exact
+    // |amplitude| sum and peak replay in closed form — a header-parse or
+    // sample-decode bug cannot hash-match.
+    "mm_decode_wav" -> { (s, dir) =>
+      import s.implicits._
+      val m = Multimodal.fromDocumentsWav(Tables.load(s, dir, "documents"))
+        .select(col("media_id").as("mediaId"), col("kind"), col("payload"),
+          col("meta")).as[MediaRecord]
+      Multimodal.decodeAudioFeatures(m)
+    },
     // TRUE multi-frame decode: every frame of a real animated GIF payload
     // is read back; row count, dimensions, and per-frame colors all come
     // from the container's bytes and replay in closed form.
@@ -349,6 +360,24 @@ object MultimodalQueries {
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  TRUE AS r_close, TRUE AS g_close, TRUE AS b_close
         |FROM dims""".stripMargin,
+    // Sawtooth closed form: sample i = (i%p - p//2)*256 with period
+    // p = 64 + d%32 over n = n_chars%800 + 800 samples; |sum| decomposes
+    // into q full cycles plus an m-sample partial ramp, peak = 256*(p//2).
+    "mm_decode_wav" ->
+      """WITH a AS (SELECT doc_id, doc_id % 150 AS d,
+        |            n_chars % 800 + 800 AS n FROM documents),
+        |pp AS (SELECT doc_id, n, 64 + d % 32 AS p,
+        |         (64 + d % 32) // 2 AS h FROM a),
+        |c AS (SELECT doc_id, n, p, h, n // p AS q, n % p AS m,
+        |        (h*(h+1))//2 + ((p-1-h)*(p-h))//2 AS cyc FROM pp)
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(256 * (q * cyc +
+        |    CASE WHEN m <= h THEN (h*(h+1) - (h-m)*(h-m+1))//2
+        |         ELSE (h*(h+1))//2 + ((m-1-h)*(m-h))//2 END) AS BIGINT)
+        |    AS abs_sum,
+        |  CAST(256 * h AS BIGINT) AS peak
+        |FROM c""".stripMargin,
     // Frame f of doc d is the solid color (d+f, 3f, 100+f) on a 16x12
     // canvas, n = n_chars%4 + 2 frames per payload.
     "mm_frame_decode" ->

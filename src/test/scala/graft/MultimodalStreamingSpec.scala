@@ -195,6 +195,39 @@ class MultimodalStreamingSpec extends GraftSuite {
     }
   }
 
+  test("WAV decode: real RIFF container, exact integer sample statistics") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val m = Multimodal.fromDocumentsWav(docs).select(
+        col("media_id").as("mediaId"), col("kind"), col("payload"),
+        col("meta")).as[MediaRecord]
+    // Payloads are genuine WAV: RIFF....WAVE magic at the right offsets.
+    val heads = m.select(col("payload")).limit(5).collect()
+      .map(_.getAs[Array[Byte]](0))
+    heads.foreach { b =>
+      assert(new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
+    }
+    val nChars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feats = Multimodal.decodeAudioFeatures(m).collect()
+    assert(feats.length == 500)
+    feats.foreach { r =>
+      val (did, n, sr, absSum, peak) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val d = (did % 150).toInt
+      // Independent re-derivation of the fixture waveform: sawtooth of
+      // period 64 + d%32, amplitude x256, n_chars%800 + 800 samples.
+      val en = (nChars(did) % 800 + 800).toInt
+      assert(n == en && sr == 16000L)
+      val period = 64 + d % 32
+      val samples = (0 until en).map(i => (i % period - period / 2) * 256)
+      assert(absSum == samples.map(s => math.abs(s).toLong).sum,
+        s"doc $did abs_sum")
+      assert(peak == samples.map(s => math.abs(s).toLong).max, s"doc $did peak")
+    }
+  }
+
   test("resizeDecoded resamples real pixels: nearest-neighbor red sums") {
     val nChars = Tables.load(spark, dir, "documents")
       .select("doc_id", "n_chars").collect()
