@@ -550,6 +550,52 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
   }
 
+  /**
+   * Duplicated-span REMOVAL — the cleaning step [[duplicatedSpans]]
+   * detects for (Lee et al. 2022 deduplicate-then-train): every token
+   * covered by any cross-doc duplicated stride-1 window is cut, and the
+   * document's surviving tokens are re-joined. Docs with no duplicated
+   * window pass through whole; a short doc whose single whole-text
+   * window is duplicated empties out.
+   *
+   * Scale shape: the window-hash explode + df count is the SAME single
+   * token-cardinality shuffle as the detector; per-doc coverage is then
+   * a narrow HOF projection — each token index tests `p <= i < p+w`
+   * against the doc's own (sorted, windows-sized) duplicated-position
+   * array, never a second corpus-wide pass. Output carries the cleaned
+   * TEXT, so this placed before tokenization genuinely changes what a
+   * model trains on.
+   */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w > 0, "removeDuplicatedSpans: w must be positive")
+    val toks = split(col(textCol), " ")
+    val grams = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.WordGramsAll(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+          col(textCol)), w))
+    val wins = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(when(size(toks) >= w, grams)
+        .otherwise(array(concat_ws(" ", toks))))
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), posexplode(wins))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("wh"))
+      .repartition(col("wh"))
+    val stats = exploded.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val dupPos = exploded.join(stats, "wh").where(col("df") >= 2)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("dups"))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .join(dupPos, Seq("doc_id"), "left")
+      .withColumn("dups", coalesce(col("dups"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        !exists(col("dups"), p => p <= i && i < p + lit(w))))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
   // ---- Cluster resolution --------------------------------------------------
 
   /**

@@ -318,6 +318,12 @@ object DedupQueries {
     "text_dup_spans" -> { (s, dir) =>
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", 8)
     },
+    // The REMOVAL the detector exists for: every token covered by a
+    // cross-doc duplicated 8-token window is cut; the oracle rebuilds
+    // each cleaned text token by token.
+    "text_dup_remove" -> { (s, dir) =>
+      Dedup.removeDuplicatedSpans(docs(s, dir), "doc_id", "text", 8)
+    },
     // Paragraph-level dedup: 15-word-window paragraphs, cross-doc exact
     // dup detection, first-occurrence-wins cleaning. The fixture's planted
     // near-dup documents share long aligned stretches, so their windows
@@ -550,6 +556,32 @@ object DedupQueries {
         |SELECT doc_id, n_tokens, n_dup_windows, dup_tokens,
         |  round(dup_tokens::DOUBLE / n_tokens, 6) AS dup_frac
         |FROM agg""".stripMargin,
+    // Same window/df machinery as text_dup_spans, then per-token
+    // coverage via nested list lambdas (DuckDB lambda index is 1-based,
+    // hence i-1).
+    "text_dup_remove" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |win AS (SELECT doc_id, len(toks) AS ntok, p AS pos,
+        |          md5(array_to_string(toks[p+1:p+8], ' ')) AS wh
+        |        FROM d, unnest(generate_series(0,
+        |          CASE WHEN len(toks) >= 8 THEN len(toks) - 8 ELSE 0 END))
+        |          AS t(p)),
+        |st AS (SELECT wh, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY wh),
+        |dp AS (SELECT w.doc_id, list_sort(list(w.pos)) AS dups
+        |       FROM win w JOIN st USING (wh) WHERE st.df >= 2
+        |       GROUP BY w.doc_id),
+        |alltoks AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents),
+        |cut AS (SELECT a.doc_id, a.toks,
+        |          list_filter(a.toks, (t, i) -> len(list_filter(
+        |            COALESCE(dp.dups, []), p -> p <= i - 1 AND i - 1 < p + 8))
+        |            = 0) AS kept
+        |        FROM alltoks a LEFT JOIN dp USING (doc_id))
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS kept_tokens,
+        |  COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+        |FROM cut""".stripMargin,
     "dedup_resolve_best" ->
       s"""WITH RECURSIVE pr AS (
          |  SELECT id_a, id_b FROM (\n$minhashPairsOracle\n) mp),

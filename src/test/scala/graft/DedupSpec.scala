@@ -44,6 +44,39 @@ class DedupSpec extends GraftSuite {
     assert(o2(2L) == ((3L, 10L)))
   }
 
+  test("removeDuplicatedSpans cuts exactly the covered tokens, rebuilds text") {
+    import spark.implicits._
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    val fixture = Seq(
+      (1L, (1 to 12).map(i => s"u$i").mkString(" ") + " " + passage),
+      (2L, "x1 x2 x3 " + passage + " y1 y2"),
+      (3L, (1 to 10).map(i => s"z$i").mkString(" "))) // clean doc
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(fixture, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // The shared passage vanishes from BOTH carriers; everything else —
+    // including token order around the cut — survives verbatim.
+    assert(out(1L) == ((20L, 12L, (1 to 12).map(i => s"u$i").mkString(" "))))
+    assert(out(2L) == ((13L, 5L, "x1 x2 x3 y1 y2")))
+    // A clean doc passes through untouched (and IS in the output).
+    assert(out(3L) == ((10L, 10L, (1 to 10).map(i => s"z$i").mkString(" "))))
+    // A short doc whose whole-text fallback window duplicates empties out.
+    val f2 = Seq((1L, "a b c"), (2L, "a b c"), (3L, "d e f"))
+      .toDF("doc_id", "text")
+    val o2 = Dedup.removeDuplicatedSpans(f2, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(o2(1L) == ((0L, "")) && o2(2L) == ((0L, "")))
+    assert(o2(3L) == ((3L, "d e f")))
+    // Detector/remover agree: tokens cut == dup_tokens counted.
+    val counted = Dedup.duplicatedSpans(fixture, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    counted.foreach { case (id, dupToks) =>
+      val (n, kept, _) = out(id)
+      assert(n - kept == dupToks, s"doc $id: cut ${n - kept} vs counted $dupToks")
+    }
+  }
+
   test("minhash LSH finds exactly the 25 planted near-dup pairs at j>=0.5") {
     val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 0.5).collect()
     assert(pairs.length == 25, s"expected 25 planted pairs, got ${pairs.length}")
