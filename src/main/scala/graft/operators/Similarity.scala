@@ -358,6 +358,33 @@ object Similarity {
     cents
   }
 
+  /** nprobe=1 inverted-list assignment CARRYING the vector — the
+    * materialized-index row shape (cid, id, vec) a persisted IVF index
+    * stores, so probes re-rank straight from the index without joining
+    * back to the corpus. One narrow projection, no shuffle. */
+  def ivfAssignments(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])]): DataFrame =
+    vecs.select(nearestCid(col(vecCol), centroids).as("cid"),
+      col(idCol).as("id"), col(vecCol).as("vec"))
+
+  /** Query top-k against a MATERIALIZED inverted-list table
+    * ([[ivfAssignments]] rows, e.g. the accumulated state of
+    * [[graft.streaming.EmbeddingIndexStream]]): probe `nprobe` lists,
+    * exact-cosine re-rank, heap top-k — the corpus itself is never
+    * touched. Lists equi-join on cid; at scale the index lives bucketed
+    * by cid so the probe co-locates. */
+  def probeIndex(lists: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int): DataFrame = {
+    val probes = ivfProbes(queries.select(col("qid"), col("qvec")), "qid",
+      "qvec", centroids, nprobe)
+    val scored = probes.join(lists, "cid")
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .withColumn("score", VectorOps.dot(col("qvec"), col("vec")) /
+        (col("qnrm") * VectorOps.norm(col("vec"))))
+    rankTopKPerQuery(scored, k, "score")
+  }
+
   /** IVF approximate top-k: corpus vectors live in inverted lists keyed by
     * their nearest centroid (nprobe=1 assignment); each query probes its
     * `nprobe` nearest lists and exact-cosine re-ranks the candidates.

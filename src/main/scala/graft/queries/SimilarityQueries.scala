@@ -132,6 +132,43 @@ object SimilarityQueries {
       Similarity.ivfTopK(corpus, qs, 5, centroids, 3)
         .withColumnRenamed("rank", "rnk")
     },
+    // STREAMING embedding-index maintenance: vector batches arrive as a
+    // stream and fold into a persisted IVF list index (quantizer trained
+    // once on history — the offline-retrain recipe); queries probe the
+    // ACCUMULATED state, never re-scanning history. The oracle replays
+    // training on history and assigns every vector batch-independently —
+    // identical because assignment depends only on (vec, centroids).
+    "stream_ivf_index" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val history = corpus.where(col("id") < 200)
+      val days = Seq(
+        corpus.where(col("id") >= 200 && col("id") < 350),
+        corpus.where(col("id") >= 350))
+      val root = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+      val logDir = s"$root/days"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+      days.zipWithIndex.foreach { case (slice, i) =>
+        val stage = s"$root/stage$i"
+        slice.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val centroids = Similarity.trainKMeans(
+        history.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
+      val lists = graft.streaming.EmbeddingIndexStream.incrementalIvf(
+        s, history, logDir, days.head.schema, s"$root/state", "id", "vec",
+        centroids)
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.probeIndex(lists, qs, 5, centroids, 3)
+        .withColumnRenamed("rank", "rnk")
+    },
     // Product quantization + asymmetric-distance top-k: 32 codebooks of
     // 16 entries trained per 2-dim subspace (deterministic Lloyd with
     // MINIMUM-L2 assignment — the PQ objective — on the same 1-in-4
@@ -369,6 +406,34 @@ object SimilarityQueries {
          |qs AS (SELECT vec_id AS qid, embedding AS qv
          |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
          |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |lists AS (SELECT id, cid FROM (
+         |  SELECT corp.id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY corp.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
+         |  FROM corp, cent) t WHERE rn = 1),
+         |probes AS (SELECT qid, cid FROM (
+         |  SELECT qs.qid, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t WHERE rn <= 3),
+         |cand AS (SELECT DISTINCT qid, id FROM probes JOIN lists USING (cid)),
+         |sc AS (SELECT cand.qid, cand.id,
+         |         ${duckCos("q.embedding", "c.embedding")} AS score
+         |       FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+         |                 JOIN embeddings c ON cand.id = c.vec_id),
+         |r AS (SELECT qid, id, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+    "stream_ivf_index" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id < 200 AND id % 4 = 0),
          |${duckKMeansCtes(KmK, KmIters, "train")},
          |cent AS (SELECT cid, cv FROM cent$KmIters),
          |lists AS (SELECT id, cid FROM (

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Similarity
+
+/**
+ * Streaming embedding-index maintenance — the ANN twin of
+ * [[DedupStream]]: vector batches arrive as a stream and are folded into
+ * a persisted IVF inverted-list index, so similarity queries always run
+ * against everything ingested so far WITHOUT re-scanning or re-assigning
+ * history.
+ *
+ * The coarse quantizer is trained ONCE (on history, offline — the
+ * standard IVF recipe; retraining is a scheduled rebuild, not a per-batch
+ * step), so each micro-batch costs one narrow nprobe=1 assignment
+ * projection plus an append: day-N ingest is O(batch). Versioning
+ * discipline is [[ChangelogStream.materialize]]'s — batch b reads
+ * lists v{b} and overwrites lists v{b+1}, so replays land exactly once —
+ * and the chain is vacuumed to the newest `retainVersions` (>= 2) replay
+ * anchors, the [[DedupStream]] retention contract.
+ *
+ * At 100 TB the lists live bucketed by cid: the per-batch append touches
+ * only the buckets its vectors land in, and [[Similarity.probeIndex]]
+ * co-locates with zero exchange on the index side.
+ */
+object EmbeddingIndexStream {
+
+  /**
+   * Runs the vector stream in `vecDir` (parquet, `schema` with id/vec
+   * columns named `idCol`/`vecCol`) to completion, starting from
+   * `history` (assigned as lists v0), folding (cid, id, vec) list rows
+   * under `stateDir`. Returns the final accumulated index.
+   */
+  def incrementalIvf(spark: SparkSession, history: DataFrame,
+      vecDir: String, schema: StructType, stateDir: String,
+      idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])],
+      retainVersions: Int = 3): DataFrame = {
+    require(retainVersions >= 2,
+      "incrementalIvf: retainVersions >= 2 (current + replay anchor)")
+    Similarity.ivfAssignments(history, idCol, vecCol, centroids)
+      .write.mode("overwrite").parquet(s"$stateDir/lists_v0")
+    @volatile var last = 0L
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vecDir)
+    EventStream.runForeachBatch(spark, stream, (batch, id) => {
+      val prev = spark.read.parquet(s"$stateDir/lists_v$id")
+      prev.unionByName(
+          Similarity.ivfAssignments(batch, idCol, vecCol, centroids))
+        .write.mode("overwrite").parquet(s"$stateDir/lists_v${id + 1}")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "lists_v")
+      last = id + 1
+    })
+    spark.read.parquet(s"$stateDir/lists_v$last")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.streaming.EmbeddingIndexStream
+
+/**
+ * Streaming IVF index maintenance: vector batches fold into persisted
+ * inverted lists; probes against the accumulated state equal the batch
+ * answer over the full corpus, and the version chain is vacuumed to the
+ * replay anchors.
+ */
+class EmbeddingIndexStreamSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val dir = SparkTestBase.sf001
+
+  test("accumulated lists == batch assignment; probe == batch ivfTopK; retention") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val corpus = e.where(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val history = corpus.where(col("id") < 200)
+    val days = Seq(
+      corpus.where(col("id") >= 200 && col("id") < 300),
+      corpus.where(col("id") >= 300 && col("id") < 400),
+      corpus.where(col("id") >= 400))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfspec")
+    val logDir = root.resolve("days")
+    java.nio.file.Files.createDirectories(logDir)
+    days.zipWithIndex.foreach { case (slice, i) =>
+      val stage = root.resolve(s"stage$i").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = logDir.resolve(f"day$i%03d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val centroids = Similarity.trainKMeans(
+      history.where(col("id") % 4 === 0), "id", "vec", 16, 64, 2)
+    val state = root.resolve("state").toString
+    val lists = EmbeddingIndexStream.incrementalIvf(spark, history,
+      logDir.toString, days.head.schema, state, "id", "vec", centroids,
+      retainVersions = 2)
+    // The accumulated index holds exactly the batch assignment of the
+    // FULL corpus — streamed arrival changed nothing about placement.
+    val streamed = lists.select("cid", "id").as[(Long, Long)].collect().toSet
+    val batch = Similarity.ivfAssignments(corpus, "id", "vec", centroids)
+      .select("cid", "id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // Probing the accumulated state == batch IVF top-k over everything.
+    val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val viaIndex = Similarity.probeIndex(lists, qs, 5, centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBatch = Similarity.ivfTopK(corpus, qs, 5, centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIndex == viaBatch)
+    // Retention: only the newest 2 list versions survive 3 batches.
+    val names = new java.io.File(state).listFiles().map(_.getName).toSet
+    assert(names.filter(_.startsWith("lists_v")) == Set("lists_v2", "lists_v3"),
+      s"versions after retention: $names")
+    // A replayed final batch re-lands idempotently from the kept anchor.
+    val replayed = spark.read.parquet(s"$state/lists_v2").unionByName(
+        Similarity.ivfAssignments(days(2), "id", "vec", centroids))
+      .select("cid", "id").as[(Long, Long)].collect().toSet
+    assert(replayed == streamed)
+  }
+}
