@@ -122,7 +122,7 @@ object Multimodal {
           ios.close()
           MediaRecord(did, "image", out.toByteArray,
             MediaMeta(w, h, 16000, nc * 10, "image/jpeg"))
-        }
+        } ++ { writer.dispose(); Iterator.empty } // free the codec handle
       }
       .toDF()
       .select(col("mediaId").as("media_id"), col("kind"), col("payload"),
@@ -175,7 +175,7 @@ object Multimodal {
           ios.close()
           MediaRecord(did, "video", out.toByteArray,
             MediaMeta(w, h, 0, n * 1000L, "image/gif"))
-        }
+        } ++ { writer.dispose(); Iterator.empty } // free the codec handle
       }
       .toDF()
       .select(col("mediaId").as("media_id"), col("kind"), col("payload"),
@@ -196,18 +196,21 @@ object Multimodal {
     media.mapPartitions { it =>
       val reader = ImageIO.getImageReadersByFormatName("gif").next()
       it.flatMap { m =>
-        reader.setInput(
-          ImageIO.createImageInputStream(new ByteArrayInputStream(m.payload)))
+        val iis =
+          ImageIO.createImageInputStream(new ByteArrayInputStream(m.payload))
+        reader.setInput(iis)
         val n = reader.getNumImages(true)
         require(n > 0, s"media ${m.mediaId}: no decodable frames")
-        (0 until n).map { f =>
+        val rows = (0 until n).map { f =>
           val img = reader.read(f)
           val rgb = img.getRGB(0, 0)
           (m.mediaId, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
             ((rgb >> 16) & 0xff).toLong, ((rgb >> 8) & 0xff).toLong,
             (rgb & 0xff).toLong)
         }
-      }
+        iis.close()
+        rows
+      } ++ { reader.dispose(); Iterator.empty } // free the codec handle
     }.toDF("media_id", "frame_idx", "width", "height", "r", "g", "b")
   }
 
@@ -366,6 +369,7 @@ object Multimodal {
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
           s"media ${m.mediaId}: expected PCM16 mono, got $fmt")
         val bytes = ais.readAllBytes()
+        ais.close()
         val n = bytes.length / 2
         var absSum = 0L
         var peak = 0L

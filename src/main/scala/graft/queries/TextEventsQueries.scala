@@ -329,6 +329,16 @@ object TextEventsQueries {
       graft.operators.UnigramTokenizer.trainUnigram(
         docs(s, dir), "text", UgPieces, UgRounds)
     },
+    // The trained unigram vocabulary applied back to the corpus: per-doc
+    // piece counts + compression, directly comparable with
+    // text_bpe_tokenize (same output shape, same health check).
+    "text_unigram_tokenize" -> { (s, dir) =>
+      val vocab = graft.operators.UnigramTokenizer.trainUnigram(
+          docs(s, dir), "text", UgPieces, UgRounds)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      graft.operators.UnigramTokenizer.tokenizeStats(
+        docs(s, dir), "doc_id", "text", vocab)
+    },
   )
 
   private val QmBuckets = 64
@@ -461,8 +471,11 @@ object TextEventsQueries {
     * then exact integer usage counts and the top-V M-step. COALESCE
     * makes step j a no-op when the vocabulary has fewer than j pieces
     * (NULL pattern -> NULL replace -> fall through), mirroring the
-    * engine's shorter fold. Produces uv1..uv{rounds}. */
-  private def duckUnigramCtes(v: Int, rounds: Int): String = {
+    * engine's shorter fold. Produces uv1..uv{rounds}; with
+    * `withFinalSeg` also ufin_0..ufin_{v} — the corpus word table
+    * segmented under the FINAL vocabulary (what tokenizeStats applies). */
+  private def duckUnigramCtes(v: Int, rounds: Int,
+      withFinalSeg: Boolean = false): String = {
     val base =
       s"""uw AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
          |    '|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'
@@ -502,7 +515,22 @@ object TextEventsQueries {
            |  ORDER BY w DESC, tok LIMIT $v)""".stripMargin
       (prio +: folds :+ tally).mkString(",\n")
     }
-    (base +: roundCtes).mkString(",\n")
+    val finalSeg = if (!withFinalSeg) Nil else {
+      val prio =
+        s"""upfin AS MATERIALIZED (SELECT piece,
+           |  ROW_NUMBER() OVER (ORDER BY len(piece) DESC, w DESC, piece)
+           |    AS prio FROM uv$rounds),
+           |ufin_0 AS (SELECT word, freq, s FROM uw)""".stripMargin
+      val folds = (1 to v).map { j =>
+        s"""ufin_$j AS (SELECT word, freq, COALESCE(replace(s,
+           |    '|' || array_to_string(regexp_extract_all(
+           |      (SELECT piece FROM upfin WHERE prio = $j), '.'), '||') || '|',
+           |    '|' || (SELECT piece FROM upfin WHERE prio = $j) || '|'), s)
+           |    AS s FROM ufin_${j - 1})""".stripMargin
+      }
+      List((prio +: folds).mkString(",\n"))
+    }
+    (base +: roundCtes ++: finalSeg).mkString(",\n")
   }
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -963,6 +991,21 @@ object TextEventsQueries {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY w DESC, piece) AS BIGINT)
          |    AS "rank", piece, w AS usage
          |FROM uv$UgRounds""".stripMargin,
+    "text_unigram_tokenize" ->
+      s"""WITH ${duckUnigramCtes(UgPieces, UgRounds, withFinalSeg = true)},
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |       FROM documents),
+         |jj AS (SELECT d.doc_id, length(d.word) AS chars,
+         |        len(string_split(substr(w.s, 2, length(w.s) - 2), '||'))
+         |          AS pieces
+         |      FROM dw d JOIN ufin_$UgPieces w ON d.word = w.word
+         |      WHERE d.word <> '' AND d.word NOT LIKE '%|%')
+         |SELECT doc_id, CAST(SUM(chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  round(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(pieces) AS DOUBLE), 6)
+         |    AS compression
+         |FROM jj GROUP BY doc_id""".stripMargin,
     "text_bpe_merges" -> {
       val rows = (1 to BpeRounds).map { r =>
         s"""SELECT CAST($r AS BIGINT) AS "round", l AS "left", r2 AS "right",
