@@ -218,6 +218,50 @@ object TextEventsQueries {
       graft.operators.QualityModel.score(
         hold, "doc_id", "text", QmBuckets, w, b)
     },
+    // STREAMING model deployment: the SAME trained quality model scores
+    // document micro-batches as they arrive — train offline, score
+    // online. Weights ride into every batch's plan as literals (no state,
+    // no join); per-batch idempotent landing keyed on batch_id; the
+    // accumulated scores equal the batch scoring bit-for-bit, so the
+    // oracle is text_quality_model's, verbatim.
+    "stream_quality_score" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stripped = (df: DataFrame) => df
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", regexp_replace(col("text"), "[aeiou]", ""))
+      val good = d.where(col("doc_id") < 200)
+      val train = good.withColumn("label", lit(1))
+        .unionAll(stripped(good).withColumn("label", lit(0)))
+      val holdBase = d.where(col("doc_id") >= 200 && col("doc_id") < 300)
+      val hold = holdBase.unionAll(stripped(holdBase))
+        .select("doc_id", "text")
+      val (w, b) = graft.operators.QualityModel.trainLogReg(
+        train, "doc_id", "text", "label",
+        numBuckets = QmBuckets, iters = QmIters, lr = QmLr)
+      val root = java.nio.file.Files.createTempDirectory("graft_sqs").toString
+      val logDir = s"$root/days"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+      val days = Seq(hold.where(col("doc_id") % 2 === 0),
+        hold.where(col("doc_id") % 2 === 1))
+      days.zipWithIndex.foreach { case (slice, i) =>
+        val stage = s"$root/stage$i"
+        slice.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stream = s.readStream.schema(days.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(logDir)
+      graft.streaming.EventStream.runForeachBatch(s, stream, (batch, id) =>
+        graft.operators.QualityModel.score(
+            batch, "doc_id", "text", QmBuckets, w, b)
+          .write.mode("overwrite").parquet(s"$root/scored/batch_id=$id"))
+      s.read.parquet(s"$root/scored")
+        .select("doc_id", "margin_scaled", "pred_good")
+    },
     // HTML boilerplate extraction: each doc is wrapped in a deterministic
     // page (head script/style + comment, nav/ad/footer link-heavy divs
     // around the prose) built identically in the oracle. Link-density
@@ -582,6 +626,34 @@ object TextEventsQueries {
     (base +: rounds).mkString(",\n")
   }
 
+  /** Full quality-model replay (train + holdout scoring) — shared by the
+    * batch gate and the streaming-deployment gate, whose accumulated
+    * per-batch scores must equal the batch margins bit-for-bit. */
+  private lazy val duckQualityModelSql: String =
+    s"""WITH train AS (
+       |  SELECT doc_id, text, 1 AS label FROM documents WHERE doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 10000, regexp_replace(text, '[aeiou]', '', 'g'), 0
+       |  FROM documents WHERE doc_id < 200),
+       |hold AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id >= 200 AND doc_id < 300
+       |  UNION ALL
+       |  SELECT doc_id + 10000, regexp_replace(text, '[aeiou]', '', 'g')
+       |  FROM documents WHERE doc_id >= 200 AND doc_id < 300),
+       |${duckLogRegCtes(QmIters, QmBuckets, QmLr)},
+       |hfeats AS (SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(w), 1, 15))::BIGINT % $QmBuckets AS bucket
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM hold) WHERE w <> '')
+       |SELECT h.doc_id,
+       |  CAST(COALESCE(SUM(w.ws), 0) + MIN(b.bs) AS BIGINT) AS margin_scaled,
+       |  (COALESCE(SUM(w.ws), 0) + MIN(b.bs)) > 0 AS pred_good
+       |FROM hold h CROSS JOIN b$QmIters b
+       |LEFT JOIN hfeats f ON f.doc_id = h.doc_id
+       |LEFT JOIN w$QmIters w ON w.bucket = f.bucket
+       |GROUP BY h.doc_id""".stripMargin
+
   private val enStop = TextAnalysis.langProfiles.head._2
     .map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -892,30 +964,10 @@ object TextEventsQueries {
         |  COALESCE(s.n_shared, 0) AS n_shared,
         |  COALESCE(s.n_shared, 0) * 5 >= len(c.g) * 1 AS contaminated
         |FROM corpus c LEFT JOIN shared s USING (doc_id)""".stripMargin,
-    "text_quality_model" ->
-      s"""WITH train AS (
-         |  SELECT doc_id, text, 1 AS label FROM documents WHERE doc_id < 200
-         |  UNION ALL
-         |  SELECT doc_id + 10000, regexp_replace(text, '[aeiou]', '', 'g'), 0
-         |  FROM documents WHERE doc_id < 200),
-         |hold AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE doc_id >= 200 AND doc_id < 300
-         |  UNION ALL
-         |  SELECT doc_id + 10000, regexp_replace(text, '[aeiou]', '', 'g')
-         |  FROM documents WHERE doc_id >= 200 AND doc_id < 300),
-         |${duckLogRegCtes(QmIters, QmBuckets, QmLr)},
-         |hfeats AS (SELECT DISTINCT doc_id,
-         |    ('0x' || substr(md5(w), 1, 15))::BIGINT % $QmBuckets AS bucket
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |        FROM hold) WHERE w <> '')
-         |SELECT h.doc_id,
-         |  CAST(COALESCE(SUM(w.ws), 0) + MIN(b.bs) AS BIGINT) AS margin_scaled,
-         |  (COALESCE(SUM(w.ws), 0) + MIN(b.bs)) > 0 AS pred_good
-         |FROM hold h CROSS JOIN b$QmIters b
-         |LEFT JOIN hfeats f ON f.doc_id = h.doc_id
-         |LEFT JOIN w$QmIters w ON w.bucket = f.bucket
-         |GROUP BY h.doc_id""".stripMargin,
+    "text_quality_model" -> duckQualityModelSql,
+    // The streamed scoring accumulates exactly the batch margins —
+    // weights are plan literals on both paths.
+    "stream_quality_score" -> duckQualityModelSql,
     "text_html_extract" -> {
       val pageStripped = duckDecode(
         """regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
