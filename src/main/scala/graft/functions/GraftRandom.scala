@@ -96,6 +96,23 @@ final class GraftRandom(seed: Long, partitionIndex: Int) {
     }
   }
 
+  /** Correlated standard-normal PAIR [z1, z2] with corr(z1, z2) = rho,
+    * via the Cholesky factor of the 2x2 correlation matrix:
+    * z2 = rho*z1 + sqrt(1 - rho^2)*w. The multivariate member of the
+    * generator family — callers scale/shift each margin with plain
+    * column arithmetic (mu + sigma * z), so one expression covers every
+    * (mu1, s1, mu2, s2, rho) parameterization. */
+  def nextGaussianPair(rho: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (java.lang.Double.isNaN(rho) || rho < -1.0 || rho > 1.0) {
+      throw new IllegalArgumentException(
+        s"randgen normal pair: rho ($rho) must be in [-1, 1]")
+    }
+    val z1 = nextGaussian(0.0, 1.0)
+    val w = nextGaussian(0.0, 1.0)
+    val z2 = rho * z1 + math.sqrt(1.0 - rho * rho) * w
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(z1, z2))
+  }
+
   /** Exponential with rate lambda, via inversion. log1p keeps precision. */
   def nextExponential(lambda: Double): Double = {
     if (lambda <= 0.0) {

@@ -65,6 +65,7 @@ object RandgenFunctions {
     arity2("randgen_int64_uniform", RandgenInt64Uniform.apply),
     arity2("randgen_float64_uniform", RandgenFloat64Uniform.apply),
     arity2("randgen_float64_normal", RandgenFloat64Normal.apply),
+    arity1("randgen_float64_normal_pair", RandgenFloat64NormalPair.apply),
     arity1("randgen_float64_exponential", RandgenFloat64Exponential.apply),
     arity2("randgen_int64_zipf", RandgenInt64Zipf.apply),
     arity1("randgen_bool_bernoulli", RandgenBoolBernoulli.apply),
@@ -102,6 +103,8 @@ object RandgenFunctions {
     col(RandgenFloat64Uniform(ex(lo), ex(hi), seed))
   def randgen_float64_normal(mean: Column, std: Column, seed: Long): Column =
     col(RandgenFloat64Normal(ex(mean), ex(std), seed))
+  def randgen_float64_normal_pair(rho: Column, seed: Long): Column =
+    col(RandgenFloat64NormalPair(ex(rho), seed))
   def randgen_float64_exponential(lambda: Column, seed: Long): Column =
     col(RandgenFloat64Exponential(ex(lambda), seed))
   def randgen_int64_zipf(n: Column, s: Column, seed: Long): Column =

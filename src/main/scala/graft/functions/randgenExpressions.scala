@@ -144,6 +144,23 @@ case class RandgenFloat64Normal(left: Expression, right: Expression, seed: Long)
     copy(left = l, right = r)
 }
 
+/** `randgen_float64_normal_pair(rho [, seed])` — correlated standard-normal
+  * pair `array(z1, z2)` with corr(z1, z2) = rho ∈ [-1, 1] (Cholesky of the
+  * 2x2 correlation matrix). Scale/shift the margins in plain SQL
+  * (`mu + sigma * z[i]`), so the one expression covers every bivariate
+  * parameterization — the family's first MULTIVARIATE generator. */
+case class RandgenFloat64NormalPair(child: Expression, seed: Long)
+    extends RandgenUnary {
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "randgen_float64_normal_pair"
+  override protected def sample(a: Any): Any =
+    rng.nextGaussianPair(a.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String): String =
+    s"$t.nextGaussianPair($a)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `randgen_float64_exponential(lambda [, seed])` — exponential, rate λ > 0. */
 case class RandgenFloat64Exponential(child: Expression, seed: Long)
     extends RandgenUnary {

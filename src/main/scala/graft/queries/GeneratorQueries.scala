@@ -73,6 +73,20 @@ object GeneratorQueries {
         |       CAST(abs(stddev_samp(x) - 2.0) < 0.05 AS BOOLEAN) AS std_ok
         |FROM (SELECT randgen_float64_normal(10.0, 2.0, 11) AS x FROM range(1, 100001))
         |""".stripMargin) _,
+    // Bivariate correlated normal: standard margins AND the requested
+    // correlation reproduced empirically (100k pairs — corr estimator
+    // sd ~ (1-rho^2)/sqrt(n) ~ 0.0016, so 0.03 is a ~19-sigma band).
+    "gen_normal_pair_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(abs(avg(z1)) < 0.05 AND abs(avg(z2)) < 0.05
+        |            AS BOOLEAN) AS means_ok,
+        |       CAST(abs(stddev_samp(z1) - 1.0) < 0.05 AND
+        |            abs(stddev_samp(z2) - 1.0) < 0.05 AS BOOLEAN) AS stds_ok,
+        |       CAST(abs(corr(z1, z2) - 0.7) < 0.03 AS BOOLEAN) AS corr_ok
+        |FROM (SELECT element_at(z, 1) AS z1, element_at(z, 2) AS z2
+        |      FROM (SELECT randgen_float64_normal_pair(0.7, 37) AS z
+        |            FROM range(1, 100001)))
+        |""".stripMargin) _,
     "gen_float64_exponential_props" -> sql(
       """SELECT count(*) AS n,
         |       CAST(min(x) >= 0.0 AS BOOLEAN) AS nonneg,
@@ -203,6 +217,9 @@ object GeneratorQueries {
       "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS in_bounds, TRUE AS mean_ok",
     "gen_float64_normal_props" ->
       "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS mean_ok, TRUE AS std_ok",
+    "gen_normal_pair_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS means_ok, " +
+        "TRUE AS stds_ok, TRUE AS corr_ok"),
     "gen_float64_exponential_props" ->
       "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS nonneg, TRUE AS mean_ok",
     "gen_int64_zipf_props" ->

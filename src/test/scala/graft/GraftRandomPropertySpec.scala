@@ -87,6 +87,37 @@ object GraftRandomPropertySpec extends Properties("GraftRandom") {
         }
     }
 
+  property("normal pair: degenerate rho = +-1 collapses to z2 = +-z1; bad rho throws") =
+    Prop.forAll(seeds) { seed =>
+      val rng = new GraftRandom(seed, 0)
+      val plus = rng.nextGaussianPair(1.0)
+      val minus = rng.nextGaussianPair(-1.0)
+      math.abs(plus.getDouble(1) - plus.getDouble(0)) < 1e-12 &&
+        math.abs(minus.getDouble(1) + minus.getDouble(0)) < 1e-12 &&
+        Prop.throws(classOf[IllegalArgumentException]) {
+          rng.nextGaussianPair(1.5)
+        } &&
+        Prop.throws(classOf[IllegalArgumentException]) {
+          rng.nextGaussianPair(Double.NaN)
+        }
+    }
+
+  property("normal pair: empirical correlation tracks rho within 5 sigma") =
+    Prop.forAll(seeds, Gen.chooseNum(-0.9, 0.9)) { (seed, rho) =>
+      val rng = new GraftRandom(seed, 0)
+      val n = 20000
+      var (sx, sy, sxx, syy, sxy) = (0.0, 0.0, 0.0, 0.0, 0.0)
+      (0 until n).foreach { _ =>
+        val p = rng.nextGaussianPair(rho)
+        val (x, y) = (p.getDouble(0), p.getDouble(1))
+        sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
+      }
+      val corr = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      // Fisher-z sd ~ 1/sqrt(n-3); 5 sigma on the correlation scale.
+      math.abs(corr - rho) < 5.0 * (1.0 - rho * rho) / math.sqrt(n - 3.0)
+    }
+
   property("uuid stream is reproducible per (seed, partition) and decorrelated") =
     Prop.forAll(seeds) { seed =>
       val a = new GraftRandom(seed, 3)
