@@ -80,6 +80,30 @@ object TextAnalysis {
     }
   }
 
+  /** Language ID with CONFIDENCE: a struct of (lang, best_hits,
+    * second_hits, margin, is_mixed) — the top-2 profile hit counts and
+    * their gap, plus a mixed-language flag (another profile matches and
+    * trails the winner by <= 1 distinct hit). This is the signal real
+    * pipelines act on AFTER coarse langid: 'und' drops, low-margin docs
+    * route to a stronger model or a mixed-language track. Exact integer
+    * hit counts, first-profile-wins ties like [[languageId]]; one narrow
+    * codegen projection. */
+  def languageIdDetail(text: Column): Column = {
+    val distinctToks = array_distinct(toks(text))
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(distinctToks, typedLit(words))).cast("long")
+    }
+    val sorted = array_sort(array(scores.map(_._2): _*))
+    val best = element_at(sorted, -1)
+    val second = element_at(sorted, -2)
+    val lang = scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    struct(lang.as("lang"), best.as("best_hits"), second.as("second_hits"),
+      (best - second).as("margin"),
+      (second > 0 && best - second <= 1 && best > 0).as("is_mixed"))
+  }
+
   /**
    * BM25 ranked retrieval for a bounded keyword query — the classic
    * corpus-search scoring (Robertson/Sparck Jones):

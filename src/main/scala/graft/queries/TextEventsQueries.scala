@@ -71,6 +71,18 @@ object TextEventsQueries {
         .select(col("lang"), TextAnalysis.languageId(col("text")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
     },
+    // Langid CONFIDENCE per doc: top-2 profile hits, margin, and the
+    // mixed-language flag — the post-langid routing signal. Exact
+    // integer hit counts; the oracle replays the sorted-scores form.
+    "text_langid_margin" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.languageIdDetail(col("text")).as("d"))
+        .select(col("doc_id"), col("d.lang").as("lang"),
+          col("d.best_hits").as("best_hits"),
+          col("d.second_hits").as("second_hits"),
+          col("d.margin").as("margin"), col("d.is_mixed").as("is_mixed"))
+    },
     // Gopher-class repetition signals (duplicate-token mass, top token /
     // top bigram dominance) — the quality filters that catch degenerate
     // text whole-document dedup can't.
@@ -888,6 +900,31 @@ object TextEventsQueries {
     "text_langid" ->
       s"""SELECT lang, $duckLangCase AS pred, CAST(count(*) AS BIGINT) AS n
          |FROM documents GROUP BY lang, pred""".stripMargin,
+    "text_langid_margin" -> {
+      val scoreExprs = TextAnalysis.langProfiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        lang -> (s"len(list_intersect(list_distinct(string_split(text, ' ')), " +
+          s"$lst))")
+      }
+      val cols = scoreExprs.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n    ")
+      val arms = scoreExprs.map { case (l, _) =>
+        s"WHEN s_$l = ss[4] AND ss[4] > 0 THEN '$l'"
+      }.mkString("\n       ")
+      val lst = scoreExprs.map { case (l, _) => s"s_$l" }.mkString("[", ", ", "]")
+      s"""WITH sc AS (SELECT doc_id,
+         |    $cols
+         |  FROM documents),
+         |t AS (SELECT doc_id, ${scoreExprs.map("s_" + _._1).mkString(", ")},
+         |        list_sort($lst) AS ss FROM sc)
+         |SELECT doc_id,
+         |  CASE $arms
+         |       ELSE 'und' END AS lang,
+         |  CAST(ss[4] AS BIGINT) AS best_hits,
+         |  CAST(ss[3] AS BIGINT) AS second_hits,
+         |  CAST(ss[4] - ss[3] AS BIGINT) AS margin,
+         |  (ss[3] > 0 AND ss[4] - ss[3] <= 1 AND ss[4] > 0) AS is_mixed
+         |FROM t""".stripMargin
+    },
     "text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(0::BIGINT,

@@ -41,6 +41,27 @@ class TextAnalysisSpec extends GraftSuite {
       .select(TextAnalysis.languageId(col("text"))).collect()(0).getString(0) == "und")
   }
 
+  test("languageIdDetail: margins, first-profile ties, mixed-language flag") {
+    def detail(t: String) = one(t)
+      .select(TextAnalysis.languageIdDetail(col("text")).as("d"))
+      .select("d.lang", "d.best_hits", "d.second_hits", "d.margin", "d.is_mixed")
+      .collect()(0)
+    // Clean English: solid margin, not mixed.
+    val en = detail("the cat and the dog is happy to be in a house of it")
+    assert(en.getString(0) == "en" && !en.getBoolean(4) && en.getLong(3) >= 2)
+    // Genuinely mixed en/es sentence: both profiles hit, margin <= 1.
+    val mixed = detail("the gato and of el perro la casa")
+    assert(mixed.getBoolean(4), s"expected mixed, got $mixed")
+    assert(mixed.getLong(2) > 0 && mixed.getLong(3) <= 1)
+    // A tie at the top resolves first-profile-wins (en before es) and is
+    // flagged mixed (margin 0).
+    val tie = detail("the of el la")
+    assert(tie.getString(0) == "en" && tie.getLong(3) == 0 && tie.getBoolean(4))
+    // No profile hits: 'und', zero everything, not mixed.
+    val und = detail("xyzzy plugh")
+    assert(und.getString(0) == "und" && und.getLong(1) == 0 && !und.getBoolean(4))
+  }
+
   test("rolling hash is deterministic and content-sensitive") {
     val h1 = one("hello world").select(TextAnalysis.rollingHash(col("text"))).collect()(0).getLong(0)
     val h2 = one("hello world").select(TextAnalysis.rollingHash(col("text"))).collect()(0).getLong(0)
