@@ -77,6 +77,40 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hilbert-curve index of two non-negative keys (order-`bits` curve,
+    * one codegen call — [[graft.functions.HilbertIndex]]). The Z-curve's
+    * locality upgrade: consecutive curve positions are always
+    * grid-adjacent, so code-contiguous files never straddle a quadrant
+    * seam the way Morton files do. */
+  def hilbertIndex(a: Column, b: Column, bits: Int = MaxBits): Column =
+    GraftSqlBridge.column(graft.functions.HilbertIndex(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), bits))
+
+  /** [[zorderWrite]] with the Hilbert curve: same key alignment, same
+    * range-repartition + in-partition sort recipe, strictly better
+    * adjacency at the same write cost. */
+  def hilbertWrite(df: DataFrame, path: String, a: String, b: String,
+      numFiles: Int, bits: Int = MaxBits): Unit = {
+    val stats = df.agg(max(col(a)).cast("long"), max(col(b)).cast("long"),
+      min(col(a)).cast("long"), min(col(b)).cast("long")).collect()(0)
+    require(!stats.isNullAt(0) && !stats.isNullAt(1),
+      s"hilbertWrite: input has no non-null ($a, $b) rows to cluster")
+    require(stats.getLong(2) >= 0L && stats.getLong(3) >= 0L,
+      s"hilbertWrite: keys must be non-negative (min $a=${stats.getLong(2)}, " +
+        s"min $b=${stats.getLong(3)})")
+    def width(m: Long): Int = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(m))
+    val (wa, wb) = (width(stats.getLong(0)), width(stats.getLong(1)))
+    require(wa <= bits && wb <= bits,
+      s"hilbertWrite: key widths ($wa, $wb) exceed $bits bits")
+    val an = shiftleft(col(a), bits - wa)
+    val bn = shiftleft(col(b), bits - wb)
+    df.withColumn("__h", hilbertIndex(an, bn, bits))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /**
    * Per-file min/max statistics index over a parquet directory — the
    * table-format data-skipping primitive (Delta/Iceberg keep exactly this

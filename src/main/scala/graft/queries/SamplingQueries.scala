@@ -103,6 +103,17 @@ object SamplingQueries {
           graft.operators.Layout
             .interleaveBits(col("l_orderkey"), col("l_partkey")).as("z"))
     },
+    // Hilbert-curve codes (order-16) over the same keys: the Z-curve's
+    // locality upgrade — consecutive positions are always grid-adjacent.
+    // The oracle replays the full iterative rotation arithmetic as an
+    // unrolled per-level CTE chain, so every code hash-matches.
+    "layout_hilbert_codes" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem").where(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.hilbertIndex(
+            col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+            bits = 16).as("h"))
+    },
     // Custom heap-bounded top-k-per-key physical operator (partial below
     // the exchange + final above, no sort anywhere) under a TOTAL order;
     // the oracle is the row_number window form it replaces.
@@ -303,6 +314,32 @@ object SamplingQueries {
          |  CAST(${graft.operators.Layout.duckSql("l_orderkey", "l_partkey")}
          |       AS BIGINT) AS z
          |FROM lineitem WHERE l_orderkey < 500""".stripMargin,
+    // Unrolled Hilbert xy2d: one CTE per bit level carrying (x, y, d)
+    // through the flip/swap rotation — CTEs materialize, so unlike a
+    // column-level fold there is no expression-tree blowup.
+    "layout_hilbert_codes" -> {
+      val bits = 16
+      val steps = (bits - 1 to 0 by -1).zipWithIndex.map { case (lvl, k) =>
+        val s = 1L << lvl
+        s"""hl${k + 1} AS (SELECT l_orderkey, l_linenumber,
+           |  CASE WHEN (y & $s) = 0 THEN
+           |         CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END
+           |       ELSE x END AS x,
+           |  CASE WHEN (y & $s) = 0 THEN
+           |         CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END
+           |       ELSE y END AS y,
+           |  d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+           |                     CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+           |  FROM hl$k)""".stripMargin
+      }
+      s"""WITH hl0 AS (SELECT l_orderkey, l_linenumber,
+         |    CAST(l_orderkey AS BIGINT) AS x, CAST(l_partkey AS BIGINT) AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM lineitem WHERE l_orderkey < 500),
+         |${steps.mkString(",\n")}
+         |SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS h
+         |FROM hl$bits""".stripMargin
+    },
     "topk_per_key" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
         |FROM (SELECT l_returnflag, l_orderkey, l_linenumber,

@@ -48,6 +48,74 @@ class LayoutSpec extends GraftSuite {
       s"partkey avg file span ${spans.getDouble(1)} vs global ${g.getLong(1)}")
   }
 
+  test("hilbert curve: bijection, THE adjacency property, beats morton locality") {
+    import graft.functions.HilbertCurve
+    val bits = 6
+    val n = 1L << bits // 64x64 grid
+    // Bijection: every cell maps to a distinct position in [0, n^2).
+    val ds = for (x <- 0L until n; y <- 0L until n)
+      yield HilbertCurve.xy2d(bits, x, y)
+    assert(ds.toSet.size == (n * n).toInt)
+    assert(ds.min == 0L && ds.max == n * n - 1)
+    // Inverse round-trips.
+    (0L until n * n).foreach { d =>
+      val (x, y) = HilbertCurve.d2xy(bits, d)
+      assert(HilbertCurve.xy2d(bits, x, y) == d)
+    }
+    // THE Hilbert property: consecutive curve positions are grid-adjacent
+    // (|dx| + |dy| == 1, every single step) — Morton teleports at seams.
+    val cells = (0L until n * n).map(d => HilbertCurve.d2xy(bits, d))
+    cells.zip(cells.tail).foreach { case ((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump ($x1,$y1)->($x2,$y2)")
+    }
+    // Locality vs Z-order: mean manhattan jump along the curve — Hilbert
+    // is exactly 1.0; Morton's quadrant seams push it above.
+    val zCells = Array.ofDim[(Long, Long)]((n * n).toInt)
+    for (x <- 0L until n; y <- 0L until n) {
+      // invert morton by scattering d's even/odd bits
+      val d = (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+      zCells(d.toInt) = (x, y)
+    }
+    val zJump = zCells.zip(zCells.tail).map { case ((a, b), (c, dd)) =>
+      math.abs(a - c) + math.abs(b - dd)
+    }.sum.toDouble / (n * n - 1)
+    assert(zJump > 1.0, s"morton mean jump $zJump should exceed hilbert's 1.0")
+    // And the codegen'd expression agrees with the JVM reference.
+    val viaExpr = spark.range(0, n * n)
+      .select((col("id") / n).cast("long").as("x"),
+        pmod(col("id"), lit(n)).cast("long").as("y"))
+      .select(Layout.hilbertIndex(col("x"), col("y"), bits).as("h"),
+        col("x"), col("y"))
+      .collect()
+    viaExpr.foreach { r =>
+      assert(r.getLong(0) == HilbertCurve.xy2d(bits, r.getLong(1), r.getLong(2)))
+    }
+  }
+
+  test("hilbertWrite clusters both key ranges at least as tight as zorder") {
+    val slice = Tables.load(spark, SparkTestBase.sf001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val outH = java.nio.file.Files.createTempDirectory("graft_hilb").toString
+    Layout.hilbertWrite(slice, outH, "l_orderkey", "l_partkey", numFiles = 16)
+    val back = spark.read.parquet(outH)
+    assert(back.count() == slice.count())
+    assert(back.exceptAll(slice).isEmpty && slice.exceptAll(back).isEmpty)
+    val g = slice.agg(max("l_orderkey") - min("l_orderkey"),
+      max("l_partkey") - min("l_partkey")).collect()(0)
+    val spans = back.withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("l_orderkey") - min("l_orderkey")).as("so"),
+        (max("l_partkey") - min("l_partkey")).as("sp"))
+      .agg(avg("so"), avg("sp")).collect()(0)
+    assert(spans.getDouble(0) < g.getLong(0) * 0.7,
+      s"orderkey avg file span ${spans.getDouble(0)} vs global ${g.getLong(0)}")
+    assert(spans.getDouble(1) < g.getLong(1) * 0.7,
+      s"partkey avg file span ${spans.getDouble(1)} vs global ${g.getLong(1)}")
+  }
+
   test("min-max file stats index prunes non-overlapping files") {
     val out = java.nio.file.Files.createTempDirectory("graft_minmax").toString
     val slice = Tables.load(spark, SparkTestBase.sf001, "lineitem")
