@@ -13,8 +13,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
  */
 object HilbertCurve {
 
-  /** Curve position d of grid cell (x, y) on the order-`bits` curve. */
+  /** Curve position d of grid cell (x, y) on the order-`bits` curve.
+    * Keys outside [0, 2^bits) fail fast — out-of-grid bits would fold
+    * silently onto wrong curve positions. */
   def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    if (((x0 | y0) >>> bits) != 0L || x0 < 0L || y0 < 0L) {
+      throw new IllegalArgumentException(
+        s"hilbert: keys ($x0, $y0) outside [0, 2^$bits)")
+    }
     var x = x0
     var y = y0
     var d = 0L

@@ -196,6 +196,10 @@ object Multimodal {
     media.mapPartitions { it =>
       val reader = ImageIO.getImageReadersByFormatName("gif").next()
       it.flatMap { m =>
+        require(m.payload.length >= 4 &&
+          new String(m.payload, 0, 4, "US-ASCII").startsWith("GIF8"),
+          s"media ${m.mediaId}: payload is not a GIF container (decodeFrames " +
+            "reads multi-frame GIF; use decodeFeatures for still images)")
         val iis =
           ImageIO.createImageInputStream(new ByteArrayInputStream(m.payload))
         reader.setInput(iis)

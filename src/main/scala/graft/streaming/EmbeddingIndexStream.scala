@@ -40,6 +40,8 @@ object EmbeddingIndexStream {
       retainVersions: Int = 3): DataFrame = {
     require(retainVersions >= 2,
       "incrementalIvf: retainVersions >= 2 (current + replay anchor)")
+    require(centroids.nonEmpty,
+      "incrementalIvf: empty coarse quantizer — train centroids first")
     Similarity.ivfAssignments(history, idCol, vecCol, centroids)
       .write.mode("overwrite").parquet(s"$stateDir/lists_v0")
     @volatile var last = 0L
