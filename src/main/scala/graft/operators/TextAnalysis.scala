@@ -105,6 +105,37 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document n-gram NOVELTY: the fraction of a doc's distinct word
+   * n-grams occurring in NO other document (corpus df == 1) — the
+   * soft-dedup sampling signal: a page stitched together from text that
+   * exists elsewhere adds little to a training mix even when no single
+   * near-dup pair fires, and down-weighting by novelty is the graded
+   * version of dropping it. Short docs fall back to one whole-text gram
+   * (the [[TextHash.wordShingles]] contract, same as decontamination).
+   *
+   * Shape: one gram-keyed exchange shared by the df count and the
+   * join-back (repartition before both consumers), then one doc-keyed
+   * aggregate — the duplicated-spans cost profile at n-gram (not
+   * stride-1 window) cardinality. Exact integer counts.
+   */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "ngramNovelty: n >= 1")
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(TextHash.wordShingles(col(textCol), n)).as("gram"))
+      .repartition(col("gram"))
+    // Grams are distinct within a doc, so a plain count IS the doc
+    // frequency.
+    val dfs = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(dfs, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty",
+        round(col("novel_grams").cast("double") / col("n_grams"), 6))
+  }
+
+  /**
    * BM25 ranked retrieval for a bounded keyword query — the classic
    * corpus-search scoring (Robertson/Sparck Jones):
    *

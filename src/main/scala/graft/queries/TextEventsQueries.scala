@@ -83,6 +83,12 @@ object TextEventsQueries {
           col("d.second_hits").as("second_hits"),
           col("d.margin").as("margin"), col("d.is_mixed").as("is_mixed"))
     },
+    // Per-doc 5-gram novelty: fraction of a doc's distinct grams that
+    // exist in no other document — the soft-dedup sampling weight. The
+    // fixture's planted near-dups show up as low-novelty docs.
+    "text_ngram_novelty" -> { (s, dir) =>
+      TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text", 5)
+    },
     // Gopher-class repetition signals (duplicate-token mass, top token /
     // top bigram dominance) — the quality filters that catch degenerate
     // text whole-document dedup can't.
@@ -925,6 +931,22 @@ object TextEventsQueries {
          |  (ss[3] > 0 AND ss[4] - ss[3] <= 1 AND ss[4] > 0) AS is_mixed
          |FROM t""".stripMargin
     },
+    "text_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(t) >= 5
+        |    THEN list_transform(range(len(t) - 4),
+        |           i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
+        |ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+        |dfs AS (SELECT gram, COUNT(*) AS df FROM ex GROUP BY gram)
+        |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_grams,
+        |  round(SUM(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |        / COUNT(*), 6) AS novelty
+        |FROM ex e JOIN dfs USING (gram) GROUP BY e.doc_id""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(0::BIGINT,

@@ -62,6 +62,34 @@ class TextAnalysisSpec extends GraftSuite {
     assert(und.getString(0) == "und" && und.getLong(1) == 0 && !und.getBoolean(4))
   }
 
+  test("ngramNovelty: unique text scores 1, twins score 0, overlap exact") {
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> base,                                  // copied by doc 2
+      2L -> base,                                  // exact twin: novelty 0
+      3L -> (1 to 12).map(i => s"u$i").mkString(" "), // fully unique
+      // 12 tokens sharing a 7-token prefix with doc 3's text? no — share
+      // grams with doc 1: first 8 tokens of base + 4 fresh = shared 5-gram
+      // window prefix.
+      4L -> ((1 to 8).map(i => s"w$i") ++ (1 to 4).map(i => s"x$i")).mkString(" "))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .ngramNovelty(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 12 tokens -> 8 distinct 5-grams per doc.
+    assert(out(1L)._1 == 8 && out(2L)._1 == 8 && out(3L)._1 == 8)
+    assert(out(1L)._3 == 0.0 && out(2L)._3 == 0.0, "twins have zero novelty")
+    assert(out(3L)._3 == 1.0, "fully unique doc has novelty 1")
+    // Doc 4: grams starting at positions 1..4 (w1..w8 windows) also occur
+    // in docs 1/2; the 4 windows crossing into x* are unique -> 4/8.
+    assert(out(4L) == ((8L, 4L, 0.5)), s"got ${out(4L)}")
+    // And docs 1/2 lost nothing: doc 4 shares only grams they already
+    // share with each other.
+    assert(out(1L)._2 == 0)
+  }
+
   test("rolling hash is deterministic and content-sensitive") {
     val h1 = one("hello world").select(TextAnalysis.rollingHash(col("text"))).collect()(0).getLong(0)
     val h2 = one("hello world").select(TextAnalysis.rollingHash(col("text"))).collect()(0).getLong(0)
