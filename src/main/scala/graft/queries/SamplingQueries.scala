@@ -62,6 +62,34 @@ object SamplingQueries {
       Packing.packSequences(d, "doc_id",
         TextAnalysis.tokenCount(col("text")), 256L, 8)
     },
+    // First-fit-decreasing packing (property gate — the per-shard
+    // bin-fill fold is sequential state with no fixed-width SQL
+    // encoding): every doc assigned exactly once, no multi-doc bin over
+    // capacity, and FFD's pad mass never exceeds the contiguous fill's.
+    "pack_ffd_props" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val cap = 256L
+      val tc = graft.operators.TextAnalysis.tokenCount(col("text"))
+      val ffd = Packing.packSequencesFfd(d, "doc_id", tc, cap, 8)
+      val nDocs = d.count()
+      val assignedOk = ffd.count() == nDocs &&
+        ffd.select("doc_id").distinct().count() == nDocs
+      def padMass(packed: org.apache.spark.sql.DataFrame): Long = {
+        val t = packed.groupBy("seq_id").agg(sum("n_tokens").as("t"))
+          .agg(sum(greatest(lit(cap), col("t"))).as("p"), sum(col("t")).as("tt"))
+          .collect()(0)
+        t.getLong(0) - t.getLong(1)
+      }
+      val fills = ffd.groupBy("seq_id").agg(sum("n_tokens").as("t"),
+        count(lit(1)).as("nd"), max("n_tokens").as("mx"))
+      val capOk = fills.where(col("t") > cap &&
+        !(col("nd") === 1 && col("mx") > cap)).count() == 0
+      val beats =
+        padMass(ffd) <= padMass(Packing.packSequences(d, "doc_id", tc, cap, 8))
+      Seq((nDocs, assignedOk, capOk, beats))
+        .toDF("n_docs", "assigned_ok", "capacity_ok", "pad_not_worse")
+    },
     // Per-sequence roll-up: doc count, token total, fill fraction
     // (> 1 == the tail doc straddles the capacity boundary).
     "pack_sequence_stats" -> { (s, dir) =>
@@ -237,6 +265,9 @@ object SamplingQueries {
          |  CAST(strt - (strt // 256) * 256 AS BIGINT) AS offset_tokens,
          |  CAST(nt AS BIGINT) AS n_tokens
          |FROM c""".stripMargin,
+    "pack_ffd_props" ->
+      ("SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs, " +
+        "TRUE AS assigned_ok, TRUE AS capacity_ok, TRUE AS pad_not_worse"),
     "pack_sequence_stats" ->
       s"""$duckPackCte
          |SELECT CAST((strt // 256) * 8 + shard AS BIGINT) AS seq_id,

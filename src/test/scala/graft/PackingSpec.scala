@@ -67,6 +67,41 @@ class PackingSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("FFD packing: capacity strict, oversized docs isolated, pads <= greedy") {
+    import spark.implicits._
+    val tc = TextAnalysis.tokenCount(col("text"))
+    val ffd = Packing.packSequencesFfd(docs, "doc_id", tc, cap, 8)
+    // Exactly-once coverage.
+    assert(ffd.count() == docs.count())
+    assert(ffd.select("doc_id").distinct().count() == docs.count())
+    // No multi-doc bin over capacity; an oversized doc sits alone.
+    val fills = ffd.groupBy("seq_id").agg(sum("n_tokens").as("t"),
+      count(lit(1)).as("nd"), max("n_tokens").as("mx"))
+    assert(fills.where(col("t") > cap &&
+      !(col("nd") === 1 && col("mx") > cap)).count() == 0)
+    // Pad mass (capacity-padded bins minus real tokens) never exceeds
+    // the greedy contiguous fill's — the reason FFD exists.
+    def padMass(p: org.apache.spark.sql.DataFrame): Long = {
+      val r = p.groupBy("seq_id").agg(sum("n_tokens").as("t"))
+        .agg(sum(greatest(lit(cap), col("t"))).as("pad"), sum("t").as("tt"))
+        .collect()(0)
+      r.getLong(0) - r.getLong(1)
+    }
+    val (fp, gp) = (padMass(ffd), padMass(packed))
+    assert(fp <= gp, s"FFD pad $fp should not exceed greedy pad $gp")
+    // Deterministic under repartitioning.
+    val again = Packing.packSequencesFfd(docs.repartition(13), "doc_id",
+      tc, cap, 8)
+    assert(ffd.exceptAll(again).isEmpty && again.exceptAll(ffd).isEmpty)
+    // Constructed oversized doc: lands alone in its own bin.
+    val tiny = Seq((0L, 10L), (8L, 300L), (16L, 20L))
+      .toDF("doc_id", "nt") // all shard 0 with 8 shards
+    val p2 = Packing.packSequencesFfd(tiny, "doc_id", col("nt"), cap, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 300-token doc is first (largest) -> bin 0 alone; 10 and 20 share bin 1.
+    assert(p2(8L) != p2(0L) && p2(0L) == p2(16L))
+  }
+
   test("repetition signals: hand-checked degenerate vs diverse docs") {
     import spark.implicits._
     val fixture = Seq(
