@@ -213,6 +213,39 @@ object TextEventsQueries {
         d.where(col("doc_id") % 20 === 7),
         "doc_id", "text", k = 5, num = 1, den = 5)
     },
+    // STREAMING decontamination: the eval gram set screens document
+    // micro-batches as they arrive (the broadcast rides each batch's
+    // plan — no state), batches land idempotently; the accumulated
+    // screen equals the batch screen per doc, so the oracle is
+    // text_decontaminate's, verbatim.
+    "stream_decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val evalSet = d.where(col("doc_id") % 20 === 7)
+      val corpus = d.where(col("doc_id") % 20 =!= 7).select("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft_sdec").toString
+      val logDir = s"$root/days"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+      val days = Seq(corpus.where(col("doc_id") % 2 === 0),
+        corpus.where(col("doc_id") % 2 === 1))
+      days.zipWithIndex.foreach { case (slice, i) =>
+        val stage = s"$root/stage$i"
+        slice.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stream = s.readStream.schema(days.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(logDir)
+      graft.streaming.EventStream.runForeachBatch(s, stream, (batch, id) =>
+        graft.operators.Decontaminate.ngramOverlap(
+            batch, evalSet, "doc_id", "text", k = 5, num = 1, den = 5)
+          .write.mode("overwrite").parquet(s"$root/screened/batch_id=$id"))
+      s.read.parquet(s"$root/screened")
+        .select("doc_id", "n_grams", "n_shared", "contaminated")
+    },
     // In-engine-TRAINED quality classifier: logistic regression over
     // hashed bag-of-words presence features (64 buckets, 3 full-batch
     // rounds, fixed-point weights). Train: docs 0..199 as "good" vs the
@@ -644,6 +677,27 @@ object TextEventsQueries {
     (base +: rounds).mkString(",\n")
   }
 
+  /** Decontamination replay (eval grams + per-doc overlap) — shared by
+    * the batch gate and the streaming gate, whose accumulated per-batch
+    * screens must equal the batch screen per doc. */
+  private lazy val duckDecontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) >= 5
+      |    THEN list_transform(range(len(t) - 4),
+      |           i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+      |    ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
+      |ev AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 20 = 7),
+      |corpus AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 <> 7),
+      |ex AS (SELECT doc_id, unnest(g) AS gram FROM corpus),
+      |shared AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |           FROM ex WHERE gram IN (SELECT gram FROM ev)
+      |           GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(len(c.g) AS BIGINT) AS n_grams,
+      |  COALESCE(s.n_shared, 0) AS n_shared,
+      |  COALESCE(s.n_shared, 0) * 5 >= len(c.g) * 1 AS contaminated
+      |FROM corpus c LEFT JOIN shared s USING (doc_id)""".stripMargin
+
   /** Full quality-model replay (train + holdout scoring) — shared by the
     * batch gate and the streaming-deployment gate, whose accumulated
     * per-batch scores must equal the batch margins bit-for-bit. */
@@ -1006,23 +1060,10 @@ object TextEventsQueries {
         |           AND CAST(p.ts AS TIMESTAMP) <= fv.t0 + INTERVAL 30 MINUTE)
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n_viewers,
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted""".stripMargin,
-    "text_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct(CASE WHEN len(t) >= 5
-        |    THEN list_transform(range(len(t) - 4),
-        |           i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
-        |    ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
-        |ev AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 20 = 7),
-        |corpus AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 <> 7),
-        |ex AS (SELECT doc_id, unnest(g) AS gram FROM corpus),
-        |shared AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-        |           FROM ex WHERE gram IN (SELECT gram FROM ev)
-        |           GROUP BY doc_id)
-        |SELECT c.doc_id, CAST(len(c.g) AS BIGINT) AS n_grams,
-        |  COALESCE(s.n_shared, 0) AS n_shared,
-        |  COALESCE(s.n_shared, 0) * 5 >= len(c.g) * 1 AS contaminated
-        |FROM corpus c LEFT JOIN shared s USING (doc_id)""".stripMargin,
+    "text_decontaminate" -> duckDecontaminateSql,
+    // The streamed screen accumulates exactly the batch screen — eval
+    // grams broadcast into every batch's plan, no state.
+    "stream_decontaminate" -> duckDecontaminateSql,
     "text_quality_model" -> duckQualityModelSql,
     // The streamed scoring accumulates exactly the batch margins —
     // weights are plan literals on both paths.
