@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.ExtendedQueries.queries ++
       graft.queries.JoinQueries.queries ++
       graft.queries.SamplingQueries.queries ++
-      graft.queries.MergeQueries.queries
+      graft.queries.MergeQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.ExtendedQueries.oracleSql ++
       graft.queries.JoinQueries.oracleSql ++
       graft.queries.SamplingQueries.oracleSql ++
-      graft.queries.MergeQueries.oracleSql
+      graft.queries.MergeQueries.oracleSql ++
+      graft.queries.GraphQueries.oracleSql
 }

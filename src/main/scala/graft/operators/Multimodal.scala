@@ -393,6 +393,53 @@ object Multimodal {
   }
 
   /**
+   * Per-frame audio energy / voice-activity profile from REAL decoded
+   * PCM: each WAV payload is decoded through `AudioSystem`, samples are
+   * cut into fixed `frameSize`-sample frames (the trailing partial frame
+   * keeps its true length), and each frame reports its exact
+   * sum-of-squares energy plus an activity flag
+   * (`sq_sum > n_samples * sqThresholdPerSample`, i.e. RMS above a
+   * threshold — the silence-trim / speech-segment primitive an audio
+   * corpus pipeline runs before transcription).
+   *
+   * All-integer per-frame sums — order-independent, exact, and
+   * replayable by an oracle that regenerates the fixture waveform
+   * sample-by-sample. Scale shape: one mapPartitions decode pass;
+   * payloads never shuffle; ~duration/frameSize rows of 4 ints each is
+   * all that moves downstream.
+   */
+  def audioFrameEnergy(media: Dataset[MediaRecord], frameSize: Int = 160,
+      sqThresholdPerSample: Long = 16384L): DataFrame = {
+    require(frameSize > 0, "audioFrameEnergy: frameSize must be positive")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(m.payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media ${m.mediaId}: expected PCM16 mono, got $fmt")
+      val bytes = ais.readAllBytes()
+      ais.close()
+      val n = bytes.length / 2
+      val nFrames = (n + frameSize - 1) / frameSize
+      (0 until nFrames).map { f =>
+        val lo = f * frameSize
+        val hi = math.min(lo + frameSize, n)
+        var sq = 0L
+        var i = lo
+        while (i < hi) {
+          val s = ((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)
+          sq += s.toLong * s
+          i += 1
+        }
+        val inFrame = (hi - lo).toLong
+        (m.mediaId, f.toLong, inFrame, sq,
+          sq > inFrame * sqThresholdPerSample)
+      }
+    }.toDF("media_id", "frame_idx", "n_samples", "sq_sum", "active")
+  }
+
+  /**
    * 8x8 average-hash (aHash) perceptual signature from REAL decoded
    * pixels: nearest-neighbor sample to an 8x8 grid, per-sample gray mass
    * r+g+b, bit i set iff 64*v_i > total (strict — ties to 0, integer

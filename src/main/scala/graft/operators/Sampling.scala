@@ -29,18 +29,52 @@ object Sampling {
    * ~1; the last split absorbs rounding). Adds a `split` column.
    */
   def hashSplit(df: DataFrame, keyCol: String,
-      fractions: Seq[(String, Double)], salt: String = "split"): DataFrame = {
-    val b = hashBucket(col(keyCol), salt)
+      fractions: Seq[(String, Double)], salt: String = "split"): DataFrame =
+    df.withColumn("split", splitAssign(hashBucket(col(keyCol), salt), fractions))
+
+  /** Split name for a bucket under cumulative fraction thresholds. */
+  private def splitAssign(b: Column,
+      fractions: Seq[(String, Double)]): Column = {
     val thresholds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
       .tail.map(f => math.round(f * Buckets))
-    val expr = fractions.map(_._1).zip(thresholds).reverse
-      .foldLeft(lit(fractions.last._1): Column) {
-        case (acc, (name, thr)) => when(b < thr, lit(name)).otherwise(acc)
-      }
     // foldLeft over reversed list checks smallest threshold LAST, so the
     // earliest matching (smallest) threshold wins — standard cumulative
     // bucketing.
-    df.withColumn("split", expr)
+    fractions.map(_._1).zip(thresholds).reverse
+      .foldLeft(lit(fractions.last._1): Column) {
+        case (acc, (name, thr)) => when(b < thr, lit(name)).otherwise(acc)
+      }
+  }
+
+  /**
+   * Leak-proof train/val split: near-duplicate CLUSTERS are the unit of
+   * assignment, not documents. `pairs` (id_a, id_b) are near-dup edges
+   * (from any [[Dedup]] detector); every document in a connected
+   * component follows its cluster representative (the component's
+   * smallest id) into one split, so two near-identical documents can
+   * never straddle train and validation — the standard eval-contamination
+   * guard a naive per-document hash split silently violates.
+   *
+   * Adds `cluster_id` (the representative; own id for singletons) and
+   * `split`. Assignment is `hashBucket(cluster_id)` — stable under
+   * re-runs and data growth, like [[hashSplit]].
+   *
+   * Scale shape: label propagation runs over the PAIR graph only
+   * ([[Dedup.resolveClusters]] — the corpus never enters the loop); the
+   * corpus then takes one left equi-join against the cluster table
+   * (near-dup-cluster-sized — often broadcastable, but that's AQE's
+   * runtime call, not a hardcoded hint: on a heavily-duplicated crawl
+   * the cluster table is a large fraction of the corpus) and a narrow
+   * hash projection. No new corpus-scale shuffle beyond that join.
+   */
+  def leakproofSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      fractions: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    val reps = Dedup.resolveClusters(pairs)
+      .select(col("id").as(idCol), col("cluster").as("cluster_id"))
+    df.join(reps, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        splitAssign(hashBucket(col("cluster_id"), salt), fractions))
   }
 
   /**

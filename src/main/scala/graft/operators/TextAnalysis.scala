@@ -480,6 +480,42 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet-style perplexity bucketing: within each language, rank
+   * documents by LM perplexity ([[lmPerplexity]]) and cut the ranking
+   * into `buckets` equal tiles — head (most fluent), middle, tail. Real
+   * pipelines train on head+middle and drop or down-weight the tail;
+   * the per-(lang, bucket) roll-up here is the decision table for that
+   * cut.
+   *
+   * Determinism contract: the tile assignment orders by `avg_nll`
+   * (computed identically in both engines — exact integer sums, one
+   * final division) with `doc_id` as total-order tiebreak, and NTILE's
+   * SQL-standard distribution rule fixes every boundary. Sums are exact
+   * BIGINTs.
+   *
+   * Scale shape: on top of lmPerplexity's cost this adds one per-language
+   * window (languages partition the corpus — parallel across, sequential
+   * within only at the sort, which is the shuffle's sort anyway) and one
+   * keyed roll-up. At 100 TB you'd swap the exact per-language NTILE for
+   * per-language KLL quantile cuts ([[Sketches]]) — same decision table,
+   * sketch-sized state; the exact form is the oracle-replayable contract.
+   */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, n: Int = 3, buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, "perplexityBuckets: buckets >= 2")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_nll"), col("doc_id"))
+    lmPerplexity(docs, idCol, textCol, n)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        "doc_id")
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nll_scaled")).as("nll_scaled_sum"),
+        sum(col("n_grams")).as("n_grams_sum"))
+  }
+
+  /**
    * Tokenizer-vocabulary coverage: build the top-`vocabSize` word
    * vocabulary by corpus frequency (ties break toward the
    * lexicographically smaller word), then report each document's

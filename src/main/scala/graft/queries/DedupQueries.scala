@@ -223,6 +223,22 @@ object DedupQueries {
       Dedup.embeddingNearDuplicates(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
     },
+    // Leak-proof split: near-dup CLUSTERS (not documents) are the unit of
+    // train/val assignment, so no near-identical pair straddles the
+    // boundary — the eval-contamination guard a per-doc hash split
+    // silently violates. Gated on per-split counts, distinct clusters,
+    // and the id checksum.
+    "sample_split_leakproof" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.Sampling.leakproofSplit(d, "doc_id",
+          Dedup.minhashNearDuplicates(d, "doc_id", "text", 0.5)
+            .select("id_a", "id_b"),
+          Seq("train" -> 0.9, "val" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("doc_id")).as("id_sum"))
+    },
     // Incremental (daily-ingestion) exact dedup: history = hashes of docs
     // 0..249; the incoming batch mixes genuinely-new docs (250+),
     // re-crawls of old content (ids+10000, dropped via the index), and
@@ -533,6 +549,30 @@ object DedupQueries {
          |${duckComponentLosers(
              s"SELECT id_a, id_b FROM (\n$minhashPairsOracle\n) mp")}
          |)""".stripMargin,
+    // Replays the full chain: minhash pairs -> transitive closure ->
+    // min-id representative -> salted-hash bucket on the REPRESENTATIVE.
+    "sample_split_leakproof" ->
+      s"""WITH RECURSIVE pr AS (
+         |  SELECT id_a, id_b FROM (\n$minhashPairsOracle\n) mp),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |rep AS (SELECT a AS doc_id, least(a, MIN(b)) AS rep
+         |        FROM reach GROUP BY a),
+         |asgn AS (SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS rep
+         |         FROM documents d LEFT JOIN rep r USING (doc_id)),
+         |sp AS (SELECT doc_id, rep,
+         |         CASE WHEN ('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)),
+         |                    1, 15))::BIGINT % 10000 < 9000
+         |              THEN 'train' ELSE 'val' END AS split
+         |       FROM asgn)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM sp GROUP BY 1""".stripMargin,
     "text_dup_spans" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE length(trim(text)) > 0),

@@ -45,6 +45,15 @@ object ExtendedQueries {
         .select(col("user_id"), col("cnt"),
           round(col("cnt").cast("double") / col("__t"), 6).as("share"))
     },
+    // ANALYZE-style column stats: min/max/nulls/NDV per column in one
+    // scan — the stats table a cost-based planner reads before choosing
+    // join strategies, long-format so new columns are new rows.
+    "diag_table_stats" -> { (s, dir) =>
+      graft.operators.TableStats.columnStats(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"),
+        castTo = Map("l_shipdate" -> "date"))
+    },
     // Pivot: explicit value list so the schema is static.
     "rel_q23_pivot" -> { (s, dir) =>
       reg(s, dir)
@@ -349,6 +358,20 @@ object ExtendedQueries {
         |t AS (SELECT COUNT(*) AS tot FROM events)
         |SELECT user_id, cnt, round(cnt::DOUBLE / tot, 6) AS share
         |FROM c, t ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
+    "diag_table_stats" -> {
+      def statRow(c: String, e: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(MIN($e) AS VARCHAR) AS min_val,
+           |  CAST(MAX($e) AS VARCHAR) AS max_val,
+           |  CAST(COUNT(*) - COUNT($e) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $e) AS BIGINT) AS ndv
+           |FROM lineitem""".stripMargin
+      Seq(statRow("l_orderkey", "l_orderkey"),
+        statRow("l_suppkey", "l_suppkey"),
+        statRow("l_returnflag", "l_returnflag"),
+        statRow("l_shipdate", "CAST(l_shipdate AS DATE)"))
+        .mkString("\nUNION ALL\n")
+    },
     "rel_q23_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,

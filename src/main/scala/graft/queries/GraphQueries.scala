@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.Graph
+
+/**
+ * Graph-analytics gates (SURVEY.md §2.5): a top-k affinity edge list
+ * derived relationally from `lineitem`, then exact-integer PageRank,
+ * triangle counts, and the degree histogram over it.
+ *
+ * Every oracle replays the full derivation — edge sparsification
+ * included — in DuckDB SQL; PageRank's iterations are unrolled as CTEs
+ * (same discipline as the BPE merge oracle), with every step in integer
+ * arithmetic so the replay is bit-exact.
+ */
+object GraphQueries {
+
+  /** Affinity-graph sparsification: keep each node's top-k partners. */
+  private val EdgeK = 8
+
+  /** Synchronous PageRank rounds (unrolled in the oracle). */
+  private val PrIters = 6
+
+  private val prScale = Graph.RankScale
+  private val prBase = Graph.teleportBase(prScale)
+
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    Graph.topKAffinityEdges(Tables.load(s, dir, "lineitem"), EdgeK)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The sparsified edge list itself — the substrate every other graph
+    // gate consumes, gated separately so a break here localizes.
+    "graph_affinity_edges" -> { (s, dir) => edges(s, dir) },
+    // Exact-integer PageRank over the affinity graph: the link-quality
+    // prior a web-corpus pipeline attaches to each page/host.
+    "graph_pagerank" -> { (s, dir) => Graph.pagerank(edges(s, dir), PrIters) },
+    // Per-node triangle participation: local clustering evidence
+    // (organic neighborhoods triangle-close; spam farms don't).
+    "graph_triangles" -> { (s, dir) => Graph.nodeTriangleCounts(edges(s, dir)) },
+    // Undirected degree histogram: the first diagnostic read before
+    // choosing a partitioning strategy for any graph-shaped join.
+    "graph_degrees" -> { (s, dir) => Graph.degreeHistogram(edges(s, dir)) }
+  )
+
+  /** DuckDB replay of [[Graph.topKAffinityEdges]] as a CTE chain ending
+    * in `e (src, dst, cnt)`. */
+  private val duckEdges: String =
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS s
+       |       FROM lineitem),
+       |p AS (SELECT a.s AS src, b.s AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM li a JOIN li b ON a.ok = b.ok AND a.s <> b.s
+       |      GROUP BY 1, 2),
+       |e AS (SELECT src, dst, cnt FROM (
+       |        SELECT src, dst, cnt,
+       |          ROW_NUMBER() OVER (PARTITION BY src
+       |                             ORDER BY cnt DESC, dst) AS rn
+       |        FROM p)
+       |      WHERE rn <= $EdgeK)""".stripMargin
+
+  /** Canonical undirected orientation over `e`. */
+  private val duckUndirected: String =
+    """u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+      |      FROM e GROUP BY 1, 2)""".stripMargin
+
+  /** One unrolled PageRank round r{i} from r{i-1}. SUM(BIGINT) is
+    * HUGEINT in DuckDB, so every round re-CASTs to BIGINT to stay on
+    * the engine's Long semantics. */
+  private def duckPrRound(i: Int): String =
+    s"""r$i AS (SELECT n.node,
+       |  CAST($prBase + (17 * COALESCE(s.m, 0)) // 20 AS BIGINT) AS r
+       |  FROM n LEFT JOIN (
+       |    SELECT e.dst, SUM(r.r // d.deg) AS m
+       |    FROM e JOIN r${i - 1} r ON e.src = r.node
+       |           JOIN deg d ON e.src = d.src
+       |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_affinity_edges" ->
+      s"""WITH $duckEdges
+         |SELECT src, dst, cnt FROM e""".stripMargin,
+    "graph_pagerank" ->
+      s"""WITH $duckEdges,
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST($prScale AS BIGINT) AS r FROM n),
+         |${(1 to PrIters).map(duckPrRound).mkString(",\n")}
+         |SELECT node, r AS rank_scaled,
+         |  round(CAST(r AS DOUBLE) / $prScale, 6) AS rank
+         |FROM r$PrIters""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH $duckEdges,
+         |$duckUndirected,
+         |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |        FROM u e1 JOIN u e2 ON e1.b = e2.a
+         |        JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+         |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+         |GROUP BY node""".stripMargin,
+    "graph_degrees" ->
+      s"""WITH $duckEdges,
+         |$duckUndirected,
+         |nd AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |       FROM (SELECT unnest([a, b]) AS node FROM u)
+         |       GROUP BY node)
+         |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM nd GROUP BY deg""".stripMargin
+  )
+}

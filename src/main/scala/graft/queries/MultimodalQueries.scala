@@ -140,6 +140,17 @@ object MultimodalQueries {
           col("meta")).as[MediaRecord]
       Multimodal.decodeAudioFeatures(m)
     },
+    // Per-frame energy / voice-activity profile over the decoded PCM
+    // stream (10 ms frames at 16 kHz): the silence-trim primitive. The
+    // oracle regenerates the sawtooth sample-by-sample and re-aggregates
+    // per frame — a frame-boundary or sum-of-squares bug cannot match.
+    "mm_audio_energy" -> { (s, dir) =>
+      import s.implicits._
+      val m = Multimodal.fromDocumentsWav(Tables.load(s, dir, "documents"))
+        .select(col("media_id").as("mediaId"), col("kind"), col("payload"),
+          col("meta")).as[MediaRecord]
+      Multimodal.audioFrameEnergy(m)
+    },
     // TRUE multi-frame decode: every frame of a real animated GIF payload
     // is read back; row count, dimensions, and per-frame colors all come
     // from the container's bytes and replay in closed form.
@@ -378,6 +389,22 @@ object MultimodalQueries {
         |    AS abs_sum,
         |  CAST(256 * h AS BIGINT) AS peak
         |FROM c""".stripMargin,
+    // Sample-by-sample replay of the sawtooth (v_i = (i%p - p//2)*256),
+    // re-cut into 160-sample frames; active iff sq_sum > n*16384.
+    "mm_audio_energy" ->
+      """WITH a AS (SELECT doc_id, doc_id % 150 AS d,
+        |            n_chars % 800 + 800 AS n FROM documents),
+        |pp AS (SELECT doc_id, n, 64 + d % 32 AS p,
+        |         (64 + d % 32) // 2 AS h FROM a),
+        |s AS (SELECT doc_id, u.i AS i, ((u.i % p) - h) * 256 AS v
+        |      FROM pp, unnest(range(n)) u(i)),
+        |f AS (SELECT doc_id, i // 160 AS frame_idx,
+        |        CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |        CAST(SUM(v * v) AS BIGINT) AS sq_sum
+        |      FROM s GROUP BY 1, 2)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  n_samples, sq_sum, sq_sum > n_samples * 16384 AS active
+        |FROM f""".stripMargin,
     // Frame f of doc d is the solid color (d+f, 3f, 100+f) on a 16x12
     // canvas, n = n_chars%4 + 2 frames per payload.
     "mm_frame_decode" ->

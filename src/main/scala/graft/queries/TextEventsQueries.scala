@@ -345,6 +345,12 @@ object TextEventsQueries {
     "text_lm_perplexity" -> { (s, dir) =>
       TextAnalysis.lmPerplexity(docs(s, dir), "doc_id", "text", 3)
     },
+    // CCNet-style head/middle/tail cut: per-language perplexity tiles,
+    // rolled up to the (lang, bucket) decision table a pipeline reads
+    // before dropping or down-weighting the tail.
+    "text_ppl_buckets" -> { (s, dir) =>
+      TextAnalysis.perplexityBuckets(docs(s, dir), "doc_id", "text", "lang")
+    },
     // In-engine-TRAINED BPE: 8 merge rounds over the corpus word table;
     // the oracle unrolls all 8 rounds (pair count -> argmax -> literal
     // replace) and must reproduce the merge table bit-for-bit.
@@ -750,6 +756,30 @@ object TextEventsQueries {
       s"CASE WHEN $s = best AND $s > 0 THEN '$lang' ELSE $acc END"
     }.replace("best", best) // inline; DuckDB lacks lateral alias reuse here
   }
+
+  /** DuckDB replay of [[TextAnalysis.lmPerplexity]] (n=3) as a CTE chain
+    * ending in `ppl (doc_id, n_grams, nll_scaled, avg_nll)` — shared by
+    * the perplexity gate and the CCNet-style bucket gate. */
+  private val duckPplCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |g AS (SELECT doc_id, array_to_string(tk[u.i+1 : u.i+2], ' ') AS prefix,
+      |        tk[u.i+3] AS next
+      |      FROM t CROSS JOIN
+      |        unnest(range(0, (SELECT MAX(len(tk)) - 2 FROM t))) u(i)
+      |      WHERE u.i <= len(tk) - 3),
+      |pc AS (SELECT prefix, next, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      |pf AS (SELECT prefix, SUM(cnt) AS pcnt FROM pc GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT next) AS v FROM pc),
+      |sc AS (SELECT g.doc_id, CAST(floor(
+      |    ln((cnt + 1)::DOUBLE / (pcnt + v)::DOUBLE) * 1000000.0) AS BIGINT)
+      |    AS lp
+      |  FROM g JOIN pc USING (prefix, next) JOIN pf USING (prefix)
+      |  CROSS JOIN v),
+      |ppl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(-SUM(lp) AS BIGINT) AS nll_scaled,
+      |  round(CAST(-SUM(lp) AS DOUBLE)
+      |        / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS avg_nll
+      |FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_lm_trigrams" ->
@@ -1181,25 +1211,21 @@ object TextEventsQueries {
          |    AS compression
          |FROM j GROUP BY doc_id""".stripMargin,
     "text_lm_perplexity" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |g AS (SELECT doc_id, array_to_string(tk[u.i+1 : u.i+2], ' ') AS prefix,
-        |        tk[u.i+3] AS next
-        |      FROM t CROSS JOIN
-        |        unnest(range(0, (SELECT MAX(len(tk)) - 2 FROM t))) u(i)
-        |      WHERE u.i <= len(tk) - 3),
-        |pc AS (SELECT prefix, next, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
-        |pf AS (SELECT prefix, SUM(cnt) AS pcnt FROM pc GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT next) AS v FROM pc),
-        |sc AS (SELECT g.doc_id, CAST(floor(
-        |    ln((cnt + 1)::DOUBLE / (pcnt + v)::DOUBLE) * 1000000.0) AS BIGINT)
-        |    AS lp
-        |  FROM g JOIN pc USING (prefix, next) JOIN pf USING (prefix)
-        |  CROSS JOIN v)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-        |  CAST(-SUM(lp) AS BIGINT) AS nll_scaled,
-        |  round(CAST(-SUM(lp) AS DOUBLE)
-        |        / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS avg_nll
-        |FROM sc GROUP BY doc_id""".stripMargin,
+      s"""WITH $duckPplCtes
+         |SELECT doc_id, n_grams, nll_scaled, avg_nll FROM ppl""".stripMargin,
+    // Per-language NTILE over the replayed perplexity table; ordering is
+    // (avg_nll, doc_id) — a total order, so tile boundaries are exact.
+    "text_ppl_buckets" ->
+      s"""WITH $duckPplCtes,
+         |lb AS (SELECT p.doc_id, p.n_grams, p.nll_scaled, d.lang,
+         |         NTILE(3) OVER (PARTITION BY d.lang
+         |                        ORDER BY p.avg_nll, p.doc_id) AS bucket
+         |       FROM ppl p JOIN documents d USING (doc_id))
+         |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nll_scaled) AS BIGINT) AS nll_scaled_sum,
+         |  CAST(SUM(n_grams) AS BIGINT) AS n_grams_sum
+         |FROM lb GROUP BY 1, 2""".stripMargin,
     "text_vocab_coverage" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |           FROM documents),

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/**
+ * Graph analytics (SURVEY §2.5): exact-integer PageRank semantics on
+ * hand-computable fixtures, triangle/degree correctness on a known
+ * graph, and the affinity-edge contract (top-k bound, determinism) on
+ * real testdata.
+ */
+class GraphSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val scale = Graph.RankScale
+  private val base = Graph.teleportBase(scale)
+
+  private def intDiv(a: Long, b: Long): Long = a / b
+  private def damp(m: Long): Long = base + intDiv(17L * m, 20L)
+
+  test("pagerank on a 3-cycle matches the hand-unrolled integer recurrence") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // Every node has out-degree 1 and exactly one in-edge, so each round
+    // applies r -> base + (17 * r) div 20 uniformly.
+    val r1 = damp(scale)
+    val r2 = damp(r1)
+    val got = Graph.pagerank(edges, 2, scale)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.toSet == Set(r2),
+      s"3-cycle ranks must all equal $r2, got $got")
+  }
+
+  test("pagerank: source-only node keeps teleport mass; dangling leaks") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, 2, scale)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    // Node 1 has no in-edges: rank is the teleport base every round.
+    assert(got(1L) == base)
+    // Node 2's round-2 rank derives from node 1's round-1 rank (= base);
+    // node 2's own mass leaked (it has no out-edges) — by contract.
+    assert(got(2L) == damp(base))
+  }
+
+  test("triangles and degrees on K4-minus-an-edge") {
+    // Nodes 1..4, all edges except (1,4): triangles (1,2,3) and (2,3,4).
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    // Feed edges in MIXED orientation to exercise canonicalization.
+    val edges = (und.take(2).map(_.swap) ++ und.drop(2)).toDF("src", "dst")
+    val tri = Graph.nodeTriangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    val deg = Graph.degreeHistogram(edges).as[(Long, Long)].collect().toMap
+    assert(deg == Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("topKAffinityEdges: per-src bound, no self-loops, deterministic") {
+    val li = Tables.load(spark, SparkTestBase.sf0001, "lineitem")
+    val e1 = Graph.topKAffinityEdges(li, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e2 = Graph.topKAffinityEdges(li, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e1.sorted.sameElements(e2.sorted), "edge list must be deterministic")
+    assert(e1.forall { case (s, d, _) => s != d }, "no self-loops")
+    val perSrc = e1.groupBy(_._1).map(_._2.length)
+    assert(perSrc.forall(_ <= 4), "top-k bound violated")
+  }
+
+  test("pagerank on the affinity graph: mass bounded, floor respected") {
+    val edges = Graph.topKAffinityEdges(
+      Tables.load(spark, SparkTestBase.sf0001, "lineitem"), 8)
+    val ranks = Graph.pagerank(edges, 3, scale)
+    val n = ranks.count()
+    val agg = ranks.agg(sum("rank_scaled"), min("rank_scaled")).head()
+    assert(agg.getLong(1) >= base, "every node keeps at least teleport mass")
+    // Flooring and dangling leakage only ever REMOVE mass.
+    assert(agg.getLong(0) <= n * scale, "total mass must not exceed N * scale")
+  }
+}

@@ -228,6 +228,32 @@ class MultimodalStreamingSpec extends GraftSuite {
     }
   }
 
+  test("audioFrameEnergy: frame cuts, exact sq sums, trailing partial frame") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").where(col("doc_id") < 50)
+    val m = Multimodal.fromDocumentsWav(docs).select(
+        col("media_id").as("mediaId"), col("kind"), col("payload"),
+        col("meta")).as[MediaRecord]
+    val nChars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frames = Multimodal.audioFrameEnergy(m, 160, 16384L).collect()
+      .groupBy(_.getLong(0))
+    assert(frames.keySet == nChars.keySet)
+    frames.foreach { case (did, rows) =>
+      val n = (nChars(did) % 800 + 800).toInt
+      val period = 64 + (did % 150).toInt % 32
+      val samples = (0 until n).map(i => (i % period - period / 2) * 256)
+      assert(rows.length == (n + 159) / 160, s"doc $did frame count")
+      rows.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, f) =>
+        val chunk = samples.slice(f * 160, math.min((f + 1) * 160, n))
+        val sq = chunk.map(s => s.toLong * s).sum
+        assert(r.getLong(2) == chunk.length && r.getLong(3) == sq,
+          s"doc $did frame $f")
+        assert(r.getBoolean(4) == (sq > chunk.length * 16384L))
+      }
+    }
+  }
+
   test("resizeDecoded resamples real pixels: nearest-neighbor red sums") {
     val nChars = Tables.load(spark, dir, "documents")
       .select("doc_id", "n_chars").collect()

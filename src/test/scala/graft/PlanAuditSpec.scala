@@ -30,6 +30,8 @@ class PlanAuditSpec extends GraftSuite {
     // LM scoring broadcasts the 1-row vocabulary size V into the
     // smoothing denominator (constant-size at any corpus size).
     "text_lm_perplexity",
+    // Same 1-row V broadcast via lmPerplexity, then per-lang tiling.
+    "text_ppl_buckets",
     // Skew diagnostic broadcasts the 1-row total count into per-key shares.
     "diag_key_skew",
     // Intended brute-force exactness baseline (queries x corpus); the

@@ -132,4 +132,33 @@ class SamplingSpec extends GraftSuite {
       weights, 100L).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("leakproofSplit: clusters never straddle splits; singletons = hashSplit") {
+    import spark.implicits._
+    // Chain 1-2-3, pair 50-60, and a cluster bridging what a per-doc
+    // split would separate; everything else is a singleton.
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 60L)).toDF("id_a", "id_b")
+    val out = Sampling.leakproofSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.9, "val" -> 0.1))
+      .select("doc_id", "cluster_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(out.length == 500)
+    // Representatives are component minima; members share the rep's split.
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(byId(id)._2 == 1L && byId(id)._3 == byId(1L)._3)
+    }
+    Seq(50L, 60L).foreach { id =>
+      assert(byId(id)._2 == 50L && byId(id)._3 == byId(50L)._3)
+    }
+    // Singletons: own id as cluster, same assignment as plain hashSplit.
+    val plain = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(t => !Set(1L, 2L, 3L, 50L, 60L).contains(t._1))
+      .foreach { case (id, rep, split) =>
+        assert(rep == id && split == plain(id), s"singleton $id")
+      }
+  }
 }

@@ -207,6 +207,27 @@ class TextAnalysisSpec extends GraftSuite {
     assert(red(3) == "no pii here")
   }
 
+  test("perplexityBuckets: tiles near-equal per lang, head more fluent than tail") {
+    val docs = Tables.load(spark, SparkTestBase.sf0001, "documents")
+    val ppl = TextAnalysis.lmPerplexity(docs, "doc_id", "text", 3)
+    val buckets = TextAnalysis.perplexityBuckets(
+        docs, "doc_id", "text", "lang").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    // Bucketing partitions the scored doc set exactly.
+    assert(buckets.map(_._2._1).sum == ppl.count())
+    buckets.groupBy(_._1._1).foreach { case (lang, rows) =>
+      val byBucket = rows.map(t => t._1._2 -> t._2).toMap
+      // NTILE: tile sizes within 1 of each other.
+      val sizes = byBucket.values.map(_._1)
+      assert(sizes.max - sizes.min <= 1, s"$lang tile sizes $sizes")
+      // Mean NLL must not decrease from head (1) to tail (3).
+      val means = (1L to 3L).flatMap(b => byBucket.get(b).map { case (n, nll, g) =>
+        nll.toDouble / (g * 1e6) })
+      assert(means.sameElements(means.sorted), s"$lang bucket means $means")
+    }
+  }
+
   test("codegen CharGrams/WordShingles == interpreted HOF forms") {
     import graft.operators.TextHash
     // Real corpus plus the edge shapes: empty text, shorter-than-n,
