@@ -516,6 +516,54 @@ object TextAnalysis {
   }
 
   /**
+   * Pointwise mutual information over nearby word pairs (forward windows
+   * of gap 1 and 2) — the word2vec-era phrase/collocation signal: high
+   * PMI pairs ("new york") are phrases a tokenizer should keep together;
+   * PMI against frequency separates collocation from coincidence.
+   *
+   *   pmi = ln( (c_ab / P) / ((c_a / T) * (c_b / T)) )
+   *       = ln( (c_ab * T * T) / (P * c_a * c_b) )
+   *
+   * computed as ONE ln() on a ratio of two exact Long products (both
+   * engines cast the same integers, so IEEE rounding agrees even when
+   * the products exceed 2^53), floor-quantized to 1e-6 — the
+   * lmPerplexity discipline. Pairs below `minCount` are cut (standard:
+   * PMI of rare pairs is noise).
+   *
+   * Scale shape: the pair stream is a narrow HOF projection (two shifted
+   * zips — no self-join on positions); one (a, b) keyed count with
+   * map-side partials over it, one vocabulary-sized unigram count, two
+   * vocabulary-keyed joins to attach c_a/c_b, and two 1-row totals
+   * broadcast into the scoring projection. The minCount cut happens
+   * BEFORE the joins, so only surviving pairs shuffle twice.
+   */
+  def wordPmi(docs: DataFrame, textCol: String, minCount: Long = 5L)
+      : DataFrame = {
+    require(minCount >= 1, "wordPmi: minCount >= 1")
+    val base = docs.select(toks(col(textCol)).as("t"))
+    def gapPairs(g: Int) = base.where(size(col("t")) > g)
+      .select(explode(expr(
+        s"transform(sequence(0, size(t) - ${g + 1}), " +
+          s"i -> struct(t[i] as a, t[i + $g] as b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+    val pairs = gapPairs(1).unionAll(gapPairs(2))
+    val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    val words = docs.select(explode(toks(col(textCol))).as("w"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = words.agg(count(lit(1)).as("t"))
+    val ptot = pairs.agg(count(lit(1)).as("p"))
+    pc
+      .join(uni.select(col("w").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
+      .select(col("a"), col("b"), col("cnt"),
+        floor(log((col("cnt") * col("t") * col("t")).cast("double") /
+          (col("p") * col("ca") * col("cb")).cast("double")) *
+          lit(1000000.0)).cast("long").as("pmi_scaled"))
+  }
+
+  /**
    * Tokenizer-vocabulary coverage: build the top-`vocabSize` word
    * vocabulary by corpus frequency (ties break toward the
    * lexicographically smaller word), then report each document's

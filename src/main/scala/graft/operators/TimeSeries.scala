@@ -55,4 +55,36 @@ object TimeSeries {
       .withColumn("z",
         when(cnt >= 2 && variance > 0.0, round(z, 6)))
   }
+
+  /**
+   * First-order Markov transition matrix over per-key event sequences:
+   * for each observed (current, next) state pair, its count and the
+   * fixed-point conditional probability
+   * `p_scaled = (cnt * 10^6) div rowtotal(current)` — the
+   * behavioral-model summary (and anomalous-sequence detector input) a
+   * session pipeline derives from its event log.
+   *
+   * Determinism contract: successor pairing is a LEAD window ordered by
+   * (orderCol, tiebreakCol) — a total order — and the probability is one
+   * integer division, so both engines agree bit-for-bit.
+   *
+   * Scale shape: one shuffle keyed by the sequence key (the window),
+   * then a (cur, nxt) keyed count with map-side partials — the count
+   * table is states², not event-sized; the per-cur total is a window
+   * over that tiny table. Nothing downstream of the first shuffle is
+   * corpus-scale.
+   */
+  def transitionMatrix(events: DataFrame, keyCol: String, stateCol: String,
+      orderCol: String, tiebreakCol: String): DataFrame = {
+    val seq = Window.partitionBy(keyCol).orderBy(col(orderCol), col(tiebreakCol))
+    val counts = events
+      .withColumn("__nxt", lead(col(stateCol), 1).over(seq))
+      .where(col("__nxt").isNotNull)
+      .groupBy(col(stateCol).as("cur"), col("__nxt").as("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val perCur = Window.partitionBy("cur")
+    counts
+      .withColumn("cur_total", sum(col("cnt")).over(perCur))
+      .withColumn("p_scaled", expr("(cnt * 1000000) div cur_total"))
+  }
 }

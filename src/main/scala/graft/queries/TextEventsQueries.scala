@@ -351,6 +351,18 @@ object TextEventsQueries {
     "text_ppl_buckets" -> { (s, dir) =>
       TextAnalysis.perplexityBuckets(docs(s, dir), "doc_id", "text", "lang")
     },
+    // Collocation PMI over forward word pairs (gap 1-2): the phrase
+    // signal a tokenizer/vocab builder reads; one ln() on exact integer
+    // products, floor-quantized — fully hash-gated.
+    "text_word_pmi" -> { (s, dir) =>
+      TextAnalysis.wordPmi(docs(s, dir), "text")
+    },
+    // First-order Markov transitions over per-user event sequences:
+    // exact counts + fixed-point conditional probabilities.
+    "events_transition_matrix" -> { (s, dir) =>
+      graft.operators.TimeSeries.transitionMatrix(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+    },
     // In-engine-TRAINED BPE: 8 merge rounds over the corpus word table;
     // the oracle unrolls all 8 rounds (pair count -> argmax -> literal
     // replace) and must reproduce the merge table bit-for-bit.
@@ -1213,6 +1225,41 @@ object TextEventsQueries {
     "text_lm_perplexity" ->
       s"""WITH $duckPplCtes
          |SELECT doc_id, n_grams, nll_scaled, avg_nll FROM ppl""".stripMargin,
+    // Forward pairs replayed with 1-based list indexing; the PMI ratio
+    // multiplies the same exact BIGINTs both engines cast to double.
+    "text_word_pmi" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |pairs AS (
+        |  SELECT tk[u.i+1] AS a, tk[u.i+2] AS b
+        |  FROM t, unnest(range(len(tk) - 1)) u(i)
+        |  UNION ALL
+        |  SELECT tk[u.i+1] AS a, tk[u.i+3] AS b
+        |  FROM t, unnest(range(len(tk) - 2)) u(i)),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |        GROUP BY 1),
+        |tw AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM
+        |       (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM pairs),
+        |pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM pairs GROUP BY 1, 2)
+        |SELECT pc.a, pc.b, pc.cnt,
+        |  CAST(floor(ln((pc.cnt * tw.t * tw.t)::DOUBLE /
+        |               (pt.p * ua.c * ub.c)::DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS pmi_scaled
+        |FROM pc JOIN uni ua ON pc.a = ua.w JOIN uni ub ON pc.b = ub.w
+        |CROSS JOIN tw CROSS JOIN pt
+        |WHERE pc.cnt >= 5""".stripMargin,
+    "events_transition_matrix" ->
+      """WITH seq AS (SELECT event_type, LEAD(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events),
+        |c AS (SELECT event_type AS cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, CAST(SUM(cnt) AS BIGINT) AS cur_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.cnt, t.cur_total,
+        |  CAST((c.cnt * 1000000) // t.cur_total AS BIGINT) AS p_scaled
+        |FROM c JOIN t USING (cur)""".stripMargin,
     // Per-language NTILE over the replayed perplexity table; ordering is
     // (avg_nll, doc_id) — a total order, so tile boundaries are exact.
     "text_ppl_buckets" ->

@@ -32,6 +32,8 @@ class PlanAuditSpec extends GraftSuite {
     "text_lm_perplexity",
     // Same 1-row V broadcast via lmPerplexity, then per-lang tiling.
     "text_ppl_buckets",
+    // PMI broadcasts the 1-row token and pair totals into the scorer.
+    "text_word_pmi",
     // Skew diagnostic broadcasts the 1-row total count into per-key shares.
     "diag_key_skew",
     // Intended brute-force exactness baseline (queries x corpus); the

@@ -56,4 +56,35 @@ class TimeSeriesSpec extends GraftSuite {
     assert(top.find(t => t._1 == 1L && t._2 == 1L).get._3 == "rare")
     assert(top.find(t => t._1 == 1L && t._2 == 2L).get._3 == "the")
   }
+
+  test("transitionMatrix: exact counts and fixed-point row probabilities") {
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+      (2L, 1L, "B"), (2L, 2L, "B"))
+      .toDF("user_id", "seq", "event_type")
+    val got = TimeSeries.transitionMatrix(ev, "user_id", "event_type",
+        "seq", "seq").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      ("A", "B") -> (1L, 1L, 1000000L),
+      ("B", "A") -> (1L, 2L, 500000L),
+      ("B", "B") -> (1L, 2L, 500000L)))
+  }
+
+  test("wordPmi: collocation beats coincidence, exact fixed-point values") {
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordPmi(docs, "text", minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // T=6 tokens, P=9 pairs, c_x=c_y=3; e.g. pmi(x,y)=ln(3*36/(9*9)).
+    def pmi(cab: Long) =
+      math.floor(math.log(cab * 36.0 / (9.0 * 9.0)) * 1e6).toLong
+    assert(got(("x", "y")) == (3L, pmi(3)))
+    assert(got(("y", "x")) == (2L, pmi(2)))
+    assert(got(("x", "x")) == (2L, pmi(2)))
+    assert(got(("y", "y")) == (2L, pmi(2)))
+    // The adjacent collocation outranks the coincidental same-word pair.
+    assert(got(("x", "y"))._2 > got(("x", "x"))._2)
+  }
 }
