@@ -100,6 +100,41 @@ object Graph {
       scale: Long = RankScale): DataFrame = {
     require(iterations >= 1, "pagerank: iterations >= 1")
     require(scale >= 1000, s"pagerank: scale >= 1000, got $scale")
+    val (e, outdeg, nodes) = edgeTables(edges)
+    val based = nodes
+      .withColumn("__base", lit(teleportBase(scale)))
+      .withColumn("__r0", lit(scale))
+    rankLoop(e, outdeg, based, iterations, scale)
+  }
+
+  /**
+   * Personalized PageRank: identical recurrence, but teleport mass lands
+   * ONLY on `seeds` — rank measures proximity to the seed set under
+   * random walks, the related-entity retrieval / trusted-source
+   * propagation primitive (a TrustRank-style quality prior when seeds
+   * are vetted-good hosts). Non-seed nodes start at 0 and earn rank only
+   * through propagation. Same integer contract and scale shape as
+   * [[pagerank]]; the seed flag is one vertex-sized left join before the
+   * loop.
+   */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, scale: Long = RankScale): DataFrame = {
+    require(iterations >= 1, "personalizedPagerank: iterations >= 1")
+    require(scale >= 1000, s"personalizedPagerank: scale >= 1000, got $scale")
+    val (e, outdeg, nodes) = edgeTables(edges)
+    val seedSet = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("__seed", lit(1L))
+    val based = nodes.join(seedSet, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("__seed"), lit(0L)) * teleportBase(scale)).as("__base"),
+        (coalesce(col("__seed"), lit(0L)) * scale).as("__r0"))
+    rankLoop(e, outdeg, based, iterations, scale)
+  }
+
+  /** Canonical (edges, out-degrees, vertices), each persisted — built
+    * once, consumed by every rank iteration. */
+  private def edgeTables(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
       .repartition(col("src"))
@@ -109,18 +144,24 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val base = teleportBase(scale)
-    var ranks = nodes.withColumn("rank_scaled", lit(scale))
+    (e, outdeg, nodes)
+  }
+
+  /** The shared synchronous rank recurrence over vertex rows carrying
+    * per-node (__base, __r0) fixed-point columns. */
+  private def rankLoop(e: DataFrame, outdeg: DataFrame, based: DataFrame,
+      iterations: Int, scale: Long): DataFrame = {
+    var ranks = based.select(col("node"), col("__r0").as("rank_scaled"))
     for (_ <- 1 to iterations) {
       val shares = ranks.withColumnRenamed("node", "src")
         .join(outdeg, "src")
         .select(col("src"), expr("rank_scaled div deg").as("share"))
       val inbound = e.join(shares, "src")
         .groupBy("dst").agg(sum(col("share")).as("m"))
-      ranks = nodes
-        .join(inbound, nodes("node") === inbound("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(17 * coalesce(m, 0)) div 20"))
+      ranks = based
+        .join(inbound, based("node") === inbound("dst"), "left")
+        .select(based("node"),
+          (col("__base") + expr("(17 * coalesce(m, 0)) div 20"))
             .as("rank_scaled"))
         .localCheckpoint()
     }
@@ -157,6 +198,37 @@ object Graph {
       .join(u.as("e3"),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+  }
+
+  /**
+   * R-round k-core peel: repeatedly drop nodes whose undirected degree
+   * is below `k` (with their incident edges) for exactly `rounds`
+   * rounds, then report surviving nodes with their final degrees. With
+   * enough rounds this converges to the k-core — the dense backbone
+   * that separates organically-linked neighborhoods from fringe/spam
+   * tendrils; the FIXED round count is the oracle-replayable contract
+   * (each round is deterministic, so R rounds are too).
+   *
+   * Scale shape: each round is one vertex-sized degree aggregate and
+   * two semi-joins of the (shrinking) edge list against the keep set,
+   * localCheckpointed so the plan never deepens. Rounds needed in
+   * practice ~ peel depth, not graph size.
+   */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCorePeel: k >= 1 and rounds >= 1")
+    var u = undirect(edges).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = u.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("node")
+      u = u
+        .join(keep.withColumnRenamed("node", "a"), "a")
+        .join(keep.withColumnRenamed("node", "b"), "b")
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    u.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
   /** Per-node triangle participation counts (nodes in >= 1 triangle). */

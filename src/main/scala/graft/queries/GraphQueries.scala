@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.operators.Graph
@@ -36,6 +37,19 @@ object GraphQueries {
     // Exact-integer PageRank over the affinity graph: the link-quality
     // prior a web-corpus pipeline attaches to each page/host.
     "graph_pagerank" -> { (s, dir) => Graph.pagerank(edges(s, dir), PrIters) },
+    // Personalized PageRank from a deterministic seed set (node%10==0):
+    // proximity-to-trusted-sources — the TrustRank-style quality prior.
+    "graph_pagerank_personalized" -> { (s, dir) =>
+      val e = edges(s, dir)
+      val seeds = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .where(col("node") % 10 === 0)
+      Graph.personalizedPagerank(e, seeds, PrIters)
+    },
+    // 3 rounds of k=3 core peeling: the dense-backbone filter that
+    // separates organic neighborhoods from fringe tendrils.
+    "graph_kcore" -> { (s, dir) => Graph.kCorePeel(edges(s, dir), 3, 3) },
     // Per-node triangle participation: local clustering evidence
     // (organic neighborhoods triangle-close; spam farms don't).
     "graph_triangles" -> { (s, dir) => Graph.nodeTriangleCounts(edges(s, dir)) },
@@ -64,17 +78,28 @@ object GraphQueries {
     """u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
       |      FROM e GROUP BY 1, 2)""".stripMargin
 
-  /** One unrolled PageRank round r{i} from r{i-1}. SUM(BIGINT) is
-    * HUGEINT in DuckDB, so every round re-CASTs to BIGINT to stay on
-    * the engine's Long semantics. */
-  private def duckPrRound(i: Int): String =
+  /** One unrolled rank round r{i} from r{i-1}, with `baseSql` the
+    * per-node teleport term. SUM(BIGINT) is HUGEINT in DuckDB, so every
+    * round re-CASTs to BIGINT to stay on the engine's Long semantics. */
+  private def duckPrRound(i: Int,
+      baseSql: String = prBase.toString): String =
     s"""r$i AS (SELECT n.node,
-       |  CAST($prBase + (17 * COALESCE(s.m, 0)) // 20 AS BIGINT) AS r
+       |  CAST(($baseSql) + (17 * COALESCE(s.m, 0)) // 20 AS BIGINT) AS r
        |  FROM n LEFT JOIN (
        |    SELECT e.dst, SUM(r.r // d.deg) AS m
        |    FROM e JOIN r${i - 1} r ON e.src = r.node
        |           JOIN deg d ON e.src = d.src
        |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
+
+  /** One k-core peel round u{i} from u{i-1} (drop nodes with deg < k). */
+  private def duckPeelRound(i: Int, k: Int): String =
+    s"""k$i AS (SELECT node FROM (
+       |    SELECT node, COUNT(*) AS deg
+       |    FROM (SELECT unnest([a, b]) AS node FROM u${i - 1})
+       |    GROUP BY node) WHERE deg >= $k),
+       |u$i AS (SELECT u.a, u.b FROM u${i - 1} u
+       |        JOIN k$i ka ON u.a = ka.node
+       |        JOIN k$i kb ON u.b = kb.node)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "graph_affinity_edges" ->
@@ -86,10 +111,31 @@ object GraphQueries {
          |        FROM e GROUP BY 1),
          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |r0 AS (SELECT node, CAST($prScale AS BIGINT) AS r FROM n),
-         |${(1 to PrIters).map(duckPrRound).mkString(",\n")}
+         |${(1 to PrIters).map(duckPrRound(_)).mkString(",\n")}
          |SELECT node, r AS rank_scaled,
          |  round(CAST(r AS DOUBLE) / $prScale, 6) AS rank
          |FROM r$PrIters""".stripMargin,
+    "graph_pagerank_personalized" ->
+      s"""WITH $duckEdges,
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST(CASE WHEN node % 10 = 0
+         |         THEN $prScale ELSE 0 END AS BIGINT) AS r FROM n),
+         |${(1 to PrIters).map(duckPrRound(_,
+             s"CASE WHEN n.node % 10 = 0 THEN $prBase ELSE 0 END"))
+           .mkString(",\n")}
+         |SELECT node, r AS rank_scaled,
+         |  round(CAST(r AS DOUBLE) / $prScale, 6) AS rank
+         |FROM r$PrIters""".stripMargin,
+    "graph_kcore" ->
+      s"""WITH $duckEdges,
+         |u0 AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM e GROUP BY 1, 2),
+         |${(1 to 3).map(duckPeelRound(_, 3)).mkString(",\n")}
+         |SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |FROM (SELECT unnest([a, b]) AS node FROM u3)
+         |GROUP BY node""".stripMargin,
     "graph_triangles" ->
       s"""WITH $duckEdges,
          |$duckUndirected,

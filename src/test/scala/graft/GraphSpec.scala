@@ -43,6 +43,28 @@ class GraphSpec extends GraftSuite {
     assert(got(2L) == damp(base))
   }
 
+  test("personalized pagerank: mass flows outward from the seed only") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.personalizedPagerank(edges, seeds, 2, scale)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    // Hand-unrolled: r1 = (B, 17S div 20 damped, 0); r2 below.
+    assert(got(1L) == base)
+    assert(got(2L) == intDiv(17L * base, 20L))
+    assert(got(3L) == intDiv(17L * intDiv(17L * scale, 20L), 20L))
+  }
+
+  test("kCorePeel: K4-minus-edge collapses at k=3, stable at k=2") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    // k=3: round 1 drops nodes 1 and 4 (degree 2); the surviving (2,3)
+    // edge leaves both at degree 1, so round 2 empties the graph.
+    assert(Graph.kCorePeel(edges, 3, 2).isEmpty)
+    // k=2: every node has degree >= 2 — peeling is a fixed point.
+    val stable = Graph.kCorePeel(edges, 2, 3).as[(Long, Long)].collect().toMap
+    assert(stable == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
+  }
+
   test("triangles and degrees on K4-minus-an-edge") {
     // Nodes 1..4, all edges except (1,4): triangles (1,2,3) and (2,3,4).
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
