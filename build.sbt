@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 200+ whole-stage-codegen'd queries in one JVM generate more JIT'd
+  // classes than the default 240 MB code cache holds; when it fills the
+  // JIT disables and EVERYTHING runs interpreted (~10-50x slower late in
+  // a bench/verify run). Size it so the full workload stays compiled.
+  "-XX:ReservedCodeCacheSize=1g",
 )
