@@ -151,19 +151,28 @@ object Graph {
     * per-node (__base, __r0) fixed-point columns. */
   private def rankLoop(e: DataFrame, outdeg: DataFrame, based: DataFrame,
       iterations: Int, scale: Long): DataFrame = {
-    var ranks = based.select(col("node"), col("__r0").as("rank_scaled"))
-    for (_ <- 1 to iterations) {
+    // The vertex/base table is re-joined every round — materialize it
+    // once instead of replaying its derivation (seed join, distinct).
+    val b = based.localCheckpoint()
+    var ranks = b.select(col("node"), col("__r0").as("rank_scaled"))
+    for (i <- 1 to iterations) {
       val shares = ranks.withColumnRenamed("node", "src")
         .join(outdeg, "src")
         .select(col("src"), expr("rank_scaled div deg").as("share"))
       val inbound = e.join(shares, "src")
         .groupBy("dst").agg(sum(col("share")).as("m"))
-      ranks = based
-        .join(inbound, based("node") === inbound("dst"), "left")
-        .select(based("node"),
+      val next = b
+        .join(inbound, b("node") === inbound("dst"), "left")
+        .select(b("node"),
           (col("__base") + expr("(17 * coalesce(m, 0)) div 20"))
             .as("rank_scaled"))
-        .localCheckpoint()
+      // Rank lineage grows LINEARLY (each round consumes the previous
+      // ranks exactly once), so a checkpoint every other round bounds
+      // plan depth at 2 rounds while halving the eager materialization
+      // stalls — the per-iteration driver sync is the dominant cost of
+      // the loop on small graphs.
+      ranks = if (i % 2 == 0 || i == iterations) next.localCheckpoint()
+        else next
     }
     ranks.withColumn("rank",
       round(col("rank_scaled").cast("double") / scale.toDouble, 6))
