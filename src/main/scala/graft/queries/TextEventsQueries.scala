@@ -363,6 +363,12 @@ object TextEventsQueries {
       graft.operators.TimeSeries.transitionMatrix(
         events(s, dir), "user_id", "event_type", "ts", "event_id")
     },
+    // Event-log -> training-sequence export: per-user ordered state
+    // strings (total order via the struct sort, partition-independent).
+    "events_user_sequences" -> { (s, dir) =>
+      graft.operators.TimeSeries.keyedSequences(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+    },
     // In-engine-TRAINED BPE: 8 merge rounds over the corpus word table;
     // the oracle unrolls all 8 rounds (pair count -> argmax -> literal
     // replace) and must reproduce the merge table bit-for-bit.
@@ -1250,6 +1256,10 @@ object TextEventsQueries {
         |FROM pc JOIN uni ua ON pc.a = ua.w JOIN uni ub ON pc.b = ub.w
         |CROSS JOIN tw CROSS JOIN pt
         |WHERE pc.cnt >= 5""".stripMargin,
+    "events_user_sequences" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
+        |FROM events GROUP BY user_id""".stripMargin,
     "events_transition_matrix" ->
       """WITH seq AS (SELECT event_type, LEAD(event_type) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events),

@@ -72,6 +72,20 @@ class TimeSeriesSpec extends GraftSuite {
       ("B", "B") -> (1L, 2L, 500000L)))
   }
 
+  test("keyedSequences: total order, partition-independent") {
+    val ev = Seq(
+      (1L, 3L, "C"), (1L, 1L, "A"), (1L, 2L, "B"),
+      (2L, 1L, "X"))
+      .toDF("user_id", "seq", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.keyedSequences(df, "user_id", "event_type", "seq", "seq")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+    val got = run(ev)
+    assert(got == Map(1L -> (3L, "A>B>C"), 2L -> (1L, "X")))
+    assert(run(ev.repartition(7)) == got, "must not depend on partitioning")
+  }
+
   test("wordPmi: collocation beats coincidence, exact fixed-point values") {
     val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
     val got = TextAnalysis.wordPmi(docs, "text", minCount = 1L).collect()
