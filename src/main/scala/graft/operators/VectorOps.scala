@@ -47,4 +47,29 @@ object VectorOps {
     transform(vec, x =>
       floor(x.cast("double") * 127.0 / m + 0.5).cast("int"))
   }
+
+  /**
+   * ANALYZE for embeddings: per-DIMENSION count, exact fixed-point sum
+   * (floor(x · 2^20) — a float's 24-bit mantissa times 2^20 is exact in
+   * double, and BIGINT sums are order-independent), min/max, and the
+   * rounded mean. The drift/health read before trusting an embedding
+   * column: a dimension whose mean wandered or whose range collapsed
+   * flags a bad encoder batch or a normalization bug.
+   *
+   * Scale shape: one posexplode (rows × dim — the honest cost of
+   * per-dimension stats) straight into a dim-keyed aggregate with
+   * map-side partials; output is dim-sized. At 100 TB, sample the rows
+   * first — the stats are estimates of the same moments either way.
+   */
+  def dimensionStats(vecs: org.apache.spark.sql.DataFrame,
+      vecCol: String): org.apache.spark.sql.DataFrame = {
+    val scaled = floor(col("x").cast("double") * lit(1048576.0)).cast("long")
+    vecs.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), scaled.as("xs"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("xs")).as("sum_scaled"),
+        min(col("xs")).as("min_scaled"), max(col("xs")).as("max_scaled"))
+      .withColumn("mean", round(col("sum_scaled").cast("double") /
+        (col("n") * lit(1048576L)).cast("double"), 6))
+  }
 }

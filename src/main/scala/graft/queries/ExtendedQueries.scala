@@ -54,6 +54,14 @@ object ExtendedQueries {
         Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"),
         castTo = Map("l_shipdate" -> "date"))
     },
+    // ε-DP noisy-counts release (Laplace mechanism, sensitivity-1 count
+    // query): the generator family doing its canonical data-engineering
+    // job. Exact counts hash-gate; the seeded noise is witnessed by a
+    // 30b bound (tail mass ~9e-14) and the nonneg clamp.
+    "priv_dp_counts" -> { (s, dir) =>
+      graft.operators.Privacy.dpCounts(Tables.load(s, dir, "documents"),
+        Seq("lang"), epsilon = 0.5, seed = 77L, audit = true)
+    },
     // Pivot: explicit value list so the schema is static.
     "rel_q23_pivot" -> { (s, dir) =>
       reg(s, dir)
@@ -372,6 +380,10 @@ object ExtendedQueries {
         statRow("l_shipdate", "CAST(l_shipdate AS DATE)"))
         .mkString("\nUNION ALL\n")
     },
+    "priv_dp_counts" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  TRUE AS noise_bounded, TRUE AS nonneg
+        |FROM documents GROUP BY lang""".stripMargin,
     "rel_q23_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,

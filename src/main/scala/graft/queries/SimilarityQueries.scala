@@ -208,6 +208,11 @@ object SimilarityQueries {
         evalSet, "id", "vec", "eval_id", "evec",
         threshold = 0.98, NumTables, NumPlanes, Seed, Dim)
     },
+    // ANALYZE for embeddings: per-dimension moments/range in exact
+    // fixed point — the drift diagnostic before trusting a vector batch.
+    "sim_dim_stats" -> { (s, dir) =>
+      graft.operators.VectorOps.dimensionStats(emb(s, dir), "embedding")
+    },
     // Symmetric int8 scalar quantization, integer evidence per vector.
     "sim_quantize_int8" -> { (s, dir) =>
       emb(s, dir)
@@ -456,6 +461,17 @@ object SimilarityQueries {
          |          ORDER BY score DESC, id) AS rn FROM sc)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
          |FROM r WHERE rn <= 5""".stripMargin,
+    "sim_dim_stats" ->
+      """WITH x AS (SELECT CAST(u.i AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[u.i+1] AS DOUBLE) * 1048576.0)
+        |      AS BIGINT) AS xs
+        |  FROM embeddings, unnest(range(len(embedding))) u(i))
+        |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(xs) AS BIGINT) AS sum_scaled,
+        |  MIN(xs) AS min_scaled, MAX(xs) AS max_scaled,
+        |  round(CAST(SUM(xs) AS DOUBLE)
+        |        / CAST(COUNT(*) * 1048576 AS DOUBLE), 6) AS mean
+        |FROM x GROUP BY dim""".stripMargin,
     "sim_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Privacy, VectorOps}
+
+/** DP release + embedding-stats operators (SURVEY §2.5). */
+class PrivacySpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, SparkTestBase.sf001, "documents")
+
+  test("dpCounts: exact counts preserved, noise bounded, release deterministic") {
+    val audit = Privacy.dpCounts(docs, Seq("lang"), 0.5, 77L, audit = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    val truth = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit.view.mapValues(_._1).toMap == truth)
+    assert(audit.values.forall(v => v._2 && v._3), "noise bound / clamp")
+    // Retry stability: the SAME noise on re-execution (partition-seeded
+    // generator) — a re-released table must not leak via noise averaging.
+    val a = Privacy.dpCounts(docs, Seq("lang"), 0.5, 77L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Privacy.dpCounts(docs, Seq("lang"), 0.5, 77L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "release must be deterministic under the seed")
+    assert(a != truth, "noise must actually perturb at eps=0.5")
+    intercept[IllegalArgumentException](Privacy.dpCounts(docs, Seq("lang"), 0.0, 1L))
+  }
+
+  test("dimensionStats: exact fixed-point moments on known vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f)), (2L, Array(0.5f, 4.0f)))
+      .toDF("id", "embedding")
+    val got = VectorOps.dimensionStats(vecs, "embedding").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val s = 1048576L
+    assert(got(0L) == (2L, s + s / 2, s / 2, s))
+    assert(got(1L) == (2L, -2 * s + 4 * s, -2 * s, 4 * s))
+  }
+}
