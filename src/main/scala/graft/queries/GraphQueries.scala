@@ -50,6 +50,38 @@ object GraphQueries {
     // 3 rounds of k=3 core peeling: the dense-backbone filter that
     // separates organic neighborhoods from fringe tendrils.
     "graph_kcore" -> { (s, dir) => Graph.kCorePeel(edges(s, dir), 3, 3) },
+    // STREAMING edge maintenance: lineitem rows arrive in two
+    // micro-batches split by line number — every multi-line order
+    // straddles the batches, so the cross-batch membership join is
+    // load-bearing, not decorative. The folded counts must equal the
+    // batch computation bit-for-bit (same oracle as the batch gate).
+    "stream_graph_edges" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sgraph").toString
+      val logDir = s"$root/batches"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+      Seq(li.where(col("l_linenumber") % 2 === 1),
+          li.where(col("l_linenumber") % 2 === 0))
+        .zipWithIndex.foreach { case (slice, i) =>
+          val stage = s"$root/stage$i"
+          slice.select("l_orderkey", "l_suppkey")
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = java.nio.file.Paths.get(logDir, f"b$i%03d.parquet")
+          java.nio.file.Files.copy(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1000000000000L + i * 60000L))
+        }
+      val pc = graft.streaming.GraphStream.incrementalPairCounts(
+        s, logDir,
+        li.select("l_orderkey", "l_suppkey").schema,
+        s"$root/state", "l_orderkey", "l_suppkey")
+      graft.streaming.GraphStream.topKEdges(pc, EdgeK)
+    },
     // Per-node triangle participation: local clustering evidence
     // (organic neighborhoods triangle-close; spam farms don't).
     "graph_triangles" -> { (s, dir) => Graph.nodeTriangleCounts(edges(s, dir)) },
@@ -103,6 +135,10 @@ object GraphQueries {
 
   val oracleSql: Map[String, String] = Map(
     "graph_affinity_edges" ->
+      s"""WITH $duckEdges
+         |SELECT src, dst, cnt FROM e""".stripMargin,
+    // The stream fold must land exactly on the batch edge computation.
+    "stream_graph_edges" ->
       s"""WITH $duckEdges
          |SELECT src, dst, cnt FROM e""".stripMargin,
     "graph_pagerank" ->

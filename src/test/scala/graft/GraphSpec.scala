@@ -89,6 +89,43 @@ class GraphSpec extends GraftSuite {
     assert(perSrc.forall(_ <= 4), "top-k bound violated")
   }
 
+  test("streaming edge fold == batch edges; cross-batch orders pair; state vacuumed") {
+    val li = Tables.load(spark, SparkTestBase.sf0001, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_linenumber")
+    val root = java.nio.file.Files.createTempDirectory("graft_gs").toString
+    val logDir = s"$root/batches"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+    Seq(li.where(col("l_linenumber") % 2 === 1),
+        li.where(col("l_linenumber") % 2 === 0))
+      .zipWithIndex.foreach { case (slice, i) =>
+        val stage = s"$root/stage$i"
+        slice.select("l_orderkey", "l_suppkey")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(logDir, f"b$i%03d.parquet"))
+      }
+    // Sanity: the split genuinely strands order-mates across batches.
+    val straddling = li.groupBy("l_orderkey")
+      .agg(countDistinct(when(col("l_linenumber") % 2 === 1, 1)
+        .otherwise(0)).as("sides"))
+      .where(col("sides") === 2).count()
+    assert(straddling > 0, "fixture must contain cross-batch orders")
+    val pc = graft.streaming.GraphStream.incrementalPairCounts(
+      spark, logDir, li.select("l_orderkey", "l_suppkey").schema,
+      s"$root/state", "l_orderkey", "l_suppkey")
+    val streamed = graft.streaming.GraphStream.topKEdges(pc, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Graph.topKAffinityEdges(li, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, "folded edges must equal the batch computation")
+    // Retention: only the newest versions of each chain remain.
+    val kept = new java.io.File(s"$root/state").listFiles().map(_.getName)
+    assert(kept.count(_.startsWith("pc_v")) <= 3 &&
+      kept.count(_.startsWith("os_v")) <= 3, kept.mkString(","))
+  }
+
   test("pagerank on the affinity graph: mass bounded, floor respected") {
     val edges = Graph.topKAffinityEdges(
       Tables.load(spark, SparkTestBase.sf0001, "lineitem"), 8)
