@@ -50,6 +50,13 @@ object GraphQueries {
     // 3 rounds of k=3 core peeling: the dense-backbone filter that
     // separates organic neighborhoods from fringe tendrils.
     "graph_kcore" -> { (s, dir) => Graph.kCorePeel(edges(s, dir), 3, 3) },
+    // Connected components over the affinity graph: every node labeled
+    // with its component's min id (iterative label propagation — the
+    // same Dedup machinery, exposed as the graph-surface operator).
+    "graph_components" -> { (s, dir) =>
+      graft.operators.Dedup.resolveClusters(
+        edges(s, dir).select(col("src").as("id_a"), col("dst").as("id_b")))
+    },
     // STREAMING edge maintenance: lineitem rows arrive in two
     // micro-batches split by line number — every multi-line order
     // straddles the batches, so the cross-batch membership join is
@@ -141,6 +148,16 @@ object GraphQueries {
     "stream_graph_edges" ->
       s"""WITH $duckEdges
          |SELECT src, dst, cnt FROM e""".stripMargin,
+    "graph_components" ->
+      s"""WITH RECURSIVE $duckEdges,
+         |ed AS (SELECT src AS a, dst AS b FROM e
+         |       UNION SELECT dst, src FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM ed
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a)
+         |SELECT a AS id, least(a, MIN(b)) AS cluster
+         |FROM reach GROUP BY a""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $duckEdges,
          |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
