@@ -50,6 +50,20 @@ object GraphQueries {
     // 3 rounds of k=3 core peeling: the dense-backbone filter that
     // separates organic neighborhoods from fringe tendrils.
     "graph_kcore" -> { (s, dir) => Graph.kCorePeel(edges(s, dir), 3, 3) },
+    // Recursive-CTE BFS (Spark 4.x WITH RECURSIVE — the SQL-surface way
+    // to walk a graph): min hop count from the seed suppliers within 3
+    // hops. The recursive text is IDENTICAL in both engines; only the
+    // edge-list derivation differs (DataFrame here, CTE in the oracle).
+    "graph_bfs_hops" -> { (s, dir) =>
+      edges(s, dir).createOrReplaceTempView("graft_edges")
+      s.sql("""WITH RECURSIVE hops(node, hop) AS (
+        |  SELECT DISTINCT src, 0 FROM graft_edges WHERE src % 10 = 0
+        |  UNION ALL
+        |  SELECT e.dst, h.hop + 1 FROM hops h
+        |  JOIN graft_edges e ON e.src = h.node WHERE h.hop < 3)
+        |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+        |FROM hops GROUP BY node""".stripMargin)
+    },
     // Connected components over the affinity graph: every node labeled
     // with its component's min id (iterative label propagation — the
     // same Dedup machinery, exposed as the graph-surface operator).
@@ -148,6 +162,15 @@ object GraphQueries {
     "stream_graph_edges" ->
       s"""WITH $duckEdges
          |SELECT src, dst, cnt FROM e""".stripMargin,
+    "graph_bfs_hops" ->
+      s"""WITH RECURSIVE $duckEdges,
+         |hops(node, hop) AS (
+         |  SELECT DISTINCT src, 0 FROM e WHERE src % 10 = 0
+         |  UNION ALL
+         |  SELECT e.dst, h.hop + 1 FROM hops h
+         |  JOIN e ON e.src = h.node WHERE h.hop < 3)
+         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+         |FROM hops GROUP BY node""".stripMargin,
     "graph_components" ->
       s"""WITH RECURSIVE $duckEdges,
          |ed AS (SELECT src AS a, dst AS b FROM e
