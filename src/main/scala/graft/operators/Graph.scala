@@ -131,6 +131,56 @@ object Graph {
     rankLoop(e, outdeg, based, iterations, scale)
   }
 
+  /**
+   * Weight-proportional PageRank: instead of splitting rank equally
+   * across out-edges, each neighbor receives mass proportional to the
+   * edge weight (`cnt` — co-occurrence support here): the random walk
+   * follows STRONG affinities more often, which is what an
+   * affinity-weighted quality prior should do.
+   *
+   * Integer contract: share(u→v) = (rank(u) * w(u,v)) div totw(u) — one
+   * multiply before the divide keeps the floor loss at one unit per
+   * edge (vs pre-dividing rank by totw, which loses up to totw units).
+   * rank * w stays far inside Long for any vertex table the engine
+   * would hold (mass ≤ N·scale ≈ 2^40ish, weights are support counts).
+   */
+  def pagerankWeighted(edges: DataFrame, iterations: Int,
+      scale: Long = RankScale): DataFrame = {
+    require(iterations >= 1, "pagerankWeighted: iterations >= 1")
+    require(scale >= 1000, s"pagerankWeighted: scale >= 1000, got $scale")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("cnt").cast("long"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totw = e.groupBy("src").agg(sum(col("cnt")).as("totw"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val based = nodes
+      .withColumn("__base", lit(teleportBase(scale)))
+      .withColumn("__r0", lit(scale))
+      .localCheckpoint()
+    var ranks = based.select(col("node"), col("__r0").as("rank_scaled"))
+    for (i <- 1 to iterations) {
+      val withRank = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(totw, "src")
+        .select(col("dst"),
+          expr("(rank_scaled * cnt) div totw").as("share"))
+      val inbound = withRank.groupBy("dst").agg(sum(col("share")).as("m"))
+      val next = based
+        .join(inbound, based("node") === inbound("dst"), "left")
+        .select(based("node"),
+          (col("__base") + expr("(17 * coalesce(m, 0)) div 20"))
+            .as("rank_scaled"))
+      ranks = if (i % 2 == 0 || i == iterations) next.localCheckpoint()
+        else next
+    }
+    ranks.withColumn("rank",
+      round(col("rank_scaled").cast("double") / scale.toDouble, 6))
+  }
+
   /** Canonical (edges, out-degrees, vertices), each persisted — built
     * once, consumed by every rank iteration. */
   private def edgeTables(edges: DataFrame)

@@ -221,4 +221,38 @@ object Joins {
         levenshtein(col("name_a"), col("name_b")).cast("long"))
       .drop("__blk")
   }
+
+  /**
+   * Point-in-time (feature-store) join: each fact row picks up the
+   * dimension VERSION that was valid at the fact's timestamp —
+   * `eff_start <= ts < eff_end` over an SCD2-style versioned dimension.
+   * THE correctness join for training-data assembly: joining "current"
+   * dimension values onto historical facts leaks the future into
+   * training features; the PIT join reconstructs what was knowable at
+   * event time.
+   *
+   * Scale shape: an equi-join on the dimension key (both sides shuffle
+   * once on it) with the interval predicate evaluated inside the joined
+   * row — per-key fan-out is the key's VERSION count (SCD2 history
+   * depth, single digits in practice), so the join output is a small
+   * constant factor of the fact side, never a range-join blow-up. Facts
+   * whose timestamp precedes every version are kept with null
+   * attributes (inner=false) or dropped (inner=true) — explicitly, not
+   * silently.
+   */
+  def pointInTimeJoin(facts: DataFrame, factTs: String,
+      dims: DataFrame, key: String, effStart: String, effEnd: String,
+      inner: Boolean = true): DataFrame = {
+    val valid = col(factTs) >= col(effStart) && col(factTs) < col(effEnd)
+    if (inner) facts.join(dims, Seq(key)).where(valid)
+    else {
+      val matched = facts.join(dims, Seq(key)).where(valid)
+      val dimCols = dims.columns.filterNot(_ == key)
+      val misses = facts.join(
+        matched.select(facts.columns.map(col): _*), facts.columns.toSeq,
+        "left_anti")
+      dimCols.foldLeft(misses)((d, c) => d.withColumn(c, lit(null)))
+        .unionByName(matched)
+    }
+  }
 }

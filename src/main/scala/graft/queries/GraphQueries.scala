@@ -37,6 +37,11 @@ object GraphQueries {
     // Exact-integer PageRank over the affinity graph: the link-quality
     // prior a web-corpus pipeline attaches to each page/host.
     "graph_pagerank" -> { (s, dir) => Graph.pagerank(edges(s, dir), PrIters) },
+    // Weight-proportional PageRank: the walk follows strong affinities
+    // more often — the prior an affinity-WEIGHTED graph actually wants.
+    "graph_pagerank_weighted" -> { (s, dir) =>
+      Graph.pagerankWeighted(edges(s, dir), PrIters)
+    },
     // Personalized PageRank from a deterministic seed set (node%10==0):
     // proximity-to-trusted-sources — the TrustRank-style quality prior.
     "graph_pagerank_personalized" -> { (s, dir) =>
@@ -144,6 +149,16 @@ object GraphQueries {
        |           JOIN deg d ON e.src = d.src
        |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
 
+  /** One unrolled WEIGHTED rank round: shares ∝ edge weight. */
+  private def duckPrwRound(i: Int): String =
+    s"""r$i AS (SELECT n.node,
+       |  CAST($prBase + (17 * COALESCE(s.m, 0)) // 20 AS BIGINT) AS r
+       |  FROM n LEFT JOIN (
+       |    SELECT e.dst, SUM((r.r * e.cnt) // t.totw) AS m
+       |    FROM e JOIN r${i - 1} r ON e.src = r.node
+       |           JOIN tw t ON e.src = t.src
+       |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
+
   /** One k-core peel round u{i} from u{i-1} (drop nodes with deg < k). */
   private def duckPeelRound(i: Int, k: Int): String =
     s"""k$i AS (SELECT node FROM (
@@ -188,6 +203,16 @@ object GraphQueries {
          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |r0 AS (SELECT node, CAST($prScale AS BIGINT) AS r FROM n),
          |${(1 to PrIters).map(duckPrRound(_)).mkString(",\n")}
+         |SELECT node, r AS rank_scaled,
+         |  round(CAST(r AS DOUBLE) / $prScale, 6) AS rank
+         |FROM r$PrIters""".stripMargin,
+    "graph_pagerank_weighted" ->
+      s"""WITH $duckEdges,
+         |tw AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS totw
+         |       FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST($prScale AS BIGINT) AS r FROM n),
+         |${(1 to PrIters).map(duckPrwRound).mkString(",\n")}
          |SELECT node, r AS rank_scaled,
          |  round(CAST(r AS DOUBLE) / $prScale, 6) AS rank
          |FROM r$PrIters""".stripMargin,

@@ -155,6 +155,33 @@ object JoinQueries {
           c => element_at(split(col(c), " "), -1))
         .where(col("name_a") < col("name_b"))
     },
+    // Point-in-time (feature-store) join: each order picks up the
+    // customer-dimension VERSION valid at order date — the leak-proof
+    // way to attach dimension features to historical facts. The SCD2
+    // fixture gives every customer two versions split at a
+    // key-deterministic cutover date.
+    "join_point_in_time" -> { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val cut = date_add(lit("1994-01-01").cast("date"),
+        (col("c_custkey") % 365).cast("int"))
+      val dims = cust.select(col("c_custkey"),
+          col("c_mktsegment").as("segment"),
+          lit("1992-01-01").cast("date").as("eff_start"),
+          cut.as("eff_end"))
+        .unionByName(cust.select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_v2")).as("segment"),
+          cut.as("eff_start"),
+          lit("9999-12-31").cast("date").as("eff_end")))
+      val facts = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          to_date(col("o_orderdate")).as("od"))
+      Joins.pointInTimeJoin(facts, "od", dims, "c_custkey",
+          "eff_start", "eff_end")
+        .select(col("o_orderkey"), col("c_custkey"),
+          // ISO string: DATE round-trips differently through the two
+          // engines' parquet/pandas paths; text is unambiguous.
+          col("od").cast("string").as("od"), col("segment"))
+    },
     // Count-min sketch: build over lineitem part keys, probe 8 keys.
     "agg_cms_estimate" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -360,6 +387,22 @@ object JoinQueries {
         |  CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) <= 3""".stripMargin,
+    "join_point_in_time" ->
+      """WITH d AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    DATE '1992-01-01' AS eff_start,
+        |    DATE '1994-01-01' + CAST(c_custkey % 365 AS INTEGER) AS eff_end
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_v2',
+        |    DATE '1994-01-01' + CAST(c_custkey % 365 AS INTEGER),
+        |    DATE '9999-12-31'
+        |  FROM customer)
+        |SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+        |  CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS od, d.segment
+        |FROM orders o JOIN d ON o.o_custkey = d.c_custkey
+        |WHERE CAST(o.o_orderdate AS DATE) >= d.eff_start
+        |  AND CAST(o.o_orderdate AS DATE) < d.eff_end""".stripMargin,
     "join_bloom_prune" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty

@@ -369,6 +369,22 @@ object TextEventsQueries {
       graft.operators.TimeSeries.keyedSequences(
         events(s, dir), "user_id", "event_type", "ts", "event_id")
     },
+    // Cohort retention: users grouped by first-seen week, distinct
+    // active users per week offset — the product-analytics staple; two
+    // user-keyed aggregates, Monday-truncated weeks in both engines.
+    "events_cohort_retention" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val cohorts = ev.groupBy("user_id")
+        .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort"))
+      ev.select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+        .join(cohorts, "user_id")
+        .groupBy(col("cohort").cast("string").as("cohort"),
+          expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
     // In-engine-TRAINED BPE: 8 merge rounds over the corpus word table;
     // the oracle unrolls all 8 rounds (pair count -> argmax -> literal
     // replace) and must reproduce the merge table bit-for-bit.
@@ -1260,6 +1276,20 @@ object TextEventsQueries {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
         |FROM events GROUP BY user_id""".stripMargin,
+    "events_cohort_retention" ->
+      """WITH c AS (SELECT user_id,
+        |    CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+        |      AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events)
+        |SELECT CAST(c.cohort AS VARCHAR) AS cohort,
+        |  CAST(date_diff('day', c.cohort, a.wk) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "events_transition_matrix" ->
       """WITH seq AS (SELECT event_type, LEAD(event_type) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events),

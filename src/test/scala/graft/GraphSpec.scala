@@ -65,6 +65,17 @@ class GraphSpec extends GraftSuite {
     assert(stable == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
   }
 
+  test("weighted pagerank: shares proportional to edge weight, exact") {
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "cnt")
+    val got = Graph.pagerankWeighted(edges, 1, scale)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    // totw(1)=4: node 2 gets 3/4 of node 1's mass, node 3 gets 1/4.
+    assert(got(1L) == base)
+    assert(got(2L) == damp(intDiv(scale * 3, 4)))
+    assert(got(3L) == damp(intDiv(scale, 4)))
+    assert(got(2L) > got(3L), "heavier edge must carry more rank")
+  }
+
   test("triangles and degrees on K4-minus-an-edge") {
     // Nodes 1..4, all edges except (1,4): triangles (1,2,3) and (2,3,4).
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))

@@ -166,4 +166,30 @@ class JoinsSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("pointInTimeJoin: version boundaries, pre-history facts, outer nulls") {
+    import spark.implicits._
+    val dims = Seq(
+      (1L, "segA", "2020-01-01", "2020-06-01"),
+      (1L, "segB", "2020-06-01", "9999-12-31"))
+      .toDF("k", "segment", "eff_start", "eff_end")
+      .select(col("k"), col("segment"),
+        col("eff_start").cast("date").as("eff_start"),
+        col("eff_end").cast("date").as("eff_end"))
+    val facts = Seq((10L, 1L, "2020-05-31"), (11L, 1L, "2020-06-01"),
+        (12L, 1L, "2019-12-31"))
+      .toDF("fid", "k", "ts").select(col("fid"), col("k"),
+        col("ts").cast("date").as("ts"))
+    val inner = Joins.pointInTimeJoin(facts, "ts", dims, "k",
+        "eff_start", "eff_end")
+      .select("fid", "segment").as[(Long, String)].collect().toMap
+    // Start date inclusive, end exclusive; pre-history fact dropped.
+    assert(inner == Map(10L -> "segA", 11L -> "segB"))
+    val outer = Joins.pointInTimeJoin(facts, "ts", dims, "k",
+        "eff_start", "eff_end", inner = false)
+      .select("fid", "segment").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(outer == Map(10L -> Some("segA"), 11L -> Some("segB"),
+      12L -> None), "pre-history fact must survive with null attributes")
+  }
 }
