@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -44,5 +44,53 @@ object TableStats {
       s"'$c', __min_$c, __max_$c, __nulls_$c, __ndv_$c").mkString(", ")
     wide.select(expr(s"stack(${cols.size}, $stackArgs) " +
       "as (col_name, min_val, max_val, n_nulls, ndv)"))
+  }
+
+  /**
+   * Pairwise Pearson correlations between numeric columns, from EXACT
+   * fixed-point moment sums: every input is floor(x · 10^4)-scaled to a
+   * BIGINT, the five moment sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate
+   * exactly (order-independent), and the final correlation is one fixed
+   * expression over those integers — so both engines compute the same
+   * double, unlike a native `corr()` whose per-engine accumulation
+   * order and algorithm (Welford vs naive) differ.
+   *
+   * The dependence read before feature selection or CBO multi-column
+   * estimates. One scan, one 1-row aggregate per pair — all pairs fold
+   * into a single `agg` over one pass.
+   *
+   * Overflow contract: the caller sizes `scale` so
+   * (max|x|·scale)² · rowcount < 2^63 — the moment sums must FIT, they
+   * do not saturate (Spark wraps, DuckDB widens: silent divergence).
+   * For unit-range ratios at 10^4 scaling that holds into the billions
+   * of rows; wide-range columns take a smaller scale (correlation is
+   * scale-invariant, only the floor granularity changes).
+   */
+  def columnCorrelations(df: DataFrame, cols: Seq[String],
+      scale: Double = 10000.0): DataFrame = {
+    require(cols.size >= 2, "columnCorrelations: at least two columns")
+    require(scale > 0, "columnCorrelations: scale must be positive")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def s(c: String) = floor(col(c).cast("double") * scale).cast("long")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap(c =>
+      Seq(sum(s(c)).as(s"__s_$c"), sum(s(c) * s(c)).as(s"__ss_$c"))) ++
+      pairs.map { case (a, b) => sum(s(a) * s(b)).as(s"__sp_${a}_$b") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      s"named_struct('ca', '$a', 'cb', '$b', 'n', __n, 'sa', __s_$a, " +
+        s"'sb', __s_$b, 'ssa', __ss_$a, 'ssb', __ss_$b, 'sp', __sp_${a}_$b)"
+    }.mkString(", ")
+    // The sums are exact Longs; the final combination happens in DOUBLE
+    // (integer products like n·Σxy overflow Long) — every cast and op in
+    // one fixed order, so both engines produce the same double.
+    def d(c: String) = col(s"r.$c").cast("double")
+    wide.select(expr(s"explode(array($rows)) as r"))
+      .select(col("r.ca").as("col_a"), col("r.cb").as("col_b"),
+        col("r.n").as("n"),
+        round((d("n") * d("sp") - d("sa") * d("sb")) /
+          (sqrt(d("n") * d("ssa") - d("sa") * d("sa")) *
+           sqrt(d("n") * d("ssb") - d("sb") * d("sb"))), 6).as("corr"))
   }
 }

@@ -89,6 +89,42 @@ object TimeSeries {
   }
 
   /**
+   * Per-key sequence likelihood under the corpus-trained first-order
+   * Markov model ([[transitionMatrix]]): each key's mean negative
+   * log-probability over its own transitions — behavioral perplexity.
+   * Keys whose sequences are improbable under the population model
+   * (bots replaying rare paths, broken clients looping) surface as the
+   * high-NLL tail, exactly like low-quality documents under
+   * [[TextAnalysis.lmPerplexity]] — and the fixed-point discipline is
+   * the same: one ln() per transition on a ratio of exact counts,
+   * floor-quantized to 1e-6, BIGINT sums.
+   *
+   * Scale shape: the transition model is states²-sized (broadcastable at
+   * any event volume); scoring is the LEAD window (one key-partitioned
+   * shuffle, shared shape with the matrix build) plus one model join
+   * and one keyed re-aggregation.
+   */
+  def sequenceLikelihood(events: DataFrame, keyCol: String,
+      stateCol: String, orderCol: String, tiebreakCol: String): DataFrame = {
+    val tm = transitionMatrix(events, keyCol, stateCol, orderCol,
+      tiebreakCol)
+    val seq = Window.partitionBy(keyCol).orderBy(col(orderCol), col(tiebreakCol))
+    val lp = floor(log(col("cnt").cast("double") /
+      col("cur_total").cast("double")) * lit(1000000.0)).cast("long")
+    events
+      .withColumn("__nxt", lead(col(stateCol), 1).over(seq))
+      .where(col("__nxt").isNotNull)
+      .select(col(keyCol), col(stateCol).as("cur"), col("__nxt").as("nxt"))
+      .join(tm, Seq("cur", "nxt"))
+      .select(col(keyCol), lp.as("lp"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_transitions"),
+        (-sum(col("lp"))).as("nll_scaled"))
+      .withColumn("avg_nll", round(col("nll_scaled").cast("double") /
+        (col("n_transitions") * lit(1000000L)).cast("double"), 6))
+  }
+
+  /**
    * Per-key ordered sequence export: each key's events as one
    * delimiter-joined state string in (orderCol, tiebreakCol) order, plus
    * length and time bounds — the event-log-to-training-sequence

@@ -54,6 +54,14 @@ object ExtendedQueries {
         Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"),
         castTo = Map("l_shipdate" -> "date"))
     },
+    // Pairwise Pearson correlations from exact fixed-point moment sums
+    // — deterministic across engines, unlike native corr()'s
+    // accumulation-order-dependent float math.
+    "diag_column_corr" -> { (s, dir) =>
+      graft.operators.TableStats.columnCorrelations(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_discount", "l_tax"))
+    },
     // ε-DP noisy-counts release (Laplace mechanism, sensitivity-1 count
     // query): the generator family doing its canonical data-engineering
     // job. Exact counts hash-gate; the seeded noise is witnessed by a
@@ -384,6 +392,41 @@ object ExtendedQueries {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact,
         |  TRUE AS noise_bounded, TRUE AS nonneg
         |FROM documents GROUP BY lang""".stripMargin,
+    "diag_column_corr" -> {
+      // Mirrors TableStats.columnCorrelations' expression tree exactly:
+      // exact BIGINT moment sums, then one fixed DOUBLE combination.
+      def corrRow(a: String, b: String, sa: String, sb: String,
+          ssa: String, ssb: String, sp: String) =
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |  round((CAST(n AS DOUBLE) * CAST($sp AS DOUBLE)
+           |      - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE)) /
+           |    (sqrt(CAST(n AS DOUBLE) * CAST($ssa AS DOUBLE)
+           |        - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE)) *
+           |     sqrt(CAST(n AS DOUBLE) * CAST($ssb AS DOUBLE)
+           |        - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE))), 6)
+           |    AS corr
+           |FROM m""".stripMargin
+      s"""WITH sc AS (SELECT
+         |    CAST(floor(l_quantity * 10000.0) AS BIGINT) AS q,
+         |    CAST(floor(l_discount * 10000.0) AS BIGINT) AS d,
+         |    CAST(floor(l_tax * 10000.0) AS BIGINT) AS t
+         |  FROM lineitem),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(d) AS BIGINT) AS sd,
+         |    CAST(SUM(t) AS BIGINT) AS st,
+         |    CAST(SUM(q*q) AS BIGINT) AS sqq,
+         |    CAST(SUM(d*d) AS BIGINT) AS sdd,
+         |    CAST(SUM(t*t) AS BIGINT) AS stt,
+         |    CAST(SUM(q*d) AS BIGINT) AS sqd,
+         |    CAST(SUM(q*t) AS BIGINT) AS sqt,
+         |    CAST(SUM(d*t) AS BIGINT) AS sdt
+         |  FROM sc)
+         |${corrRow("l_quantity", "l_discount", "sq", "sd", "sqq", "sdd", "sqd")}
+         |UNION ALL
+         |${corrRow("l_quantity", "l_tax", "sq", "st", "sqq", "stt", "sqt")}
+         |UNION ALL
+         |${corrRow("l_discount", "l_tax", "sd", "st", "sdd", "stt", "sdt")}""".stripMargin
+    },
     "rel_q23_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,

@@ -369,6 +369,12 @@ object TextEventsQueries {
       graft.operators.TimeSeries.keyedSequences(
         events(s, dir), "user_id", "event_type", "ts", "event_id")
     },
+    // Behavioral perplexity: per-user mean NLL under the corpus-trained
+    // Markov model — bots and broken clients surface as the high tail.
+    "events_sequence_likelihood" -> { (s, dir) =>
+      graft.operators.TimeSeries.sequenceLikelihood(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+    },
     // Cohort retention: users grouped by first-seen week, distinct
     // active users per week offset — the product-analytics staple; two
     // user-keyed aggregates, Monday-truncated weeks in both engines.
@@ -1276,6 +1282,25 @@ object TextEventsQueries {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
         |FROM events GROUP BY user_id""".stripMargin,
+    "events_sequence_likelihood" ->
+      """WITH seq AS (SELECT user_id, event_type, LEAD(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pr AS (SELECT event_type AS cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, CAST(SUM(cnt) AS BIGINT) AS ct
+        |        FROM pr GROUP BY 1),
+        |sc AS (SELECT s.user_id,
+        |    CAST(floor(ln(CAST(p.cnt AS DOUBLE) / CAST(t.ct AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS lp
+        |  FROM seq s JOIN pr p ON s.event_type = p.cur AND s.nxt = p.nxt
+        |  JOIN tot t ON p.cur = t.cur
+        |  WHERE s.nxt IS NOT NULL)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |  CAST(-SUM(lp) AS BIGINT) AS nll_scaled,
+        |  round(CAST(-SUM(lp) AS DOUBLE)
+        |        / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS avg_nll
+        |FROM sc GROUP BY user_id""".stripMargin,
     "events_cohort_retention" ->
       """WITH c AS (SELECT user_id,
         |    CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)

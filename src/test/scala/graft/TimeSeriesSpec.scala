@@ -72,6 +72,19 @@ class TimeSeriesSpec extends GraftSuite {
       ("B", "B") -> (1L, 2L, 500000L)))
   }
 
+  test("sequenceLikelihood: exact fixed-point NLL under the trained matrix") {
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+      (2L, 1L, "B"), (2L, 2L, "B"))
+      .toDF("user_id", "seq", "event_type")
+    val got = TimeSeries.sequenceLikelihood(ev, "user_id", "event_type",
+        "seq", "seq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // P(A->B)=1, P(B->A)=P(B->B)=1/2; floor(ln(0.5)*1e6) = -693148.
+    val half = math.floor(math.log(0.5) * 1e6).toLong
+    assert(got == Map(1L -> (2L, -half), 2L -> (1L, -half)))
+  }
+
   test("keyedSequences: total order, partition-independent") {
     val ev = Seq(
       (1L, 3L, "C"), (1L, 1L, "A"), (1L, 2L, "B"),
