@@ -92,4 +92,57 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_eval_hits"),
         round(max(col("cos")), 6).as("max_cos"))
   }
+
+  /**
+   * SPAN-level decontamination (the Lee et al. window signal pointed at
+   * an eval set): a corpus document is contaminated wherever any of its
+   * stride-1 `w`-token windows appears VERBATIM in the eval set — this
+   * catches an eval answer pasted mid-document at any offset, which
+   * distinct-k-gram overlap ([[ngramOverlap]]) dilutes and aligned
+   * paragraph checks miss entirely. Per flagged doc: token count, hit
+   * windows, contaminated-token mass by exact interval union (the
+   * [[Dedup.duplicatedSpans]] lead() trick), and the fraction.
+   *
+   * Scale shape: eval windows are benchmark-sized and BROADCAST; the
+   * corpus window stream is one narrow codegen explode joined against
+   * them — the corpus never shuffles its windows; the only exchange is
+   * the doc-keyed roll-up of hits. No corpus-vs-corpus join.
+   */
+  def spanOverlap(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, w: Int = 8): DataFrame = {
+    require(w > 0, "spanOverlap: w must be positive")
+    def windows(df: DataFrame, withPos: Boolean): DataFrame = {
+      val toks = split(col(textCol), " ")
+      val grams = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+        graft.functions.WordGramsAll(
+          org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+            col(textCol)), w))
+      val wins = when(length(trim(col(textCol))) === 0,
+          array().cast("array<string>"))
+        .otherwise(when(size(toks) >= w, grams)
+          .otherwise(array(concat_ws(" ", toks))))
+      if (withPos)
+        df.select(col(idCol).as("doc_id"), size(toks).as("ntok"),
+            posexplode(wins))
+          .select(col("doc_id"), col("ntok"), col("pos"),
+            md5(col("col")).as("wh"))
+      else
+        df.select(explode(wins).as("g")).select(md5(col("g")).as("wh"))
+          .distinct()
+    }
+    val evalWins = windows(evalSet, withPos = false)
+    val hits = windows(corpus, withPos = true)
+      .join(broadcast(evalWins), "wh")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    hits.withColumn("nxt", lead(col("pos"), 1).over(byDoc))
+      .groupBy("doc_id")
+      .agg(max(col("ntok")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_hit_windows"),
+        sum(when(col("nxt").isNull, least(lit(w), col("ntok") - col("pos")))
+          .otherwise(least(col("nxt") - col("pos"), lit(w))))
+          .cast("long").as("contaminated_tokens"))
+      .withColumn("contaminated_frac",
+        round(col("contaminated_tokens").cast("double") / col("n_tokens"), 6))
+  }
 }

@@ -369,6 +369,17 @@ object TextEventsQueries {
       graft.operators.TimeSeries.keyedSequences(
         events(s, dir), "user_id", "event_type", "ts", "event_id")
     },
+    // SPAN-level eval decontamination: verbatim 8-token eval windows
+    // found at ANY offset in corpus docs, with exact contaminated-token
+    // interval union — catches pasted eval answers that distinct-gram
+    // overlap dilutes.
+    "text_decontaminate_spans" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.Decontaminate.spanOverlap(
+        d.where(col("doc_id") % 20 =!= 7),
+        d.where(col("doc_id") % 20 === 7),
+        "doc_id", "text")
+    },
     // Behavioral perplexity: per-user mean NLL under the corpus-trained
     // Markov model — bots and broken clients surface as the high tail.
     "events_sequence_likelihood" -> { (s, dir) =>
@@ -1282,6 +1293,32 @@ object TextEventsQueries {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
         |FROM events GROUP BY user_id""".stripMargin,
+    // dup_spans' window/interval-union machinery, split corpus-vs-eval.
+    "text_decontaminate_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |win AS (SELECT doc_id, len(toks) AS ntok, p AS pos,
+        |          md5(array_to_string(toks[p+1:p+8], ' ')) AS wh
+        |        FROM d, unnest(generate_series(0,
+        |          CASE WHEN len(toks) >= 8 THEN len(toks) - 8 ELSE 0 END))
+        |          AS t(p)),
+        |ev AS (SELECT DISTINCT wh FROM win WHERE doc_id % 20 = 7),
+        |hit AS (SELECT w.doc_id, w.ntok, w.pos
+        |        FROM win w JOIN ev USING (wh) WHERE w.doc_id % 20 <> 7),
+        |c AS (SELECT doc_id, ntok, pos,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |      FROM hit),
+        |agg AS (SELECT doc_id, CAST(MAX(ntok) AS BIGINT) AS n_tokens,
+        |          CAST(COUNT(*) AS BIGINT) AS n_hit_windows,
+        |          CAST(SUM(CASE WHEN nxt IS NULL
+        |                THEN least(8, ntok - pos)
+        |                ELSE least(nxt - pos, 8) END) AS BIGINT)
+        |            AS contaminated_tokens
+        |        FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_hit_windows, contaminated_tokens,
+        |  round(contaminated_tokens::DOUBLE / n_tokens, 6)
+        |    AS contaminated_frac
+        |FROM agg""".stripMargin,
     "events_sequence_likelihood" ->
       """WITH seq AS (SELECT user_id, event_type, LEAD(event_type) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt

@@ -32,6 +32,24 @@ class DecontaminateSpec extends GraftSuite {
     assert(r(1).getLong(2) == 0 && !r(1).getBoolean(3))
   }
 
+  test("spanOverlap: pasted eval span found at an offset, exact token union") {
+    // 20-token doc with the eval's 8-token answer pasted at offset 5.
+    val evalAnswer = (100 to 107).map(i => s"e$i").mkString(" ")
+    val corpus = Seq(
+      (1L, ((0 to 4).map(i => s"c$i") ++ (100 to 107).map(i => s"e$i") ++
+        (5 to 11).map(i => s"c$i")).mkString(" ")),
+      (2L, (0 to 19).map(i => s"x$i").mkString(" "))) // clean
+      .toDF("doc_id", "text")
+    val eval = Seq((7L, s"intro words $evalAnswer trailing tail"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.spanOverlap(corpus, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // Exactly ONE window of doc 1 (positions 5..12 = the pasted answer)
+    // matches; interval union covers the 8 pasted tokens; doc 2 absent.
+    assert(got == Map(1L -> (20L, 1L, 8L)), got.toString)
+  }
+
   test("fixture gate shape: every corpus doc present exactly once") {
     val d = Tables.load(spark, SparkTestBase.sf001, "documents")
     val out = Decontaminate.ngramOverlap(
