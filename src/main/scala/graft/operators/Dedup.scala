@@ -634,6 +634,14 @@ object Dedup {
       labels = updated.select("id", "cluster")
       i += 1
     }
+    // Fail LOUDLY on non-convergence: downstream exactness consumers
+    // (component gates, leak-proof splits) silently mislabel if a
+    // component's min-id eccentricity exceeds maxIter — an unconverged
+    // label straddling train/val is a data leak, not a warning.
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters: min-label propagation did not converge within " +
+        s"$maxIter iterations (a component's diameter exceeds it); " +
+        "raise maxIter")
     labels
   }
 

@@ -246,13 +246,21 @@ object Joins {
     val valid = col(factTs) >= col(effStart) && col(factTs) < col(effEnd)
     if (inner) facts.join(dims, Seq(key)).where(valid)
     else {
-      val matched = facts.join(dims, Seq(key)).where(valid)
-      val dimCols = dims.columns.filterNot(_ == key)
-      val misses = facts.join(
-        matched.select(facts.columns.map(col): _*), facts.columns.toSeq,
-        "left_anti")
-      dimCols.foldLeft(misses)((d, c) => d.withColumn(c, lit(null)))
-        .unionByName(matched)
+      // Single left join with the interval predicate IN the join
+      // condition: a fact with no valid version gets exactly one
+      // null-extended row. (The earlier matched-union-anti formulation
+      // was wrong for facts carrying NULL in any column: anti-join
+      // equality is null-rejecting, so a matched row with a NULL
+      // survived the anti side too and was emitted twice.)
+      val f = facts.alias("__pit_f")
+      val d = dims.alias("__pit_d")
+      val cond = col(s"__pit_f.`$key`") === col(s"__pit_d.`$key`") &&
+        col(s"__pit_f.`$factTs`") >= col(s"__pit_d.`$effStart`") &&
+        col(s"__pit_f.`$factTs`") < col(s"__pit_d.`$effEnd`")
+      val joined = f.join(d, cond, "left").drop(col(s"__pit_d.`$key`"))
+      // Match the inner path's Seq(key)-join column order: key first.
+      joined.select(
+        col(key) +: joined.columns.filterNot(_ == key).map(col): _*)
     }
   }
 }

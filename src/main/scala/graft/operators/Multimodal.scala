@@ -370,8 +370,10 @@ object Multimodal {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new ByteArrayInputStream(m.payload))
         val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-          s"media ${m.mediaId}: expected PCM16 mono, got $fmt")
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding
+            .PCM_SIGNED && !fmt.isBigEndian,
+          s"media ${m.mediaId}: expected little-endian signed PCM16 mono, got $fmt")
         val bytes = ais.readAllBytes()
         ais.close()
         val n = bytes.length / 2
@@ -416,8 +418,10 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(m.payload))
       val fmt = ais.getFormat
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-        s"media ${m.mediaId}: expected PCM16 mono, got $fmt")
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding
+          .PCM_SIGNED && !fmt.isBigEndian,
+        s"media ${m.mediaId}: expected little-endian signed PCM16 mono, got $fmt")
       val bytes = ais.readAllBytes()
       ais.close()
       val n = bytes.length / 2

@@ -28,16 +28,25 @@ object TableStats {
    * numeric ordering applies, not lexicographic). `castTo` normalizes a
    * column before all stats (e.g. timestamp -> date) so both engines
    * aggregate the same domain.
+   *
+   * `approx = true` is the 100 TB deployment form: NDV via
+   * `approx_count_distinct` (HLL, `rsd` relative error) — the Expand
+   * (rows × #columns map-side) collapses into plain partial
+   * aggregation, one fixed-size sketch per column, same output schema.
+   * The exact form stays the oracle-replayable contract.
    */
   def columnStats(df: DataFrame, cols: Seq[String],
-      castTo: Map[String, String] = Map.empty): DataFrame = {
+      castTo: Map[String, String] = Map.empty,
+      approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "columnStats: at least one column")
     val aggs = cols.flatMap { c =>
       val base = castTo.get(c).map(t => col(c).cast(t)).getOrElse(col(c))
+      val ndv = if (approx) approx_count_distinct(base, rsd)
+                else count_distinct(base)
       Seq(min(base).cast("string").as(s"__min_$c"),
         max(base).cast("string").as(s"__max_$c"),
         (count(lit(1)) - count(base)).as(s"__nulls_$c"),
-        count_distinct(base).as(s"__ndv_$c"))
+        ndv.as(s"__ndv_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
@@ -64,7 +73,11 @@ object TableStats {
    * do not saturate (Spark wraps, DuckDB widens: silent divergence).
    * For unit-range ratios at 10^4 scaling that holds into the billions
    * of rows; wide-range columns take a smaller scale (correlation is
-   * scale-invariant, only the floor granularity changes).
+   * scale-invariant, only the floor granularity changes). The contract
+   * is ENFORCED, not just documented: the same single-scan aggregate
+   * also folds max|scaled| per column, and scoring raises (fail-fast at
+   * action time) for any pair whose worst-case product sum could have
+   * exceeded 2^63 — silent wrap is never returned.
    */
   def columnCorrelations(df: DataFrame, cols: Seq[String],
       scale: Double = 10000.0): DataFrame = {
@@ -75,22 +88,37 @@ object TableStats {
     } yield (cols(i), cols(j))
     def s(c: String) = floor(col(c).cast("double") * scale).cast("long")
     val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap(c =>
-      Seq(sum(s(c)).as(s"__s_$c"), sum(s(c) * s(c)).as(s"__ss_$c"))) ++
+      Seq(sum(s(c)).as(s"__s_$c"), sum(s(c) * s(c)).as(s"__ss_$c"),
+        max(abs(s(c))).as(s"__ma_$c"))) ++
       pairs.map { case (a, b) => sum(s(a) * s(b)).as(s"__sp_${a}_$b") }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val rows = pairs.map { case (a, b) =>
       s"named_struct('ca', '$a', 'cb', '$b', 'n', __n, 'sa', __s_$a, " +
-        s"'sb', __s_$b, 'ssa', __ss_$a, 'ssb', __ss_$b, 'sp', __sp_${a}_$b)"
+        s"'sb', __s_$b, 'ssa', __ss_$a, 'ssb', __ss_$b, " +
+        s"'sp', __sp_${a}_$b, 'maa', __ma_$a, 'mab', __ma_$b)"
     }.mkString(", ")
     // The sums are exact Longs; the final combination happens in DOUBLE
     // (integer products like n·Σxy overflow Long) — every cast and op in
     // one fixed order, so both engines produce the same double.
     def d(c: String) = col(s"r.$c").cast("double")
+    // Worst-case magnitude of any Long moment sum: n·max|a|·max|b| (and
+    // n·max² for the squares). Checked in double — a conservative upper
+    // bound on what the exact Long accumulation could have reached.
+    val lim = lit(9.223372036854775e18)
+    val fits = d("maa") * d("maa") * d("n") < lim &&
+      d("mab") * d("mab") * d("n") < lim &&
+      d("maa") * d("mab") * d("n") < lim
     wide.select(expr(s"explode(array($rows)) as r"))
       .select(col("r.ca").as("col_a"), col("r.cb").as("col_b"),
         col("r.n").as("n"),
-        round((d("n") * d("sp") - d("sa") * d("sb")) /
-          (sqrt(d("n") * d("ssa") - d("sa") * d("sa")) *
-           sqrt(d("n") * d("ssb") - d("sb") * d("sb"))), 6).as("corr"))
+        when(fits,
+          round((d("n") * d("sp") - d("sa") * d("sb")) /
+            (sqrt(d("n") * d("ssa") - d("sa") * d("sa")) *
+             sqrt(d("n") * d("ssb") - d("sb") * d("sb"))), 6))
+          .otherwise(raise_error(concat(
+            lit("columnCorrelations: overflow contract violated for ("),
+            col("r.ca"), lit(", "), col("r.cb"),
+            lit("): (max|x|*scale)^2 * n >= 2^63 — reduce scale"))))
+          .as("corr"))
   }
 }

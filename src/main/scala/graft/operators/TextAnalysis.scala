@@ -558,8 +558,14 @@ object TextAnalysis {
       .join(uni.select(col("w").as("b"), col("c").as("cb")), "b")
       .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
       .select(col("a"), col("b"), col("cnt"),
-        floor(log((col("cnt") * col("t") * col("t")).cast("double") /
-          (col("p") * col("ca") * col("cb")).cast("double")) *
+        // Each factor cast to double BEFORE multiplying (left-assoc, same
+        // order in the oracle SQL): a Long product cnt*t*t would overflow
+        // past ~2e9 total tokens (ANSI throw / silent wrap), while the
+        // double product is exact IEEE in both engines at any corpus size.
+        floor(log((col("cnt").cast("double") * col("t").cast("double") *
+            col("t").cast("double")) /
+          (col("p").cast("double") * col("ca").cast("double") *
+            col("cb").cast("double"))) *
           lit(1000000.0)).cast("long").as("pmi_scaled"))
   }
 

@@ -54,6 +54,27 @@ object ExtendedQueries {
         Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"),
         castTo = Map("l_shipdate" -> "date"))
     },
+    // The 100 TB deployment form of the stats scan: NDV via HLL
+    // (approx_count_distinct) — no Expand, one fixed-size sketch per
+    // column. Exact min/max/nulls hash-gate directly; the sketched NDV
+    // is property-gated within 3x the configured relative error against
+    // the exact NDV computed in the same job.
+    "diag_table_stats_approx" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val statCols = Seq("l_orderkey", "l_suppkey", "l_returnflag",
+        "l_shipdate")
+      val casts = Map("l_shipdate" -> "date")
+      val exact = graft.operators.TableStats
+        .columnStats(li, statCols, casts)
+        .select(col("col_name"), col("ndv").as("__ndv_exact"))
+      graft.operators.TableStats
+        .columnStats(li, statCols, casts, approx = true, rsd = 0.05)
+        .join(exact, "col_name")
+        .select(col("col_name"), col("min_val"), col("max_val"),
+          col("n_nulls"),
+          (abs(col("ndv").cast("double") /
+            col("__ndv_exact").cast("double") - 1.0) <= 0.15).as("ndv_ok"))
+    },
     // Pairwise Pearson correlations from exact fixed-point moment sums
     // — deterministic across engines, unlike native corr()'s
     // accumulation-order-dependent float math.
@@ -381,6 +402,23 @@ object ExtendedQueries {
            |  CAST(MAX($e) AS VARCHAR) AS max_val,
            |  CAST(COUNT(*) - COUNT($e) AS BIGINT) AS n_nulls,
            |  CAST(COUNT(DISTINCT $e) AS BIGINT) AS ndv
+           |FROM lineitem""".stripMargin
+      Seq(statRow("l_orderkey", "l_orderkey"),
+        statRow("l_suppkey", "l_suppkey"),
+        statRow("l_returnflag", "l_returnflag"),
+        statRow("l_shipdate", "CAST(l_shipdate AS DATE)"))
+        .mkString("\nUNION ALL\n")
+    },
+    "diag_table_stats_approx" -> {
+      // Exact min/max/nulls replay directly; the HLL-NDV property is
+      // witnessed as a constant TRUE (the Spark side computes the
+      // within-tolerance check against its own exact NDV).
+      def statRow(c: String, e: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(MIN($e) AS VARCHAR) AS min_val,
+           |  CAST(MAX($e) AS VARCHAR) AS max_val,
+           |  CAST(COUNT(*) - COUNT($e) AS BIGINT) AS n_nulls,
+           |  TRUE AS ndv_ok
            |FROM lineitem""".stripMargin
       Seq(statRow("l_orderkey", "l_orderkey"),
         statRow("l_suppkey", "l_suppkey"),

@@ -1283,8 +1283,9 @@ object TextEventsQueries {
         |pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
         |       FROM pairs GROUP BY 1, 2)
         |SELECT pc.a, pc.b, pc.cnt,
-        |  CAST(floor(ln((pc.cnt * tw.t * tw.t)::DOUBLE /
-        |               (pt.p * ua.c * ub.c)::DOUBLE) * 1000000.0) AS BIGINT)
+        |  CAST(floor(ln((pc.cnt::DOUBLE * tw.t::DOUBLE * tw.t::DOUBLE) /
+        |               (pt.p::DOUBLE * ua.c::DOUBLE * ub.c::DOUBLE))
+        |             * 1000000.0) AS BIGINT)
         |    AS pmi_scaled
         |FROM pc JOIN uni ua ON pc.a = ua.w JOIN uni ub ON pc.b = ub.w
         |CROSS JOIN tw CROSS JOIN pt

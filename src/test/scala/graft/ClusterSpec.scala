@@ -27,6 +27,18 @@ class ClusterSpec extends GraftSuite {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("resolveClusters fails loudly when maxIter cannot cover the diameter") {
+    // Chain of length 15 (diameter 14): min-label propagation moves one
+    // hop per round, so maxIter=3 CANNOT converge — the operator must
+    // throw, not silently return mixed labels (a leak-proof-split user
+    // would otherwise get train/val straddling clusters).
+    val pairs = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.resolveClusters(pairs, maxIter = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("keepRepresentatives drops exactly the non-min member of each component") {
     val docs = Tables.load(spark, SparkTestBase.sf001, "documents")
     val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 0.5)

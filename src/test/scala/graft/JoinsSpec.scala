@@ -192,4 +192,28 @@ class JoinsSpec extends GraftSuite {
     assert(outer == Map(10L -> Some("segA"), 11L -> Some("segB"),
       12L -> None), "pre-history fact must survive with null attributes")
   }
+
+  test("pointInTimeJoin outer: matched fact with NULL column emits ONCE") {
+    import spark.implicits._
+    val dims = Seq((1L, "segA", "2020-01-01", "9999-12-31"))
+      .toDF("k", "segment", "eff_start", "eff_end")
+      .select(col("k"), col("segment"),
+        col("eff_start").cast("date").as("eff_start"),
+        col("eff_end").cast("date").as("eff_end"))
+    // Fact 10 matches a version AND carries a NULL payload column — the
+    // regression case: a null-rejecting anti-join on all fact columns
+    // would emit it twice (matched + null-extended miss).
+    val facts = Seq(
+        (10L, 1L, "2020-05-31", Option.empty[String]),
+        (11L, 1L, "2019-12-31", Some("note")))
+      .toDF("fid", "k", "ts", "payload")
+      .select(col("fid"), col("k"), col("ts").cast("date").as("ts"),
+        col("payload"))
+    val outer = Joins.pointInTimeJoin(facts, "ts", dims, "k",
+      "eff_start", "eff_end", inner = false)
+    assert(outer.count() == 2L, "each fact must emit exactly one row")
+    val byFid = outer.select("fid", "segment").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byFid == Map(10L -> Some("segA"), 11L -> None))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{MediaRecord, Multimodal}
+import graft.operators.{MediaMeta, MediaRecord, Multimodal}
 import graft.streaming.EventStream
 
 class MultimodalStreamingSpec extends GraftSuite {
@@ -252,6 +252,35 @@ class MultimodalStreamingSpec extends GraftSuite {
         assert(r.getBoolean(4) == (sq > chunk.length * 16384L))
       }
     }
+  }
+
+  test("audio decode rejects big-endian / non-PCM-signed payloads loudly") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.AudioFileFormat
+    // A genuine AIFF container: 16-bit mono but BIG-endian — decoding its
+    // bytes little-endian would produce garbage energies silently.
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 16000f, 16,
+      1, 2, 16000f, true)
+    val pcm = Array.tabulate(400)(i => ((i % 50 - 25) * 256).toShort)
+    val raw = new Array[Byte](pcm.length * 2)
+    pcm.zipWithIndex.foreach { case (s, i) =>
+      raw(2 * i) = (s >> 8).toByte // big-endian
+      raw(2 * i + 1) = (s & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, pcm.length.toLong),
+      AudioFileFormat.Type.AIFF, out)
+    val media = Seq(MediaRecord(1L, "audio", out.toByteArray,
+      MediaMeta(0, 0, 16000, 25L, "aiff"))).toDS()
+    val ex = intercept[Exception] {
+      Multimodal.audioFrameEnergy(media).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("little-endian signed PCM16 mono")),
+      s"expected format require to fire, got: $ex")
   }
 
   test("resizeDecoded resamples real pixels: nearest-neighbor red sums") {

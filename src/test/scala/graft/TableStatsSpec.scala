@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableStats
+
+class TableStatsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("columnStats approx: same schema, no Expand, NDV within HLL error") {
+    val li = Tables.load(spark, SparkTestBase.sf001, "lineitem")
+    val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag")
+    val exact = TableStats.columnStats(li, cols)
+    val approx = TableStats.columnStats(li, cols, approx = true, rsd = 0.05)
+    assert(approx.schema == exact.schema)
+    // The whole point of the approx path: the multi-DISTINCT Expand
+    // (rows x #columns map-side) must be gone from the physical plan.
+    val exactPlan = exact.queryExecution.executedPlan.toString
+    val approxPlan = approx.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact NDV should plan an Expand")
+    assert(!approxPlan.contains("Expand"),
+      s"approx NDV must not plan an Expand:\n$approxPlan")
+    val e = exact.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val a = approx.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // min/max/nulls are exact on both paths; NDV within 3x rsd.
+    val eRest = exact.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+      .toMap
+    val aRest = approx.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+      .toMap
+    assert(eRest == aRest)
+    cols.foreach { c =>
+      val rel = math.abs(a(c).toDouble / e(c).toDouble - 1.0)
+      assert(rel <= 0.15, s"$c: approx ndv ${a(c)} vs exact ${e(c)}")
+    }
+  }
+
+  test("columnCorrelations: overflow contract is enforced, not silent") {
+    // In-range input still works...
+    val ok = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.5)).toDF("x", "y")
+    val corr = TableStats.columnCorrelations(ok, Seq("x", "y"))
+      .select("corr").as[Double].head()
+    assert(corr > 0.99)
+    // ...but out-of-contract magnitudes raise at action time instead of
+    // returning a wrapped result. This input is crafted so every ACTUAL
+    // per-row product and sum still fits a Long (so ANSI's own overflow
+    // check stays silent) while the worst-case bound (max|x|·scale)²·n
+    // exceeds 2^63 — exactly the case only the contract guard catches:
+    // scaled x = 2e9, x² = 4e18 < 2^63, but 4e18·3 rows ≥ 2^63.
+    val huge = Seq((2.0e5, 1.0), (0.1, 2.0), (0.2, 3.0)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      TableStats.columnCorrelations(huge, Seq("x", "y")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("overflow contract")),
+      s"expected fail-fast overflow error, got: $ex")
+  }
+}
