@@ -563,20 +563,11 @@ object Similarity {
       .select(col("id"), col("pos").cast("long").as("m"),
         col("col").as("cid"))
 
-  /**
-   * PQ asymmetric-distance top-k (ADC): the dot product is additive over
-   * subspaces, so dot(q, v) is estimated as sum_m dot(q_m, codebook
-   * centroid of v's code in subspace m). Per query the partials form a
-   * tiny (m x k) lookup table; the corpus side only ever moves its CODE
-   * rows — the full vectors stay in storage, which is the entire point
-   * of PQ at scale. The per-(query, vector) estimate sums the m partials
-   * in a FIXED expression-tree order (max-per-slot then left-fold adds),
-   * keeping the doubles engine-replayable.
-   */
-  def pqAdcTopK(corpusCodes: DataFrame, queries: DataFrame,
-      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
-      k: Int): DataFrame = {
-    val m = codebooks.length
+  /** Per-query ADC lookup table (qid, m, cid, p): p = dot(q's subvector
+    * m, codebook centroid cid) — the m x k table every ADC scan consults.
+    * Tiny (queries x m x k rows), always broadcast by callers. */
+  private def adcLut(queries: DataFrame,
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int): DataFrame = {
     val offsets = codebooks.scanLeft(0)(_ + _.length).toArray
     val cids = codebooks.flatMap(_.map(_._1)).toArray
     val cents = codebooks.toArray.flatMap(_.flatMap(_._2))
@@ -584,17 +575,131 @@ object Similarity {
       graft.functions.PqLut(
         org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(col("qvec")),
         subDim, offsets, cids, cents))
-    val lut = queries.select(col("qid"), explode(lutCol).as("e"))
+    queries.select(col("qid"), explode(lutCol).as("e"))
       .select(col("qid"), col("e.m").as("m"), col("e.cid").as("cid"),
         col("e.p").as("p"))
+  }
+
+  /** Shared ADC estimator over (…, id, m, cid) code rows: joins the
+    * broadcast LUT on `joinKeys`, then sums the m partials per (qid, id)
+    * in a FIXED expression-tree order (max-per-slot then left-fold adds
+    * — ((p0 + p1) + p2) + …), keeping the doubles engine-replayable.
+    * Returns (qid, id, est). */
+  private def adcEstimate(codeRows: DataFrame, lut: DataFrame, m: Int,
+      joinKeys: Seq[String]): DataFrame = {
     val slots = (0 until m).map(mi =>
       max(when(col("m") === mi.toLong, col("p"))).as(s"__p$mi"))
-    val est = (0 until m).map(mi => col(s"__p$mi"))
-      .reduce(_ + _) // left fold: ((p0 + p1) + p2) + p3 — fixed order
-    val g = corpusCodes.join(broadcast(lut), Seq("m", "cid"))
+    val est = (0 until m).map(mi => col(s"__p$mi")).reduce(_ + _)
+    codeRows.join(broadcast(lut), joinKeys)
       .groupBy("qid", "id")
       .agg(slots.head, slots.tail: _*)
       .withColumn("est", est)
-    rankTopKPerQuery(g, k, "est")
+      .select("qid", "id", "est")
+  }
+
+  /**
+   * PQ asymmetric-distance top-k (ADC): the dot product is additive over
+   * subspaces, so dot(q, v) is estimated as sum_m dot(q_m, codebook
+   * centroid of v's code in subspace m). Per query the partials form a
+   * tiny (m x k) lookup table; the corpus side only ever moves its CODE
+   * rows — the full vectors stay in storage, which is the entire point
+   * of PQ at scale.
+   */
+  def pqAdcTopK(corpusCodes: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
+      k: Int): DataFrame =
+    rankTopKPerQuery(
+      adcEstimate(corpusCodes, adcLut(queries, codebooks, subDim),
+        codebooks.length, Seq("m", "cid")),
+      k, "est")
+
+  // ---- IVF x PQ composed index --------------------------------------------
+
+  /**
+   * IVF x PQ inverted lists: (cid, id, m, code) rows — the layout every
+   * billion-vector deployment stores. Each list entry carries the
+   * vector's PQ CODES (m small ints ≈ m bytes), never the raw vector, so
+   * a probe reads ~m bytes per candidate instead of dim x 4: at dim=64 /
+   * m=32 that is an 8x cut in probe-path IO, and the raw vectors never
+   * leave storage until (optionally) a final top-`refine` exact re-rank
+   * touches just those rows.
+   *
+   * One narrow projection per vector (coarse centroids AND codebooks ride
+   * the plan as literals — [[nearestCid]] + the PqEncode codegen
+   * expression), no shuffle. At rest the lists live bucketed by `cid`, so
+   * probes co-locate with zero exchange on the index side.
+   */
+  def ivfPqAssignments(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])],
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int): DataFrame =
+    vecs.select(nearestCid(col(vecCol), centroids).as("cid"),
+        col(idCol).as("id"),
+        posexplode(pqEncodeCol(col(vecCol), codebooks, subDim)))
+      .select(col("cid"), col("id"), col("pos").cast("long").as("m"),
+        col("col").as("code"))
+
+  /** Probe-side candidate codes: queries pick their `nprobe` nearest
+    * coarse lists, the list equi-join yields (qid, id, m, cid) code rows
+    * — cid here is the PQ code, renamed to meet [[adcEstimate]]'s LUT
+    * join key. Only code rows move; vectors stay in storage. */
+  private def ivfPqCandidates(lists: DataFrame, queries: DataFrame,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int): DataFrame =
+    ivfProbes(queries.select(col("qid"), col("qvec")), "qid", "qvec",
+        centroids, nprobe)
+      .join(lists, "cid")
+      .select(col("qid"), col("id"), col("m"), col("code").as("cid"))
+
+  /**
+   * Query top-k against a MATERIALIZED IVF x PQ index
+   * ([[ivfPqAssignments]] rows, e.g. the accumulated state of
+   * [[graft.streaming.EmbeddingIndexStream.incrementalIvfPq]]): probe
+   * `nprobe` lists, rank candidates by the broadcast-LUT ADC estimate.
+   * The PURE code path — neither the corpus nor the index ever ships a
+   * raw vector; returns (qid, id, rank, est).
+   */
+  def probePqIndex(lists: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])],
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
+      nprobe: Int): DataFrame =
+    rankTopKPerQuery(
+      adcEstimate(ivfPqCandidates(lists, queries, centroids, nprobe),
+        adcLut(queries, codebooks, subDim), codebooks.length,
+        Seq("qid", "m", "cid")),
+      k, "est")
+
+  /**
+   * IVF x PQ top-k with exact refinement: ADC-rank the probed lists'
+   * code rows, shortlist the top `refine` candidates per query (heap
+   * top-k, map-side trim), then exact-cosine re-rank ONLY the shortlist
+   * against the corpus — per query just `refine` full vectors are ever
+   * read back from storage, vs every probed-list member in [[ivfTopK]].
+   *
+   * At equal (centroids, nprobe) the candidate pool matches [[ivfTopK]]'s;
+   * `refine` dials how much of that pool the exact pass sees — once the
+   * ADC top-`refine` covers the pool's true top-k (the common case well
+   * before refine reaches the pool size), the output EQUALS [[ivfTopK]]'s
+   * at a fraction of the vector IO (SimilaritySpec holds recall to that
+   * bar on the fixture).
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])],
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
+      nprobe: Int, refine: Int): DataFrame = {
+    require(refine >= k, s"ivfPqTopK: refine ($refine) must be >= k ($k)")
+    val lists = ivfPqAssignments(corpus.select(col("id"), col("vec")), "id",
+      "vec", centroids, codebooks, subDim)
+    val est = adcEstimate(ivfPqCandidates(lists, queries, centroids, nprobe),
+      adcLut(queries, codebooks, subDim), codebooks.length,
+      Seq("qid", "m", "cid"))
+    val shortlist = TopK.perKey(est, Seq(col("qid")),
+        Seq(col("est").desc, col("id")), refine)
+      .select("qid", "id")
+    val scored = shortlist
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    rankTopKPerQuery(scored, k, "score")
   }
 }

@@ -26,6 +26,8 @@ object SimilarityQueries {
   private val PqK = 16
   private val PqIters = 5
   private val RpOutDim = 16
+  private val IvfNprobe = 3
+  private val IvfPqRefine = 50
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -190,6 +192,69 @@ object SimilarityQueries {
       Similarity.pqAdcTopK(codes, qs, books, PqSubDim, 5)
         .withColumnRenamed("rank", "rnk")
     },
+    // IVF x PQ composed: coarse k-means lists carry PQ CODES (not
+    // vectors), probes ADC-rank via the broadcast LUT, the top-50
+    // shortlist gets one exact re-rank — the billion-vector layout where
+    // raw vectors never leave storage until the final refine touches
+    // `refine` rows per query. The oracle replays BOTH trainings (coarse
+    // + all 32 subspace codebooks), the code assignment, the fixed-order
+    // ADC sum, the shortlist trim, and the exact re-rank.
+    "sim_ivfpq_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val train = corpus.where(col("id") % 4 === 0)
+      val centroids = Similarity.trainKMeans(train, "id", "vec", KmK, Dim,
+        KmIters)
+      val books = Similarity.trainPQ(train, "id", "vec", PqM, PqSubDim,
+        PqK, PqIters)
+      Similarity.ivfPqTopK(corpus, qs, 5, centroids, books, PqSubDim,
+          IvfNprobe, IvfPqRefine)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // STREAMING IVF x PQ index: vector batches fold into persisted
+    // (cid, id, m, code) lists — each arrival is coarse-assigned and
+    // PQ-encoded once, and only CODES enter the state (~m bytes/vector).
+    // Queries probe the ACCUMULATED code lists through the pure ADC path;
+    // no raw vector ever moves. Oracle: training on history, codes
+    // assigned batch-independently, same ADC ranking.
+    "stream_ivfpq_index" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val history = corpus.where(col("id") < 200)
+      val days = Seq(
+        corpus.where(col("id") >= 200 && col("id") < 350),
+        corpus.where(col("id") >= 350))
+      val root = java.nio.file.Files.createTempDirectory("graft_sivfpq").toString
+      val logDir = s"$root/days"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+      days.zipWithIndex.foreach { case (slice, i) =>
+        val stage = s"$root/stage$i"
+        slice.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val train = history.where(col("id") % 4 === 0)
+      val centroids = Similarity.trainKMeans(train, "id", "vec", KmK, Dim,
+        KmIters)
+      val books = Similarity.trainPQ(train, "id", "vec", PqM, PqSubDim,
+        PqK, PqIters)
+      val lists = graft.streaming.EmbeddingIndexStream.incrementalIvfPq(
+        s, history, logDir, days.head.schema, s"$root/state", "id", "vec",
+        centroids, books, PqSubDim)
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.probePqIndex(lists, qs, 5, centroids, books, PqSubDim,
+          IvfNprobe)
+        .withColumnRenamed("rank", "rnk")
+    },
     // Semantic decontamination: the eval set is a planted paraphrase
     // leak — every 50th corpus vector rescaled/shifted in double and
     // rounded once to float (cosine ≈ 0.999 with its source, vs ≤ ~0.51
@@ -298,9 +363,11 @@ object SimilarityQueries {
         s"CAST(${duckCode(vecCol, ps(t))} AS BIGINT) AS code FROM $rel"
     }.mkString(s"$name AS (", " UNION ALL ", ")")
 
-  /** PQ oracle: per-subspace k-means replay (tagged CTE families), code
-    * assignment, and the fixed-order ADC sum. */
-  private lazy val duckPqOracle: String = {
+  /** Per-subspace PQ replay block (assumes `corp(id, v)`, `qs(qid, qv)`,
+    * `train(id, v)` CTEs in scope): all PqM codebooks trained by tagged
+    * unrolled Lloyd (min-L2 assignment), corp encoded to `codes
+    * (id, m, cid)`, and the per-query LUT `lut (qid, m, cid, p)`. */
+  private lazy val duckPqSubCtes: String = {
     val subCtes = (0 until PqM).map { mi =>
       val lo = mi * PqSubDim + 1
       val hi = (mi + 1) * PqSubDim
@@ -319,26 +386,62 @@ object SimilarityQueries {
          |  FROM qs, centm$mi)""".stripMargin
     }.mkString(",\n")
     val unions = (0 until PqM)
+    s"""$subCtes,
+       |codes AS (${unions.map(i => s"SELECT * FROM codes$i")
+           .mkString(" UNION ALL ")}),
+       |lut AS (${unions.map(i => s"SELECT * FROM lut$i")
+           .mkString(" UNION ALL ")})""".stripMargin
+  }
+
+  /** The fixed-order ADC sum — left-assoc chain of per-slot MAXes,
+    * matching Similarity.adcEstimate's expression tree. */
+  private def duckAdcEst(codeAlias: String, lutAlias: String): String =
+    (0 until PqM).map(i =>
+      s"MAX(CASE WHEN $codeAlias.m = $i THEN $lutAlias.p END)")
+      .mkString(" + ")
+
+  /** PQ oracle: per-subspace k-means replay (tagged CTE families), code
+    * assignment, and the fixed-order ADC sum. */
+  private lazy val duckPqOracle: String =
     s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
        |  FROM embeddings WHERE vec_id >= 20),
        |qs AS (SELECT vec_id AS qid, embedding AS qv
        |  FROM embeddings WHERE vec_id < 4),
        |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
-       |$subCtes,
-       |codes AS (${unions.map(i => s"SELECT * FROM codes$i")
-           .mkString(" UNION ALL ")}),
-       |lut AS (${unions.map(i => s"SELECT * FROM lut$i")
-           .mkString(" UNION ALL ")}),
-       |g AS (SELECT l.qid, c.id,
-       |    ${unions.map(i => s"MAX(CASE WHEN c.m = $i THEN l.p END)")
-           .mkString(" + ")} AS est
+       |$duckPqSubCtes,
+       |g AS (SELECT l.qid, c.id, ${duckAdcEst("c", "l")} AS est
        |  FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
        |  GROUP BY l.qid, c.id),
        |r AS (SELECT qid, id, est, ROW_NUMBER() OVER (PARTITION BY qid
        |        ORDER BY est DESC, id) AS rn FROM g)
        |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(est, 6) AS est
        |FROM r WHERE rn <= 5""".stripMargin
-  }
+
+  /** Shared IVF x PQ CTE block (assumes `corp`, `qs`, `train` in scope):
+    * coarse k-means (cosine assignment) + the PQ sub-block, nprobe=1
+    * coarse lists over corp, per-query probes, the probe-restricted
+    * candidate set, and the fixed-order ADC estimate `g (qid, id, est)`. */
+  private def duckIvfPqCtes(nprobe: Int): String =
+    s"""${duckKMeansCtes(KmK, KmIters, "train")},
+       |cent AS (SELECT cid, cv FROM cent$KmIters),
+       |clists AS (SELECT id, ccid FROM (
+       |  SELECT corp.id, cent.cid AS ccid,
+       |    ROW_NUMBER() OVER (PARTITION BY corp.id
+       |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
+       |  FROM corp, cent) t WHERE rn = 1),
+       |probes AS (SELECT qid, ccid FROM (
+       |  SELECT qs.qid, cent.cid AS ccid,
+       |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+       |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+       |  FROM qs, cent) t WHERE rn <= $nprobe),
+       |$duckPqSubCtes,
+       |cand AS (SELECT p.qid, l.id FROM probes p JOIN clists l
+       |         ON p.ccid = l.ccid),
+       |g AS (SELECT cand.qid, cand.id, ${duckAdcEst("c", "lt")} AS est
+       |  FROM cand JOIN codes c ON c.id = cand.id
+       |       JOIN lut lt ON lt.qid = cand.qid AND lt.m = c.m
+       |                  AND lt.cid = c.cid
+       |  GROUP BY cand.qid, cand.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "sim_pq_adc" -> duckPqOracle,

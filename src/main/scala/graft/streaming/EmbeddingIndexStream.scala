@@ -57,4 +57,43 @@ object EmbeddingIndexStream {
     })
     spark.read.parquet(s"$stateDir/lists_v$last")
   }
+
+  /**
+   * The IVF x PQ twin of [[incrementalIvf]]: the folded state is
+   * [[Similarity.ivfPqAssignments]] rows (cid, id, m, code) — each
+   * ingested vector is coarse-assigned AND PQ-encoded once, on arrival,
+   * and only its CODES enter the index. Per-batch cost is one narrow
+   * projection + an append, and the persisted state is ~m bytes per
+   * vector instead of dim x 4: the index a billion-vector deployment can
+   * actually hold. Probes go through [[Similarity.probePqIndex]] (ADC
+   * re-rank from the broadcast LUT) — raw vectors never leave storage on
+   * the probe path. Same versioning/vacuum contract as [[incrementalIvf]].
+   */
+  def incrementalIvfPq(spark: SparkSession, history: DataFrame,
+      vecDir: String, schema: StructType, stateDir: String,
+      idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])],
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
+      retainVersions: Int = 3): DataFrame = {
+    require(retainVersions >= 2,
+      "incrementalIvfPq: retainVersions >= 2 (current + replay anchor)")
+    require(centroids.nonEmpty && codebooks.nonEmpty,
+      "incrementalIvfPq: train the coarse quantizer and codebooks first")
+    Similarity.ivfPqAssignments(history, idCol, vecCol, centroids,
+        codebooks, subDim)
+      .write.mode("overwrite").parquet(s"$stateDir/pq_lists_v0")
+    @volatile var last = 0L
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vecDir)
+    EventStream.runForeachBatch(spark, stream, (batch, id) => {
+      val prev = spark.read.parquet(s"$stateDir/pq_lists_v$id")
+      prev.unionByName(
+          Similarity.ivfPqAssignments(batch, idCol, vecCol, centroids,
+            codebooks, subDim))
+        .write.mode("overwrite").parquet(s"$stateDir/pq_lists_v${id + 1}")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_lists_v")
+      last = id + 1
+    })
+    spark.read.parquet(s"$stateDir/pq_lists_v$last")
+  }
 }
