@@ -445,6 +445,44 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_pq_adc" -> duckPqOracle,
+    // IVF x PQ + exact refine: replay both trainings, the code
+    // assignment, the fixed-order ADC sum, the top-`IvfPqRefine`
+    // shortlist trim (est DESC, id — Spark's heap order), and the exact
+    // cosine re-rank over just the shortlist.
+    "sim_ivfpq_topk" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckIvfPqCtes(IvfNprobe)},
+         |short AS (SELECT qid, id FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY est DESC, id) AS rn FROM g) t
+         |  WHERE rn <= $IvfPqRefine),
+         |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
+         |       FROM short s JOIN qs q ON s.qid = q.qid
+         |                    JOIN corp c ON s.id = c.id),
+         |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+    // Streaming IVF x PQ: training replays on HISTORY only (id < 200,
+    // 1-in-4 sample); codes/assignments are batch-independent so the
+    // accumulated state equals one pass over the full corpus; queries
+    // rank by the same fixed-order ADC estimate (no exact re-rank —
+    // probePqIndex is the pure code path).
+    "stream_ivfpq_index" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id < 200 AND id % 4 = 0),
+         |${duckIvfPqCtes(IvfNprobe)},
+         |r AS (SELECT qid, id, est, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY est DESC, id) AS rn FROM g)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(est, 6) AS est
+         |FROM r WHERE rn <= 5""".stripMargin,
     "text_decontaminate_semantic" ->
       s"""WITH ev AS (SELECT vec_id AS eid,
          |    list_transform(embedding,

@@ -27,6 +27,29 @@ import graft.operators.Similarity
  */
 object EmbeddingIndexStream {
 
+  /** The shared fold: seed `stateDir/<prefix>0` with the assigned
+    * history, then run the vector stream to completion appending each
+    * batch's assignments under [[ChangelogStream.materialize]]'s
+    * versioning discipline (batch b reads v{b}, overwrites v{b+1} —
+    * exactly-once under replay), vacuuming to the newest
+    * `retainVersions` anchors. Returns the final accumulated index. */
+  private def incrementalFold(spark: SparkSession, history: DataFrame,
+      vecDir: String, schema: StructType, stateDir: String, prefix: String,
+      retainVersions: Int, assign: DataFrame => DataFrame): DataFrame = {
+    assign(history).write.mode("overwrite").parquet(s"$stateDir/${prefix}0")
+    @volatile var last = 0L
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vecDir)
+    EventStream.runForeachBatch(spark, stream, (batch, id) => {
+      val prev = spark.read.parquet(s"$stateDir/$prefix$id")
+      prev.unionByName(assign(batch))
+        .write.mode("overwrite").parquet(s"$stateDir/$prefix${id + 1}")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = prefix)
+      last = id + 1
+    })
+    spark.read.parquet(s"$stateDir/$prefix$last")
+  }
+
   /**
    * Runs the vector stream in `vecDir` (parquet, `schema` with id/vec
    * columns named `idCol`/`vecCol`) to completion, starting from
@@ -42,20 +65,9 @@ object EmbeddingIndexStream {
       "incrementalIvf: retainVersions >= 2 (current + replay anchor)")
     require(centroids.nonEmpty,
       "incrementalIvf: empty coarse quantizer — train centroids first")
-    Similarity.ivfAssignments(history, idCol, vecCol, centroids)
-      .write.mode("overwrite").parquet(s"$stateDir/lists_v0")
-    @volatile var last = 0L
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(vecDir)
-    EventStream.runForeachBatch(spark, stream, (batch, id) => {
-      val prev = spark.read.parquet(s"$stateDir/lists_v$id")
-      prev.unionByName(
-          Similarity.ivfAssignments(batch, idCol, vecCol, centroids))
-        .write.mode("overwrite").parquet(s"$stateDir/lists_v${id + 1}")
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "lists_v")
-      last = id + 1
-    })
-    spark.read.parquet(s"$stateDir/lists_v$last")
+    incrementalFold(spark, history, vecDir, schema, stateDir, "lists_v",
+      retainVersions,
+      batch => Similarity.ivfAssignments(batch, idCol, vecCol, centroids))
   }
 
   /**
@@ -79,21 +91,9 @@ object EmbeddingIndexStream {
       "incrementalIvfPq: retainVersions >= 2 (current + replay anchor)")
     require(centroids.nonEmpty && codebooks.nonEmpty,
       "incrementalIvfPq: train the coarse quantizer and codebooks first")
-    Similarity.ivfPqAssignments(history, idCol, vecCol, centroids,
-        codebooks, subDim)
-      .write.mode("overwrite").parquet(s"$stateDir/pq_lists_v0")
-    @volatile var last = 0L
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(vecDir)
-    EventStream.runForeachBatch(spark, stream, (batch, id) => {
-      val prev = spark.read.parquet(s"$stateDir/pq_lists_v$id")
-      prev.unionByName(
-          Similarity.ivfPqAssignments(batch, idCol, vecCol, centroids,
-            codebooks, subDim))
-        .write.mode("overwrite").parquet(s"$stateDir/pq_lists_v${id + 1}")
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_lists_v")
-      last = id + 1
-    })
-    spark.read.parquet(s"$stateDir/pq_lists_v$last")
+    incrementalFold(spark, history, vecDir, schema, stateDir, "pq_lists_v",
+      retainVersions,
+      batch => Similarity.ivfPqAssignments(batch, idCol, vecCol, centroids,
+        codebooks, subDim))
   }
 }

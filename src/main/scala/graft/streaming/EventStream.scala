@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -17,12 +18,32 @@ import org.apache.spark.sql.types._
  */
 object EventStream {
 
-  /** The parquet-on-disk schema of events (ts stored as TIMESTAMP(NANOS),
-    * read as raw nanos — see graft.Tables.load). */
+  /** The legacy parquet-on-disk schema of events (ts stored as
+    * TIMESTAMP(NANOS), read as raw nanos — see graft.Tables.load). Kept
+    * for fixtures of that vintage; the reader is schema-adaptive. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Footer schema of the events fixture as Spark's batch reader sees it
+    * (with nanosAsLong so TIMESTAMP(NANOS)-era files surface as int64).
+    * The file stream source needs a declared schema, and declaring the
+    * wrong temporal type silently mis-scales event time — so ask the file
+    * itself. */
+  private def fixtureEventsSchema(
+      spark: SparkSession, src: java.nio.file.Path): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(src.toString).schema
+  }
+
+  /** 2100-01-01 in whatever type the fixture stores `ts` as. */
+  private def sentinelTs(dt: DataType): org.apache.spark.sql.Column =
+    dt match {
+      case LongType => lit(4102444800L * 1000000000L) // nanos
+      case _: TimestampNTZType => expr("timestamp_ntz'2100-01-01 00:00:00'")
+      case _ => expr("timestamp'2100-01-01 00:00:00'")
+    }
 
   /** Builds a cached stream directory ATOMICALLY: the content is staged in
     * a scratch dir and renamed into place in one move, so a crash or a
@@ -67,14 +88,13 @@ object EventStream {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    val schema = fixtureEventsSchema(spark, src)
     val streamDir = ensureStreamDir(
-      s"graft_stream_${src.toString.hashCode.toHexString}") { stage =>
+      s"graft_stream_${(src.toString, schema.simpleString).hashCode.toHexString}") { stage =>
       Files.createSymbolicLink(stage.resolve("events.parquet"), src)
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(streamDir.toString)
-      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
-        "user_id", "event_type", "value", "props")
+    Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
   }
 
   /** Like [[eventsStream]], plus one far-future SENTINEL event (user -1,
@@ -86,15 +106,19 @@ object EventStream {
   def eventsStreamWithSentinel(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    val schema = fixtureEventsSchema(spark, src)
     val streamDir = ensureStreamDir(
-      s"graft_stream_sent_${src.toString.hashCode.toHexString}") { stage =>
+      s"graft_stream_sent_${(src.toString, schema.simpleString).hashCode.toHexString}") { stage =>
       Files.createSymbolicLink(stage.resolve("events.parquet"), src)
-      import spark.implicits._
-      val sentinelNs = 4102444800L * 1000000000L // 2100-01-01 in nanos
       val tmp = Files.createTempDirectory("graft_sentinel")
       try {
-        Seq((-1L, sentinelNs, -1L, "click", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        // Sentinel row in the SAME ts type as the fixture, so the
+        // declared stream schema reads both files identically.
+        spark.range(1).select(
+          lit(-1L).as("event_id"),
+          sentinelTs(schema("ts").dataType).as("ts"),
+          lit(-1L).as("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val ls = Files.list(tmp)
         val part =
@@ -103,10 +127,8 @@ object EventStream {
         Files.copy(part, stage.resolve("z_sentinel.parquet"))
       } finally deleteRecursively(tmp)
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(streamDir.toString)
-      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
-        "user_id", "event_type", "value", "props")
+    Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
   }
 
   /** Hourly tumbling-window counts + value sums per event type. Works on
