@@ -68,4 +68,53 @@ class EmbeddingIndexStreamSpec extends GraftSuite {
       .select("cid", "id").as[(Long, Long)].collect().toSet
     assert(replayed == streamed)
   }
+
+  test("IVF x PQ: accumulated code lists == batch encoding; probes agree") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val corpus = e.where(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val history = corpus.where(col("id") < 200)
+    val days = Seq(
+      corpus.where(col("id") >= 200 && col("id") < 350),
+      corpus.where(col("id") >= 350))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpqspec")
+    val logDir = root.resolve("days")
+    java.nio.file.Files.createDirectories(logDir)
+    days.zipWithIndex.foreach { case (slice, i) =>
+      val stage = root.resolve(s"stage$i").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = logDir.resolve(f"day$i%03d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val train = history.where(col("id") % 4 === 0)
+    val centroids = Similarity.trainKMeans(train, "id", "vec", 16, 64, 2)
+    val books = Similarity.trainPQ(train, "id", "vec", 32, 2, 16, 5)
+    val lists = EmbeddingIndexStream.incrementalIvfPq(spark, history,
+      logDir.toString, days.head.schema, root.resolve("state").toString,
+      "id", "vec", centroids, books, 2)
+    // Assignment and encoding are per-row, so the streamed fold must
+    // hold exactly the batch encoding of the full corpus.
+    val streamed = lists.select("cid", "id", "m", "code")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Similarity.ivfPqAssignments(corpus, "id", "vec", centroids,
+        books, 2)
+      .select("cid", "id", "m", "code")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // Identical state => identical ADC probe answers.
+    val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val viaStream = Similarity.probePqIndex(lists, qs, 5, centroids, books,
+        2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBatch = Similarity.probePqIndex(
+        Similarity.ivfPqAssignments(corpus, "id", "vec", centroids, books, 2),
+        qs, 5, centroids, books, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaStream == viaBatch)
+  }
 }

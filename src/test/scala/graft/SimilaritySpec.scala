@@ -244,6 +244,55 @@ class SimilaritySpec extends GraftSuite {
       s"recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("IVF x PQ: refine >= pool size makes ivfPqTopK equal ivfTopK exactly") {
+    // At equal (centroids, nprobe) the two operators see the SAME probed
+    // candidate pool; once the ADC shortlist covers the whole pool the
+    // exact re-rank is ivfTopK's scoring verbatim — outputs must match
+    // bit-for-bit (same dot/(|q||v|) arithmetic, same tie order).
+    val centroids = Similarity.trainKMeans(corpus, "id", "vec", 16, 64, 2)
+    val books = Similarity.trainPQ(corpus, "id", "vec", 32, 2, 16, 5)
+    val poolCeil = corpus.count().toInt // refine can never trim below this
+    val viaPq = Similarity.ivfPqTopK(corpus, queries, 5, centroids, books,
+        2, 3, poolCeil)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaIvf = Similarity.ivfTopK(corpus, queries, 5, centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaPq == viaIvf)
+  }
+
+  test("IVF x PQ: refine=50 holds recall against ivfTopK at equal nprobe") {
+    // The production shape: a small exact re-rank budget. The ADC
+    // shortlist must surface (nearly) all of the exact pool top-5 —
+    // recall vs ivfTopK's answer is the bar the scaladoc promises.
+    val centroids = Similarity.trainKMeans(corpus, "id", "vec", 16, 64, 2)
+    val books = Similarity.trainPQ(corpus, "id", "vec", 32, 2, 16, 5)
+    val ivf = Similarity.ivfTopK(corpus, queries, 5, centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(corpus, queries, 5, centroids, books,
+        2, 3, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(pq).size.toDouble / ivf.size
+    assert(recall >= 0.8, s"ivfPqTopK recall vs ivfTopK: $recall")
+  }
+
+  test("IVF x PQ probe path moves only code rows (LUT broadcast, no vectors)") {
+    val centroids = Similarity.trainKMeans(corpus, "id", "vec", 16, 64, 2)
+    val books = Similarity.trainPQ(corpus, "id", "vec", 32, 2, 16, 5)
+    val lists = Similarity.ivfPqAssignments(corpus, "id", "vec", centroids,
+      books, 2)
+    // The index never holds a vector column at all — the probe path is
+    // structurally incapable of shipping one.
+    assert(lists.columns.toSeq == Seq("cid", "id", "m", "code"))
+    val probed = Similarity.probePqIndex(lists, queries, 5, centroids,
+      books, 2, 3)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"ADC LUT must broadcast:\n$plan")
+    assert(probed.count() > 0)
+  }
+
   test("int8 quantization: values bounded, max-magnitude element hits +-127") {
     import graft.operators.VectorOps
     val q = emb.select(col("vec_id"),
