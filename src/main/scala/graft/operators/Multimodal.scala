@@ -493,19 +493,29 @@ object Multimodal {
    * shuffle, never all-pairs), then the true bit distance verifies.
    * Same banded shape as the SimHash text path, lifted to images.
    */
-  def perceptualNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def perceptualNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHamming64(hashes, "ahash_hi", "ahash_lo", maxHamming)
+
+  /** Banded-Hamming near-dup pairing over a 64-bit signature stored as
+    * two 32-bit halves: split into 4x16-bit bands, equi-join on any
+    * shared band (pigeonhole: Hamming <= 3 differs in at most 3 bands,
+    * so at least one matches — exact recall, no signature ever compares
+    * against the whole corpus), then exact-Hamming refilter. The shape
+    * both [[perceptualNearDup]] (images) and [[audioNearDup]] ride. */
+  private def bandedHamming64(sigs: DataFrame, hiCol: String, loCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit banding guarantees recall only for maxHamming <= 3, got $maxHamming")
-    val banded = hashes.select(col("media_id"),
-        col("ahash_hi"), col("ahash_lo"),
+    val banded = sigs.select(col("media_id"),
+        col(hiCol), col(loCol),
         posexplode(array(
-          col("ahash_hi") % 65536L, floor(col("ahash_hi") / 65536L),
-          col("ahash_lo") % 65536L, floor(col("ahash_lo") / 65536L))))
-      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+          col(hiCol) % 65536L, floor(col(hiCol) / 65536L),
+          col(loCol) % 65536L, floor(col(loCol) / 65536L))))
+      .select(col("media_id"), col(hiCol), col(loCol),
         col("pos").as("band"), col("col").cast("long").as("bval"))
     val ham =
-      bit_count(col("x.ahash_hi").bitwiseXOR(col("y.ahash_hi"))) +
-        bit_count(col("x.ahash_lo").bitwiseXOR(col("y.ahash_lo")))
+      bit_count(col(s"x.$hiCol").bitwiseXOR(col(s"y.$hiCol"))) +
+        bit_count(col(s"x.$loCol").bitwiseXOR(col(s"y.$loCol")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col("x.media_id") < col("y.media_id"))
@@ -514,4 +524,110 @@ object Multimodal {
         ham.cast("long").as("hamming"))
       .distinct()
   }
+
+  /** Decodes a little-endian PCM16 mono payload to its sample array via
+    * the JDK audio codec (header parse + frame stream). */
+  private def decodePcm16(m: MediaRecord): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(m.payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding
+        .PCM_SIGNED && !fmt.isBigEndian,
+      s"media ${m.mediaId}: expected little-endian signed PCM16 mono, got $fmt")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    val samples = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+      i += 1
+    }
+    samples
+  }
+
+  /**
+   * Integer spectral profile of the decoded PCM: each FULL
+   * `frameSize`-sample frame reports the autocorrelation lag in
+   * [`minLag`, `maxLag`] with the highest integer correlation sum
+   * (ties -> lowest lag) — the frame's dominant period, i.e. its pitch
+   * class. All-integer Long sums (|s| < 2^15, frameSize <= 2^12 keeps
+   * every sum far from overflow), so an oracle regenerating the fixture
+   * waveform replays every value exactly; and because argmax is
+   * amplitude-invariant, volume-rescaled copies of a clip produce the
+   * SAME profile — the property [[audioFingerprint]] near-dup rides on.
+   *
+   * Trailing partial frames (shorter than a full autocorrelation
+   * window) are dropped: profile grain is floor(n / frameSize) rows.
+   * Scale shape: one mapPartitions decode pass, payloads never shuffle,
+   * 3 longs per frame move downstream.
+   */
+  def audioSpectralProfile(media: Dataset[MediaRecord], frameSize: Int = 256,
+      minLag: Int = 32, maxLag: Int = 95): DataFrame = {
+    require(0 < minLag && minLag < maxLag && maxLag < frameSize,
+      s"audioSpectralProfile: need 0 < minLag < maxLag < frameSize, " +
+        s"got ($minLag, $maxLag, $frameSize)")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val samples = decodePcm16(m)
+      val nFrames = samples.length / frameSize
+      (0 until nFrames).map { f =>
+        val lo = f * frameSize
+        var bestLag = -1L
+        var bestCorr = Long.MinValue
+        var lg = minLag
+        while (lg <= maxLag) {
+          var c = 0L
+          var i = 0
+          while (i < frameSize - lg) {
+            c += samples(lo + i).toLong * samples(lo + i + lg)
+            i += 1
+          }
+          if (c > bestCorr) { bestCorr = c; bestLag = lg.toLong }
+          lg += 1
+        }
+        (m.mediaId, f.toLong, bestLag, bestCorr)
+      }
+    }.toDF("media_id", "frame_idx", "peak_lag", "peak_corr")
+  }
+
+  /**
+   * 64-bit positional audio fingerprint: the clip is split into 4
+   * temporal quarters (by frame index), and each frame sets bit
+   * `quarter*16 + (peak_lag - minLag) mod 16` — WHERE in the clip each
+   * period class occurs, not just whether it occurs, so two unrelated
+   * single-pitch clips differ in ~8 bits (not the degenerate 2 a pure
+   * presence bitmap would give) while a locally-edited copy moves only
+   * the touched quarter's bits. Packed as two 32-bit halves like
+   * [[averageHash]]. Amplitude-invariant (inherits the argmax invariance
+   * of [[audioSpectralProfile]]): a volume-rescaled clip fingerprints
+   * IDENTICALLY — pair with [[audioNearDup]].
+   */
+  def audioFingerprint(media: Dataset[MediaRecord], frameSize: Int = 256,
+      minLag: Int = 32, maxLag: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prof = audioSpectralProfile(media, frameSize, minLag, maxLag)
+      .withColumn("nf", count(lit(1)).over(
+        Window.partitionBy("media_id")))
+      .withColumn("bitIdx",
+        expr("(frame_idx * 4) div nf") * 16L +
+          pmod(col("peak_lag") - lit(minLag.toLong), lit(16L)))
+    prof.groupBy("media_id")
+      .agg(
+        expr("bit_or(CASE WHEN bitIdx < 32 THEN shiftleft(CAST(1 AS " +
+          "BIGINT), CAST(bitIdx AS INT)) ELSE CAST(0 AS BIGINT) END)")
+          .as("fp_hi"),
+        expr("bit_or(CASE WHEN bitIdx >= 32 THEN shiftleft(CAST(1 AS " +
+          "BIGINT), CAST(bitIdx - 32 AS INT)) ELSE CAST(0 AS BIGINT) END)")
+          .as("fp_lo"),
+        count(lit(1)).as("n_frames"))
+  }
+
+  /** Near-duplicate audio pairing over [[audioFingerprint]] signatures:
+    * 4x16-bit banded candidate join + exact Hamming refilter (recall
+    * exact for maxHamming <= 3). Same scale shape as the image twin:
+    * no all-pairs comparison, signatures only. */
+  def audioNearDup(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHamming64(fingerprints, "fp_hi", "fp_lo", maxHamming)
 }

@@ -74,6 +74,27 @@ object MultimodalQueries {
        |         ELSE 0::BIGINT END), (a, b) -> a + b) AS BIGINT) AS ahash_lo
        |  FROM t)""".stripMargin
 
+  /** Shared oracle CTE family for the audio spectral gates: regenerate
+    * the sawtooth (v_i = (i%p - p//2)*256, p = 64 + d%32), cut into full
+    * 256-sample frames, replay every integer autocorrelation sum over
+    * lags 32..95, and pick each frame's argmax (ties -> lowest lag). */
+  private lazy val duckSpectralCtes: String =
+    """a AS (SELECT doc_id, doc_id % 150 AS d,
+      |        n_chars % 800 + 800 AS n FROM documents),
+      |pp AS (SELECT doc_id, n, 64 + d % 32 AS p,
+      |         (64 + d % 32) // 2 AS h FROM a),
+      |fr AS (SELECT doc_id, p, h, u.f AS frame_idx, u.f * 256 AS lo
+      |       FROM pp, unnest(range(n // 256)) u(f)),
+      |cr AS (SELECT doc_id, frame_idx, l.lagv AS lagv,
+      |        list_reduce(list_transform(range(256 - l.lagv), i ->
+      |          CAST(((lo + i) % p - h) * 256 AS BIGINT)
+      |          * CAST(((lo + i + l.lagv) % p - h) * 256 AS BIGINT)),
+      |          (x, y) -> x + y) AS corr
+      |       FROM fr, unnest(range(32, 96)) l(lagv)),
+      |pk AS (SELECT doc_id, frame_idx, lagv, corr,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id, frame_idx
+      |          ORDER BY corr DESC, lagv) AS rn FROM cr)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> { (s, dir) =>
       Multimodal.decodeFeatures(typedMedia(s, dir)).toDF()
@@ -166,6 +187,27 @@ object MultimodalQueries {
     // replay every bit.
     "mm_ahash" -> { (s, dir) =>
       Multimodal.averageHash(typedMedia(s, dir))
+    },
+    // Per-frame dominant period by integer autocorrelation argmax over
+    // lags 32..95 (full 256-sample frames only): the oracle regenerates
+    // the sawtooth and replays every correlation sum — a framing,
+    // decode, or tie-break bug cannot match.
+    "mm_audio_spectral" -> { (s, dir) =>
+      import s.implicits._
+      val m = Multimodal.fromDocumentsWav(Tables.load(s, dir, "documents"))
+        .select(col("media_id").as("mediaId"), col("kind"), col("payload"),
+          col("meta")).as[MediaRecord]
+      Multimodal.audioSpectralProfile(m)
+    },
+    // 64-bit period-class bitmap per clip (bit = peak_lag - 32 seen in
+    // some frame), packed as two 32-bit halves like mm_ahash. The
+    // amplitude-invariant signature audioNearDup pairs on.
+    "mm_audio_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val m = Multimodal.fromDocumentsWav(Tables.load(s, dir, "documents"))
+        .select(col("media_id").as("mediaId"), col("kind"), col("payload"),
+          col("meta")).as[MediaRecord]
+      Multimodal.audioFingerprint(m)
     },
     // (perceptualNearDup is spec-gated with constructed discriminative
     // images — the fixture's gradients are all brightness-variants of one
@@ -416,6 +458,31 @@ object MultimodalQueries {
         |  CAST(100 + i AS BIGINT) AS b
         |FROM f, unnest(range(n)) u(i)""".stripMargin,
     "mm_ahash" -> s"WITH $duckAhashCtes SELECT media_id, ahash_hi, ahash_lo FROM hh",
+    // Sawtooth autocorrelation replay: corr(frame, lag) = sum over the
+    // frame's first 256-lag samples of v_i * v_{i+lag}; argmax with
+    // ties -> lowest lag. Full frames only (n // 256 per doc).
+    "mm_audio_spectral" -> (s"WITH $duckSpectralCtes" +
+      """
+        |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(lagv AS BIGINT) AS peak_lag, CAST(corr AS BIGINT) AS peak_corr
+        |FROM pk WHERE rn = 1""".stripMargin),
+    "mm_audio_fingerprint" -> (s"WITH $duckSpectralCtes," +
+      """
+        |pf AS (SELECT doc_id, frame_idx, lagv,
+        |         COUNT(*) OVER (PARTITION BY doc_id) AS nf
+        |       FROM pk WHERE rn = 1),
+        |bx AS (SELECT doc_id,
+        |         (frame_idx * 4) // nf * 16 + ((lagv - 32) % 16) AS bit_idx
+        |       FROM pf)
+        |SELECT doc_id AS media_id,
+        |  CAST(bit_or(CASE WHEN bit_idx < 32
+        |    THEN (1::BIGINT << bit_idx) ELSE 0::BIGINT END)
+        |    AS BIGINT) AS fp_hi,
+        |  CAST(bit_or(CASE WHEN bit_idx >= 32
+        |    THEN (1::BIGINT << (bit_idx - 32)) ELSE 0::BIGINT END)
+        |    AS BIGINT) AS fp_lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames
+        |FROM bx GROUP BY doc_id""".stripMargin),
     "stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,

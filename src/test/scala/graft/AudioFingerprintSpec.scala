@@ -1,0 +1,80 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MediaMeta, MediaRecord, Multimodal}
+
+/**
+ * Audio spectral fingerprint + near-dup over CONSTRUCTED clips, where the
+ * ground truth is known by design:
+ *  - a volume-rescaled copy must fingerprint identically (argmax
+ *    amplitude invariance),
+ *  - a copy with one edited quarter must land within the banded-Hamming
+ *    near-dup radius,
+ *  - a different-pitch clip must NOT pair (the positional bitmap puts
+ *    ~8 bits between unrelated single-pitch clips).
+ */
+class AudioFingerprintSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** Real RIFF/WAVE bytes (PCM16 mono 16 kHz) for sample function `f`. */
+  private def wav(id: Long, n: Int, f: Int => Int): MediaRecord = {
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val s = f(i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val out = new ByteArrayOutputStream()
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    MediaRecord(id, "audio", out.toByteArray,
+      MediaMeta(0, 0, 16000, n * 1000L / 16000, "audio/wav"))
+  }
+
+  private def saw(period: Int)(i: Int): Int =
+    (i % period - period / 2) * 256
+
+  private val n = 1280 // 5 full 256-sample frames
+  private lazy val clips = spark.createDataset(Seq(
+    wav(1L, n, saw(70)),                       // A: pitch-70 sawtooth
+    wav(2L, n, i => saw(70)(i) / 2),           // B: same clip, half volume
+    wav(3L, n, i => if (i < 1024) saw(70)(i) else saw(80)(i)), // C: last
+                                               // quarter re-pitched
+    wav(4L, n, saw(85))))                      // D: unrelated pitch
+
+  test("spectral profile finds the true period in every frame") {
+    val prof = Multimodal.audioSpectralProfile(clips)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(prof.size == 20) // 4 clips x 5 full frames
+    for (f <- 0L until 5L) {
+      assert(prof((1L, f)) == 70L, s"clip A frame $f: ${prof((1L, f))}")
+      assert(prof((2L, f)) == 70L, s"clip B frame $f: ${prof((2L, f))}")
+      assert(prof((4L, f)) == 85L, s"clip D frame $f: ${prof((4L, f))}")
+    }
+    assert(prof((3L, 4L)) == 80L, "clip C's edited frame must re-pitch")
+    for (f <- 0L until 4L) assert(prof((3L, f)) == 70L)
+  }
+
+  test("volume-rescaled copy fingerprints identically; edit = near-dup; other pitch = not") {
+    val fp = Multimodal.audioFingerprint(clips)
+    val rows = fp.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == rows(2L), "amplitude must not change the fingerprint")
+    assert(rows(1L) != rows(4L), "different pitch must differ")
+    val pairs = Multimodal.audioNearDup(fp, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L, "exact rescale pairs at Hamming 0")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 3L,
+      "one edited quarter stays within the near-dup radius")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated pitch must not pair: $pairs")
+  }
+}
