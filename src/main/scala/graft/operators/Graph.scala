@@ -306,4 +306,43 @@ object Graph {
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+
+  /**
+   * Min-hop BFS by DISTINCT-frontier iteration: each round expands only
+   * the nodes first reached last round, dedups, and anti-joins out
+   * everything already visited — per-round cost is O(frontier-adjacent
+   * edges), bounded by graph size, and the result carries each node
+   * ONCE with its true minimum hop.
+   *
+   * This is the operator twin of the recursive-CTE gate
+   * (`graph_bfs_hops`), which has BAG semantics: the CTE re-emits a
+   * node once per distinct path, so its intermediate cardinality grows
+   * like degree^hops — correct after the final MIN/GROUP BY, ruinous at
+   * scale. The frontier iteration computes the same answer with
+   * path-multiplicity never materialized (the diamond-graph case in
+   * GraphSpec: 2^k paths, k+1 rows). Frontiers are localCheckpointed so
+   * the plan never deepens; the per-round isEmpty check is a
+   * frontier-sized scan that also stops early on exhaustion.
+   *
+   * `seeds`: one `node` column, hop 0. Directed expansion src -> dst.
+   */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfsHops: maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+    var visited = seeds.select(col("node"), lit(0L).as("hop"))
+      .distinct().localCheckpoint(true)
+    var frontier = visited.select("node")
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit((h + 1).toLong))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next.select("node")
+      h += 1
+    }
+    visited
+  }
 }

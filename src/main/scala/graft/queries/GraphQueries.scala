@@ -69,6 +69,16 @@ object GraphQueries {
         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
         |FROM hops GROUP BY node""".stripMargin)
     },
+    // The OPERATOR twin of graph_bfs_hops: distinct-frontier iteration
+    // (per-round cost bounded by graph size, no path-multiplicity blowup)
+    // hash-matched against the SAME oracle as the recursive CTE.
+    "graph_bfs_frontier" -> { (s, dir) =>
+      val e = edges(s, dir)
+      val seeds = e.where(col("src") % 10 === 0)
+        .select(col("src").as("node")).distinct()
+      Graph.bfsHops(e, seeds, 3)
+        .select(col("node"), col("hop"))
+    },
     // Connected components over the affinity graph: every node labeled
     // with its component's min id (iterative label propagation — the
     // same Dedup machinery, exposed as the graph-surface operator).
@@ -178,6 +188,17 @@ object GraphQueries {
       s"""WITH $duckEdges
          |SELECT src, dst, cnt FROM e""".stripMargin,
     "graph_bfs_hops" ->
+      s"""WITH RECURSIVE $duckEdges,
+         |hops(node, hop) AS (
+         |  SELECT DISTINCT src, 0 FROM e WHERE src % 10 = 0
+         |  UNION ALL
+         |  SELECT e.dst, h.hop + 1 FROM hops h
+         |  JOIN e ON e.src = h.node WHERE h.hop < 3)
+         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+         |FROM hops GROUP BY node""".stripMargin,
+    // Same truth as graph_bfs_hops — the frontier operator must land on
+    // the identical (node, min hop) set.
+    "graph_bfs_frontier" ->
       s"""WITH RECURSIVE $duckEdges,
          |hops(node, hop) AS (
          |  SELECT DISTINCT src, 0 FROM e WHERE src % 10 = 0

@@ -147,4 +147,30 @@ class GraphSpec extends GraftSuite {
     // Flooring and dangling leakage only ever REMOVE mass.
     assert(agg.getLong(0) <= n * scale, "total mass must not exceed N * scale")
   }
+
+  test("bfsHops: diamond chain has no path-multiplicity blowup; min hops exact") {
+    // k stacked diamonds: a(i) -> {b(i), c(i)} -> a(i+1). 2^k distinct
+    // paths from a(0) to a(k); the frontier iteration must visit each
+    // node once at its true min hop (the recursive-CTE form re-emits
+    // a(k) 2^k times before the final MIN).
+    val k = 8
+    val edges = (0 until k).flatMap { i =>
+      val (a, b, c, a2) = (3L * i, 3L * i + 1, 3L * i + 2, 3L * (i + 1))
+      Seq((a, b), (a, c), (b, a2), (c, a2))
+    }.toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, 2 * k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 3 * k + 1, "each node exactly once")
+    for (i <- 0 to k) assert(got(3L * i) == 2L * i, s"a($i)")
+    for (i <- 0 until k) {
+      assert(got(3L * i + 1) == 2L * i + 1, s"b($i)")
+      assert(got(3L * i + 2) == 2L * i + 1, s"c($i)")
+    }
+    // Early exhaustion: a generous maxHops stops when the frontier
+    // empties, and capping maxHops truncates the wave correctly.
+    val capped = Graph.bfsHops(edges, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.size == 6 && capped.values.max == 3L)
+  }
 }
