@@ -24,6 +24,9 @@ object GraphQueries {
   /** Synchronous PageRank rounds (unrolled in the oracle). */
   private val PrIters = 6
 
+  /** Warm-refresh rounds per incremental batch (stream_graph_rank). */
+  private val WarmRounds = 2
+
   private val prScale = Graph.RankScale
   private val prBase = Graph.teleportBase(prScale)
 
@@ -118,6 +121,38 @@ object GraphQueries {
         s"$root/state", "l_orderkey", "l_suppkey")
       graft.streaming.GraphStream.topKEdges(pc, EdgeK)
     },
+    // WARM-START streaming PageRank: same two-batch edge stream; batch 0
+    // cold-starts (6 uniform-seed rounds on the half graph), batch 1
+    // refreshes with 2 rounds seeded from the carried rank state (new
+    // nodes enter at scale). The oracle unrolls BOTH phases — the fold
+    // must land bit-for-bit on the replayed schedule.
+    "stream_graph_rank" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sgrank").toString
+      val logDir = s"$root/batches"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+      Seq(li.where(col("l_linenumber") % 2 === 1),
+          li.where(col("l_linenumber") % 2 === 0))
+        .zipWithIndex.foreach { case (slice, i) =>
+          val stage = s"$root/stage$i"
+          slice.select("l_orderkey", "l_suppkey")
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = java.nio.file.Paths.get(logDir, f"b$i%03d.parquet")
+          java.nio.file.Files.copy(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1000000000000L + i * 60000L))
+        }
+      graft.streaming.GraphStream.incrementalPagerank(
+        s, logDir,
+        li.select("l_orderkey", "l_suppkey").schema,
+        s"$root/state", "l_orderkey", "l_suppkey",
+        EdgeK, PrIters, WarmRounds)
+    },
     // Per-node triangle participation: local clustering evidence
     // (organic neighborhoods triangle-close; spam farms don't).
     "graph_triangles" -> { (s, dir) => Graph.nodeTriangleCounts(edges(s, dir)) },
@@ -157,6 +192,36 @@ object GraphQueries {
        |    SELECT e.dst, SUM(r.r // d.deg) AS m
        |    FROM e JOIN r${i - 1} r ON e.src = r.node
        |           JOIN deg d ON e.src = d.src
+       |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
+
+  /** [[duckEdges]] over a filtered lineitem, with every CTE name
+    * suffixed — the per-phase edge replay for the warm-start oracle. */
+  private def duckEdgesSuf(suf: String, where: String): String =
+    s"""li$suf AS (SELECT DISTINCT l_orderkey AS ok,
+       |         CAST(l_suppkey AS BIGINT) AS s
+       |       FROM lineitem $where),
+       |p$suf AS (SELECT a.s AS src, b.s AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM li$suf a JOIN li$suf b ON a.ok = b.ok AND a.s <> b.s
+       |      GROUP BY 1, 2),
+       |e$suf AS (SELECT src, dst, cnt FROM (
+       |        SELECT src, dst, cnt,
+       |          ROW_NUMBER() OVER (PARTITION BY src
+       |                             ORDER BY cnt DESC, dst) AS rn
+       |        FROM p$suf)
+       |      WHERE rn <= $EdgeK),
+       |deg$suf AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM e$suf GROUP BY 1),
+       |n$suf AS (SELECT src AS node FROM e$suf
+       |          UNION SELECT dst FROM e$suf)""".stripMargin
+
+  /** [[duckPrRound]] against suffixed edge/degree/node/rank CTEs. */
+  private def duckPrRoundSuf(i: Int, suf: String): String =
+    s"""r$suf$i AS (SELECT n.node,
+       |  CAST($prBase + (17 * COALESCE(s.m, 0)) // 20 AS BIGINT) AS r
+       |  FROM n$suf n LEFT JOIN (
+       |    SELECT e.dst, SUM(r.r // d.deg) AS m
+       |    FROM e$suf e JOIN r$suf${i - 1} r ON e.src = r.node
+       |           JOIN deg$suf d ON e.src = d.src
        |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
 
   /** One unrolled WEIGHTED rank round: shares ∝ edge weight. */
@@ -227,6 +292,21 @@ object GraphQueries {
          |SELECT node, r AS rank_scaled,
          |  round(CAST(r AS DOUBLE) / $prScale, 6) AS rank
          |FROM r$PrIters""".stripMargin,
+    // Two-phase warm-start replay: phase a = cold 6 rounds on the
+    // odd-linenumber half graph; phase b = 2 rounds on the full graph
+    // seeded from ra6 (nodes new to the full cut enter at scale).
+    "stream_graph_rank" ->
+      s"""WITH ${duckEdgesSuf("a", "WHERE l_linenumber % 2 = 1")},
+         |ra0 AS (SELECT node, CAST($prScale AS BIGINT) AS r FROM na),
+         |${(1 to PrIters).map(duckPrRoundSuf(_, "a")).mkString(",\n")},
+         |${duckEdgesSuf("b", "")},
+         |rb0 AS (SELECT n.node,
+         |  CAST(COALESCE(pr.r, $prScale) AS BIGINT) AS r
+         |  FROM nb n LEFT JOIN ra$PrIters pr ON n.node = pr.node),
+         |${(1 to WarmRounds).map(duckPrRoundSuf(_, "b")).mkString(",\n")}
+         |SELECT node, r AS rank_scaled,
+         |  round(CAST(r AS DOUBLE) / $prScale, 6) AS rank
+         |FROM rb$WarmRounds""".stripMargin,
     "graph_pagerank_weighted" ->
       s"""WITH $duckEdges,
          |tw AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS totw

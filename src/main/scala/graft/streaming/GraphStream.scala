@@ -38,6 +38,18 @@ object GraphStream {
   def incrementalPairCounts(spark: SparkSession, streamDir: String,
       schema: StructType, stateDir: String, okCol: String, sCol: String,
       retainVersions: Int = 3): DataFrame = {
+    val last = foldPairCounts(spark, streamDir, schema, stateDir, okCol,
+      sCol, retainVersions, _ => ())
+    spark.read.parquet(s"$stateDir/pc_v$last")
+  }
+
+  /** The shared membership + pair-count fold; `afterBatch(id)` runs at
+    * the end of each micro-batch (after pc_v{id+1}/os_v{id+1} land) so
+    * derived state chains — e.g. the rank fold — version in lockstep.
+    * Returns the final version id. */
+  private def foldPairCounts(spark: SparkSession, streamDir: String,
+      schema: StructType, stateDir: String, okCol: String, sCol: String,
+      retainVersions: Int, afterBatch: Long => Unit): Long = {
     require(retainVersions >= 2,
       "incrementalPairCounts: retainVersions >= 2 (current + replay anchor)")
     import spark.implicits._
@@ -78,9 +90,52 @@ object GraphStream {
         .write.mode("overwrite").parquet(s"$stateDir/os_v${id + 1}")
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = "os_v")
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pc_v")
+      afterBatch(id)
       last = id + 1
     })
-    spark.read.parquet(s"$stateDir/pc_v$last")
+    last
+  }
+
+  /**
+   * Warm-start incremental PageRank over streamed co-occurrence edges:
+   * each micro-batch folds into the pair-count state, re-cuts the top-k
+   * affinity edges, and REFRESHES the rank state —
+   * [[graft.operators.Graph.pagerank]] cold (`coldIters` rounds,
+   * uniform seed) when no rank state exists yet, then
+   * [[graft.operators.Graph.pagerankWarm]] for every later batch:
+   * `warmRounds` rounds seeded from the previous version's ranks (new
+   * nodes enter at `scale`). Day-N refresh cost is O(warmRounds x E)
+   * instead of a full cold restart, and the walk keeps mixing across
+   * batches through the carried state. The rank chain `pr_v{b}`
+   * versions in lockstep with the pair counts (batch b reads pr_v{b},
+   * writes pr_v{b+1} — exactly-once under replay) and is vacuumed on
+   * the same contract. Returns the final (node, rank_scaled, rank).
+   */
+  def incrementalPagerank(spark: SparkSession, streamDir: String,
+      schema: StructType, stateDir: String, okCol: String, sCol: String,
+      k: Int = 8, coldIters: Int = 6, warmRounds: Int = 2,
+      scale: Long = graft.operators.Graph.RankScale,
+      retainVersions: Int = 3): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("node", "rank_scaled")
+      .write.mode("overwrite").parquet(s"$stateDir/pr_v0")
+    val last = foldPairCounts(spark, streamDir, schema, stateDir, okCol,
+      sCol, retainVersions, id => {
+        val counts = spark.read.parquet(s"$stateDir/pc_v${id + 1}")
+        val edges = topKEdges(counts, k)
+        val prev = spark.read.parquet(s"$stateDir/pr_v$id")
+        val ranks =
+          if (prev.isEmpty)
+            graft.operators.Graph.pagerank(edges, coldIters, scale)
+          else graft.operators.Graph.pagerankWarm(edges, prev, warmRounds,
+            scale)
+        ranks.select(col("node"), col("rank_scaled"))
+          .write.mode("overwrite").parquet(s"$stateDir/pr_v${id + 1}")
+        ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pr_v")
+      })
+    spark.read.parquet(s"$stateDir/pr_v$last")
+      .withColumn("rank",
+        round(col("rank_scaled").cast("double") / scale.toDouble, 6))
   }
 
   /** Top-k affinity cut over a folded pair-count table — the same edge

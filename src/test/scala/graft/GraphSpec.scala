@@ -148,6 +148,29 @@ class GraphSpec extends GraftSuite {
     assert(agg.getLong(0) <= n * scale, "total mass must not exceed N * scale")
   }
 
+  test("pagerankWarm splices the recurrence: warm(4-round state, 2) == cold 6 rounds") {
+    // The warm restart must CONTINUE the synchronous recurrence, so
+    // seeding from the round-4 state and running 2 more rounds is
+    // bit-for-bit rounds 5..6 — the invariant the streaming rank fold's
+    // exactness rides on.
+    val edges = Graph.topKAffinityEdges(
+      Tables.load(spark, SparkTestBase.sf0001, "lineitem"), 8)
+    val cold6 = Graph.pagerank(edges, 6, scale)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    val warm = Graph.pagerankWarm(edges,
+        Graph.pagerank(edges, 4, scale).select("node", "rank_scaled"), 2,
+        scale)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    assert(warm == cold6)
+    // A node missing from the seed enters at `scale` — drop one node's
+    // seed row and only its sphere of influence may move.
+    val partialSeed = Graph.pagerank(edges, 4, scale)
+      .select("node", "rank_scaled").where(col("node") =!= 1L)
+    val fromPartial = Graph.pagerankWarm(edges, partialSeed, 2, scale)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    assert(fromPartial.keySet == cold6.keySet)
+  }
+
   test("bfsHops: diamond chain has no path-multiplicity blowup; min hops exact") {
     // k stacked diamonds: a(i) -> {b(i), c(i)} -> a(i+1). 2^k distinct
     // paths from a(0) to a(k); the frontier iteration must visit each
