@@ -310,21 +310,11 @@ object DedupQueries {
         .unionAll(d.where(col("doc_id") >= 100 && col("doc_id") < 150)
           .select((col("doc_id") + 20000).as("doc_id"),
             concat(col("text"), lit(" update")).as("text")))
-      val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
-      val logDir = s"$root/days"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
-      Seq(day0, day1).zipWithIndex.foreach { case (slice, i) =>
-        val stage = s"$root/stage$i"
-        slice.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      }
+      val logDir = Staging.batchLog("sdedup", dir, "day", Seq(day0, day1))
       graft.streaming.DedupStream.incrementalMinhash(s, history, logDir,
-          day0.schema, s"$root/state", "doc_id", "text")
+          day0.schema,
+          s"${Staging.freshStateRoot("graft_sdedup")}/state",
+          "doc_id", "text")
         .select("doc_id")
     },
     // Exact-substring duplicated spans (Lee et al. 2022): overlapping

@@ -97,28 +97,15 @@ object GraphQueries {
     "stream_graph_edges" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_sgraph").toString
-      val logDir = s"$root/batches"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
-      Seq(li.where(col("l_linenumber") % 2 === 1),
-          li.where(col("l_linenumber") % 2 === 0))
-        .zipWithIndex.foreach { case (slice, i) =>
-          val stage = s"$root/stage$i"
-          slice.select("l_orderkey", "l_suppkey")
-            .coalesce(1).write.mode("overwrite").parquet(stage)
-          val part = new java.io.File(stage).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = java.nio.file.Paths.get(logDir, f"b$i%03d.parquet")
-          java.nio.file.Files.copy(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              1000000000000L + i * 60000L))
-        }
+      val logDir = Staging.batchLog("sgraph", dir, "b",
+        Seq(li.where(col("l_linenumber") % 2 === 1),
+            li.where(col("l_linenumber") % 2 === 0))
+          .map(_.select("l_orderkey", "l_suppkey")))
       val pc = graft.streaming.GraphStream.incrementalPairCounts(
         s, logDir,
         li.select("l_orderkey", "l_suppkey").schema,
-        s"$root/state", "l_orderkey", "l_suppkey")
+        s"${Staging.freshStateRoot("graft_sgraph")}/state",
+        "l_orderkey", "l_suppkey")
       graft.streaming.GraphStream.topKEdges(pc, EdgeK)
     },
     // WARM-START streaming PageRank: same two-batch edge stream; batch 0
@@ -129,29 +116,15 @@ object GraphQueries {
     "stream_graph_rank" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_sgrank").toString
-      val logDir = s"$root/batches"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
-      Seq(li.where(col("l_linenumber") % 2 === 1),
-          li.where(col("l_linenumber") % 2 === 0))
-        .zipWithIndex.foreach { case (slice, i) =>
-          val stage = s"$root/stage$i"
-          slice.select("l_orderkey", "l_suppkey")
-            .coalesce(1).write.mode("overwrite").parquet(stage)
-          val part = new java.io.File(stage).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = java.nio.file.Paths.get(logDir, f"b$i%03d.parquet")
-          java.nio.file.Files.copy(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              1000000000000L + i * 60000L))
-        }
+      val logDir = Staging.batchLog("sgraph", dir, "b",
+        Seq(li.where(col("l_linenumber") % 2 === 1),
+            li.where(col("l_linenumber") % 2 === 0))
+          .map(_.select("l_orderkey", "l_suppkey")))
       graft.streaming.GraphStream.incrementalPagerank(
         s, logDir,
         li.select("l_orderkey", "l_suppkey").schema,
-        s"$root/state", "l_orderkey", "l_suppkey",
-        EdgeK, PrIters, WarmRounds)
+        s"${Staging.freshStateRoot("graft_sgrank")}/state",
+        "l_orderkey", "l_suppkey", EdgeK, PrIters, WarmRounds)
     },
     // Per-node triangle participation: local clustering evidence
     // (organic neighborhoods triangle-close; spam farms don't).

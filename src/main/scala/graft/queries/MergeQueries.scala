@@ -126,21 +126,11 @@ object MergeQueries {
         o.where(col("o_orderkey") % 40 === 0)
           .select(col("o_orderkey").as("k"), lit("R").as("status"),
             lit(0L).as("cents"), lit(3L).as("seq"), lit("I").as("op")))
-      val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
-      val logDir = s"$root/log"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
-      slices.zipWithIndex.foreach { case (slice, i) =>
-        val stage = s"$root/stage$i"
-        slice.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        val dst = java.nio.file.Paths.get(logDir, f"seq$i%03d.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      }
+      val logDir = Staging.batchLog("cdc", dir, "seq", slices)
       graft.streaming.ChangelogStream.materialize(s, base, logDir,
-        slices.head.schema, s"$root/state", Seq("k"), "seq", "op")
+        slices.head.schema,
+        s"${Staging.freshStateRoot("graft_cdc")}/state",
+        Seq("k"), "seq", "op")
     },
   )
 

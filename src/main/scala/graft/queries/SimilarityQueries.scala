@@ -148,23 +148,12 @@ object SimilarityQueries {
       val days = Seq(
         corpus.where(col("id") >= 200 && col("id") < 350),
         corpus.where(col("id") >= 350))
-      val root = java.nio.file.Files.createTempDirectory("graft_sivf").toString
-      val logDir = s"$root/days"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
-      days.zipWithIndex.foreach { case (slice, i) =>
-        val stage = s"$root/stage$i"
-        slice.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      }
+      val logDir = Staging.batchLog("sivf", dir, "day", days)
       val centroids = Similarity.trainKMeans(
         history.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
       val lists = graft.streaming.EmbeddingIndexStream.incrementalIvf(
-        s, history, logDir, days.head.schema, s"$root/state", "id", "vec",
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sivf")}/state", "id", "vec",
         centroids)
       val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -228,26 +217,15 @@ object SimilarityQueries {
       val days = Seq(
         corpus.where(col("id") >= 200 && col("id") < 350),
         corpus.where(col("id") >= 350))
-      val root = java.nio.file.Files.createTempDirectory("graft_sivfpq").toString
-      val logDir = s"$root/days"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
-      days.zipWithIndex.foreach { case (slice, i) =>
-        val stage = s"$root/stage$i"
-        slice.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      }
+      val logDir = Staging.batchLog("sivf", dir, "day", days)
       val train = history.where(col("id") % 4 === 0)
       val centroids = Similarity.trainKMeans(train, "id", "vec", KmK, Dim,
         KmIters)
       val books = Similarity.trainPQ(train, "id", "vec", PqM, PqSubDim,
         PqK, PqIters)
       val lists = graft.streaming.EmbeddingIndexStream.incrementalIvfPq(
-        s, history, logDir, days.head.schema, s"$root/state", "id", "vec",
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sivfpq")}/state", "id", "vec",
         centroids, books, PqSubDim)
       val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

@@ -222,21 +222,10 @@ object TextEventsQueries {
       val d = docs(s, dir)
       val evalSet = d.where(col("doc_id") % 20 === 7)
       val corpus = d.where(col("doc_id") % 20 =!= 7).select("doc_id", "text")
-      val root = java.nio.file.Files.createTempDirectory("graft_sdec").toString
-      val logDir = s"$root/days"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
       val days = Seq(corpus.where(col("doc_id") % 2 === 0),
         corpus.where(col("doc_id") % 2 === 1))
-      days.zipWithIndex.foreach { case (slice, i) =>
-        val stage = s"$root/stage$i"
-        slice.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      }
+      val logDir = Staging.batchLog("sdec", dir, "day", days)
+      val root = Staging.freshStateRoot("graft_sdec")
       val stream = s.readStream.schema(days.head.schema)
         .option("maxFilesPerTrigger", 1).parquet(logDir)
       graft.streaming.EventStream.runForeachBatch(s, stream, (batch, id) =>
@@ -289,21 +278,10 @@ object TextEventsQueries {
       val (w, b) = graft.operators.QualityModel.trainLogReg(
         train, "doc_id", "text", "label",
         numBuckets = QmBuckets, iters = QmIters, lr = QmLr)
-      val root = java.nio.file.Files.createTempDirectory("graft_sqs").toString
-      val logDir = s"$root/days"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
       val days = Seq(hold.where(col("doc_id") % 2 === 0),
         hold.where(col("doc_id") % 2 === 1))
-      days.zipWithIndex.foreach { case (slice, i) =>
-        val stage = s"$root/stage$i"
-        slice.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      }
+      val logDir = Staging.batchLog("sqs", dir, "day", days)
+      val root = Staging.freshStateRoot("graft_sqs")
       val stream = s.readStream.schema(days.head.schema)
         .option("maxFilesPerTrigger", 1).parquet(logDir)
       graft.streaming.EventStream.runForeachBatch(s, stream, (batch, id) =>
@@ -430,19 +408,7 @@ object TextEventsQueries {
       val d = docs(s, dir).select("doc_id", "text")
       val slices = Seq(d.where(col("doc_id") % 2 === 0),
         d.where(col("doc_id") % 2 === 1))
-      val root = java.nio.file.Files.createTempDirectory("graft_stopk").toString
-      val logDir = s"$root/days"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
-      slices.zipWithIndex.foreach { case (slice, i) =>
-        val stage = s"$root/stage$i"
-        slice.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        val dst = java.nio.file.Paths.get(logDir, f"day$i%03d.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      }
+      val logDir = Staging.batchLog("stopk", dir, "day", slices)
       val stream = s.readStream.schema(slices.head.schema)
         .option("maxFilesPerTrigger", 1).parquet(logDir)
       val topk = stream.select(explode(split(col("text"), " ")).as("w"))
