@@ -233,6 +233,52 @@ object Sampling {
    * exchange), then ranks only the surviving quota-sized groups —
    * no full per-domain sort anywhere.
    */
+  /**
+   * TOKEN-budgeted training mixture: [[allocateMixture]] splits
+   * `totalTokens` into per-domain TOKEN budgets (largest-remainder, like
+   * the row-count variant), then each domain keeps the greedy PREFIX of
+   * its salted-hash-ranked docs: a doc survives iff the domain's token
+   * mass BEFORE it is still under budget — so the first boundary-crossing
+   * doc is included, every budget is met when supply allows (overshoot
+   * bounded by one doc), and survivors are a contiguous hash-rank prefix
+   * (reproducible; growing the corpus can only displace picks at the
+   * boundary). This is what a training-run manifest actually allocates —
+   * tokens, not rows: domains with long documents get proportionally
+   * FEWER docs for the same share of the token budget.
+   *
+   * Zero-token docs are never picked (they would pad the manifest without
+   * contributing mass). Scale shape: docs carry >= 1 token, so at most
+   * `budget` rows per domain can sit inside the prefix — the heap-bounded
+   * [[TopK]] trim to the largest budget bounds the exchange exactly like
+   * [[exactMixture]], and only the trimmed quota-sized groups are ranked
+   * and prefix-summed.
+   */
+  def tokenBudgetMixture(df: DataFrame, keyCol: String, domainCol: String,
+      tokens: Column, weights: Map[String, Double], totalTokens: Long,
+      salt: String = "mixtok"): DataFrame = {
+    val budgets = allocateMixture(weights, totalTokens)
+    val kmax = budgets.values.max
+    require(kmax <= Int.MaxValue, "tokenBudgetMixture: budget too large")
+    val h = hash60(concat(lit(s"$salt:"), col(domainCol), lit(":"),
+      col(keyCol).cast("string")))
+    val inScope = df
+      .withColumn("__nt", tokens.cast("long"))
+      .where(col("__nt") >= 1L && col(domainCol).isin(
+        budgets.filter(_._2 > 0).keys.toSeq: _*))
+      .withColumn("__h", h)
+    val trimmed = TopK.perKey(inScope, Seq(col(domainCol)),
+      Seq(col("__h"), col(keyCol)), kmax.toInt)
+    val w = Window.partitionBy(domainCol).orderBy(col("__h"), col(keyCol))
+    val budget = budgets.foldLeft(lit(0L): Column) { case (acc, (d, n)) =>
+      when(col(domainCol) === d, lit(n)).otherwise(acc)
+    }
+    trimmed
+      .withColumn("__before", sum(col("__nt")).over(w) - col("__nt"))
+      .where(col("__before") < budget)
+      .withColumn("n_tokens", col("__nt"))
+      .drop("__h", "__nt", "__before")
+  }
+
   def exactMixture(df: DataFrame, keyCol: String, domainCol: String,
       weights: Map[String, Double], totalN: Long,
       salt: String = "mix"): DataFrame = {

@@ -674,6 +674,16 @@ object Similarity {
    * against the corpus — per query just `refine` full vectors are ever
    * read back from storage, vs every probed-list member in [[ivfTopK]].
    *
+   * Precondition (shared with [[ivfTopK]]/[[bruteForceTopK]]): vectors
+   * have nonzero norm — a zero vector's cosine divides 0/0, which Spark's
+   * non-ANSI Divide nulls out, silently dropping it from the ranking
+   * rather than erroring. The embedding fixtures contain none.
+   *
+   * At 100 TB the refine join's corpus side should be the bucketed-by-id
+   * store (io_bucketed_join's layout): the per-query shortlist is tiny
+   * (AQE broadcasts it), so a bucketed corpus makes the refine read a
+   * point lookup per candidate instead of a full-scan shuffle.
+   *
    * At equal (centroids, nprobe) the candidate pool matches [[ivfTopK]]'s;
    * `refine` dials how much of that pool the exact pass sees — once the
    * ADC top-`refine` covers the pool's true top-k (the common case well

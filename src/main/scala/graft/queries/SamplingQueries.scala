@@ -40,6 +40,17 @@ object SamplingQueries {
     // EXACT mixture: precisely 200 docs at en/es/de/fr = .5/.2/.2/.1 via
     // largest-remainder quotas + salted-hash rank per domain (rides the
     // heap top-k operator). Oracle embeds the same quota literals.
+    // TOKEN-budgeted mixture: 20k whitespace tokens split en/es/de/fr =
+    // .5/.2/.2/.1 (largest remainder), each domain keeping the greedy
+    // hash-rank prefix of docs until its token budget is met (boundary
+    // doc included). The oracle replays quota literals, md5 rank, and
+    // the exclusive running token sum.
+    "sample_token_budget" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Sampling.tokenBudgetMixture(d, "doc_id", "lang",
+          TextAnalysis.tokenCount(col("text")), MixWeights, TokTotal)
+        .select("lang", "doc_id", "n_tokens")
+    },
     "sample_exact_mixture" -> { (s, dir) =>
       Sampling.exactMixture(Tables.load(s, dir, "documents"),
           "doc_id", "lang", MixWeights, MixTotal)
@@ -231,6 +242,9 @@ object SamplingQueries {
     Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.1)
   private val MixTotal = 200L
 
+  /** Global token budget for sample_token_budget. */
+  private val TokTotal = 20000L
+
   /** Shared packing oracle CTE: per-doc token counts -> per-shard running
     * totals (start = exclusive cumulative sum; `//` is safe because the
     * numerator is non-negative, where truncation == floor). */
@@ -275,6 +289,25 @@ object SamplingQueries {
          |  CAST(SUM(nt) AS BIGINT) AS tokens,
          |  CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE) / 256 AS fill_frac
          |FROM c GROUP BY 1""".stripMargin,
+    "sample_token_budget" -> {
+      val budgets = Sampling.allocateMixture(MixWeights, TokTotal)
+      val langs = budgets.keys.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+      val cases = budgets.toSeq.sortBy(_._1)
+        .map { case (l, n) => s"WHEN '$l' THEN $n" }.mkString(" ")
+      s"""WITH d AS (SELECT lang, doc_id,
+         |    len(string_split(text, ' ')) AS nt,
+         |    ('0x' || substr(md5('mixtok:' || lang || ':' ||
+         |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM documents
+         |  WHERE lang IN ($langs) AND len(string_split(text, ' ')) >= 1),
+         |c AS (SELECT lang, doc_id, nt,
+         |    SUM(nt) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+         |      AS bef
+         |  FROM d)
+         |SELECT lang, doc_id, CAST(nt AS BIGINT) AS n_tokens
+         |FROM c WHERE bef < CASE lang $cases ELSE 0 END""".stripMargin
+    },
     "sample_exact_mixture" -> {
       val targets = Sampling.allocateMixture(MixWeights, MixTotal)
       val langs = targets.keys.toSeq.sorted.map(l => s"'$l'").mkString(", ")

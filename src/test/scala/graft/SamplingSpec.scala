@@ -161,4 +161,49 @@ class SamplingSpec extends GraftSuite {
         assert(rep == id && split == plain(id), s"singleton $id")
       }
   }
+
+  test("tokenBudgetMixture: budgets met minimally by a hash-rank prefix; deterministic") {
+    import graft.operators.TextAnalysis
+    val weights = Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.1)
+    val total = 5000L
+    val budgets = Sampling.allocateMixture(weights, total)
+    val picked = Sampling.tokenBudgetMixture(docs, "doc_id", "lang",
+        TextAnalysis.tokenCount(col("text")), weights, total)
+      .select("lang", "doc_id", "n_tokens")
+    val byLang = picked.groupBy("lang")
+      .agg(sum("n_tokens").as("mass"), min("n_tokens").as("mn"),
+        max("n_tokens").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val supply = docs.where(col("lang").isin(budgets.keys.toSeq: _*))
+      .groupBy("lang").agg(sum(TextAnalysis.tokenCount(col("text"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.foreach { case (l, b) =>
+      val mass = byLang.getOrElse(l, 0L)
+      if (supply.getOrElse(l, 0L) >= b)
+        assert(mass >= b, s"$l under budget: $mass < $b")
+      else assert(mass == supply(l), s"$l must take all scarce supply")
+    }
+    // Minimality: removing each domain's LAST pick (highest hash rank =
+    // the boundary doc) drops the mass strictly below budget.
+    val rows = picked.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lastTok = Sampling.tokenBudgetMixture(docs, "doc_id", "lang",
+        TextAnalysis.tokenCount(col("text")), weights, total)
+      .withColumn("__h", graft.operators.TextHash.hash60(
+        concat(lit("mixtok:"), col("lang"), lit(":"),
+          col("doc_id").cast("string"))))
+      .groupBy("lang").agg(max_by(col("n_tokens"), col("__h")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.foreach { case (l, b) =>
+      if (supply.getOrElse(l, 0L) >= b)
+        assert(byLang(l) - lastTok(l) < b,
+          s"$l not minimal: ${byLang(l)} - ${lastTok(l)} >= $b")
+    }
+    // Deterministic under repartitioning.
+    val again = Sampling.tokenBudgetMixture(docs.repartition(13), "doc_id",
+        "lang", TextAnalysis.tokenCount(col("text")), weights, total)
+      .select("lang", "doc_id", "n_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.toSet)
+  }
 }
