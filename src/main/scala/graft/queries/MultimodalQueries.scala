@@ -199,6 +199,22 @@ object MultimodalQueries {
           col("meta")).as[MediaRecord]
       Multimodal.audioSpectralProfile(m)
     },
+    // STREAMING media-signature index: clip batches decode + fingerprint
+    // once on arrival, only 16-byte signatures enter the versioned
+    // state; the accumulated table must equal the batch fingerprint pass
+    // over everything ingested (the oracle is mm_audio_fingerprint's
+    // replay verbatim — fingerprints are pure per-clip functions).
+    "stream_audio_index" -> { (s, dir) =>
+      val m = Multimodal.fromDocumentsWav(Tables.load(s, dir, "documents"))
+      val history = m.where(col("media_id") < 100)
+      val days = Seq(
+        m.where(col("media_id") >= 100 && col("media_id") < 300),
+        m.where(col("media_id") >= 300))
+      val logDir = Staging.batchLog("saudio", dir, "day", days)
+      graft.streaming.MediaIndexStream.incrementalAudioFingerprints(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_saudio")}/state")
+    },
     // 64-bit period-class bitmap per clip (bit = peak_lag - 32 seen in
     // some frame), packed as two 32-bit halves like mm_ahash. The
     // amplitude-invariant signature audioNearDup pairs on.
@@ -466,6 +482,24 @@ object MultimodalQueries {
         |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  CAST(lagv AS BIGINT) AS peak_lag, CAST(corr AS BIGINT) AS peak_corr
         |FROM pk WHERE rn = 1""".stripMargin),
+    // The streamed signature fold == the batch fingerprint replay.
+    "stream_audio_index" -> (s"WITH $duckSpectralCtes," +
+      """
+        |pf AS (SELECT doc_id, frame_idx, lagv,
+        |         COUNT(*) OVER (PARTITION BY doc_id) AS nf
+        |       FROM pk WHERE rn = 1),
+        |bx AS (SELECT doc_id,
+        |         (frame_idx * 4) // nf * 16 + ((lagv - 32) % 16) AS bit_idx
+        |       FROM pf)
+        |SELECT doc_id AS media_id,
+        |  CAST(bit_or(CASE WHEN bit_idx < 32
+        |    THEN (1::BIGINT << bit_idx) ELSE 0::BIGINT END)
+        |    AS BIGINT) AS fp_hi,
+        |  CAST(bit_or(CASE WHEN bit_idx >= 32
+        |    THEN (1::BIGINT << (bit_idx - 32)) ELSE 0::BIGINT END)
+        |    AS BIGINT) AS fp_lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames
+        |FROM bx GROUP BY doc_id""".stripMargin),
     "mm_audio_fingerprint" -> (s"WITH $duckSpectralCtes," +
       """
         |pf AS (SELECT doc_id, frame_idx, lagv,

@@ -32,8 +32,10 @@ object EmbeddingIndexStream {
     * batch's assignments under [[ChangelogStream.materialize]]'s
     * versioning discipline (batch b reads v{b}, overwrites v{b+1} —
     * exactly-once under replay), vacuuming to the newest
-    * `retainVersions` anchors. Returns the final accumulated index. */
-  private def incrementalFold(spark: SparkSession, history: DataFrame,
+    * `retainVersions` anchors. Returns the final accumulated index.
+    * Generic over the per-batch assignment — [[MediaIndexStream]] rides
+    * the same fold for signature tables. */
+  private[streaming] def incrementalFold(spark: SparkSession, history: DataFrame,
       vecDir: String, schema: StructType, stateDir: String, prefix: String,
       retainVersions: Int, assign: DataFrame => DataFrame): DataFrame = {
     assign(history).write.mode("overwrite").parquet(s"$stateDir/${prefix}0")

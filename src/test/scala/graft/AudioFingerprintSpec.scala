@@ -77,4 +77,43 @@ class AudioFingerprintSpec extends GraftSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
       s"unrelated pitch must not pair: $pairs")
   }
+
+  test("streamed fingerprint fold == batch fingerprints; near-dup over accumulated state") {
+    import org.apache.spark.sql.functions._
+    val all = clips.toDF()
+      .select(col("mediaId").as("media_id"), col("kind"), col("payload"),
+        col("meta"))
+    val history = all.where(col("media_id") === 1L)
+    val days = Seq(all.where(col("media_id").isin(2L, 3L)),
+      all.where(col("media_id") === 4L))
+    val root = java.nio.file.Files.createTempDirectory("graft_saudiospec")
+    val logDir = root.resolve("days")
+    java.nio.file.Files.createDirectories(logDir)
+    days.zipWithIndex.foreach { case (slice, i) =>
+      val stage = root.resolve(s"stage$i").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = logDir.resolve(f"day$i%03d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val folded = graft.streaming.MediaIndexStream
+      .incrementalAudioFingerprints(spark, history, logDir.toString,
+        days.head.schema, root.resolve("state").toString)
+    val streamed = folded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = Multimodal.audioFingerprint(clips).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+    // Pairing against the accumulated state finds the same near-dups the
+    // batch pass does — without ever re-decoding history.
+    val pairs = Multimodal.audioNearDup(folded, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      !pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }
