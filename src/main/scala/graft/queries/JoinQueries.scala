@@ -191,6 +191,26 @@ object JoinQueries {
         spreadPartitions = s.sparkContext.defaultParallelism)
       Sketches.cmsEstimate(sketch, s.range(1, 9).select(col("id").as("k")), "k")
     },
+    // STREAMING CMS fold: key batches merge into the accumulated d x w
+    // grid by counter addition; the estimate over the folded state must
+    // equal the one-pass sketch over everything (the oracle builds it
+    // directly over all rows — the mergeable-sketch streaming contract).
+    "stream_cms_fold" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_linenumber"))
+      val history = li.where(col("l_linenumber") === 1)
+        .select("l_partkey")
+      val days = Seq(
+        li.where(col("l_linenumber") % 2 === 0).select("l_partkey"),
+        li.where(col("l_linenumber") % 2 === 1 && col("l_linenumber") > 1)
+          .select("l_partkey"))
+      val logDir = Staging.batchLog("scms", dir, "b", days)
+      val sketch = graft.streaming.SketchStream.incrementalCms(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_scms")}/state", "l_partkey")
+      Sketches.cmsEstimate(sketch, s.range(1, 9).select(col("id").as("k")),
+        "k")
+    },
     // Mergeable quantile sketch: per-event-type histogram sketches merged
     // to a global one (merge == count addition, lossless), quantiles read
     // from the merged sketch. The oracle builds the global histogram
@@ -333,6 +353,20 @@ object JoinQueries {
         |              FROM unnest(range(13)) AS t(k)) r
         |WHERE value >= lo AND value <= hi
         |GROUP BY bucket_id""".stripMargin,
+    // Folded state == one-pass sketch, so the oracle is identical.
+    "stream_cms_fold" ->
+      """WITH ht AS (SELECT i,
+        |    ('0x' || substr(md5('cms' || i || ':' ||
+        |       CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS c,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem, unnest(range(4)) AS u(i) GROUP BY 1, 2),
+        |probe AS (SELECT k, i,
+        |    ('0x' || substr(md5('cms' || i || ':' ||
+        |       CAST(k AS VARCHAR)), 1, 15))::BIGINT % 1024 AS c
+        |  FROM unnest(range(1, 9)) AS t(k), unnest(range(4)) AS u(i))
+        |SELECT k AS key, CAST(MIN(coalesce(cnt, 0)) AS BIGINT) AS est
+        |FROM probe LEFT JOIN ht USING (i, c)
+        |GROUP BY k""".stripMargin,
     "agg_cms_estimate" ->
       """WITH ht AS (SELECT i,
         |    ('0x' || substr(md5('cms' || i || ':' ||

@@ -37,14 +37,16 @@ object EmbeddingIndexStream {
     * the same fold for signature tables. */
   private[streaming] def incrementalFold(spark: SparkSession, history: DataFrame,
       vecDir: String, schema: StructType, stateDir: String, prefix: String,
-      retainVersions: Int, assign: DataFrame => DataFrame): DataFrame = {
+      retainVersions: Int, assign: DataFrame => DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame =
+        (prev, rows) => prev.unionByName(rows)): DataFrame = {
     assign(history).write.mode("overwrite").parquet(s"$stateDir/${prefix}0")
     @volatile var last = 0L
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(vecDir)
     EventStream.runForeachBatch(spark, stream, (batch, id) => {
       val prev = spark.read.parquet(s"$stateDir/$prefix$id")
-      prev.unionByName(assign(batch))
+      combine(prev, assign(batch))
         .write.mode("overwrite").parquet(s"$stateDir/$prefix${id + 1}")
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = prefix)
       last = id + 1

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Sketches
+
+/**
+ * Streaming sketch maintenance: mergeable sketches ARE the streaming
+ * story — a count-min sketch over a key stream folds by plain counter
+ * ADDITION, so the accumulated d x w grid after any batch sequence
+ * equals the sketch built in one pass over everything ingested,
+ * bit-for-bit (the gate's oracle builds it directly over all rows).
+ * State is a fixed d*w-cell table regardless of stream volume: the
+ * "how often has key k appeared, ever" query at any corpus size with
+ * O(1) state and O(batch) per-batch cost.
+ *
+ * Versioning/vacuum contract shared with every other fold (batch b
+ * reads cms_v{b}, writes cms_v{b+1} — exactly-once under replay).
+ */
+object SketchStream {
+
+  /** Runs the key stream in `streamDir` (parquet, `schema`) to
+    * completion, starting from `history`, merging each batch's CMS
+    * cells into the accumulated grid. Returns the final sketch
+    * (row, col, cnt). */
+  def incrementalCms(spark: SparkSession, history: DataFrame,
+      streamDir: String, schema: StructType, stateDir: String,
+      keyCol: String, d: Int = 4, w: Int = 1024,
+      retainVersions: Int = 3): DataFrame =
+    EmbeddingIndexStream.incrementalFold(spark, history, streamDir, schema,
+      stateDir, "cms_v", retainVersions,
+      batch => Sketches.cmsBuild(batch, keyCol, d, w),
+      combine = (prev, cells) => prev.unionByName(cells)
+        .groupBy("row", "col").agg(sum(col("cnt")).as("cnt")))
+}
