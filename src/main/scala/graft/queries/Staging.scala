@@ -25,10 +25,21 @@ object Staging {
     * count + schema, so a changed slicing re-stages instead of serving
     * stale bytes. Losing an atomic-move race to a concurrent builder is
     * fine — the winner's content is identical. */
+  /** Size+mtime stamp of every parquet file in the fixture dir: a
+    * regenerated fixture (same path, same schema, NEW content — the
+    * round-7 failure mode) must miss the cache, not serve stale bytes. */
+  private def dirStamp(dir: String): String = {
+    val fs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    fs.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toHexString
+  }
+
   def batchLog(name: String, dir: String, filePrefix: String,
       slices: Seq[DataFrame]): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val key = (dir, slices.length,
+    val key = (dir, dirStamp(dir), slices.length,
       slices.head.schema.simpleString).hashCode.toHexString
     val target = Paths.get(sys.props("java.io.tmpdir"), s"graft_log_${name}_$key")
     if (Files.exists(target)) return target.toString
