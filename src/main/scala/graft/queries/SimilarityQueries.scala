@@ -256,6 +256,21 @@ object SimilarityQueries {
     "sim_dim_stats" -> { (s, dir) =>
       graft.operators.VectorOps.dimensionStats(emb(s, dir), "embedding")
     },
+    // STREAMING drift monitor: the same per-dimension moments folded
+    // over vector batches by lossless (sum, sum, min, max) merges — the
+    // accumulated state must equal the one-pass stats over everything
+    // (the oracle is sim_dim_stats' replay verbatim).
+    "stream_dim_stats" -> { (s, dir) =>
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val history = e.where(col("vec_id") < 200)
+      val days = Seq(
+        e.where(col("vec_id") >= 200 && col("vec_id") < 350),
+        e.where(col("vec_id") >= 350))
+      val logDir = Staging.batchLog("sdim", dir, "day", days)
+      graft.streaming.SketchStream.incrementalDimStats(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sdim")}/state", "embedding")
+    },
     // Symmetric int8 scalar quantization, integer evidence per vector.
     "sim_quantize_int8" -> { (s, dir) =>
       emb(s, dir)
@@ -580,6 +595,18 @@ object SimilarityQueries {
          |          ORDER BY score DESC, id) AS rn FROM sc)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
          |FROM r WHERE rn <= 5""".stripMargin,
+    // Folded drift state == one-pass stats, so the oracle is identical.
+    "stream_dim_stats" ->
+      """WITH x AS (SELECT CAST(u.i AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[u.i+1] AS DOUBLE) * 1048576.0)
+        |      AS BIGINT) AS xs
+        |  FROM embeddings, unnest(range(len(embedding))) u(i))
+        |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(xs) AS BIGINT) AS sum_scaled,
+        |  MIN(xs) AS min_scaled, MAX(xs) AS max_scaled,
+        |  round(CAST(SUM(xs) AS DOUBLE)
+        |        / CAST(COUNT(*) * 1048576 AS DOUBLE), 6) AS mean
+        |FROM x GROUP BY dim""".stripMargin,
     "sim_dim_stats" ->
       """WITH x AS (SELECT CAST(u.i AS BIGINT) AS dim,
         |    CAST(floor(CAST(embedding[u.i+1] AS DOUBLE) * 1048576.0)

@@ -34,4 +34,30 @@ object SketchStream {
       batch => Sketches.cmsBuild(batch, keyCol, d, w),
       combine = (prev, cells) => prev.unionByName(cells)
         .groupBy("row", "col").agg(sum(col("cnt")).as("cnt")))
+
+  /**
+   * Streaming embedding-drift monitor: per-dimension moment state
+   * (n, exact fixed-point sum, min, max) folds over vector batches by
+   * plain (sum, sum, min, max) merges — the same lossless contract as
+   * the CMS fold, so the accumulated stats equal
+   * [[graft.operators.VectorOps.dimensionStats]] over everything
+   * ingested, bit-for-bit. State is dim-sized regardless of volume: the
+   * "has this encoder drifted, ever" read at any corpus size. The
+   * rounded mean is derived once from the final state.
+   */
+  def incrementalDimStats(spark: SparkSession, history: DataFrame,
+      streamDir: String, schema: StructType, stateDir: String,
+      vecCol: String, retainVersions: Int = 3): DataFrame = {
+    def core(df: DataFrame): DataFrame =
+      graft.operators.VectorOps.dimensionStats(df, vecCol)
+        .select("dim", "n", "sum_scaled", "min_scaled", "max_scaled")
+    EmbeddingIndexStream.incrementalFold(spark, history, streamDir, schema,
+      stateDir, "ds_v", retainVersions, core,
+      combine = (prev, cur) => prev.unionByName(cur).groupBy("dim")
+        .agg(sum(col("n")).as("n"), sum(col("sum_scaled")).as("sum_scaled"),
+          min(col("min_scaled")).as("min_scaled"),
+          max(col("max_scaled")).as("max_scaled")))
+      .withColumn("mean", round(col("sum_scaled").cast("double") /
+        (col("n") * lit(1048576L)).cast("double"), 6))
+  }
 }
