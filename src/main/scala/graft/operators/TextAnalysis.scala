@@ -162,12 +162,23 @@ object TextAnalysis {
         queryTerms.zipWithIndex.map { case (t, i) =>
           size(filter(tk, x => x === lit(t))).cast("double").as(s"tf$i")
         }): _*)
+    bm25Rank(withTf, queryTerms.size, k, k1, b)
+  }
+
+  /** The shared BM25 ranking tail over (doc_id, dl, tf0..tfn) rows:
+    * corpus stats as a 1-row broadcast, the fixed left-fold score
+    * expression, positive filter, TakeOrdered top-k. Every aggregate is
+    * integer-valued in double (dl/tf/df/N are counts), so the result is
+    * bit-identical however the rows were produced — the property that
+    * lets [[bm25FromPostings]] equal [[bm25TopK]] exactly. */
+  private def bm25Rank(withTf: DataFrame, nTerms: Int, k: Int,
+      k1: Double, b: Double): DataFrame = {
     val statAggs = count(lit(1)).cast("double").as("n") +:
       avg(col("dl")).as("avgdl") +:
-      queryTerms.indices.map(i =>
+      (0 until nTerms).map(i =>
         sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
     val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
-    val score = queryTerms.indices.map { i =>
+    val score = (0 until nTerms).map { i =>
       val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
       val tf = col(s"tf$i")
       idf * tf * lit(k1 + 1.0) /
@@ -178,6 +189,42 @@ object TextAnalysis {
       .where(col("score") > 0.0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Flat per-doc-term postings (doc_id, term, tf) — the append-only
+    * unit [[graft.streaming.RetrievalStream.incrementalPostings]] folds:
+    * pure per-doc, and everything BM25 needs derives from it (dl =
+    * sum tf per doc since every token lands in exactly one term group;
+    * N = distinct docs; df = postings per term). */
+  def termPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /**
+   * BM25 top-k served from a MATERIALIZED postings table
+   * ([[termPostings]] rows, e.g. the accumulated state of the streaming
+   * fold) instead of scanning raw text: per-term tf comes from an
+   * equi-join probe of the query's handful of term literals, dl/N/avgdl
+   * from a doc-keyed roll-up. Output is bit-identical to [[bm25TopK]]
+   * over the same corpus — every aggregate is an integer count in
+   * double, so accumulation order cannot perturb it.
+   */
+  def bm25FromPostings(postings: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25FromPostings: need a query term")
+    val dls = postings.groupBy("doc_id")
+      .agg(sum(col("tf")).cast("double").as("dl"))
+    val joined = queryTerms.zipWithIndex.foldLeft(dls) {
+      case (acc, (t, i)) =>
+        acc.join(postings.where(col("term") === t)
+            .select(col("doc_id"), col("tf").cast("double").as(s"__t$i")),
+          Seq("doc_id"), "left")
+    }
+    val withTf = joined.select(
+      (col("doc_id") +: col("dl") +: queryTerms.indices.map(i =>
+        coalesce(col(s"__t$i"), lit(0.0)).as(s"tf$i"))): _*)
+    bm25Rank(withTf, queryTerms.size, k, k1, b)
   }
 
   /**

@@ -45,6 +45,24 @@ object TextEventsQueries {
       TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
         Seq("spark", "window", "customer"), 15)
     },
+    // STREAMING retrieval index: document batches fold into persisted
+    // (doc_id, term, tf) postings; BM25 probes the ACCUMULATED state and
+    // must equal the batch text scan bit-for-bit (every BM25 aggregate
+    // is an integer count in double — order-proof). The oracle is
+    // text_bm25_topk's, verbatim.
+    "stream_bm25_index" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = d.where(col("doc_id") < 100)
+      val days = Seq(
+        d.where(col("doc_id") >= 100 && col("doc_id") < 300),
+        d.where(col("doc_id") >= 300))
+      val logDir = Staging.batchLog("sbm25", dir, "day", days)
+      val postings = graft.streaming.RetrievalStream.incrementalPostings(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sbm25")}/state", "doc_id", "text")
+      TextAnalysis.bm25FromPostings(postings,
+        Seq("spark", "window", "customer"), 15)
+    },
     // Overlapping token-window chunking (RAG/training prep): 20-token
     // windows, stride 10 (50% overlap), full-coverage tiling.
     "text_chunking" -> { (s, dir) =>
@@ -824,6 +842,24 @@ object TextEventsQueries {
          |    '$EmailRe', '<EMAIL>', 'g'),
          |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
          |FROM a""".stripMargin
+    },
+    // Folded postings == batch scan, so the oracle is identical.
+    "stream_bm25_index" -> {
+      val terms = Seq("spark", "window", "customer")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1) * tf$i * 2.2" +
+          s" / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks)::DOUBLE AS dl, $tfs FROM t),
+         |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl, $dfs FROM f),
+         |sc AS (SELECT doc_id, round($score, 6) AS score FROM f, st)
+         |SELECT doc_id, score FROM sc WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
     },
     "text_bm25_topk" -> {
       val terms = Seq("spark", "window", "customer")

@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.TextAnalysis
+
+/**
+ * Streaming retrieval-index maintenance: document batches fold into a
+ * persisted (doc_id, term, tf) postings table, so ranked retrieval
+ * (BM25 via [[TextAnalysis.bm25FromPostings]]) always runs against
+ * everything ingested WITHOUT re-tokenizing history — the day-N search
+ * index behind a RAG corpus. Postings are pure per-doc, so the fold is
+ * an append (docs are unique across batches) and the accumulated table
+ * equals one [[TextAnalysis.termPostings]] pass over the full corpus;
+ * since every BM25 aggregate is an integer count in double, queries
+ * against the folded state are BIT-IDENTICAL to the batch scan.
+ *
+ * Versioning/vacuum contract shared with every other fold. At 100 TB
+ * the postings live bucketed by term, so a query's handful of term
+ * probes co-locate with zero exchange on the index side.
+ */
+object RetrievalStream {
+
+  /** Runs the document stream in `docDir` (parquet, `schema` with
+    * id/text columns) to completion, starting from `history`, folding
+    * postings under `stateDir`. Returns the final accumulated table. */
+  def incrementalPostings(spark: SparkSession, history: DataFrame,
+      docDir: String, schema: StructType, stateDir: String,
+      idCol: String, textCol: String, retainVersions: Int = 3): DataFrame =
+    EmbeddingIndexStream.incrementalFold(spark, history, docDir, schema,
+      stateDir, "post_v", retainVersions,
+      batch => TextAnalysis.termPostings(batch, idCol, textCol))
+}

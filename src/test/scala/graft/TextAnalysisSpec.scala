@@ -183,6 +183,20 @@ class TextAnalysisSpec extends GraftSuite {
     assert(top2.head.getLong(0) == 9001L)
   }
 
+  test("bm25FromPostings == bm25TopK bit-for-bit (index probe = text scan)") {
+    val docs = Tables.load(spark, SparkTestBase.sf001, "documents")
+    val terms = Seq("spark", "window", "customer")
+    val viaScan = graft.operators.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", terms, 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val postings = graft.operators.TextAnalysis
+      .termPostings(docs, "doc_id", "text")
+    val viaIndex = graft.operators.TextAnalysis
+      .bm25FromPostings(postings, terms, 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaScan == viaIndex)
+  }
+
   test("redactPii removes every planted email/url/phone, counts exact") {
     import spark.implicits._
     val df = Seq(
