@@ -178,6 +178,20 @@ object TextEventsQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     },
+    // VARIANT twin of events_json_extract: Spark 4's native
+    // semi-structured type — props parsed ONCE into the binary variant
+    // encoding, fields read with variant_get (typed path access, no
+    // re-parse per extraction — the shredded-JSON scale path). Same
+    // truth, same oracle arithmetic.
+    "events_variant_extract" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
     "events_hourly" -> { (s, dir) =>
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
@@ -1101,6 +1115,13 @@ object TextEventsQueries {
         |      FROM h)
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, h FROM r WHERE rnk <= 4""".stripMargin,
     "events_json_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    // The variant path reads the same values the string path does.
+    "events_variant_extract" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
