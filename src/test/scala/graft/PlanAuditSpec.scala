@@ -18,8 +18,9 @@ class PlanAuditSpec extends GraftSuite {
     // Quantile reads crossJoin the CONSTANT-SIZE sketch (its whole point)
     // with a 1-row total and a handful of q literals — never data-scale.
     "agg_quantile_sketch",
-    // BM25 broadcasts its 1-row (n, avgdl, df...) stats to every doc row.
-    "text_bm25_topk",
+    // BM25 broadcasts its 1-row (n, avgdl, df...) stats to every doc row
+    // (same shape whether scoring the text scan or the folded postings).
+    "text_bm25_topk", "stream_bm25_index",
     // The corpus-derived doc-frequency cap is a 1-row broadcast scalar
     // joined to the gram stats (constant-time at any corpus size).
     "dedup_ngram_pairs",
