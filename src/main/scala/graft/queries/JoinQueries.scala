@@ -182,6 +182,41 @@ object JoinQueries {
           // engines' parquet/pandas paths; text is unambiguous.
           col("od").cast("string").as("od"), col("segment"))
     },
+    // STREAMING point-in-time enrichment: fact micro-batches PIT-join
+    // the versioned dimension as they arrive (each row sees the version
+    // effective AT ITS OWN date — no leakage from later versions),
+    // landing idempotently per batch. PIT attachment is per-row, so the
+    // accumulated output equals the batch join — same oracle verbatim.
+    "stream_pit_enrich" -> { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val cut = date_add(lit("1994-01-01").cast("date"),
+        (col("c_custkey") % 365).cast("int"))
+      val dims = cust.select(col("c_custkey"),
+          col("c_mktsegment").as("segment"),
+          lit("1992-01-01").cast("date").as("eff_start"),
+          cut.as("eff_end"))
+        .unionByName(cust.select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_v2")).as("segment"),
+          cut.as("eff_start"),
+          lit("9999-12-31").cast("date").as("eff_end")))
+      val facts = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          to_date(col("o_orderdate")).as("od"))
+      val days = Seq(facts.where(col("o_orderkey") % 2 === 0),
+        facts.where(col("o_orderkey") % 2 === 1))
+      val logDir = Staging.batchLog("spit", dir, "b", days)
+      val root = Staging.freshStateRoot("graft_spit")
+      val stream = s.readStream.schema(days.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(logDir)
+      graft.streaming.EventStream.runForeachBatch(s, stream, (batch, id) =>
+        Joins.pointInTimeJoin(batch, "od", dims, "c_custkey",
+            "eff_start", "eff_end")
+          .select(col("o_orderkey"), col("c_custkey"),
+            col("od").cast("string").as("od"), col("segment"))
+          .write.mode("overwrite").parquet(s"$root/out/batch_id=$id"))
+      s.read.parquet(s"$root/out")
+        .select("o_orderkey", "c_custkey", "od", "segment")
+    },
     // Count-min sketch: build over lineitem part keys, probe 8 keys.
     "agg_cms_estimate" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -421,6 +456,23 @@ object JoinQueries {
         |  CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) <= 3""".stripMargin,
+    // Per-row PIT attachment: the streamed fold equals the batch join.
+    "stream_pit_enrich" ->
+      """WITH d AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    DATE '1992-01-01' AS eff_start,
+        |    DATE '1994-01-01' + CAST(c_custkey % 365 AS INTEGER) AS eff_end
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_v2',
+        |    DATE '1994-01-01' + CAST(c_custkey % 365 AS INTEGER),
+        |    DATE '9999-12-31'
+        |  FROM customer)
+        |SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+        |  CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS od, d.segment
+        |FROM orders o JOIN d ON o.o_custkey = d.c_custkey
+        |WHERE CAST(o.o_orderdate AS DATE) >= d.eff_start
+        |  AND CAST(o.o_orderdate AS DATE) < d.eff_end""".stripMargin,
     "join_point_in_time" ->
       """WITH d AS (
         |  SELECT c_custkey, c_mktsegment AS segment,
