@@ -49,4 +49,21 @@ object Privacy {
         (col("n_noisy") >= 0).as("nonneg")): _*)
     else noisy.select(groupCols.map(col) :+ col("n_noisy"): _*)
   }
+
+  /**
+   * k-anonymity suppression: drop every row whose quasi-identifier
+   * combination is shared by fewer than k rows — the release filter
+   * that stops a rare attribute combination from singling a record out
+   * (Sweeney). Exact and deterministic: one keyed count with map-side
+   * partials + a count-filtered semi-join back; rows never carry the
+   * count. Compose with [[dpCounts]] for the aggregate release path.
+   */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 1, s"kAnonymize: k must be >= 1, got $k")
+    val ok = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= k)
+      .select(quasiCols.map(col): _*)
+    df.join(ok, quasiCols, "left_semi")
+  }
 }

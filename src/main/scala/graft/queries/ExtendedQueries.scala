@@ -91,6 +91,14 @@ object ExtendedQueries {
       graft.operators.Privacy.dpCounts(Tables.load(s, dir, "documents"),
         Seq("lang"), epsilon = 0.5, seed = 77L, audit = true)
     },
+    // k-anonymity suppression over (lang, source) quasi-identifiers:
+    // only rows whose combination appears >= 5 times survive — exact,
+    // fully SQL-replayable.
+    "priv_k_anonymity" -> { (s, dir) =>
+      graft.operators.Privacy.kAnonymize(
+          Tables.load(s, dir, "documents"), Seq("lang", "source"), 5L)
+        .select("doc_id", "lang", "source")
+    },
     // Pivot: explicit value list so the schema is static.
     "rel_q23_pivot" -> { (s, dir) =>
       reg(s, dir)
@@ -430,6 +438,11 @@ object ExtendedQueries {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact,
         |  TRUE AS noise_bounded, TRUE AS nonneg
         |FROM documents GROUP BY lang""".stripMargin,
+    "priv_k_anonymity" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (lang, source) IN (
+        |  SELECT (lang, source) FROM documents
+        |  GROUP BY lang, source HAVING COUNT(*) >= 5)""".stripMargin,
     "diag_column_corr" -> {
       // Mirrors TableStats.columnCorrelations' expression tree exactly:
       // exact BIGINT moment sums, then one fixed DOUBLE combination.
