@@ -18,14 +18,6 @@ import org.apache.spark.sql.types._
  */
 object EventStream {
 
-  /** The legacy parquet-on-disk schema of events (ts stored as
-    * TIMESTAMP(NANOS), read as raw nanos — see graft.Tables.load). Kept
-    * for fixtures of that vintage; the reader is schema-adaptive. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Footer schema of the events fixture as Spark's batch reader sees it
     * (with nanosAsLong so TIMESTAMP(NANOS)-era files surface as int64).
     * The file stream source needs a declared schema, and declaring the
