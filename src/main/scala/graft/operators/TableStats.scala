@@ -121,4 +121,32 @@ object TableStats {
             lit("): (max|x|*scale)^2 * n >= 2^63 — reduce scale"))))
           .as("corr"))
   }
+
+  /**
+   * Pre-join cardinality + skew diagnostic: exact |A ⋈ B| on an
+   * equi-key WITHOUT running the join — sum over shared keys of
+   * cntA * cntB — plus the worst single key's output volume and the
+   * matched-key count: the pre-flight read that decides broadcast vs
+   * salt vs plain shuffle BEFORE paying for a blown-up join.
+   *
+   * Cost: one keyed count per side (map-side partials, key-sized
+   * output) and a key-count join — never the join's own fan-out. At
+   * 100 TB this runs on two count tables a million times smaller than
+   * the join it predicts. Output (1 row): n_keys_matched, est_rows
+   * (exact for equi-joins), max_key_rows, top_key (ties -> lowest key).
+   */
+  def joinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val ca = left.groupBy(col(leftKey).as("__k"))
+      .agg(count(lit(1)).as("__na"))
+    val cb = right.groupBy(col(rightKey).as("__k"))
+      .agg(count(lit(1)).as("__nb"))
+    ca.join(cb, "__k")
+      .select(col("__k"), (col("__na") * col("__nb")).as("__p"))
+      .agg(count(lit(1)).as("n_keys_matched"),
+        sum(col("__p")).as("est_rows"),
+        max(col("__p")).as("max_key_rows"),
+        min_by(col("__k"), struct(negate(col("__p")), col("__k")))
+          .as("top_key"))
+  }
 }

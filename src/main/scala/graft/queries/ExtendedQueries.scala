@@ -35,6 +35,14 @@ object ExtendedQueries {
     },
     // Join-key skew diagnostic: the top-N heaviest keys with their share
     // of the table — what you read BEFORE choosing salting/AQE strategy.
+    // Pre-join cardinality: exact |lineitem ⋈ orders| + worst-key volume
+    // from the two key-count tables — the broadcast/salt pre-flight that
+    // never pays the join's fan-out.
+    "diag_join_cardinality" -> { (s, dir) =>
+      graft.operators.TableStats.joinCardinality(
+        Tables.load(s, dir, "lineitem"), "l_orderkey",
+        Tables.load(s, dir, "orders"), "o_orderkey")
+    },
     "diag_key_skew" -> { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
       val total = ev.agg(count(lit(1)).as("__t"))
@@ -397,6 +405,17 @@ object ExtendedQueries {
          |    AS mean_quality,
          |  round(AVG(n_chars), 6) AS mean_chars
          |FROM documents GROUP BY lang, source""".stripMargin,
+    "diag_join_cardinality" ->
+      """WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS na
+        |           FROM lineitem GROUP BY 1),
+        |b AS (SELECT o_orderkey AS k, COUNT(*) AS nb FROM orders GROUP BY 1),
+        |j AS (SELECT a.k, na * nb AS p FROM a JOIN b USING (k))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_matched,
+        |  CAST(SUM(p) AS BIGINT) AS est_rows,
+        |  CAST(MAX(p) AS BIGINT) AS max_key_rows,
+        |  CAST(MIN(CASE WHEN p = (SELECT MAX(p) FROM j) THEN k END)
+        |    AS BIGINT) AS top_key
+        |FROM j""".stripMargin,
     "diag_key_skew" ->
       """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
         |           FROM events GROUP BY user_id),

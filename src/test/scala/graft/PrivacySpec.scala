@@ -29,6 +29,24 @@ class PrivacySpec extends GraftSuite {
     intercept[IllegalArgumentException](Privacy.dpCounts(docs, Seq("lang"), 0.0, 1L))
   }
 
+  test("kAnonymize: only quasi-identifier groups of size >= k survive") {
+    // Groups of size 1, 4, 5, 6 over (qa, qb): at k=5 exactly the last
+    // two survive, intact; k=1 keeps everything; k > max drops all.
+    val rows = (Seq(("a", "x")) ++ Seq.fill(4)(("b", "x")) ++
+      Seq.fill(5)(("b", "y")) ++ Seq.fill(6)(("c", "x")))
+      .zipWithIndex.map { case ((qa, qb), i) => (i.toLong, qa, qb) }
+    val df = rows.toDF("id", "qa", "qb")
+    val kept = Privacy.kAnonymize(df, Seq("qa", "qb"), 5L)
+      .select("qa", "qb")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(kept.length == 11)
+    assert(kept.toSet == Set(("b", "y"), ("c", "x")))
+    assert(Privacy.kAnonymize(df, Seq("qa", "qb"), 1L).count() == 16)
+    assert(Privacy.kAnonymize(df, Seq("qa", "qb"), 7L).count() == 0)
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymize(df, Seq("qa"), 0L))
+  }
+
   test("dimensionStats: exact fixed-point moments on known vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, -2.0f)), (2L, Array(0.5f, 4.0f)))

@@ -57,4 +57,19 @@ class TableStatsSpec extends GraftSuite {
     assert(msgs(ex).exists(_.contains("overflow contract")),
       s"expected fail-fast overflow error, got: $ex")
   }
+
+  test("joinCardinality predicts the exact join size without running the join") {
+    import spark.implicits._
+    // Keys: 1 -> 2x3 rows, 2 -> 1x1, 3 only left, 4 only right.
+    val left = Seq(1L, 1L, 2L, 3L).toDF("ka")
+    val right = Seq(1L, 1L, 1L, 2L, 4L).toDF("kb")
+    val r = TableStats.joinCardinality(left, "ka", right, "kb").head()
+    assert(r.getLong(0) == 2, "keys 1 and 2 match")
+    assert(r.getLong(1) == 7, "2*3 + 1*1")
+    assert(r.getLong(2) == 6, "worst key volume")
+    assert(r.getLong(3) == 1L, "top key")
+    // The prediction equals the actual join count.
+    val actual = left.join(right, col("ka") === col("kb")).count()
+    assert(actual == r.getLong(1))
+  }
 }
