@@ -39,7 +39,8 @@ object Bench {
       "stream_ivf_index", "stream_ivfpq_index", "stream_dedup_incremental",
       "stream_decontaminate", "stream_quality_score", "stream_topk_words",
       "merge_changelog", "stream_cms_fold", "stream_audio_index",
-      "stream_dim_stats", "stream_bm25_index", "stream_pit_enrich")
+      "stream_dim_stats", "stream_bm25_index", "stream_pit_enrich",
+      "stream_transition_matrix")
     stagedGates.foreach(n => SparkEntry.queries.get(n).foreach { fn =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -373,6 +373,24 @@ object TextEventsQueries {
       graft.operators.TimeSeries.transitionMatrix(
         events(s, dir), "user_id", "event_type", "ts", "event_id")
     },
+    // STREAMING transition fold: event batches arrive in event-time
+    // order (staged as a before/after 2024-01-16 split) and fold into
+    // persisted transition counts WITH boundary stitching — a user's
+    // last event of batch 0 and first of batch 1 form a real
+    // transition, carried through the per-user last-event state. The
+    // accumulated matrix must equal the batch computation over all
+    // events (same oracle verbatim).
+    "stream_transition_matrix" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select("user_id", "ts", "event_id", "event_type")
+      val cut = lit("2024-01-16").cast("timestamp")
+      val days = Seq(ev.where(col("ts") < cut), ev.where(col("ts") >= cut))
+      val logDir = Staging.batchLog("strans", dir, "day", days)
+      graft.streaming.TimeSeriesStream.incrementalTransitions(
+        s, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_strans")}/state",
+        "user_id", "event_type", "ts", "event_id")
+    },
     // Event-log -> training-sequence export: per-user ordered state
     // strings (total order via the struct sort, partition-independent).
     "events_user_sequences" -> { (s, dir) =>
@@ -1376,6 +1394,17 @@ object TextEventsQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM a JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // Boundary-stitched streamed fold == the batch matrix.
+    "stream_transition_matrix" ->
+      """WITH seq AS (SELECT event_type, LEAD(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events),
+        |c AS (SELECT event_type AS cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, CAST(SUM(cnt) AS BIGINT) AS cur_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.cnt, t.cur_total,
+        |  CAST((c.cnt * 1000000) // t.cur_total AS BIGINT) AS p_scaled
+        |FROM c JOIN t USING (cur)""".stripMargin,
     "events_transition_matrix" ->
       """WITH seq AS (SELECT event_type, LEAD(event_type) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events),

@@ -114,4 +114,46 @@ class TimeSeriesSpec extends GraftSuite {
     // The adjacent collocation outranks the coincidental same-word pair.
     assert(got(("x", "y"))._2 > got(("x", "x"))._2)
   }
+
+  test("incrementalTransitions: boundary stitch makes the fold equal the batch matrix") {
+    import spark.implicits._
+    // User 1 straddles the batch cut with a -> b | c -> d (the ONLY a->...
+    // after the boundary is the stitched b -> c pair); user 2 sits
+    // entirely in batch 0.
+    val rows = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), // batch 0
+      (2L, 15L, 3L, "a"), (2L, 25L, 4L, "a"),
+      (1L, 30L, 5L, "c"), (1L, 40L, 6L, "d")) // batch 1
+    val all = rows.toDF("user_id", "o", "event_id", "event_type")
+    val days = Seq(all.where(col("o") < 30), all.where(col("o") >= 30))
+    val root = java.nio.file.Files.createTempDirectory("graft_transpec")
+    val logDir = root.resolve("days")
+    java.nio.file.Files.createDirectories(logDir)
+    days.zipWithIndex.foreach { case (slice, i) =>
+      val stage = root.resolve(s"stage$i").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part, logDir.resolve(f"day$i%03d.parquet"))
+      java.nio.file.Files.setLastModifiedTime(
+        logDir.resolve(f"day$i%03d.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val folded = graft.streaming.TimeSeriesStream.incrementalTransitions(
+        spark, logDir.toString, days.head.schema,
+        root.resolve("state").toString, "user_id", "event_type", "o",
+        "event_id")
+      .select("cur", "nxt", "cnt", "cur_total", "p_scaled")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val batch = TimeSeries.transitionMatrix(all, "user_id", "event_type",
+        "o", "event_id")
+      .select("cur", "nxt", "cnt", "cur_total", "p_scaled")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(folded == batch)
+    // The b -> c pair exists ONLY across the boundary: its presence
+    // proves the stitch ran; without it the fold would lose one of the
+    // four transitions (6 events, 2 users).
+    assert(folded.exists { case (cur, nxt, _, _, _) => cur == "b" && nxt == "c" })
+    assert(folded.toSeq.map(_._3).sum == 4L)
+  }
 }
