@@ -41,24 +41,46 @@ object Bench {
       "merge_changelog", "stream_cms_fold", "stream_audio_index",
       "stream_dim_stats", "stream_bm25_index", "stream_pit_enrich",
       "stream_transition_matrix")
-    stagedGates.foreach(n => SparkEntry.queries.get(n).foreach { fn =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+    stagedGates.foreach { n =>
+      SparkEntry.queries.get(n) match {
+        case Some(fn) =>
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+          }
+        case None =>
+          // A renamed/removed gate silently dropping out of warmup makes its
+          // timed number absorb fixture staging with no signal — shout.
+          System.err.println(s"[bench] WARNING: staged-gate name '$n' not in " +
+            "SparkEntry.queries — warmup skipped, its timing will include staging")
       }
-    })
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Median-of-N (default 3): single runs produced phantom outliers two
+    // rounds running (r7 mm_decode_features, r8 rel_q* cluster). Raw runs
+    // are kept in the JSON so swings remain visible for adjudication.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.map {
+      case (name, fn) =>
+        val times = (1 to nRuns).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + median(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val raw = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(t => f"$t%.4f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(r => median(r._2)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"n_runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

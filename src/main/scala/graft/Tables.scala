@@ -44,7 +44,10 @@ object Tables {
   private val tsChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def assertSaneEventTime(df: DataFrame, dir: String): Unit =
-    if (tsChecked.add(dir)) {
+    // Mark the dir checked only AFTER the require passes: if it throws,
+    // every subsequent load of the same dir must fail the same way, not
+    // run silently on mis-decoded timestamps.
+    if (!tsChecked.contains(dir)) {
       val row = df.agg(min(year(col("ts"))), max(year(col("ts")))).head()
       if (!row.isNullAt(0)) {
         val (lo, hi) = (row.getInt(0), row.getInt(1))
@@ -52,6 +55,7 @@ object Tables {
           s"events.ts decoded to an implausible range [$lo, $hi] for $dir — " +
             "fixture timestamp unit/type mismatch (expected years 1990–2150)")
       }
+      tsChecked.add(dir)
     }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -228,6 +228,63 @@ final class GraftRandom(seed: Long, partitionIndex: Int) {
     mu - b * math.signum(u) * math.log1p(-2.0 * math.abs(u))
   }
 
+  /** Log-normal: exp(Normal(mu, sigma)) — the multiplicative-size
+    * distribution (file sizes, document lengths, session durations).
+    * sigma = 0 degenerates to the constant exp(mu), matching
+    * `rand_distr::LogNormal`'s contract (the reference's planned samplers
+    * come from that crate, `/root/reference/Cargo.toml:15`). */
+  def nextLogNormal(mu: Double, sigma: Double): Double = {
+    if (sigma < 0.0 || java.lang.Double.isNaN(sigma)) {
+      throw new IllegalArgumentException(
+        s"randgen lognormal: sigma ($sigma) must be >= 0")
+    }
+    math.exp(nextGaussian(mu, sigma))
+  }
+
+  /** Weibull(scale λ, shape k) via inversion: λ * (-ln(1-u))^(1/k).
+    * k < 1 models burn-in failure rates, k = 1 is exponential, k > 1
+    * wear-out — the lifetime/latency-tail distribution. */
+  def nextWeibull(scale: Double, shape: Double): Double = {
+    if (scale <= 0.0 || shape <= 0.0) {
+      throw new IllegalArgumentException(
+        s"randgen weibull: scale ($scale) and shape ($shape) must be > 0")
+    }
+    scale * math.pow(-math.log1p(-nextDouble()), 1.0 / shape)
+  }
+
+  /**
+   * Binomial(n, p): successes in n trials. Exact sampling by counting
+   * geometric skips between successes — expected O(n·min(p, 1-p) + 1)
+   * draws, so n can be large when p is moderate (the regime synthetic
+   * event counts live in); p > 1/2 uses the n - Binomial(n, 1-p)
+   * symmetry to keep the loop short.
+   */
+  def nextBinomial(n: Long, p: Double): Long = {
+    if (n < 0L || p < 0.0 || p > 1.0 || java.lang.Double.isNaN(p)) {
+      throw new IllegalArgumentException(
+        s"randgen binomial: need n >= 0 (got $n) and p in [0, 1] (got $p)")
+    }
+    if (n == 0L || p == 0.0) return 0L
+    if (p == 1.0) return n
+    val flip = p > 0.5
+    val q = if (flip) 1.0 - p else p
+    val logq = math.log1p(-q) // < 0
+    var pos = 0L // trials consumed
+    var count = 0L
+    var more = true
+    while (more) {
+      // failures before the next success ~ Geometric(q)
+      val s = math.log1p(-nextDouble()) / logq
+      // next success would land at trial pos + floor(s) + 1: done iff > n
+      if (java.lang.Double.isNaN(s) || s >= (n - pos).toDouble) more = false
+      else {
+        pos += math.floor(s).toLong + 1L
+        count += 1L
+      }
+    }
+    if (flip) n - count else count
+  }
+
   private[this] val alphanumChars: Array[Char] =
     ("abcdefghijklmnopqrstuvwxyz" +
       "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789").toCharArray

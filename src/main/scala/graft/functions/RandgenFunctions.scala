@@ -77,6 +77,9 @@ object RandgenFunctions {
     arity1("randgen_int64_geometric", RandgenInt64Geometric.apply),
     arity2("randgen_float64_pareto", RandgenFloat64Pareto.apply),
     arity2("randgen_float64_laplace", RandgenFloat64Laplace.apply),
+    arity2("randgen_float64_lognormal", RandgenFloat64Lognormal.apply),
+    arity2("randgen_float64_weibull", RandgenFloat64Weibull.apply),
+    arity2("randgen_int64_binomial", RandgenInt64Binomial.apply),
     arity0("randgen_uuid", RandgenUuid.apply),
     arity2("randgen_choice_weighted", RandgenChoiceWeighted.apply),
   )
@@ -127,6 +130,12 @@ object RandgenFunctions {
     col(RandgenFloat64Pareto(ex(scale), ex(shape), seed))
   def randgen_float64_laplace(mu: Column, b: Column, seed: Long): Column =
     col(RandgenFloat64Laplace(ex(mu), ex(b), seed))
+  def randgen_float64_lognormal(mu: Column, sigma: Column, seed: Long): Column =
+    col(RandgenFloat64Lognormal(ex(mu), ex(sigma), seed))
+  def randgen_float64_weibull(scale: Column, shape: Column, seed: Long): Column =
+    col(RandgenFloat64Weibull(ex(scale), ex(shape), seed))
+  def randgen_int64_binomial(n: Column, p: Column, seed: Long): Column =
+    col(RandgenInt64Binomial(ex(n), ex(p), seed))
   def randgen_uuid(seed: Long): Column = col(RandgenUuid(seed))
   def randgen_choice_weighted(arr: Column, weights: Column, seed: Long): Column =
     col(RandgenChoiceWeighted(ex(arr), ex(weights), seed))

@@ -310,6 +310,52 @@ case class RandgenFloat64Laplace(left: Expression, right: Expression, seed: Long
     copy(left = l, right = r)
 }
 
+/** `randgen_float64_lognormal(mu, sigma [, seed])` — exp(Normal(mu, sigma)):
+  * multiplicative sizes (file/document lengths, durations). Completes the
+  * `rand_distr` trio the reference's dependency exposes but its family
+  * lacked (`/root/reference/Cargo.toml:15`). */
+case class RandgenFloat64Lognormal(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_lognormal"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextLogNormal(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextLogNormal($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_weibull(scale, shape [, seed])` — lifetime/latency
+  * tails; shape 1 degenerates to exponential(1/scale). */
+case class RandgenFloat64Weibull(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_weibull"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextWeibull(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextWeibull($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_int64_binomial(n, p [, seed])` — successes in n trials. */
+case class RandgenInt64Binomial(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(LongType, DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "randgen_int64_binomial"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextBinomial(a.asInstanceOf[Long], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextBinomial($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** `randgen_uuid([seed])` — RFC 4122 v4-format UUID string, drawn from the
   * seeded per-partition stream (reproducible + retry-stable, unlike
   * java.util.UUID.randomUUID). Zero-argument leaf generator. */

@@ -132,10 +132,11 @@ object Layout {
   /**
    * Range scan that reads ONLY the files whose [key_min, key_max] spans
    * overlap [lo, hi], per a previously built [[fileStatsIndex]]. The
-   * surviving file list is collected on the driver — that is a METADATA
-   * operation (one row per file, the same size class as the catalog's own
-   * file listing), not a data collect. Rows are re-filtered after the
-   * pruned read, so correctness never depends on the index being tight.
+   * overlap predicate runs DISTRIBUTED over the index (symmetric with
+   * [[prunedPointScan]]'s Bloom probe) — only the SURVIVING file names
+   * reach the driver, so at million-file scale the collect is the pruned
+   * subset, not the whole index. Rows are re-filtered after the pruned
+   * read, so correctness never depends on the index being tight.
    *
    * Returns (scan, filesRead, filesTotal) so callers/tests can assert the
    * pruning actually happened.
@@ -144,16 +145,25 @@ object Layout {
       index: DataFrame, keyCol: String, lo: Long, hi: Long)
       : (DataFrame, Long, Long) = {
     require(lo <= hi, s"prunedRangeScan: empty range [$lo, $hi]")
-    val rows = index.select(col("file"), col("key_min").cast("long"),
-      col("key_max").cast("long")).collect()
-    val keep = rows.filter(r => !(r.isNullAt(1) || r.isNullAt(2)) &&
-      r.getLong(1) <= hi && r.getLong(2) >= lo).map(_.getString(0))
+    val total = index.count()
+    val keep = survivingRangeFiles(index, lo, hi)
+      .collect().map(_.getString(0))
     val scan =
       if (keep.isEmpty) spark.read.parquet(path).where(lit(false))
       else spark.read.parquet(keep.toIndexedSeq: _*)
         .where(col(keyCol) >= lo && col(keyCol) <= hi)
-    (scan, keep.length.toLong, rows.length.toLong)
+    (scan, keep.length.toLong, total)
   }
+
+  /** The pre-collect, DISTRIBUTED overlap plan [[prunedRangeScan]]
+    * collects: exposed so LayoutSpec can assert the filter sits in the
+    * executed plan (i.e. pruning happens before anything reaches the
+    * driver), not in driver code after a full-index collect. */
+  def survivingRangeFiles(index: DataFrame, lo: Long, hi: Long): DataFrame =
+    index
+      .where(col("key_min").isNotNull && col("key_max").isNotNull &&
+        col("key_min").cast("long") <= hi && col("key_max").cast("long") >= lo)
+      .select(col("file"))
 
   /**
    * Per-file BLOOM index over a parquet directory — the point-lookup

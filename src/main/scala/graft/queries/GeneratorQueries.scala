@@ -180,6 +180,37 @@ object GeneratorQueries {
         |       CAST(abs(avg(abs(x - 5.0)) - 2.0) < 0.1 AS BOOLEAN) AS scale_ok
         |FROM (SELECT randgen_float64_laplace(5.0, 2.0, 53) AS x FROM range(1, 100001))
         |""".stripMargin) _,
+    // Log-normal(0, 0.5): mean = exp(sigma^2/2) ~ 1.13315 (sd 0.604 ->
+    // se 0.0019 over 100k; 0.02 is a ~10-sigma band), median = exp(mu) = 1.
+    "gen_float64_lognormal_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) > 0.0 AS BOOLEAN) AS positive,
+        |       CAST(abs(avg(x) - 1.13315) < 0.02 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(percentile(x, 0.5) - 1.0) < 0.02 AS BOOLEAN) AS median_ok
+        |FROM (SELECT randgen_float64_lognormal(0.0, 0.5, 59) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // Weibull(scale 2, shape 2): mean = 2*Gamma(1.5) ~ 1.77245 (sd 0.927
+    // -> se 0.0029; 0.03 is ~10 sigma); median = 2*ln(2)^(1/2) ~ 1.66511.
+    "gen_float64_weibull_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 0.0 AS BOOLEAN) AS nonneg,
+        |       CAST(abs(avg(x) - 1.77245) < 0.03 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(percentile(x, 0.5) - 1.66511) < 0.03 AS BOOLEAN) AS median_ok
+        |FROM (SELECT randgen_float64_weibull(2.0, 2.0, 61) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // Binomial: x1 ~ B(40, 0.3) exercises the direct geometric-skip loop
+    // (mean 12, sd 2.9 -> se 0.0092); x2 ~ B(25, 0.8) exercises the
+    // p > 1/2 symmetry path (mean 20, sd 2.0 -> se 0.0063).
+    "gen_int64_binomial_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x1) >= 0 AND max(x1) <= 40 AND
+        |            min(x2) >= 0 AND max(x2) <= 25 AS BOOLEAN) AS in_bounds,
+        |       CAST(abs(avg(x1) - 12.0) < 0.1 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(avg(x2) - 20.0) < 0.07 AS BOOLEAN) AS mean_flip_ok
+        |FROM (SELECT randgen_int64_binomial(40, 0.3, 67) AS x1,
+        |             randgen_int64_binomial(25, 0.8, 71) AS x2
+        |      FROM range(1, 100001))
+        |""".stripMargin) _,
     // TableGen: schema-driven whole-table generation (the reference's stated
     // purpose, Cargo.toml:5) — deterministic under seed, properties constant.
     "gen_tablegen_props" -> { (spark: SparkSession, _: String) =>
@@ -247,6 +278,15 @@ object GeneratorQueries {
       "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS support_ok, TRUE AS mean_ok",
     "gen_float64_laplace_props" ->
       "SELECT CAST(100000 AS BIGINT) AS n, TRUE AS mean_ok, TRUE AS scale_ok",
+    "gen_float64_lognormal_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS positive, " +
+        "TRUE AS mean_ok, TRUE AS median_ok"),
+    "gen_float64_weibull_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS nonneg, " +
+        "TRUE AS mean_ok, TRUE AS median_ok"),
+    "gen_int64_binomial_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS in_bounds, " +
+        "TRUE AS mean_ok, TRUE AS mean_flip_ok"),
     "gen_tablegen_props" ->
       ("SELECT CAST(10000 AS BIGINT) AS n, CAST(10000 AS BIGINT) AS n_ids, " +
         "TRUE AS qty_ok, TRUE AS price_ok, TRUE AS seg_ok, TRUE AS total_ok"),

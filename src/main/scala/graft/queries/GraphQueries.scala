@@ -59,16 +59,20 @@ object GraphQueries {
     // separates organic neighborhoods from fringe tendrils.
     "graph_kcore" -> { (s, dir) => Graph.kCorePeel(edges(s, dir), 3, 3) },
     // Recursive-CTE BFS (Spark 4.x WITH RECURSIVE — the SQL-surface way
-    // to walk a graph): min hop count from the seed suppliers within 3
-    // hops. The recursive text is IDENTICAL in both engines; only the
-    // edge-list derivation differs (DataFrame here, CTE in the oracle).
+    // to walk a graph): min hop count from the seed suppliers. This gate
+    // exists to prove WITH RECURSIVE text parity, NOT to stress recursion:
+    // UNION ALL recursion has bag semantics (intermediate rows grow as
+    // degree^hops), so the witness runs a small seed set (src % 50 = 0)
+    // for 2 hops. The scale-safe operator is graph_bfs_frontier below.
+    // The recursive text is IDENTICAL in both engines; only the edge-list
+    // derivation differs (DataFrame here, CTE in the oracle).
     "graph_bfs_hops" -> { (s, dir) =>
       edges(s, dir).createOrReplaceTempView("graft_edges")
       s.sql("""WITH RECURSIVE hops(node, hop) AS (
-        |  SELECT DISTINCT src, 0 FROM graft_edges WHERE src % 10 = 0
+        |  SELECT DISTINCT src, 0 FROM graft_edges WHERE src % 50 = 0
         |  UNION ALL
         |  SELECT e.dst, h.hop + 1 FROM hops h
-        |  JOIN graft_edges e ON e.src = h.node WHERE h.hop < 3)
+        |  JOIN graft_edges e ON e.src = h.node WHERE h.hop < 2)
         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
         |FROM hops GROUP BY node""".stripMargin)
     },
@@ -228,10 +232,10 @@ object GraphQueries {
     "graph_bfs_hops" ->
       s"""WITH RECURSIVE $duckEdges,
          |hops(node, hop) AS (
-         |  SELECT DISTINCT src, 0 FROM e WHERE src % 10 = 0
+         |  SELECT DISTINCT src, 0 FROM e WHERE src % 50 = 0
          |  UNION ALL
          |  SELECT e.dst, h.hop + 1 FROM hops h
-         |  JOIN e ON e.src = h.node WHERE h.hop < 3)
+         |  JOIN e ON e.src = h.node WHERE h.hop < 2)
          |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
          |FROM hops GROUP BY node""".stripMargin,
     // Same truth as graph_bfs_hops — the frontier operator must land on

@@ -39,8 +39,15 @@ object Staging {
   def batchLog(name: String, dir: String, filePrefix: String,
       slices: Seq[DataFrame]): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val key = (dir, dirStamp(dir), slices.length,
-      slices.head.schema.simpleString).hashCode.toHexString
+    // Key on every slice's analyzed plan, not just count + head schema:
+    // two slicings with the same shape but different predicates (a moved
+    // cut date, a flipped %2 split) must re-stage, and the cache dir
+    // persists across JVMs so "same JVM" is no protection.
+    val sliceFingerprint = slices
+      .map(_.queryExecution.analyzed.toString.hashCode.toHexString)
+      .mkString(",")
+    val key = (dir, dirStamp(dir), slices.length, sliceFingerprint,
+      slices.map(_.schema.simpleString).mkString(";")).hashCode.toHexString
     val target = Paths.get(sys.props("java.io.tmpdir"), s"graft_log_${name}_$key")
     if (Files.exists(target)) return target.toString
     val stageRoot = Files.createTempDirectory(

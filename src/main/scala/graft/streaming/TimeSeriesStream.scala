@@ -60,6 +60,19 @@ object TimeSeriesStream {
           col(tiebreakCol).as("t"), col(stateCol).as("st"))
         .localCheckpoint() // consumed 3x; retry-unstable batch plans
                            // must not recompute differently per consumer
+      // Fail-fast on the documented precondition instead of silently
+      // miscounting: a batch whose earliest event for a key precedes the
+      // carried last event would stitch a backwards transition. One
+      // key-bounded agg + join per batch — cheap relative to the fold.
+      val violations = b.groupBy("k")
+        .agg(min(struct(col("o"), col("t"))).as("__min"))
+        .join(lastPrev, "k")
+        .where(col("__min") < struct(col("o"), col("t")))
+        .limit(1).collect()
+      require(violations.isEmpty,
+        s"incrementalTransitions: batch $id violates per-key event-time " +
+          s"monotonicity for key ${violations.headOption.map(_.get(0))} — " +
+          "late-arriving data would miscount boundary transitions")
       val seqW = Window.partitionBy("k").orderBy(col("o"), col("t"))
       val within = b.withColumn("__nxt", lead(col("st"), 1).over(seqW))
         .where(col("__nxt").isNotNull)

@@ -109,6 +109,70 @@ class DistributionShapeSpec extends AnyFunSuite {
     assert(chi2 < 18.47, s"chi-square $chi2 over ${counts.mkString(",")}")
   }
 
+  test("lognormal cdf at the median and quartiles") {
+    // X ~ LogNormal(mu, sigma) => P(X < exp(mu + z*sigma)) = Phi(z).
+    val rng = new GraftRandom(21L, 0)
+    val (mu, sigma) = (0.3, 0.8)
+    var belowMedian = 0; var belowQ3 = 0
+    val q3 = math.exp(mu + 0.6744898 * sigma) // z for Phi = 0.75
+    (0 until N).foreach { _ =>
+      val x = rng.nextLogNormal(mu, sigma)
+      assert(x > 0.0)
+      if (x < math.exp(mu)) belowMedian += 1
+      if (x < q3) belowQ3 += 1
+    }
+    assert(math.abs(belowMedian.toDouble / N - 0.5) < 0.0035)
+    assert(math.abs(belowQ3.toDouble / N - 0.75) < 0.0035)
+    // sigma = 0 degenerates to the constant exp(mu).
+    assert(rng.nextLogNormal(1.5, 0.0) == math.exp(1.5))
+  }
+
+  test("weibull cdf at scale and at the median") {
+    // F(x) = 1 - exp(-(x/scale)^shape): F(scale) = 1 - 1/e; the median
+    // is scale * ln(2)^(1/shape).
+    val rng = new GraftRandom(23L, 0)
+    val (scale, shape) = (2.0, 1.5)
+    var belowScale = 0; var belowMedian = 0
+    val med = scale * math.pow(math.log(2.0), 1.0 / shape)
+    (0 until N).foreach { _ =>
+      val x = rng.nextWeibull(scale, shape)
+      assert(x >= 0.0)
+      if (x < scale) belowScale += 1
+      if (x < med) belowMedian += 1
+    }
+    assert(math.abs(belowScale.toDouble / N - (1 - math.exp(-1))) < 0.0035)
+    assert(math.abs(belowMedian.toDouble / N - 0.5) < 0.0035)
+  }
+
+  test("binomial pmf at the mode, both p regimes, and edge cases") {
+    val rng = new GraftRandom(27L, 0)
+    def pmf(n: Int, p: Double, k: Int): Double = {
+      var logc = 0.0
+      (1 to k).foreach(i => logc += math.log((n - k + i).toDouble / i))
+      math.exp(logc + k * math.log(p) + (n - k) * math.log1p(-p))
+    }
+    // Direct path (p <= 1/2): B(10, 0.3), pmf at k = 3 (the mode).
+    var hits3 = 0
+    (0 until N).foreach(_ => if (rng.nextBinomial(10L, 0.3) == 3L) hits3 += 1)
+    assert(math.abs(hits3.toDouble / N - pmf(10, 0.3, 3)) < 0.0035)
+    // Symmetry path (p > 1/2): B(10, 0.7), pmf at k = 7.
+    var hits7 = 0
+    (0 until N).foreach { _ =>
+      val x = rng.nextBinomial(10L, 0.7)
+      assert(x >= 0L && x <= 10L)
+      if (x == 7L) hits7 += 1
+    }
+    assert(math.abs(hits7.toDouble / N - pmf(10, 0.7, 7)) < 0.0035)
+    // Edges: p = 0 -> 0, p = 1 -> n, n = 0 -> 0; invalid args fail fast.
+    assert(rng.nextBinomial(5L, 0.0) == 0L)
+    assert(rng.nextBinomial(5L, 1.0) == 5L)
+    assert(rng.nextBinomial(0L, 0.4) == 0L)
+    intercept[IllegalArgumentException](rng.nextBinomial(-1L, 0.5))
+    intercept[IllegalArgumentException](rng.nextBinomial(5L, 1.5))
+    intercept[IllegalArgumentException](rng.nextWeibull(0.0, 1.0))
+    intercept[IllegalArgumentException](rng.nextLogNormal(0.0, -0.1))
+  }
+
   test("uuid stream has version/variant bits fixed and no short-range repeats") {
     val rng = new GraftRandom(31L, 0)
     val seen = new java.util.HashSet[String]

@@ -138,6 +138,14 @@ class LayoutSpec extends GraftSuite {
       Layout.prunedRangeScan(spark, out, index, "l_orderkey",
         10000000L, 20000000L)
     assert(read0 == 0 && empty.count() == 0)
+    // The overlap predicate must sit in the DISTRIBUTED plan (pre-collect),
+    // symmetric with the Bloom path: at million-file scale only surviving
+    // file names may reach the driver.
+    val plan = Layout.survivingRangeFiles(index, lo, hi)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"),
+      s"range-overlap filter missing from the distributed index plan:\n$plan")
+    assert(Layout.survivingRangeFiles(index, lo, hi).count() == read)
   }
 
   test("bloom file index skips files for point lookups on unclustered layout") {
