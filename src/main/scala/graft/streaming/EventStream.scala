@@ -400,6 +400,38 @@ object EventStream {
         col("e_ts"), col("c_ts"))
   }
 
+  /** Fully-qualified class name of Spark's RocksDB state-store provider —
+    * the scale-safe store for large streaming state: per-partition state
+    * lives off-heap/on-disk in RocksDB instead of the default in-memory
+    * HashMap provider, so 100 TB-scale key spaces (dedup keys, join rows,
+    * session state) stop being bounded by executor heap. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** THE state-store switch for every streaming gate: resolves the
+    * provider from `SPARK_GRAFT_STATE_STORE` (`rocksdb` or a
+    * fully-qualified provider class; unset = Spark's default), applies it
+    * for the duration of `body`, and restores the previous session conf
+    * after. All query-start helpers below route through this, so one env
+    * var flips the whole streaming suite between providers — results must
+    * be identical either way (StateStoreProviderSpec proves it on the
+    * dedup and transition-matrix folds). */
+  def withConfiguredStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    sys.env.get("SPARK_GRAFT_STATE_STORE") match {
+      case None => body
+      case Some(p) =>
+        val provider = if (p.equalsIgnoreCase("rocksdb")) RocksDbProvider else p
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, provider)
+        try body
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+    }
+  }
+
   /** foreachBatch sink: the operational pattern for pushing a stream into
     * a non-streaming store. Each micro-batch arrives as a plain batch
     * DataFrame plus its batchId — idempotent handlers key their writes on
@@ -407,13 +439,14 @@ object EventStream {
     * after failure lands exactly once. Runs to completion on the static
     * fixture, like runToMemory. */
   def runForeachBatch(spark: SparkSession, streaming: DataFrame,
-      handle: (DataFrame, Long) => Unit): Unit = {
-    val q = streaming.writeStream
-      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) => handle(df, id))
-      .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
-  }
+      handle: (DataFrame, Long) => Unit): Unit =
+    withConfiguredStateStore(spark) {
+      val q = streaming.writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => handle(df, id))
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
 
   /** Drives a streaming DataFrame to completion against the static fixture
     * via the memory sink; returns the materialized result table.
@@ -428,7 +461,7 @@ object EventStream {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "8")
-    try {
+    try withConfiguredStateStore(spark) {
       val q = streaming.writeStream.format("memory").queryName(name)
         .outputMode(mode).start()
       try q.processAllAvailable() finally q.stop()

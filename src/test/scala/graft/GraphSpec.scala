@@ -137,6 +137,49 @@ class GraphSpec extends GraftSuite {
       kept.count(_.startsWith("os_v")) <= 3, kept.mkString(","))
   }
 
+  test("incrementalPagerank refreshEvery: fold-only batches carry ranks; " +
+      "a refresh == warm rounds from the LAST refreshed state") {
+    val li = Tables.load(spark, SparkTestBase.sf0001, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_linenumber")
+    val root = java.nio.file.Files.createTempDirectory("graft_gre").toString
+    val logDir = s"$root/batches"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+    val quarters = Seq(1, 2, 3, 0).map(q => li.where(col("l_linenumber") % 4 === q))
+    quarters.zipWithIndex.foreach { case (slice, i) =>
+      val stage = s"$root/stage$i"
+      slice.select("l_orderkey", "l_suppkey")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(logDir, f"b$i%03d.parquet"))
+    }
+    val got = graft.streaming.GraphStream.incrementalPagerank(
+      spark, logDir, li.select("l_orderkey", "l_suppkey").schema,
+      s"$root/state", "l_orderkey", "l_suppkey",
+      k = 8, coldIters = 4, warmRounds = 2, refreshEvery = 2)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    // Refresh points are batches 1 (v2: cold on the half graph) and 3
+    // (v4: warm from v2 on the full graph); batches 0 and 2 are
+    // fold-only. Replay the schedule independently from batch cuts.
+    val halfEdges = Graph.topKAffinityEdges(
+      li.where(col("l_linenumber") % 4 === 1 || col("l_linenumber") % 4 === 2), 8)
+    val cold = Graph.pagerank(halfEdges, 4, scale)
+    val fullEdges = Graph.topKAffinityEdges(li, 8)
+    val expect = Graph.pagerankWarm(fullEdges,
+        cold.select("node", "rank_scaled"), 2, scale)
+      .select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    assert(got == expect,
+      "refresh must equal warm rounds from the last refreshed state")
+    // The fold-only batch versions the chain by carrying ranks forward
+    // unchanged (replay-idempotent without paying rank rounds).
+    val v2 = spark.read.parquet(s"$root/state/pr_v2")
+      .as[(Long, Long)].collect().toSet
+    val v3 = spark.read.parquet(s"$root/state/pr_v3")
+      .as[(Long, Long)].collect().toSet
+    assert(v3 == v2, "fold-only batch must carry the previous ranks forward")
+  }
+
   test("pagerank on the affinity graph: mass bounded, floor respected") {
     val edges = Graph.topKAffinityEdges(
       Tables.load(spark, SparkTestBase.sf0001, "lineitem"), 8)
