@@ -355,7 +355,10 @@ object Graph {
    */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"bfsHops: maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col("src"), col("dst"))
+    // Materialize the edge list once: every round joins against it, and
+    // a derived edge plan (e.g. the affinity self-join) would otherwise
+    // re-run per round — derive once, walk many.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var visited = seeds.select(col("node"), lit(0L).as("hop"))
       .distinct().localCheckpoint(true)
     var frontier = visited.select("node")

@@ -67,7 +67,12 @@ object GraphQueries {
     // The recursive text is IDENTICAL in both engines; only the edge-list
     // derivation differs (DataFrame here, CTE in the oracle).
     "graph_bfs_hops" -> { (s, dir) =>
-      edges(s, dir).createOrReplaceTempView("graft_edges")
+      // Materialize the edge list BEFORE the recursion: the recursive
+      // step re-evaluates the view per iteration, and re-running the
+      // lineitem self-join 3x is the actual cost of this witness —
+      // iterate over checkpointed blocks instead (derive once, walk
+      // many — the only sane shape at scale).
+      edges(s, dir).localCheckpoint().createOrReplaceTempView("graft_edges")
       s.sql("""WITH RECURSIVE hops(node, hop) AS (
         |  SELECT DISTINCT src, 0 FROM graft_edges WHERE src % 50 = 0
         |  UNION ALL
