@@ -40,7 +40,7 @@ object Bench {
       "stream_decontaminate", "stream_quality_score", "stream_topk_words",
       "merge_changelog", "stream_cms_fold", "stream_audio_index",
       "stream_dim_stats", "stream_bm25_index", "stream_pit_enrich",
-      "stream_transition_matrix")
+      "stream_transition_matrix", "stream_drift_psi")
     stagedGates.foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(fn) =>

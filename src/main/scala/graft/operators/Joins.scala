@@ -131,6 +131,38 @@ object Joins {
   }
 
   /**
+   * Interval-OVERLAP join (interval × interval, closed semantics:
+   * `lLo <= rHi AND rLo <= lHi`) — sessions × maintenance windows,
+   * spans × incident ranges. [[rangeJoin]]'s point side becomes a second
+   * interval side, which breaks its "exactly one bin" dedup-free
+   * argument: an overlapping pair can now share many bins. The standard
+   * fix that keeps the join dedup-FREE is the first-shared-bin rule —
+   * both sides explode to their touched bins, and after the equi-join a
+   * pair is kept only in bin max(floor(lLo/w), floor(rLo/w)), the first
+   * bin both intervals occupy. Every truly overlapping pair is emitted
+   * exactly once, with no `distinct` shuffle over the candidate stream.
+   *
+   * Scale: shuffle is hash-partitioned by bin id — linear in total
+   * bin-span of both sides; `binWidth` near the typical interval span
+   * bounds the copies per interval. Equi-join to Catalyst (pushdown +
+   * AQE intact); a bare overlap predicate would plan BroadcastNestedLoop.
+   */
+  def intervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.where(col(lo) <= col(hi)).withColumn("__bin",
+        explode(sequence(floor(col(lo) / binWidth).cast("long"),
+          floor(col(hi) / binWidth).cast("long"))))
+    binned(left, lLo, lHi).join(binned(right, rLo, rHi), Seq("__bin"))
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("__bin") === greatest(floor(col(lLo) / binWidth).cast("long"),
+          floor(col(rLo) / binWidth).cast("long")))
+      .drop("__bin")
+  }
+
+  /**
    * Skew-resistant equi-join: the left (large, skewed) side gets a
    * deterministic salt in [0, saltFactor) derived from `leftUniqueCol`;
    * the right side is replicated `saltFactor` times; the join runs on

@@ -66,4 +66,26 @@ object Privacy {
       .select(quasiCols.map(col): _*)
     df.join(ok, quasiCols, "left_semi")
   }
+
+  /**
+   * l-diversity suppression (Machanavajjhala et al.): k-anonymity's
+   * known weakness is a group where every record shares the SAME
+   * sensitive value — group size k reveals the attribute anyway
+   * (homogeneity attack). Keep only rows whose quasi-identifier group
+   * contains at least `l` DISTINCT values of `sensitiveCol`.
+   *
+   * Scale shape: one exact distinct-count aggregate keyed by the quasi
+   * columns (two-level: distinct then count, both with map-side
+   * partials) + a semi-join back; group table is quasi-cardinality
+   * sized, never row-sized.
+   */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(l >= 1, s"lDiversify: l must be >= 1, got $l")
+    val ok = df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("__ndv"))
+      .where(col("__ndv") >= l)
+      .select(quasiCols.map(col): _*)
+    df.join(ok, quasiCols, "left_semi")
+  }
 }

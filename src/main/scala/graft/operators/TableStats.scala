@@ -123,6 +123,98 @@ object TableStats {
   }
 
   /**
+   * Distribution-drift diagnostic between a reference slice and a live
+   * slice of the same column — the check a training pipeline runs before
+   * admitting a new data drop (has the value distribution shifted since
+   * the snapshot the model was tuned on?).
+   *
+   * Per fixed bin (explicit `edges`, bin 0 = (-inf, e0), bin i = [e_{i-1},
+   * e_i), last = [e_last, inf)):
+   *  - exact BIGINT counts on both sides (empty bins materialized);
+   *  - PSI contribution (p−q)·ln(p/q) with add-one smoothing
+   *    p=(n+1)/(N+B) (so empty bins never hit ln 0), reported in micro
+   *    units (`psi_micro`, BIGINT);
+   *  - the CDF gap at the bin's upper edge in micro units
+   *    (`cdf_gap_micro`) — max over bins is the (binned) KS statistic;
+   *  - constant columns `psi_total_micro` (Σ psi_micro, exact integer
+   *    sum of already-rounded terms) and `ks_micro` (max cdf gap).
+   *
+   * Determinism contract (same as [[columnCorrelations]]): counts are
+   * exact integers; each double combination is ONE fixed expression per
+   * row (no cross-row float accumulation — the only cross-row sums are
+   * BIGINT), so Spark and an oracle engine agree to the last bit except
+   * a sub-ulp ln() difference that sits ~10 orders of magnitude below
+   * the micro-unit rounding threshold.
+   *
+   * Scale shape: one keyed count per side (map-side partials, ≤B+1
+   * groups), then all window/total math runs on a B-row table. The two
+   * input scans are the entire data-sized cost.
+   */
+  def distributionDrift(ref: DataFrame, live: DataFrame, column: String,
+      edges: Seq[Double]): DataFrame =
+    driftReport(histogram(ref, column, edges), histogram(live, column, edges),
+      edges.size + 1)
+
+  /** The fixed-edge bin id of `c`: 0 = (-inf, e0), i = [e_{i-1}, e_i),
+    * last = [e_last, inf). A pure `when` chain — codegen'd, narrow. */
+  def binColumn(c: Column, edges: Seq[Double]): Column = {
+    require(edges.nonEmpty, "binColumn: at least one bin edge")
+    require(edges == edges.sorted && edges.distinct.size == edges.size,
+      "binColumn: edges must be strictly increasing")
+    edges.zipWithIndex.foldRight(lit(edges.size): Column) {
+      case ((e, i), acc) => when(c < lit(e), lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Exact BIGINT histogram (bin, n) of `column` over fixed `edges` —
+    * one keyed count with map-side partials, ≤ |edges|+1 groups. The
+    * mergeable-summary form: two histograms combine by per-bin sum
+    * (lossless), which is what the streaming drift fold exploits. */
+  def histogram(df: DataFrame, column: String, edges: Seq[Double]): DataFrame =
+    df.select(binColumn(col(column).cast("double"), edges).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  /** The scoring half of [[distributionDrift]], over two pre-built
+    * (bin, n) histograms (missing bins treated as 0). */
+  def driftReport(refHist: DataFrame, liveHist: DataFrame,
+      nBins: Int): DataFrame = {
+    val bins = refHist.sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
+    val counts = bins
+      .join(broadcast(refHist.withColumnRenamed("n", "__nr")),
+        Seq("bin"), "left")
+      .join(broadcast(liveHist.withColumnRenamed("n", "__nl")),
+        Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__nr"), lit(0L)).as("n_ref"),
+        coalesce(col("__nl"), lit(0L)).as("n_live"))
+    // Everything below runs on a B-row table: single-partition windows
+    // are the intended plan, not a scale hazard.
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    def d(c: Column) = c.cast("double")
+    val withTot = counts
+      .withColumn("__cr", sum("n_ref").over(cum))
+      .withColumn("__cl", sum("n_live").over(cum))
+      .withColumn("__tr", sum("n_ref").over(all))
+      .withColumn("__tl", sum("n_live").over(all))
+    val p = (d(col("n_ref")) + 1.0) / (d(col("__tr")) + nBins.toDouble)
+    val q = (d(col("n_live")) + 1.0) / (d(col("__tl")) + nBins.toDouble)
+    val scored = withTot
+      .withColumn("psi_micro",
+        round((p - q) * log(p / q) * 1e6).cast("long"))
+      .withColumn("cdf_gap_micro",
+        round(abs(d(col("__cr") * col("__tl") - col("__cl") * col("__tr"))) /
+          (d(col("__tr")) * d(col("__tl"))) * 1e6).cast("long"))
+    scored
+      .withColumn("psi_total_micro", sum("psi_micro").over(all))
+      .withColumn("ks_micro", max("cdf_gap_micro").over(all))
+      .select("bin", "n_ref", "n_live", "psi_micro", "cdf_gap_micro",
+        "psi_total_micro", "ks_micro")
+  }
+
+  /**
    * Pre-join cardinality + skew diagnostic: exact |A ⋈ B| on an
    * equi-key WITHOUT running the join — sum over shared keys of
    * cntA * cntB — plus the worst single key's output volume and the

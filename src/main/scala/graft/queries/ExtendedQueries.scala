@@ -91,6 +91,48 @@ object ExtendedQueries {
         Tables.load(s, dir, "lineitem"),
         Seq("l_quantity", "l_discount", "l_tax"))
     },
+    // Distribution-drift pre-admission check: PSI + binned KS between
+    // the first and second half of the events window over fixed value
+    // bins — exact BIGINT bin counts, one fixed double expression per
+    // bin, integer totals (TableStats.distributionDrift determinism
+    // contract). The read a pipeline does before admitting a new drop.
+    "diag_drift_psi" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      graft.operators.TableStats.distributionDrift(
+        ev.where(col("ts") < cut), ev.where(col("ts") >= cut),
+        "value", Seq(5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0))
+    },
+    // STREAMING twin of diag_drift_psi: the live histogram folds over
+    // micro-batches by per-bin counter addition (lossless), so the final
+    // drift report equals the batch computation over the same split —
+    // the oracle is diag_drift_psi's SQL verbatim.
+    "stream_drift_psi" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      def at(d: String) = lit(d).cast("timestamp")
+      val live = Seq(
+        ev.where(col("ts") >= at("2024-01-16 00:00:00") &&
+          col("ts") < at("2024-01-21 00:00:00")),
+        ev.where(col("ts") >= at("2024-01-21 00:00:00") &&
+          col("ts") < at("2024-01-26 00:00:00")),
+        ev.where(col("ts") >= at("2024-01-26 00:00:00")))
+      val logDir = Staging.batchLog("sdrift", dir, "day", live)
+      graft.streaming.SketchStream.incrementalDriftPsi(
+        s, ev.where(col("ts") < at("2024-01-16 00:00:00")),
+        logDir, live.head.schema,
+        s"${Staging.freshStateRoot("graft_sdrift")}/state",
+        "value", Seq(5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0))
+    },
+    // l-diversity release filter: k-anonymity's homogeneity-attack fix —
+    // keep rows only where the (lang, source) group spans >= 3 distinct
+    // quality buckets, so group membership doesn't reveal the bucket.
+    "priv_l_diversity" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("q_bucket", (col("n_chars") % 5).cast("int"))
+      graft.operators.Privacy.lDiversify(
+          docs, Seq("lang", "source"), "q_bucket", 3L)
+        .select("doc_id", "lang", "source", "q_bucket")
+    },
     // ε-DP noisy-counts release (Laplace mechanism, sensitivity-1 count
     // query): the generator family doing its canonical data-engineering
     // job. Exact counts hash-gate; the seeded noise is witnessed by a
@@ -396,6 +438,46 @@ object ExtendedQueries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
       |FROM lineitem WHERE l_orderkey < 100 GROUP BY l_returnflag""".stripMargin
 
+  /** DuckDB replay of TableStats.distributionDrift over the events value
+    * split at 2024-01-16 — shared by the batch gate and its streaming
+    * twin (the fold is lossless, so both equal this SQL). Exact BIGINT
+    * bin counts; one fixed double expression per bin; integer totals. */
+  private val driftPsiSql: String = {
+    def binned(pred: String) =
+      s"""SELECT CASE WHEN v < 5 THEN 0 WHEN v < 10 THEN 1
+         |  WHEN v < 20 THEN 2 WHEN v < 40 THEN 3 WHEN v < 80 THEN 4
+         |  WHEN v < 160 THEN 5 WHEN v < 320 THEN 6 ELSE 7 END AS bin
+         |FROM (SELECT CAST(value AS DOUBLE) v, ts FROM events)
+         |WHERE $pred""".stripMargin
+    s"""WITH rb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) n FROM (
+       |    ${binned("ts < TIMESTAMP '2024-01-16 00:00:00'")}) GROUP BY bin),
+       |  lb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) n FROM (
+       |    ${binned("ts >= TIMESTAMP '2024-01-16 00:00:00'")}) GROUP BY bin),
+       |  counts AS (SELECT CAST(b.range AS INT) AS bin,
+       |    COALESCE(rb.n, 0) AS n_ref, COALESCE(lb.n, 0) AS n_live
+       |    FROM range(8) b LEFT JOIN rb ON rb.bin = b.range
+       |    LEFT JOIN lb ON lb.bin = b.range),
+       |  w AS (SELECT bin, n_ref, n_live,
+       |    CAST(SUM(n_ref) OVER (ORDER BY bin) AS BIGINT) AS cr,
+       |    CAST(SUM(n_live) OVER (ORDER BY bin) AS BIGINT) AS cl,
+       |    CAST(SUM(n_ref) OVER () AS BIGINT) AS tr,
+       |    CAST(SUM(n_live) OVER () AS BIGINT) AS tl FROM counts),
+       |  s AS (SELECT bin, n_ref, n_live,
+       |    CAST(round(((CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 8.0)
+       |        - (CAST(n_live AS DOUBLE) + 1.0) / (CAST(tl AS DOUBLE) + 8.0))
+       |      * ln(((CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 8.0))
+       |        / ((CAST(n_live AS DOUBLE) + 1.0) / (CAST(tl AS DOUBLE) + 8.0)))
+       |      * 1e6) AS BIGINT) AS psi_micro,
+       |    CAST(round(abs(CAST(cr * tl - cl * tr AS DOUBLE))
+       |      / (CAST(tr AS DOUBLE) * CAST(tl AS DOUBLE)) * 1e6) AS BIGINT)
+       |      AS cdf_gap_micro
+       |    FROM w)
+       |SELECT bin, n_ref, n_live, psi_micro, cdf_gap_micro,
+       |  CAST(SUM(psi_micro) OVER () AS BIGINT) AS psi_total_micro,
+       |  MAX(cdf_gap_micro) OVER () AS ks_micro
+       |FROM s""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "report_corpus_stats" ->
       s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -457,6 +539,19 @@ object ExtendedQueries {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact,
         |  TRUE AS noise_bounded, TRUE AS nonneg
         |FROM documents GROUP BY lang""".stripMargin,
+    // Mirrors TableStats.distributionDrift bit-for-bit: exact BIGINT bin
+    // counts, one fixed double expression per bin, integer totals.
+    "diag_drift_psi" -> driftPsiSql,
+    // The streaming fold is lossless (per-bin counter addition), so the
+    // batch SQL replays it verbatim.
+    "stream_drift_psi" -> driftPsiSql,
+    "priv_l_diversity" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    CAST(n_chars % 5 AS INT) AS q_bucket FROM documents)
+        |SELECT doc_id, lang, source, q_bucket FROM d
+        |WHERE (lang, source) IN (
+        |  SELECT (lang, source) FROM d GROUP BY lang, source
+        |  HAVING COUNT(DISTINCT q_bucket) >= 3)""".stripMargin,
     "priv_k_anonymity" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE (lang, source) IN (

@@ -97,6 +97,28 @@ object JoinQueries {
             sum(col("l_quantity").cast("long")).as("qty"))
       }
     },
+    // Interval-OVERLAP join (interval × interval — rangeJoin's point side
+    // generalized): per-user daily activity spans × high-error incident
+    // hours, binned to an hour-keyed equi-join with the first-shared-bin
+    // rule (each overlapping pair emitted exactly once, no distinct).
+    "join_interval_overlap" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val sessions = ev.groupBy(col("user_id"),
+          to_date(col("ts")).cast("string").as("day"))
+        .agg(min(unix_timestamp(col("ts"))).as("s_lo"),
+          max(unix_timestamp(col("ts"))).as("s_hi"))
+      val incidents = ev.where(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_err"))
+        .where(col("n_err") >= 5)
+        .select(unix_timestamp(col("h")).as("i_lo"),
+          (unix_timestamp(col("h")) + 3599L).as("i_hi"), col("n_err"))
+      Joins.intervalOverlapJoin(sessions, "s_lo", "s_hi",
+          incidents, "i_lo", "i_hi", 3600.0)
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_incidents"),
+          sum(col("n_err")).as("err_vol"))
+    },
     // Binned range join: overlapping value buckets vs event values —
     // an equi-join plan (no nested loop), exact BETWEEN refilter.
     "join_range_bins" -> { (s, dir) =>
@@ -372,6 +394,22 @@ object JoinQueries {
         |    ON e.user_id = c.user_id AND c.ts >= e.ts)
         |SELECT event_id, user_id, value AS next_click_value
         |FROM ranked WHERE rn = 1""".stripMargin,
+    "join_interval_overlap" ->
+      """WITH sess AS (SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(floor(epoch(min(ts))) AS BIGINT) AS s_lo,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT) AS s_hi
+        |  FROM events GROUP BY 1, 2),
+        |  inc AS (SELECT
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS i_lo,
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) + 3599
+        |      AS i_hi,
+        |    CAST(COUNT(*) AS BIGINT) AS n_err
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY date_trunc('hour', ts) HAVING COUNT(*) >= 5)
+        |SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_incidents,
+        |  CAST(SUM(n_err) AS BIGINT) AS err_vol
+        |FROM sess JOIN inc ON s_lo <= i_hi AND i_lo <= s_hi
+        |GROUP BY 1, 2""".stripMargin,
     "join_range_bins" ->
       """SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

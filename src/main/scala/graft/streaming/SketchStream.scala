@@ -60,4 +60,32 @@ object SketchStream {
       .withColumn("mean", round(col("sum_scaled").cast("double") /
         (col("n") * lit(1048576L)).cast("double"), 6))
   }
+
+  /**
+   * Streaming distribution-drift monitor: the live side's fixed-edge
+   * histogram folds over micro-batches by per-bin counter addition
+   * (lossless — the accumulated counts equal
+   * [[graft.operators.TableStats.histogram]] over everything ingested,
+   * bit-for-bit), and the final report scores it against the static
+   * reference histogram with [[graft.operators.TableStats.driftReport]]
+   * (PSI + binned KS, integer micro units). State is B bins regardless
+   * of stream volume — the "has the feed drifted off the training
+   * snapshot, ever" read with O(1) state and O(batch) per-batch cost.
+   * Same versioning/vacuum contract as every fold.
+   */
+  def incrementalDriftPsi(spark: SparkSession, ref: DataFrame,
+      streamDir: String, schema: StructType, stateDir: String,
+      column: String, edges: Seq[Double],
+      retainVersions: Int = 3): DataFrame = {
+    import graft.operators.TableStats
+    val emptySeed = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val liveHist = EmbeddingIndexStream.incrementalFold(spark, emptySeed,
+      streamDir, schema, stateDir, "drift_v", retainVersions,
+      batch => TableStats.histogram(batch, column, edges),
+      combine = (prev, cur) => prev.unionByName(cur)
+        .groupBy("bin").agg(sum(col("n")).as("n")))
+    TableStats.driftReport(TableStats.histogram(ref, column, edges),
+      liveHist, edges.size + 1)
+  }
 }
