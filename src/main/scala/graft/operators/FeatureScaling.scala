@@ -110,4 +110,50 @@ object FeatureScaling {
     df.groupBy(grpCols.map(col): _*).agg(count(lit(1)).as("n"))
       .join(med, grpCols).join(mad, grpCols)
   }
+
+  /**
+   * Categorical target + frequency encoding — the tabular-feature
+   * workhorse (Micci-Barreca 2001): each category is replaced by a
+   * smoothed mean of the target, shrunk toward the global prior by
+   * pseudo-count `alpha`, plus the leave-one-out variant that excludes
+   * the row's OWN target (the standard train-time leakage guard; null
+   * for singleton categories, where LOO is undefined) and the plain
+   * frequency encoding.
+   *
+   * Determinism: the target folds as DECIMAL(18,2) (exact, order-free
+   * sums); each encoding is then ONE fixed DOUBLE expression over the
+   * exact parts, so the DuckDB oracle replays it bit-for-bit:
+   *   prior      = gsum / gn
+   *   enc_smooth = (sum_c + alpha*prior) / (n_c + alpha)
+   *   enc_loo    = (sum_c - y_i + alpha*prior) / (n_c - 1 + alpha)
+   *   freq_enc   = n_c / gn
+   *
+   * Scale shape: one map-side-partial aggregate to a category-sized
+   * table + a 1-row global aggregate, both BROADCAST back onto the
+   * row stream — the fact table is touched by exactly one narrow
+   * pass, no shuffle by category (which would put every row of a
+   * popular category on one reducer — the classic skew trap for
+   * low-cardinality encodes).
+   */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0, s"targetEncode: alpha must be positive, got $alpha")
+    val yd = col(targetCol).cast("decimal(18,2)")
+    val rows = df.withColumn("__y", yd.cast("double"))
+    val cat = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n_c"), sum(yd).as("__sum_c"))
+    val glob = df.agg(count(lit(1)).as("__gn"), sum(yd).as("__gsum"))
+    val prior = col("__gsum").cast("double") / col("__gn")
+    rows.join(broadcast(cat), Seq(catCol)).crossJoin(broadcast(glob))
+      .withColumn("enc_smooth",
+        (col("__sum_c").cast("double") + lit(alpha) * prior) /
+          (col("n_c").cast("double") + lit(alpha)))
+      .withColumn("enc_loo",
+        when(col("n_c") > 1,
+          (col("__sum_c").cast("double") - col("__y") + lit(alpha) * prior) /
+            (col("n_c").cast("double") - lit(1.0) + lit(alpha))))
+      .withColumn("freq_enc", col("n_c").cast("double") / col("__gn"))
+      .select(df.columns.map(col) ++ Seq(col("n_c"), col("enc_smooth"),
+        col("enc_loo"), col("freq_enc")): _*)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.RandgenFunctions
@@ -87,5 +88,62 @@ object Privacy {
       .where(col("__ndv") >= l)
       .select(quasiCols.map(col): _*)
     df.join(ok, quasiCols, "left_semi")
+  }
+
+  /**
+   * t-closeness report (Li, Li & Venkatasubramanian 2007) — the third
+   * rung of the release ladder after [[kAnonymize]] and [[lDiversify]]:
+   * l-diversity still leaks when a group's sensitive values are distinct
+   * but SKEWED relative to the population (skewness attack). A class is
+   * t-close when the Earth Mover's Distance between its sensitive-value
+   * distribution and the global one is <= t. For an ordered attribute
+   * binned into m ordinal bins, EMD has the closed form
+   * sum_i |cumP_i - cumQ_i| / (m - 1) over cumulative pmfs.
+   *
+   * Arithmetic is exact until the last step: with class cumulative count
+   * C_i (class size n_c) and global cumulative count G_i (total n_g),
+   * cumP_i - cumQ_i = (C_i*n_g - G_i*n_c) / (n_c*n_g), so the numerators
+   * sum as BIGINTs and one fixed DOUBLE expression finishes
+   * (engine-portable, same pattern as TableStats.columnCorrelations).
+   * Overflow contract: C_i*n_g needs n_c*n_g < 2^63 — fine to ~3e9 rows;
+   * beyond that pre-scale counts (the bins are coarse anyway).
+   *
+   * Scale shape: one row-level keyed count per (class, bin) and one per
+   * bin, both with map-side partials; everything after is on the
+   * class-cardinality x m grid (the bin table is m rows, broadcast).
+   * The per-class cumulative window partitions by class — no global sort.
+   */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], binCol: Column,
+      t: Double): DataFrame = {
+    require(t > 0 && t < 1, s"tCloseness: t must be in (0,1), got $t")
+    val q = quasiCols.map(col)
+    val b = df.select(q :+ binCol.cast("int").as("__bin"): _*)
+    val whole = Window.partitionBy(lit(0))
+    val cumW = whole.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+    // Global per-bin counts + cumulative counts: an m-row table (m = bin
+    // cardinality), so the single-partition window is metadata-sized.
+    val gcum = b.groupBy("__bin").agg(count(lit(1)).as("__g"))
+      .select(col("__bin"), sum("__g").over(cumW).as("__gc"),
+        sum("__g").over(whole).as("__ng"), count(lit(1)).over(whole).as("__m"))
+    val cls = b.select(q: _*).distinct()
+    val cbin = b.groupBy(q :+ col("__bin"): _*).agg(count(lit(1)).as("__c"))
+    val clsW = Window.partitionBy(q: _*)
+    val clsCumW = clsW.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+    // Dense (class x bin) grid: absent bins still shift the cumulative
+    // pmf, so they must appear as zero-count rows before the window.
+    cls.crossJoin(broadcast(gcum))
+      .join(cbin, quasiCols :+ "__bin", "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .withColumn("__cc", sum("__c").over(clsCumW))
+      .withColumn("__nc", sum("__c").over(clsW))
+      .groupBy(q: _*)
+      .agg(max("__nc").as("n_c"),
+        sum(abs(col("__cc") * col("__ng") - col("__gc") * col("__nc")))
+          .as("__num"),
+        max("__ng").as("__ng2"), max("__m").as("__m2"))
+      .withColumn("emd", round(col("__num").cast("double") /
+        (col("n_c").cast("double") * col("__ng2") * (col("__m2") - lit(1))), 9))
+      .withColumn("t_close", col("emd") <= lit(t))
+      .select(q ++ Seq(col("n_c"), col("emd"), col("t_close")): _*)
   }
 }

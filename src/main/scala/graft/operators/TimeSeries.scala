@@ -152,4 +152,48 @@ object TimeSeries {
         size(col("evs")).cast("long").as("n_events"),
         array_join(transform(array_sort(col("evs")), e => e("s")), sep)
           .as("sequence"))
+
+  /**
+   * Per-key hourly resample with forward-fill — the gap-fill every
+   * feature pipeline runs before a model sees a regular time grid:
+   * irregular events become one row per (key, hour) from the key's
+   * first to last observed hour, carrying the last observed value
+   * through gaps (`v_filled`), the per-hour observation count
+   * (`n_obs`, 0 in gaps) and a `was_gap` flag.
+   *
+   * Determinism: the per-hour representative value is PICKED, not
+   * averaged — the latest event by (ts, tiebreak) wins, so doubles are
+   * exact with no accumulation-order hazard, and the forward-fill
+   * window (last value, nulls ignored) is order-total via the hour.
+   *
+   * Scale shape: three keyed shuffles, all on `keyCol` (+hour): the
+   * per-(key,hour) window, the per-key bounds aggregate, and the
+   * spine join + fill window. The spine is bounded by
+   * keys x observed-hour-span — the size of the OUTPUT grid, never
+   * event-scale times fanout. Per-key window state is one running
+   * value (streaming-friendly; the Structured Streaming twin of this
+   * fill is a flatMapGroupsWithState carrying last_v).
+   */
+  def gapFillHourly(df: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col("__h"))
+    val hourly = df
+      .withColumn("__h", date_trunc("hour", col(tsCol)))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col(tsCol).desc, col(tiebreakCol).desc)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(col("__rn") === 1)
+      .select(col(keyCol), col("__h"), col(valueCol).as("__v"), col("__n"))
+    val spine = hourly.groupBy(col(keyCol))
+      .agg(min("__h").as("__mn"), max("__h").as("__mx"))
+      .select(col(keyCol), explode(sequence(col("__mn"), col("__mx"),
+        expr("interval 1 hour"))).as("__h"))
+    val ffW = Window.partitionBy(col(keyCol)).orderBy("__h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq(keyCol, "__h"), "left")
+      .select(col(keyCol), col("__h").as("hour"),
+        last(col("__v"), ignoreNulls = true).over(ffW).as("v_filled"),
+        coalesce(col("__n"), lit(0L)).as("n_obs"),
+        col("__v").isNull.as("was_gap"))
+  }
 }

@@ -149,6 +149,27 @@ object ExtendedQueries {
           Tables.load(s, dir, "documents"), Seq("lang", "source"), 5L)
         .select("doc_id", "lang", "source")
     },
+    // t-closeness report over (nation, segment) classes with the account
+    // balance decile-binned on its published TPC-H range [-1000, 10000):
+    // EMD numerators fold as exact BIGINTs, one fixed DOUBLE finishes.
+    "priv_t_closeness" -> { (s, dir) =>
+      graft.operators.Privacy.tCloseness(
+        Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        least(lit(9), greatest(lit(0),
+          floor((col("c_acctbal") + lit(1000.0)) / lit(1100.0)).cast("int"))),
+        0.2)
+    },
+    // Smoothed + leave-one-out target encoding of order priority against
+    // total price (alpha=20 pseudo-counts toward the global prior).
+    "feat_target_encode" -> { (s, dir) =>
+      graft.operators.FeatureScaling.targetEncode(
+          Tables.load(s, dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          "o_orderpriority", "o_totalprice", 20.0)
+        .select("o_orderkey", "o_orderpriority", "n_c",
+          "enc_smooth", "enc_loo", "freq_enc")
+    },
     // Pivot: explicit value list so the schema is static.
     "rel_q23_pivot" -> { (s, dir) =>
       reg(s, dir)
@@ -557,6 +578,58 @@ object ExtendedQueries {
         |WHERE (lang, source) IN (
         |  SELECT (lang, source) FROM documents
         |  GROUP BY lang, source HAVING COUNT(*) >= 5)""".stripMargin,
+    "priv_t_closeness" ->
+      // Mirrors Privacy.tCloseness exactly: dense (class x bin) grid,
+      // BIGINT cumulative-diff numerators, one fixed DOUBLE expression.
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    LEAST(9, GREATEST(0,
+        |      CAST(floor((c_acctbal + 1000.0) / 1100.0) AS INT))) AS bin
+        |  FROM customer),
+        |gbin AS (SELECT bin, COUNT(*) AS g FROM b GROUP BY 1),
+        |gcum AS (SELECT bin,
+        |    SUM(g) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gc,
+        |    SUM(g) OVER () AS ng, COUNT(*) OVER () AS m
+        |  FROM gbin),
+        |cls AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM b),
+        |cbin AS (SELECT c_nationkey, c_mktsegment, bin, COUNT(*) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, gcum.bin,
+        |    gcum.gc, gcum.ng, gcum.m, COALESCE(cbin.c, 0) AS c
+        |  FROM cls CROSS JOIN gcum
+        |  LEFT JOIN cbin ON cbin.c_nationkey = cls.c_nationkey
+        |    AND cbin.c_mktsegment = cls.c_mktsegment AND cbin.bin = gcum.bin),
+        |cum AS (SELECT c_nationkey, c_mktsegment, bin, gc, ng, m, c,
+        |    SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |    SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS nc
+        |  FROM grid)
+        |SELECT c_nationkey, c_mktsegment, CAST(MAX(nc) AS BIGINT) AS n_c,
+        |  round(CAST(SUM(ABS(cc * ng - gc * nc)) AS DOUBLE)
+        |    / (CAST(MAX(nc) AS DOUBLE) * MAX(ng) * (MAX(m) - 1)), 9) AS emd,
+        |  round(CAST(SUM(ABS(cc * ng - gc * nc)) AS DOUBLE)
+        |    / (CAST(MAX(nc) AS DOUBLE) * MAX(ng) * (MAX(m) - 1)), 9) <= 0.2
+        |    AS t_close
+        |FROM cum GROUP BY 1, 2""".stripMargin,
+    "feat_target_encode" ->
+      // Mirrors FeatureScaling.targetEncode: DECIMAL(18,2) exact sums,
+      // each encoding one fixed DOUBLE expression over the exact parts.
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS y,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS yd
+        |  FROM orders),
+        |c AS (SELECT o_orderpriority, COUNT(*) AS n_c, SUM(yd) AS sum_c
+        |  FROM o GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS gn, SUM(yd) AS gsum FROM o)
+        |SELECT o.o_orderkey, o.o_orderpriority, CAST(c.n_c AS BIGINT) AS n_c,
+        |  (CAST(c.sum_c AS DOUBLE) + 20.0 * (CAST(g.gsum AS DOUBLE) / g.gn))
+        |    / (CAST(c.n_c AS DOUBLE) + 20.0) AS enc_smooth,
+        |  CASE WHEN c.n_c > 1 THEN
+        |    (CAST(c.sum_c AS DOUBLE) - o.y
+        |       + 20.0 * (CAST(g.gsum AS DOUBLE) / g.gn))
+        |      / (CAST(c.n_c AS DOUBLE) - 1.0 + 20.0) END AS enc_loo,
+        |  CAST(c.n_c AS DOUBLE) / g.gn AS freq_enc
+        |FROM o JOIN c USING (o_orderpriority) CROSS JOIN g""".stripMargin,
     "diag_column_corr" -> {
       // Mirrors TableStats.columnCorrelations' expression tree exactly:
       // exact BIGINT moment sums, then one fixed DOUBLE combination.

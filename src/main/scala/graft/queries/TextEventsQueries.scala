@@ -164,6 +164,16 @@ object TextEventsQueries {
           Seq("event_type"), col("cents"))
         .select("event_id", "z")
     },
+    // Hourly gap-fill + forward-fill: irregular per-user events become a
+    // regular hourly grid from each user's first to last active hour; the
+    // per-hour representative value is PICKED (latest by ts, event_id),
+    // so doubles survive the fill exactly. 150-user slice keeps the
+    // output grid (users x hour-span) gate-sized.
+    "events_gapfill" -> { (s, dir) =>
+      graft.operators.TimeSeries.gapFillHourly(
+        events(s, dir).where(col("user_id") % 10 === 0),
+        "user_id", "ts", "event_id", "value")
+    },
     "text_rolling_hash" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rhash"))
@@ -995,6 +1005,27 @@ object TextEventsQueries {
         |          / bn) / (bn - 1)), 6)
         |  END AS z
         |FROM w""".stripMargin,
+    "events_gapfill" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE user_id % 10 = 0),
+        |h AS (SELECT user_id, date_trunc('hour', ts) AS h, value,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |          ORDER BY ts DESC, event_id DESC) AS rn,
+        |        COUNT(*) OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS n
+        |      FROM e),
+        |hv AS (SELECT user_id, h, value AS v, n FROM h WHERE rn = 1),
+        |bounds AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hv GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |            UNNEST(generate_series(mn, mx, INTERVAL '1 hour')) AS h
+        |          FROM bounds),
+        |j AS (SELECT s.user_id, s.h, hv.v, hv.n
+        |      FROM spine s LEFT JOIN hv ON hv.user_id = s.user_id AND hv.h = s.h)
+        |SELECT user_id, h AS hour,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_obs,
+        |  v IS NULL AS was_gap
+        |FROM j""".stripMargin,
     "events_winsorize" ->
       """WITH r AS (SELECT event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,

@@ -64,4 +64,23 @@ class FeatureScalingSpec extends GraftSuite {
     assert(dirty.getLong(2) == 50L, s"median moved: $dirty")
     assert(dirty.getLong(3) <= 30L, s"MAD blew up: $dirty")
   }
+
+  test("targetEncode: smoothed, leave-one-out and frequency encodings") {
+    // cat a: y = {1, 3} (sum 4), cat b: y = {5}. gn=3, gsum=9, prior=3.
+    val df = Seq((1L, "a", 1.0), (2L, "a", 3.0), (3L, "b", 5.0))
+      .toDF("id", "cat", "y")
+    val out = FeatureScaling.targetEncode(df, "cat", "y", 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getDouble(6)))).toMap
+    // enc_smooth(a) = (4 + 3)/(2 + 1), enc_smooth(b) = (5 + 3)/(1 + 1).
+    assert(out(1L) == ((2L, 7.0 / 3.0, Some(3.0), 2.0 / 3.0)))
+    assert(out(2L) == ((2L, 7.0 / 3.0, Some(2.0), 2.0 / 3.0)),
+      "LOO must exclude the row's own target: (4-3+3)/(2-1+1) = 2")
+    assert(out(3L) == ((1L, 4.0, None, 1.0 / 3.0)),
+      "singleton category: LOO undefined -> null, never a 0-division")
+    intercept[IllegalArgumentException](
+      FeatureScaling.targetEncode(df, "cat", "y", 0.0))
+  }
 }

@@ -37,6 +37,13 @@ class PlanAuditSpec extends GraftSuite {
     "text_word_pmi",
     // Skew diagnostic broadcasts the 1-row total count into per-key shares.
     "diag_key_skew",
+    // Target encoding broadcasts the 1-row global (count, sum) prior onto
+    // the row stream (constant-size at any table size).
+    "feat_target_encode",
+    // t-closeness tiles the m-row (bin-cardinality) global cumulative
+    // table across classes to build the dense grid — constant-size
+    // broadcast at any row count.
+    "priv_t_closeness",
     // Intended brute-force exactness baseline (queries x corpus); the
     // bucketed scale twin is sim_hard_negatives_lsh.
     "sim_hard_negatives")

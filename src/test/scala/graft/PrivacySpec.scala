@@ -47,6 +47,24 @@ class PrivacySpec extends GraftSuite {
       Privacy.kAnonymize(df, Seq("qa"), 0L))
   }
 
+  test("tCloseness: closed-form ordinal EMD on a hand-computed fixture") {
+    // Bins per class: A=[0,0,1], B=[1,1,1], C=[0,1]. Global bin counts
+    // (3, 5), n_g=8, m=2. EMD = |cumP - cumQ| summed / (m-1):
+    //   A: |2/3 - 3/8| = 7/24, B: |0 - 3/8| = 3/8, C: |1/2 - 3/8| = 1/8.
+    val df = (Seq(("A", 0), ("A", 0), ("A", 1)) ++
+      Seq(("B", 1), ("B", 1), ("B", 1)) ++ Seq(("C", 0), ("C", 1)))
+      .toDF("qa", "bin")
+    val out = Privacy.tCloseness(df, Seq("qa"), col("bin"), 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out("A") == ((3L, math.rint(7.0 / 24.0 * 1e9) / 1e9, true)))
+    assert(out("B") == ((3L, 0.375, false)),
+      "zero-count bin 0 must still shift B's cumulative pmf (dense grid)")
+    assert(out("C") == ((2L, 0.125, true)))
+    intercept[IllegalArgumentException](
+      Privacy.tCloseness(df, Seq("qa"), col("bin"), 0.0))
+  }
+
   test("dimensionStats: exact fixed-point moments on known vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, -2.0f)), (2L, Array(0.5f, 4.0f)))

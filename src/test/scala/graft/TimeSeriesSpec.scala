@@ -11,6 +11,28 @@ import graft.operators.{TextAnalysis, TimeSeries}
 class TimeSeriesSpec extends GraftSuite {
   import spark.implicits._
 
+  test("gapFillHourly: grid spans first..last hour, gaps carry last value") {
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (1L, 10L, ts(10, 5), 1.0), (2L, 10L, ts(10, 40), 2.0),
+      (3L, 10L, ts(13, 10), 3.0),
+      (4L, 20L, ts(11, 20), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = TimeSeries.gapFillHourly(rows, "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
+        ((r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size == 5, "4-hour grid for user 10 + 1 hour for user 20")
+    // Hour 10 has two events: the LATER one (ts 10:40) is the representative.
+    assert(out((10L, "2024-01-01 10:00:00.0")) == ((2.0, 2L, false)))
+    assert(out((10L, "2024-01-01 11:00:00.0")) == ((2.0, 0L, true)),
+      "gap hour forward-fills the last observed value")
+    assert(out((10L, "2024-01-01 12:00:00.0")) == ((2.0, 0L, true)))
+    assert(out((10L, "2024-01-01 13:00:00.0")) == ((3.0, 1L, false)))
+    assert(out((20L, "2024-01-01 11:00:00.0")) == ((5.0, 1L, false)),
+      "singleton key gets a single-row grid (no fabricated span)")
+  }
+
   test("rolling z-score: trailing baseline excludes the current row") {
     // Key a: baseline [2,2,2,2] then a spike of 10 -> mean 2, var 0 (null
     // z); key b: [1,3] then 5 -> mean 2, var 2, z = (5-2)/sqrt(2).
