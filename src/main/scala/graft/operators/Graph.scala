@@ -355,10 +355,17 @@ object Graph {
    */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"bfsHops: maxHops must be >= 0, got $maxHops")
-    // Materialize the edge list once: every round joins against it, and
-    // a derived edge plan (e.g. the affinity self-join) would otherwise
-    // re-run per round — derive once, walk many.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // Materialize the edge list once, HASH-PARTITIONED BY src, via
+    // persist (NOT localCheckpoint: a checkpoint erases the plan's
+    // outputPartitioning, so every round's join would re-shuffle the
+    // whole edge list — persist keeps HashPartitioning(src) visible to
+    // the planner and each round shuffles only the frontier). A derived
+    // edge plan (e.g. the affinity self-join) also runs once, not
+    // per round: derive once, walk many.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize eagerly so round 1 doesn't pay the derivation
     var visited = seeds.select(col("node"), lit(0L).as("hop"))
       .distinct().localCheckpoint(true)
     var frontier = visited.select("node")
@@ -369,10 +376,16 @@ object Graph {
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit((h + 1).toLong))
         .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
+      // visited is a union of <= maxHops checkpointed blocks — lineage
+      // stays round-bounded without re-checkpointing the whole set.
+      visited = visited.unionByName(next)
       frontier = next.select("node")
       h += 1
     }
+    // Every round's block is an EAGER localCheckpoint, so the returned
+    // union no longer references e's lineage — release the cached edge
+    // list instead of pinning it for the session.
+    e.unpersist(blocking = false)
     visited
   }
 }

@@ -88,6 +88,24 @@ object Multimodal {
         col("meta"))
   }
 
+  /** Metadata-only fixture shim: the SAME (media_id, kind, meta) rows as
+    * [[fromDocuments]] but with NO payload column — pure column
+    * expressions, whole-stage codegen, no ImageIO. The shim for gates
+    * that PLAN from metadata ([[resizePlan]], [[frameSamplePlan]]): at
+    * deployment those read a media table's meta column without touching
+    * payload bytes, and paying a per-row PNG encode in the fixture made
+    * a metadata-only gate measure as a codec benchmark (the r9 sf1 run
+    * clocked mm_resize at 27x for 10x data purely from encode + GC). */
+  def fromDocumentsMeta(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("media_id"),
+      lit("image").as("kind"),
+      struct(
+        (col("n_chars") % 33 + 16).cast("int").as("width"),
+        (col("n_chars") % 24 + 8).cast("int").as("height"),
+        lit(16000).as("sampleRate"),
+        (col("n_chars").cast("long") * 10L).as("durationMs"),
+        lit("image/png").as("format")).as("meta"))
+
   /** JPEG twin of [[fromDocuments]]: the SAME gradient pixels, encoded
     * lossy (explicit quality 0.9) through the JDK's JPEG writer. Exercises
     * a second real codec through the identical decode path — dimensions

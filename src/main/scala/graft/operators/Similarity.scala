@@ -206,26 +206,43 @@ object Similarity {
   }
 
   /** Corpus-scale embedding near-duplicate pairs: SRP-LSH bucket equi-join
-    * for candidates (linear shuffle), exact cosine >= threshold refilter.
-    * The scale path that replaces Dedup.embeddingNearDuplicates' O(n^2)
-    * all-pairs baseline; more tables/fewer planes raise recall. */
+    * for candidates, exact cosine >= threshold refilter. The scale path
+    * that replaces Dedup.embeddingNearDuplicates' O(n^2) all-pairs
+    * baseline; more tables/fewer planes raise recall.
+    *
+    * The vector and its norm RIDE WITH the bucket rows, so the cosine
+    * evaluates inside the bucket join's output stream and only TRUE pairs
+    * survive to the distinct. The earlier shape (distinct the candidate
+    * ids first, then re-join both vectors per pair) shuffled two full
+    * vectors per CANDIDATE — at fixed plane count candidates grow like
+    * n^2/2^planes, which the r9 sf1 run measured as x124 for 10x data
+    * (~200 GB of vector shuffle). Here the only shuffle is the code table
+    * itself (n x numTables rows); in-bucket pairs cost one codegen'd dot
+    * each and the distinct sees only matches. Pair COUNT still follows
+    * n^2/2^planes — hold expected occupancy flat with
+    * [[planesForOccupancy]] (more tables to buy recall back) to keep the
+    * candidate stream linear-ish as the corpus grows. */
   def lshNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numTables: Int = 8, numPlanes: Int = 3,
       seed: Int = 42, dim: Int = 64): DataFrame = {
-    val codes = lshCodes(emb, idCol, vecCol, numTables, numPlanes, seed, dim)
-    val cand = codes.as("x").join(codes.as("y"),
+    val ps = planes(numTables, numPlanes, dim, seed)
+    val checked = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"lshNearDuplicates: expected vector dim=$dim, got "),
+        size(col(vecCol)).cast("string"))))
+    val codes = emb.select(col(idCol).as("vec_id"),
+        col(vecCol).as("v"), VectorOps.norm(col(vecCol)).as("nrm"),
+        posexplode(array((0 until numTables).map(t =>
+          srpCode(checked, ps(t))): _*)))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("pos").cast("long").as("tbl"), col("col").as("code"))
+    codes.as("x").join(codes.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.code") === col("y.code") &&
           col("x.vec_id") < col("y.vec_id"))
+      .where(VectorOps.dot(col("x.v"), col("y.v")) >=
+        col("x.nrm") * col("y.nrm") * lit(threshold))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
-    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("nrm", VectorOps.norm(col("v")))
-    cand
-      .join(e.select(col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(e.select(col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .where(VectorOps.dot(col("va"), col("vb")) >=
-        col("na") * col("nb") * lit(threshold))
-      .select("id_a", "id_b")
   }
 
   /** Sequential-fold double norm of a centroid — the Scala-side mirror of

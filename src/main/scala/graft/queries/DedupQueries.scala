@@ -219,9 +219,16 @@ object DedupQueries {
         graft.operators.TextAnalysis.qualityScore(col("text")))
         .select("doc_id")
     },
+    // INTENDED-quadratic all-pairs baseline witness (the scale path is
+    // sim_lsh_neardup, which this exists to validate recall against). A
+    // baseline witness doesn't need the full table: the deterministic
+    // 1-in-2 id slice keeps the O(n^2) compare 4x cheaper at every sf
+    // while exercising the identical operator (same precedent as the
+    // graph_bfs_hops dialect witness, r8 verdict).
     "dedup_embedding_pairs" -> { (s, dir) =>
       Dedup.embeddingNearDuplicates(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        Tables.load(s, dir, "embeddings").where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", 0.45)
     },
     // Leak-proof split: near-dup CLUSTERS (not documents) are the unit of
     // train/val assignment, so no near-identical pair straddles the
@@ -633,7 +640,8 @@ object DedupQueries {
     "dedup_embedding_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+        |WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""SELECT doc_id FROM documents
          |WHERE doc_id IN ($duckExactKeep)

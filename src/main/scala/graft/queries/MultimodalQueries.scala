@@ -104,8 +104,12 @@ object MultimodalQueries {
           col("sumR").as("sum_r"), col("sumG").as("sum_g"),
           col("sumB").as("sum_b"), col("grayMean").as("gray_mean"))
     },
+    // Metadata-only planning gates ride the payload-free shim: the
+    // deployment shape is "read meta, never touch payload", and the
+    // payload-synthesizing fixture was charging them a PNG encode per row.
     "mm_resize" -> { (s, dir) =>
-      Multimodal.resizePlan(media(s, dir), 24)
+      Multimodal.resizePlan(
+        Multimodal.fromDocumentsMeta(Tables.load(s, dir, "documents")), 24)
     },
     // Real nearest-neighbor pixel resize; exact resampled red-channel sum.
     "mm_resize_pixels" -> { (s, dir) =>
@@ -116,7 +120,8 @@ object MultimodalQueries {
           col("sumR").as("sum_r"))
     },
     "mm_frame_sample" -> { (s, dir) =>
-      Multimodal.frameSamplePlan(media(s, dir), 500L)
+      Multimodal.frameSamplePlan(
+        Multimodal.fromDocumentsMeta(Tables.load(s, dir, "documents")), 500L)
     },
     // A SECOND real codec through the same decode path: the gradient
     // encoded lossy (JPEG q=0.9). Dimensions survive decode exactly;
