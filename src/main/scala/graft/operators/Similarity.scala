@@ -205,26 +205,36 @@ object Similarity {
     rankTopKPerQuery(scored, k, "score")
   }
 
-  /** Corpus-scale embedding near-duplicate pairs: SRP-LSH bucket equi-join
-    * for candidates, exact cosine >= threshold refilter. The scale path
-    * that replaces Dedup.embeddingNearDuplicates' O(n^2) all-pairs
-    * baseline; more tables/fewer planes raise recall.
+  /** Corpus-scale embedding near-duplicate pairs: SRP-LSH bucket
+    * candidates, exact cosine >= threshold refilter. The scale path that
+    * replaces Dedup.embeddingNearDuplicates' O(n^2) all-pairs baseline;
+    * more tables/fewer planes raise recall.
     *
-    * The vector and its norm RIDE WITH the bucket rows, so the cosine
-    * evaluates inside the bucket join's output stream and only TRUE pairs
-    * survive to the distinct. The earlier shape (distinct the candidate
-    * ids first, then re-join both vectors per pair) shuffled two full
-    * vectors per CANDIDATE — at fixed plane count candidates grow like
-    * n^2/2^planes, which the r9 sf1 run measured as x124 for 10x data
-    * (~200 GB of vector shuffle). Here the only shuffle is the code table
-    * itself (n x numTables rows); in-bucket pairs cost one codegen'd dot
-    * each and the distinct sees only matches. Pair COUNT still follows
-    * n^2/2^planes — hold expected occupancy flat with
-    * [[planesForOccupancy]] (more tables to buy recall back) to keep the
-    * candidate stream linear-ish as the corpus grows. */
+    * Dataflow: ONE shuffle of the (vec_id, vec, norm, tbl, code) rows
+    * keyed by bucket, then pairs are enumerated INSIDE each bucket group
+    * with a primitive-array loop emitting only rows that pass the
+    * threshold. The relational alternatives both die at scale, and the
+    * r9 sf1 evidence run measured it: distinct-candidates-then-rejoin
+    * shuffles two full vectors per CANDIDATE (x124 for 10x data, ~200 GB
+    * of vector movement); a self-equi-join with the cosine in the join
+    * filter still MATERIALIZES two copied vectors into every joined row
+    * before filtering (~1 us/candidate of UnsafeRow copying — 240 s at
+    * sf1). The bucket-local loop touches each candidate for exactly one
+    * fused dot product (4 flops/dim), no row materialization — the same
+    * reason decode runs in mapPartitions, this runs in flatMapGroups.
+    *
+    * Contracts: dot/norm arithmetic mirrors FloatVecDot bit-for-bit
+    * (norms are computed by the codegen expression BEFORE the shuffle and
+    * ride with the row), so results are engine-replayable and identical
+    * to the join form, pair for pair. A bucket group must fit in executor
+    * memory: expected occupancy is n/2^planes — hold it flat as the
+    * corpus grows via [[planesForOccupancy]] (with more tables to buy
+    * per-table recall back), which also keeps total candidate work
+    * sub-quadratic (~n^1.6 at this threshold). */
   def lshNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numTables: Int = 8, numPlanes: Int = 3,
       seed: Int = 42, dim: Int = 64): DataFrame = {
+    import emb.sparkSession.implicits._
     val ps = planes(numTables, numPlanes, dim, seed)
     val checked = when(size(col(vecCol)) === dim, col(vecCol))
       .otherwise(raise_error(concat(
@@ -236,12 +246,33 @@ object Similarity {
           srpCode(checked, ps(t))): _*)))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("pos").cast("long").as("tbl"), col("col").as("code"))
-    codes.as("x").join(codes.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.code") === col("y.code") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .where(VectorOps.dot(col("x.v"), col("y.v")) >=
-        col("x.nrm") * col("y.nrm") * lit(threshold))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .as[(Long, Array[Float], Double, Long, Long)]
+    codes.groupByKey { case (_, _, _, tbl, code) => (tbl, code) }
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        java.util.Arrays.sort(rows,
+          Ordering.by((r: (Long, Array[Float], Double, Long, Long)) => r._1))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 0
+        while (i < rows.length) {
+          val (ida, va, na, _, _) = rows(i)
+          var j = i + 1
+          while (j < rows.length) {
+            val (idb, vb, nb, _, _) = rows(j)
+            // Same fold as FloatVecDot: left-to-right double accumulate.
+            var acc = 0.0
+            var k = 0
+            while (k < va.length) {
+              acc += va(k).toDouble * vb(k).toDouble; k += 1
+            }
+            if (acc >= na * nb * threshold) out += ((ida, idb))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("id_a", "id_b")
       .distinct()
   }
 
