@@ -40,13 +40,28 @@ def family(name: str) -> str:
 
 
 def load(path: str) -> dict:
+    """Times per query: FIRST run when raw runs are recorded (fresh-vs-fresh
+    — medians flatter gates whose first run materializes a persisted
+    derivation, e.g. graph_triangles' cached edge list), else the median."""
     with open(path) as f:
-        return json.loads(f.read().strip().splitlines()[-1])
+        d = json.loads(f.read().strip().splitlines()[-1])
+    if "runs" in d:
+        d = dict(d, queries={k: d["runs"].get(k, [v])[0]
+                             for k, v in d["queries"].items()})
+    return d
 
 
 def main() -> None:
     small, big = load(sys.argv[1]), load(sys.argv[2])
     factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    # Optional 4th arg: JSON of {query: [t_small, t_big]} re-measurements
+    # (post-fix numbers measured outside the recorded bench files).
+    if len(sys.argv) > 4:
+        for name, (ts, tb) in json.load(open(sys.argv[4])).items():
+            if ts is not None:
+                small["queries"][name] = ts
+            if tb is not None:
+                big["queries"][name] = tb
     qs, qb = small["queries"], big["queries"]
     fam_s, fam_b = defaultdict(float), defaultdict(float)
     per_query = []
