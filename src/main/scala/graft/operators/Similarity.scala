@@ -230,7 +230,11 @@ object Similarity {
     * memory: expected occupancy is n/2^planes — hold it flat as the
     * corpus grows via [[planesForOccupancy]] (with more tables to buy
     * per-table recall back), which also keeps total candidate work
-    * sub-quadratic (~n^1.6 at this threshold). */
+    * sub-quadratic (~n^1.6 at this threshold). `idCol` must be
+    * BIGINT-castable (the typed group encoder is Long-keyed); string ids
+    * should map through a surrogate — the id is the ONLY per-row payload
+    * this operator moves besides the vector, so keeping it 8 bytes is
+    * also the right scale choice. */
   def lshNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numTables: Int = 8, numPlanes: Int = 3,
       seed: Int = 42, dim: Int = 64): DataFrame = {
@@ -252,25 +256,41 @@ object Similarity {
         val rows = it.toArray
         java.util.Arrays.sort(rows,
           Ordering.by((r: (Long, Array[Float], Double, Long, Long)) => r._1))
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var i = 0
-        while (i < rows.length) {
-          val (ida, va, na, _, _) = rows(i)
-          var j = i + 1
-          while (j < rows.length) {
-            val (idb, vb, nb, _, _) = rows(j)
-            // Same fold as FloatVecDot: left-to-right double accumulate.
-            var acc = 0.0
-            var k = 0
-            while (k < va.length) {
-              acc += va(k).toDouble * vb(k).toDouble; k += 1
+        // Lazy (i, j) walk: matches stream out as found — heap stays
+        // bounded by the bucket array even when most pairs pass (a hot
+        // bucket at a low threshold would otherwise buffer O(occupancy^2)
+        // tuples before emitting the first row).
+        new Iterator[(Long, Long)] {
+          private var i = 0
+          private var j = 1
+          private var nextPair: (Long, Long) = null
+          private def advance(): Unit = {
+            nextPair = null
+            while (nextPair == null && i < rows.length - 1) {
+              val (ida, va, na, _, _) = rows(i)
+              while (nextPair == null && j < rows.length) {
+                val (idb, vb, nb, _, _) = rows(j)
+                j += 1
+                // Same fold as FloatVecDot: left-to-right double acc.
+                var acc = 0.0
+                var k = 0
+                while (k < va.length) {
+                  acc += va(k).toDouble * vb(k).toDouble; k += 1
+                }
+                // idb != ida mirrors the join form's STRICT x.id < y.id:
+                // duplicate ids in one bucket must not emit a self-pair.
+                if (idb != ida && acc >= na * nb * threshold)
+                  nextPair = (ida, idb)
+              }
+              if (nextPair == null) { i += 1; j = i + 1 }
             }
-            if (acc >= na * nb * threshold) out += ((ida, idb))
-            j += 1
           }
-          i += 1
+          advance()
+          override def hasNext: Boolean = nextPair != null
+          override def next(): (Long, Long) = {
+            val r = nextPair; advance(); r
+          }
         }
-        out.iterator
       }
       .toDF("id_a", "id_b")
       .distinct()

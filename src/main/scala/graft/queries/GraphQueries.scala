@@ -36,8 +36,12 @@ object GraphQueries {
     * every query re-derives from the fact table. The derivation cost
     * itself stays measured — `graph_affinity_edges` gates it standalone
     * and is exempted from the memo. Same pattern as Staging.batchLog's
-    * fixture memo; localCheckpoint pins only the (≤ nodes×k)-row edge
-    * list, vertex-scale not fact-scale. */
+    * fixture memo. persist (NOT localCheckpoint): cached blocks keep
+    * their lineage, so on a cluster a decommissioned executor's blocks
+    * recompute instead of poisoning every graph gate for the JVM's life;
+    * the pin is only the (≤ nodes×k)-row edge list, vertex-scale not
+    * fact-scale. Entries live for the session — fixture dirs are
+    * immutable driver artifacts, so there is nothing to invalidate. */
   private val edgeMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -45,7 +49,12 @@ object GraphQueries {
     Graph.topKAffinityEdges(Tables.load(s, dir, "lineitem"), EdgeK)
 
   private def edges(s: SparkSession, dir: String): DataFrame =
-    edgeMemo.getOrElseUpdate((s, dir), derivedEdges(s, dir).localCheckpoint())
+    edgeMemo.getOrElseUpdate((s, dir), {
+      val e = derivedEdges(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count() // materialize eagerly: first caller pays, the rest reuse
+      e
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The sparsified edge list itself — the substrate every other graph

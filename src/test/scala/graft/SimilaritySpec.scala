@@ -244,6 +244,22 @@ class SimilaritySpec extends GraftSuite {
       s"recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("lshNearDuplicates: duplicate ids never emit a self-pair") {
+    // The bucket-local loop must mirror the join form's STRICT id < id:
+    // two rows sharing an id land adjacent in the same bucket with
+    // cosine ~1.0, and a self-edge would poison cluster resolution.
+    import spark.implicits._
+    val base = emb.limit(4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val withDup = (base ++ Array((base.head._1, base.head._2.clone())))
+      .toSeq.toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDuplicates(
+        withDup, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a != b },
+      s"self-pair emitted: ${pairs.mkString(", ")}")
+  }
+
   test("IVF x PQ: refine >= pool size makes ivfPqTopK equal ivfTopK exactly") {
     // At equal (centroids, nprobe) the two operators see the SAME probed
     // candidate pool; once the ADC shortlist covers the whole pool the

@@ -58,11 +58,18 @@ def main() -> None:
     # (post-fix numbers measured outside the recorded bench files).
     if len(sys.argv) > 4:
         for name, (ts, tb) in json.load(open(sys.argv[4])).items():
+            if name not in small["queries"] and name not in big["queries"]:
+                raise SystemExit(f"override key {name!r} matches no bench "
+                                 "query - typo would silently double-count")
             if ts is not None:
                 small["queries"][name] = ts
             if tb is not None:
                 big["queries"][name] = tb
     qs, qb = small["queries"], big["queries"]
+    one_sided = sorted(set(qs) ^ set(qb))
+    if one_sided:
+        print(f"WARNING: {len(one_sided)} gate(s) present in only one bench "
+              f"file, EXCLUDED from all totals: {', '.join(one_sided)}")
     fam_s, fam_b = defaultdict(float), defaultdict(float)
     per_query = []
     for name, ts in qs.items():
