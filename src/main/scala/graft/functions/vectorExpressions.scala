@@ -253,3 +253,72 @@ case class PqLut(child: Expression, subDim: Int, offsets: Array[Int],
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+object SrpOps {
+  /** All `numTables` SRP bucket codes of one vector in one loop:
+    * projection = sequential-fold double dot of the vector against the
+    * (+-1-as-float) hyperplane (the SAME fold as FloatVecDot), bit p of
+    * table t set iff its projection > 0.0 — bit-identical to the
+    * unrolled srpCode column form (`when(dot > 0, 1L<<p)` summed in p
+    * order) it replaces. `planes` is flattened [t][p][k]; fails fast on
+    * a dimension mismatch (zip_with would null-pad and collapse every
+    * code to 0). */
+  def codes(v: org.apache.spark.sql.catalyst.util.ArrayData, numTables: Int,
+      numPlanes: Int, dim: Int, planes: Array[Float])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"srp_codes: expected vector dim=$dim, got ${v.numElements()}")
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var code = 0L
+      var p = 0
+      while (p < numPlanes) {
+        val base = (t * numPlanes + p) * dim
+        var acc = 0.0
+        var k = 0
+        while (k < dim) {
+          acc += v.getFloat(k).toDouble * planes(base + k).toDouble
+          k += 1
+        }
+        if (acc > 0.0) code += (1L << p)
+        p += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
+ * `srp_codes(vec)` — all numTables SRP bucket codes as one array<long>.
+ * Same 64 KB rationale as PqEncode: the declarative form inlines
+ * numTables x numPlanes dot products (the auto-dialed near-dup config
+ * reaches 123 x 9 = 1107 at sf1), overflowing the codegen method limit
+ * and dropping the stage to interpreted evaluation; here the work is a
+ * loop over a flattened plane literal shipped once per task.
+ */
+case class SrpCodes(child: Expression, numTables: Int, numPlanes: Int,
+    dim: Int, planes: Array[Float])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_codes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    SrpOps.codes(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numTables, numPlanes, dim, planes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val plRef = ctx.addReferenceObj("srpPlanes", planes, "float[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SrpOps.codes(" +
+        s"$c, $numTables, $numPlanes, $dim, $plRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -44,6 +44,43 @@ object Similarity {
     math.min(30, math.max(1, p))
   }
 
+  /** Tables needed so P(some table collides) >= recall for a pair AT the
+    * cosine threshold: per-plane agreement for SRP is p = 1 - acos(t)/pi,
+    * a table of b planes collides with p^b, so T = ceil(ln(1-recall) /
+    * ln(1-p^b)) (epsilon-guarded so exact integer ratios don't round
+    * up). More planes (smaller buckets) cost more tables — the standard
+    * LSH trade, n^rho overall. */
+  def tablesForRecall(threshold: Double, planes: Int,
+      recall: Double = 0.92): Int = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"tablesForRecall: threshold in (-1, 1), got $threshold")
+    require(planes >= 1 && recall > 0 && recall < 1,
+      "tablesForRecall: planes >= 1, recall in (0, 1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val perTable = math.pow(p, planes)
+    math.max(1, math.ceil(
+      math.log(1.0 - recall) / math.log(1.0 - perTable) - 1e-9).toInt)
+  }
+
+  /** [[lshNearDuplicates]] with the scale dial APPLIED: planes from
+    * [[planesForOccupancy]] (bucket count grows with the corpus, so
+    * expected occupancy — and with it per-bucket pair work and group
+    * memory — stays flat) and tables from [[tablesForRecall]] (recall
+    * held as planes rise). One count() of the input (a metadata-cheap
+    * aggregate, same class as the k-means training collects) picks the
+    * config; everything downstream is [[lshNearDuplicates]] verbatim.
+    * Total candidate work scales ~n^(1+rho) instead of n^2/2^planes —
+    * the difference between a dial and a cliff at 100x the fixture. */
+  def lshNearDuplicatesAuto(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetOccupancy: Long = 64L, recall: Double = 0.92,
+      seed: Int = 42, dim: Int = 64): DataFrame = {
+    val n = emb.count()
+    val numPlanes = planesForOccupancy(n, targetOccupancy)
+    val numTables = tablesForRecall(threshold, numPlanes, recall)
+    lshNearDuplicates(emb, idCol, vecCol, threshold, numTables, numPlanes,
+      seed, dim)
+  }
+
   /** Deterministic Rademacher hyperplane: +-1.0 per dimension. */
   def planes(numTables: Int, numPlanes: Int, dim: Int, seed: Int)
       : Array[Array[Array[Double]]] = {
@@ -67,28 +104,34 @@ object Similarity {
       when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** All tables' codes as ONE array column via the SrpCodes loop-codegen
+    * expression — the declarative per-table srpCode form inlines
+    * numTables x numPlanes dots and overflows the 64 KB codegen method
+    * limit once the occupancy/recall dial raises the config (123 x 9 at
+    * sf1), dropping the stage to interpreted evaluation (measured 10x).
+    * The expression also carries the dim fail-fast (zip_with would
+    * silently null-pad a mismatched vector, collapsing codes to 0). */
+  private def srpCodesCol(vecCol: String, numTables: Int, numPlanes: Int,
+      seed: Int, dim: Int): Column = {
+    val flat = planes(numTables, numPlanes, dim, seed)
+      .flatten.flatten.map(_.toFloat)
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.SrpCodes(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(col(vecCol)),
+        numTables, numPlanes, dim, flat))
+  }
+
   /** (id, table, code) bucket assignments for every vector. All tables'
     * codes are computed in ONE scan (array + posexplode) — a per-table
     * union would rescan the source numTables times, which at corpus scale
-    * multiplies the dominant IO cost.
-    *
-    * `dim` must equal the vectors' length: the hyperplanes are fixed-length
-    * literals, and `zip_with` would silently null-pad a mismatched vector
-    * (collapsing every code to 0). A per-row guard fails fast instead. */
+    * multiplies the dominant IO cost. */
   def lshCodes(emb: DataFrame, idCol: String, vecCol: String,
       numTables: Int = 8, numPlanes: Int = 3, seed: Int = 42,
-      dim: Int = 64): DataFrame = {
-    val ps = planes(numTables, numPlanes, dim, seed)
-    val checked = when(size(col(vecCol)) === dim, col(vecCol))
-      .otherwise(raise_error(concat(
-        lit(s"lshCodes: expected vector dim=$dim, got "),
-        size(col(vecCol)).cast("string"))))
+      dim: Int = 64): DataFrame =
     emb.select(col(idCol).as("vec_id"),
-        posexplode(array((0 until numTables).map(t =>
-          srpCode(checked, ps(t))): _*)))
+        posexplode(srpCodesCol(vecCol, numTables, numPlanes, seed, dim)))
       .select(col("vec_id"), col("pos").cast("long").as("tbl"),
         col("col").as("code"))
-  }
 
 
   /**
@@ -239,15 +282,9 @@ object Similarity {
       threshold: Double, numTables: Int = 8, numPlanes: Int = 3,
       seed: Int = 42, dim: Int = 64): DataFrame = {
     import emb.sparkSession.implicits._
-    val ps = planes(numTables, numPlanes, dim, seed)
-    val checked = when(size(col(vecCol)) === dim, col(vecCol))
-      .otherwise(raise_error(concat(
-        lit(s"lshNearDuplicates: expected vector dim=$dim, got "),
-        size(col(vecCol)).cast("string"))))
     val codes = emb.select(col(idCol).as("vec_id"),
         col(vecCol).as("v"), VectorOps.norm(col(vecCol)).as("nrm"),
-        posexplode(array((0 until numTables).map(t =>
-          srpCode(checked, ps(t))): _*)))
+        posexplode(srpCodesCol(vecCol, numTables, numPlanes, seed, dim)))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("pos").cast("long").as("tbl"), col("col").as("code"))
       .as[(Long, Array[Float], Double, Long, Long)]

@@ -115,6 +115,17 @@ object SimilarityQueries {
       Similarity.lshNearDuplicates(emb(s, dir), "vec_id", "embedding", 0.45,
         NumTables, NumPlanes, Seed)
     },
+    // The SCALE DIAL applied: planes from bucket-occupancy (log2(n/64)),
+    // tables from the recall formula. At the sf0.01 fixture (n=500) the
+    // formulas resolve to EXACTLY the fixed gate's (8 tables, 3 planes)
+    // — the oracle is sim_lsh_neardup's verbatim (SimilaritySpec pins
+    // the resolution, so a fixture resize breaks the spec, not the
+    // oracle silently) — while at corpus scale the same call graduates
+    // to more/finer tables and stays sub-quadratic.
+    "sim_lsh_neardup_auto" -> { (s, dir) =>
+      Similarity.lshNearDuplicatesAuto(emb(s, dir), "vec_id", "embedding",
+        0.45, 64L, 0.92, Seed)
+    },
     // IVF with an in-engine-TRAINED coarse quantizer: k=16 Lloyd k-means
     // (2 fixed rounds, lowest-id seeding, exact scaled-integer sums) over
     // the corpus, then queries 16..19 probe their 3 nearest lists, exact
@@ -531,6 +542,18 @@ object SimilarityQueries {
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
          |FROM r WHERE rn <= 5""".stripMargin,
     "sim_lsh_neardup" ->
+      s"""WITH $duckCodesCte,
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM codes x JOIN codes y
+         |    ON x.tbl = y.tbl AND x.code = y.code AND x.vec_id < y.vec_id)
+         |SELECT cand.id_a, cand.id_b
+         |FROM cand JOIN embeddings a ON cand.id_a = a.vec_id
+         |          JOIN embeddings b ON cand.id_b = b.vec_id
+         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
+    // Auto-dial gate: at the sf0.01 fixture the occupancy/recall formulas
+    // resolve to the fixed gate's exact (8, 3) config, so the replay is
+    // identical SQL.
+    "sim_lsh_neardup_auto" ->
       s"""WITH $duckCodesCte,
          |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
          |  FROM codes x JOIN codes y

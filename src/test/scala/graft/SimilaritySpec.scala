@@ -244,6 +244,20 @@ class SimilaritySpec extends GraftSuite {
       s"recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("auto dial resolves to the fixed gate's config at the fixture size") {
+    // The sim_lsh_neardup_auto oracle REUSES the fixed gate's SQL, valid
+    // only while auto(n=500) == (8 tables, 3 planes). Pin it here so a
+    // fixture resize breaks this spec loudly instead of the oracle
+    // silently.
+    assert(Similarity.planesForOccupancy(500, 64) == 3)
+    assert(Similarity.tablesForRecall(0.45, 3, 0.92) == 8)
+    // Exact-ratio robustness: recall exactly 1-(1-p^b)^T must give T,
+    // not T+1 (the epsilon guard's job).
+    val p = 1.0 - math.acos(0.45) / math.Pi
+    val r8 = 1.0 - math.pow(1.0 - math.pow(p, 3), 8)
+    assert(Similarity.tablesForRecall(0.45, 3, r8) == 8)
+  }
+
   test("lshNearDuplicates: duplicate ids never emit a self-pair") {
     // The bucket-local loop must mirror the join form's STRICT id < id:
     // two rows sharing an id land adjacent in the same bucket with
