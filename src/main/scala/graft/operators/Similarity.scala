@@ -91,13 +91,14 @@ object Similarity {
     }
   }
 
-  /** Integer SRP bucket code of `vec` for one table's plane set. Each
-    * projection is the codegen'd FloatVecDot against the plane as a FLOAT
-    * literal array — +-1.0 is exact in float, each term promotes to the
-    * identical double product, and the fold order matches, so this is
-    * bit-identical to the interpreted `aggregate(zip_with(...))` form it
-    * replaced (which burned interpreted-lambda overhead per element on
-    * every vector x table x plane). */
+  /** Integer SRP bucket code of `vec` for one table's plane set — the
+    * REFERENCE form the SrpCodes loop expression is spec-held
+    * bit-identical to (SimilaritySpec); production call sites use
+    * SrpCodes, whose single loop survives table×plane configs that would
+    * blow the 64 KB codegen method limit unrolled. Each projection is the
+    * codegen'd FloatVecDot against the plane as a FLOAT literal array —
+    * +-1.0 is exact in float, each term promotes to the identical double
+    * product, and the fold order matches. */
   def srpCode(vec: Column, tablePlanes: Array[Array[Double]]): Column =
     tablePlanes.zipWithIndex.map { case (plane, p) =>
       val proj = VectorOps.dot(vec, typedLit(plane.map(_.toFloat).toSeq))

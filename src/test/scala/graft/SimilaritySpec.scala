@@ -244,6 +244,25 @@ class SimilaritySpec extends GraftSuite {
       s"recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("SrpCodes loop expression is bit-identical to the unrolled srpCode form") {
+    // srpCode (the declarative per-table column) stays as the REFERENCE
+    // implementation: the loop expression must match it code-for-code on
+    // every (vector, table) — this is what licenses swapping it into all
+    // LSH call sites (and into the oracle contract) without re-deriving
+    // the DuckDB replay.
+    import org.apache.spark.sql.functions._
+    val ps = Similarity.planes(8, 3, 64, 42)
+    val unrolled = emb.select(col("vec_id"),
+        posexplode(array((0 until 8).map(t =>
+          Similarity.srpCode(col("embedding"), ps(t))): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("tbl"),
+        col("col").as("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val looped = Similarity.lshCodes(emb, "vec_id", "embedding", 8, 3, 42)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(looped == unrolled)
+  }
+
   test("auto dial resolves to the fixed gate's config at the fixture size") {
     // The sim_lsh_neardup_auto oracle REUSES the fixed gate's SQL, valid
     // only while auto(n=500) == (8 tables, 3 planes). Pin it here so a
