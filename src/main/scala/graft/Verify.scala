@@ -11,8 +11,13 @@ object Verify {
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER overrides the master for multi-process runs
+    // (local-cluster[2,8,4096] spawns separate executor JVMs — the
+    // single-machine stand-in for a real cluster's serialization paths:
+    // custom-expression shipping, UDAF buffers, exchanges, broadcasts).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -52,6 +57,17 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Execution-topology evidence: master + live executor set (the
+    // driver's BlockManager plus one entry per executor JVM), so a
+    // local-cluster run is distinguishable from local[] in the artifact
+    // itself — the whole point of that run is proving custom expression /
+    // UDAF / exchange serialization across process boundaries.
+    val execs = spark.sparkContext.statusTracker.getExecutorInfos
+    val info = s"""{"master": ${q(spark.sparkContext.master)}, """ +
+      s""""executors": ${execs.length}, """ +
+      s""""executor_hosts": [${execs.map(e => q(e.host())).mkString(",")}]}"""
+    Files.writeString(Paths.get(s"$outDir/run_info.json"), info)
+    System.err.println(s"[verify] $info")
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))

@@ -62,23 +62,70 @@ object Similarity {
       math.log(1.0 - recall) / math.log(1.0 - perTable) - 1e-9).toInt)
   }
 
+  /** Default per-bucket occupancy cap for [[lshNearDuplicates]]'s
+    * in-memory bucket groups: 65536 rows x (dim x 4 B vector + ~40 B row
+    * overhead) ≈ 20 MB per in-flight group at dim=64 — comfortable
+    * against a multi-GB executor heap even with one group per core. */
+  val MaxBucketDefault: Long = 65536L
+
+  /** Largest plane count whose per-table collision probability at the
+    * cosine threshold still reaches `recall` within `maxTables` tables:
+    * perTable must be >= 1 - (1-recall)^(1/maxTables), and perTable =
+    * q^planes with q = 1 - acos(t)/pi, so planes = floor(ln(needed) /
+    * ln(q)) (epsilon-guarded for exact ratios). The FEASIBILITY bound
+    * the tables budget imposes — more planes than this and no affordable
+    * table count recovers the recall. Clamped to [1, 30]. */
+  def planesForTables(threshold: Double, recall: Double,
+      maxTables: Int): Int = {
+    require(threshold > -1.0 && threshold < 1.0 && recall > 0 && recall < 1,
+      "planesForTables: threshold in (-1,1), recall in (0,1)")
+    require(maxTables >= 1, s"planesForTables: maxTables >= 1, got $maxTables")
+    val q = 1.0 - math.acos(threshold) / math.Pi
+    val perTableNeeded = 1.0 - math.pow(1.0 - recall, 1.0 / maxTables)
+    val p = math.floor(math.log(perTableNeeded) / math.log(q) + 1e-9).toInt
+    math.min(30, math.max(1, p))
+  }
+
+  /** Joint (planes, tables) solve under an explicit TABLES BUDGET:
+    * planes = min(occupancy-driven, tables-budget-feasible), tables =
+    * min(recall-driven, maxTables). Unbudgeted, the recall formula's
+    * table count grows like n^rho once planes track log2(n) — at n=1e9 /
+    * threshold 0.45 that is ~24 planes and ~74k tables, i.e. a
+    * multi-hundred-MB plane literal shipped per task and 74k exploded
+    * code rows per vector: a cliff, not a dial. The budget instead
+    * SHRINKS planes until recall is affordable (n=1e9 resolves to 9
+    * planes x ~120 tables — a 276 KB literal), trading bucket occupancy
+    * (now above target, so per-bucket pair work grows; [[lshNearDuplicates]]'s
+    * maxBucket split bounds the MEMORY side) for a bounded index size.
+    * Small corpora are unaffected: the occupancy term binds and resolves
+    * exactly as before. */
+  def lshAutoConfig(n: Long, threshold: Double, targetOccupancy: Long = 64L,
+      recall: Double = 0.92, maxTables: Int = 128): (Int, Int) = {
+    val p = math.min(planesForOccupancy(n, targetOccupancy),
+      planesForTables(threshold, recall, maxTables))
+    (p, math.min(tablesForRecall(threshold, p, recall), maxTables))
+  }
+
   /** [[lshNearDuplicates]] with the scale dial APPLIED: planes from
     * [[planesForOccupancy]] (bucket count grows with the corpus, so
     * expected occupancy — and with it per-bucket pair work and group
     * memory — stays flat) and tables from [[tablesForRecall]] (recall
-    * held as planes rise). One count() of the input (a metadata-cheap
-    * aggregate, same class as the k-means training collects) picks the
-    * config; everything downstream is [[lshNearDuplicates]] verbatim.
-    * Total candidate work scales ~n^(1+rho) instead of n^2/2^planes —
-    * the difference between a dial and a cliff at 100x the fixture. */
+    * held as planes rise), both under [[lshAutoConfig]]'s `maxTables`
+    * budget so the index size is a dial too. One count() of the input (a
+    * metadata-cheap aggregate, same class as the k-means training
+    * collects) picks the config; everything downstream is
+    * [[lshNearDuplicates]] verbatim. Total candidate work scales
+    * ~n^(1+rho) instead of n^2/2^planes — the difference between a dial
+    * and a cliff at 100x the fixture. */
   def lshNearDuplicatesAuto(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, targetOccupancy: Long = 64L, recall: Double = 0.92,
-      seed: Int = 42, dim: Int = 64): DataFrame = {
+      seed: Int = 42, dim: Int = 64, maxTables: Int = 128,
+      maxBucket: Long = MaxBucketDefault): DataFrame = {
     val n = emb.count()
-    val numPlanes = planesForOccupancy(n, targetOccupancy)
-    val numTables = tablesForRecall(threshold, numPlanes, recall)
+    val (numPlanes, numTables) =
+      lshAutoConfig(n, threshold, targetOccupancy, recall, maxTables)
     lshNearDuplicates(emb, idCol, vecCol, threshold, numTables, numPlanes,
-      seed, dim)
+      seed, dim, maxBucket)
   }
 
   /** Deterministic Rademacher hyperplane: +-1.0 per dimension. */
@@ -278,22 +325,78 @@ object Similarity {
     * BIGINT-castable (the typed group encoder is Long-keyed); string ids
     * should map through a surrogate — the id is the ONLY per-row payload
     * this operator moves besides the vector, so keeping it 8 bytes is
-    * also the right scale choice. */
+    * also the right scale choice.
+    *
+    * Hot-bucket guard: [[planesForOccupancy]] holds EXPECTED occupancy
+    * flat but not adversarial skew — a pre-cleaning web corpus has
+    * exact-duplicate floods whose vectors share every bucket in every
+    * table (and all-zero vectors always code to 0), so one group could
+    * otherwise buffer an unbounded `it.toArray`. A cheap census pass
+    * (codes only — 16-byte rows, map-side partial count) finds buckets
+    * over `maxBucket`; their rows are salted by id-hash into
+    * ceil(n/maxBucket) sub-buckets and every pair is still enumerated
+    * exactly once via triangle cells: a row with salt s joins cell
+    * (min(s,t), max(s,t)) for every t, cell (i,i) pairs within salt i,
+    * cell (i,j) pairs only across salts — so group memory is bounded by
+    * ~2x maxBucket while the output stays identical pair-for-pair
+    * (SimilaritySpec plants a flood and asserts it). Pair WORK for a
+    * flood is still quadratic — that is the semantics (every pair IS a
+    * duplicate); the guard bounds memory, not output. A sub-bucket that
+    * still exceeds 4x maxBucket fails fast (duplicate ids all hash to
+    * one salt — dedupe ids first or raise maxBucket). */
   def lshNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numTables: Int = 8, numPlanes: Int = 3,
-      seed: Int = 42, dim: Int = 64): DataFrame = {
+      seed: Int = 42, dim: Int = 64,
+      maxBucket: Long = MaxBucketDefault): DataFrame = {
+    require(maxBucket > 1, s"lshNearDuplicates: maxBucket > 1, got $maxBucket")
     import emb.sparkSession.implicits._
-    val codes = emb.select(col(idCol).as("vec_id"),
+    val codeCol = srpCodesCol(vecCol, numTables, numPlanes, seed, dim)
+    // Census: re-derives the (narrow, codegen) code projection so only
+    // (tbl, code) pairs shuffle; the over-cap result set is tiny (one row
+    // per FLOOD bucket, not per bucket) and broadcasts back.
+    val hot = emb.select(posexplode(codeCol))
+      .select(col("pos").cast("long").as("tbl"), col("col").as("code"))
+      .groupBy("tbl", "code").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket)
+      .select(col("tbl"), col("code"),
+        ceil(col("__n").cast("double") / maxBucket).cast("long").as("__nsub"))
+    val salted = emb.select(col(idCol).as("vec_id"),
         col(vecCol).as("v"), VectorOps.norm(col(vecCol)).as("nrm"),
-        posexplode(srpCodesCol(vecCol, numTables, numPlanes, seed, dim)))
+        posexplode(codeCol))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("pos").cast("long").as("tbl"), col("col").as("code"))
-      .as[(Long, Array[Float], Double, Long, Long)]
-    codes.groupByKey { case (_, _, _, tbl, code) => (tbl, code) }
-      .flatMapGroups { (_, it) =>
+      .join(broadcast(hot), Seq("tbl", "code"), "left")
+      .withColumn("__nsub", coalesce(col("__nsub"), lit(1L)))
+      .withColumn("__salt", pmod(xxhash64(col("vec_id")), col("__nsub")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("tbl"), col("code"),
+        col("__salt"),
+        explode(transform(sequence(lit(0L), col("__nsub") - 1L),
+          t => struct(least(col("__salt"), t).as("ci"),
+            greatest(col("__salt"), t).as("cj")))).as("__cell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("tbl"), col("code"),
+        col("__salt"), col("__cell.ci"), col("__cell.cj"))
+      .as[(Long, Array[Float], Double, Long, Long, Long, Long, Long)]
+    salted.groupByKey { case (_, _, _, tbl, code, _, ci, cj) =>
+        (tbl, code, ci, cj) }
+      .flatMapGroups { (key, it) =>
         val rows = it.toArray
+        // Enforced memory contract: a cell holds two salt classes of an
+        // over-cap bucket (expected <= 2x maxBucket + hash variance).
+        // Blowing 4x means the salt could not spread the rows — which
+        // only duplicate ids (same hash -> same salt) do.
+        if (rows.length > 4L * maxBucket)
+          throw new IllegalStateException(
+            s"lshNearDuplicates: sub-bucket (tbl=${key._1}, code=${key._2}, " +
+            s"cell=${key._3}/${key._4}) holds ${rows.length} rows " +
+            s"(> 4 x maxBucket=$maxBucket) — duplicate ids defeat the " +
+            "salt split; dedupe ids first or raise maxBucket")
         java.util.Arrays.sort(rows,
-          Ordering.by((r: (Long, Array[Float], Double, Long, Long)) => r._1))
+          Ordering.by((r: (Long, Array[Float], Double, Long, Long, Long,
+            Long, Long)) => r._1))
+        // Cross cells (ci != cj) pair only ACROSS the two salt classes —
+        // within-class pairs belong to the (s, s) cell, which both rows
+        // also join, so each pair is enumerated exactly once per table.
+        val cross = key._3 != key._4
         // Lazy (i, j) walk: matches stream out as found — heap stays
         // bounded by the bucket array even when most pairs pass (a hot
         // bucket at a low threshold would otherwise buffer O(occupancy^2)
@@ -305,20 +408,22 @@ object Similarity {
           private def advance(): Unit = {
             nextPair = null
             while (nextPair == null && i < rows.length - 1) {
-              val (ida, va, na, _, _) = rows(i)
+              val (ida, va, na, _, _, sa, _, _) = rows(i)
               while (nextPair == null && j < rows.length) {
-                val (idb, vb, nb, _, _) = rows(j)
+                val (idb, vb, nb, _, _, sb, _, _) = rows(j)
                 j += 1
-                // Same fold as FloatVecDot: left-to-right double acc.
-                var acc = 0.0
-                var k = 0
-                while (k < va.length) {
-                  acc += va(k).toDouble * vb(k).toDouble; k += 1
+                if (!cross || sa != sb) {
+                  // Same fold as FloatVecDot: left-to-right double acc.
+                  var acc = 0.0
+                  var k = 0
+                  while (k < va.length) {
+                    acc += va(k).toDouble * vb(k).toDouble; k += 1
+                  }
+                  // idb != ida mirrors the join form's STRICT x.id < y.id:
+                  // duplicate ids in one bucket must not emit a self-pair.
+                  if (idb != ida && acc >= na * nb * threshold)
+                    nextPair = (ida, idb)
                 }
-                // idb != ida mirrors the join form's STRICT x.id < y.id:
-                // duplicate ids in one bucket must not emit a self-pair.
-                if (idb != ida && acc >= na * nb * threshold)
-                  nextPair = (ida, idb)
               }
               if (nextPair == null) { i += 1; j = i + 1 }
             }

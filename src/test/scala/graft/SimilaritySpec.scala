@@ -277,6 +277,69 @@ class SimilaritySpec extends GraftSuite {
     assert(Similarity.tablesForRecall(0.45, 3, r8) == 8)
   }
 
+  test("hot-bucket split: planted exact-duplicate flood, pairs identical") {
+    // A pre-cleaning web corpus's worst case: a large cluster of
+    // IDENTICAL vectors shares every bucket of every table, so without
+    // the guard one flatMapGroups group buffers the whole flood. With
+    // maxBucket=50 a 260-row flood splits into ceil(260/50)=6 salt
+    // classes (~43 rows each, cells <= ~90 rows) yet the triangle-cell
+    // enumeration must emit EXACTLY the pairs the unguarded run does.
+    import spark.implicits._
+    val base = emb.limit(40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val floodVec = base.head._2
+    val flood = (1000L until 1260L).map(i => (i, floodVec.clone()))
+    val df = (base ++ flood).toSeq.toDF("vec_id", "embedding")
+    def pairs(cap: Long) = Similarity.lshNearDuplicates(
+        df, "vec_id", "embedding", 0.45, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = pairs(50L)
+    val unguarded = pairs(1L << 40) // cap far above any bucket: no split
+    assert(guarded == unguarded,
+      s"split changed the pair set: ${guarded.size} vs ${unguarded.size}")
+    // The flood itself must be fully paired (identical vectors, cosine 1).
+    val floodPairs = guarded.filter { case (a, b) => a >= 1000L && b >= 1000L }
+    assert(floodPairs.size == 260 * 259 / 2,
+      s"flood pairs incomplete: ${floodPairs.size}")
+  }
+
+  test("hot-bucket split fails fast when duplicate ids defeat the salt") {
+    // Rows sharing ONE id all hash to the same salt class, so no split
+    // can spread them: the operator must throw with the offending cell's
+    // size, not OOM silently at scale.
+    import spark.implicits._
+    val v = emb.limit(1).collect().head.getSeq[Float](1).toArray
+    val df = (0 until 250).map(_ => (7L, v.clone()))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Similarity.lshNearDuplicates(df, "vec_id", "embedding", 0.45,
+        maxBucket = 50L).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else rootMsg(t.getCause) + String.valueOf(t.getMessage)
+    assert(rootMsg(ex).contains("duplicate ids") ||
+      ex.getMessage.contains("duplicate ids"),
+      s"wrong failure: ${ex.getMessage.take(300)}")
+  }
+
+  test("lshAutoConfig: tables budget turns the n^rho table cliff into a dial") {
+    // Unbudgeted, occupancy-tracking planes at n=1e9 demand ~74k tables
+    // for recall 0.92 at threshold 0.45 — a multi-hundred-MB plane
+    // literal per task. The joint solve must land planes where the
+    // budget is feasible and never exceed it.
+    val (p9, t9) = Similarity.lshAutoConfig(1000000000L, 0.45)
+    assert(t9 <= 128, s"tables over budget: $t9")
+    assert(p9 == 9, s"expected 9 planes at n=1e9 under a 128-table budget, got $p9")
+    // plane literal stays task-shippable: tables x planes x dim floats
+    assert(t9 * p9 * 64 * 4 < 2 * 1024 * 1024, "plane literal over 2 MB")
+    // And the recall identity holds at the solved config: 1-(1-q^p)^T >= 0.92.
+    val q = 1.0 - math.acos(0.45) / math.Pi
+    assert(1.0 - math.pow(1.0 - math.pow(q, p9), t9) >= 0.92)
+    // Small corpora are untouched by the budget: fixture resolution pins.
+    assert(Similarity.lshAutoConfig(500L, 0.45) == (3, 8))
+  }
+
   test("lshNearDuplicates: duplicate ids never emit a self-pair") {
     // The bucket-local loop must mirror the join form's STRICT id < id:
     // two rows sharing an id land adjacent in the same bucket with
