@@ -285,6 +285,87 @@ final class GraftRandom(seed: Long, partitionIndex: Int) {
     if (flip) n - count else count
   }
 
+  /** Gamma(shape k, scale θ) via Marsaglia–Tsang (2000) squeeze-rejection
+    * for k >= 1 (d = k - 1/3, c = 1/sqrt(9d); accept d·v·θ) — expected
+    * ~1.05 (normal, uniform) draw pairs per sample, flat in k. k < 1 uses
+    * the standard boost Gamma(k) = Gamma(k+1) · U^(1/k). The shape/rate
+    * workhorse behind [[nextBeta]] / [[nextChiSquare]] / [[nextStudentT]]
+    * — the tail of the reference's `rand_distr 0.5.1` dependency surface
+    * (/root/reference/Cargo.toml:15). */
+  def nextGamma(shape: Double, scale: Double): Double = {
+    if (shape <= 0.0 || scale <= 0.0 ||
+        java.lang.Double.isNaN(shape) || java.lang.Double.isNaN(scale)) {
+      throw new IllegalArgumentException(
+        s"randgen gamma: shape ($shape) and scale ($scale) must be > 0")
+    }
+    if (shape < 1.0) {
+      val g = nextGamma(shape + 1.0, scale)
+      g * math.pow(nextDouble(), 1.0 / shape)
+    } else {
+      val d = shape - 1.0 / 3.0
+      val c = 1.0 / math.sqrt(9.0 * d)
+      var result = -1.0
+      while (result < 0.0) {
+        val x = nextGaussian(0.0, 1.0)
+        val t = 1.0 + c * x
+        if (t > 0.0) {
+          val v = t * t * t
+          val u = nextDouble()
+          val x2 = x * x
+          // Squeeze first (cheap), exact log test on the rare miss.
+          if (u < 1.0 - 0.0331 * x2 * x2 ||
+              math.log(u) < 0.5 * x2 + d * (1.0 - v + math.log(v)))
+            result = d * v * scale
+        }
+      }
+      result
+    }
+  }
+
+  /** Beta(a, b) as X/(X+Y) with X ~ Gamma(a,1), Y ~ Gamma(b,1) — exact,
+    * support (0, 1). */
+  def nextBeta(a: Double, b: Double): Double = {
+    if (a <= 0.0 || b <= 0.0 ||
+        java.lang.Double.isNaN(a) || java.lang.Double.isNaN(b)) {
+      throw new IllegalArgumentException(
+        s"randgen beta: a ($a) and b ($b) must be > 0")
+    }
+    val x = nextGamma(a, 1.0)
+    val y = nextGamma(b, 1.0)
+    x / (x + y)
+  }
+
+  /** Cauchy(median, scale) by inversion: median + scale·tan(π(u − ½)).
+    * No finite moments — assert on quantiles, never on means. */
+  def nextCauchy(median: Double, scale: Double): Double = {
+    if (scale <= 0.0 || java.lang.Double.isNaN(scale)) {
+      throw new IllegalArgumentException(
+        s"randgen cauchy: scale ($scale) must be > 0")
+    }
+    median + scale * math.tan(math.Pi * (nextDouble() - 0.5))
+  }
+
+  /** Chi-square(df) = Gamma(df/2, 2) — df > 0 (non-integer allowed, as in
+    * `rand_distr::ChiSquared`). */
+  def nextChiSquare(df: Double): Double = {
+    if (df <= 0.0 || java.lang.Double.isNaN(df)) {
+      throw new IllegalArgumentException(
+        s"randgen chisquare: df ($df) must be > 0")
+    }
+    nextGamma(df / 2.0, 2.0)
+  }
+
+  /** Student-t(ν) = Z / sqrt(ChiSq(ν)/ν) — the heavy-tailed symmetric
+    * noise model; ν > 0, draws one normal then one chi-square. */
+  def nextStudentT(nu: Double): Double = {
+    if (nu <= 0.0 || java.lang.Double.isNaN(nu)) {
+      throw new IllegalArgumentException(
+        s"randgen student_t: nu ($nu) must be > 0")
+    }
+    val z = nextGaussian(0.0, 1.0)
+    z / math.sqrt(nextChiSquare(nu) / nu)
+  }
+
   private[this] val alphanumChars: Array[Char] =
     ("abcdefghijklmnopqrstuvwxyz" +
       "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789").toCharArray

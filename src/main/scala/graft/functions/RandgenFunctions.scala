@@ -80,6 +80,11 @@ object RandgenFunctions {
     arity2("randgen_float64_lognormal", RandgenFloat64Lognormal.apply),
     arity2("randgen_float64_weibull", RandgenFloat64Weibull.apply),
     arity2("randgen_int64_binomial", RandgenInt64Binomial.apply),
+    arity2("randgen_float64_gamma", RandgenFloat64Gamma.apply),
+    arity2("randgen_float64_beta", RandgenFloat64Beta.apply),
+    arity2("randgen_float64_cauchy", RandgenFloat64Cauchy.apply),
+    arity1("randgen_float64_chisquare", RandgenFloat64ChiSquare.apply),
+    arity1("randgen_float64_student_t", RandgenFloat64StudentT.apply),
     arity0("randgen_uuid", RandgenUuid.apply),
     arity2("randgen_choice_weighted", RandgenChoiceWeighted.apply),
   )
@@ -136,6 +141,16 @@ object RandgenFunctions {
     col(RandgenFloat64Weibull(ex(scale), ex(shape), seed))
   def randgen_int64_binomial(n: Column, p: Column, seed: Long): Column =
     col(RandgenInt64Binomial(ex(n), ex(p), seed))
+  def randgen_float64_gamma(shape: Column, scale: Column, seed: Long): Column =
+    col(RandgenFloat64Gamma(ex(shape), ex(scale), seed))
+  def randgen_float64_beta(a: Column, b: Column, seed: Long): Column =
+    col(RandgenFloat64Beta(ex(a), ex(b), seed))
+  def randgen_float64_cauchy(median: Column, scale: Column, seed: Long): Column =
+    col(RandgenFloat64Cauchy(ex(median), ex(scale), seed))
+  def randgen_float64_chisquare(df: Column, seed: Long): Column =
+    col(RandgenFloat64ChiSquare(ex(df), seed))
+  def randgen_float64_student_t(nu: Column, seed: Long): Column =
+    col(RandgenFloat64StudentT(ex(nu), seed))
   def randgen_uuid(seed: Long): Column = col(RandgenUuid(seed))
   def randgen_choice_weighted(arr: Column, weights: Column, seed: Long): Column =
     col(RandgenChoiceWeighted(ex(arr), ex(weights), seed))

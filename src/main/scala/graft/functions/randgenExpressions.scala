@@ -356,6 +356,79 @@ case class RandgenInt64Binomial(left: Expression, right: Expression, seed: Long)
     copy(left = l, right = r)
 }
 
+/** `randgen_float64_gamma(shape, scale [, seed])` — waiting times, rate
+  * priors; Marsaglia–Tsang rejection (see GraftRandom.nextGamma). Completes
+  * the `rand_distr 0.5.1` tail with beta/cauchy/chi-square/student-t
+  * (`/root/reference/Cargo.toml:15`). */
+case class RandgenFloat64Gamma(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_gamma"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextGamma(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextGamma($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_beta(a, b [, seed])` — proportions/rates on (0, 1). */
+case class RandgenFloat64Beta(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_beta"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextBeta(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextBeta($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_cauchy(median, scale [, seed])` — momentless heavy
+  * tails (resonance noise, adversarial outlier injection). */
+case class RandgenFloat64Cauchy(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_cauchy"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextCauchy(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextCauchy($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_chisquare(df [, seed])` — Gamma(df/2, 2); goodness-of-
+  * fit noise, variance priors. Non-integer df allowed. */
+case class RandgenFloat64ChiSquare(child: Expression, seed: Long)
+    extends RandgenUnary {
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_chisquare"
+  override protected def sample(a: Any): Any =
+    rng.nextChiSquare(a.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String): String =
+    s"$t.nextChiSquare($a)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `randgen_float64_student_t(nu [, seed])` — Z/sqrt(ChiSq(ν)/ν). */
+case class RandgenFloat64StudentT(child: Expression, seed: Long)
+    extends RandgenUnary {
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_student_t"
+  override protected def sample(a: Any): Any =
+    rng.nextStudentT(a.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String): String =
+    s"$t.nextStudentT($a)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `randgen_uuid([seed])` — RFC 4122 v4-format UUID string, drawn from the
   * seeded per-partition stream (reproducible + retry-stable, unlike
   * java.util.UUID.randomUUID). Zero-argument leaf generator. */

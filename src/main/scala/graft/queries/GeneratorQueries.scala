@@ -211,6 +211,54 @@ object GeneratorQueries {
         |             randgen_int64_binomial(25, 0.8, 71) AS x2
         |      FROM range(1, 100001))
         |""".stripMargin) _,
+    // Gamma(3, 2): mean = kθ = 6 (sd = sqrt(k)·θ = 3.464 -> se 0.011;
+    // 0.12 is ~10 sigma); var = kθ² = 12 (se ≈ var·sqrt((κx+2)/n) with
+    // excess kurtosis 6/k = 2 -> 0.076; band 0.8).
+    "gen_float64_gamma_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) > 0.0 AS BOOLEAN) AS positive,
+        |       CAST(abs(avg(x) - 6.0) < 0.12 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(avg(x * x) - avg(x) * avg(x) - 12.0) < 0.8 AS BOOLEAN) AS var_ok
+        |FROM (SELECT randgen_float64_gamma(3.0, 2.0, 73) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // Beta(2, 5): support (0,1), mean a/(a+b) = 2/7 ~ 0.285714 (sd 0.1597
+    // -> se 0.0005; 0.006 is ~12 sigma); var = ab/((a+b)^2(a+b+1)) ~ 0.02551.
+    "gen_float64_beta_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) > 0.0 AND max(x) < 1.0 AS BOOLEAN) AS in_bounds,
+        |       CAST(abs(avg(x) - 0.285714) < 0.006 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(avg(x * x) - avg(x) * avg(x) - 0.025510) < 0.002 AS BOOLEAN) AS var_ok
+        |FROM (SELECT randgen_float64_beta(2.0, 5.0, 79) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // Cauchy(10, 2) has NO moments — assert quantiles only: median = 10
+    // (se (π·scale)/(2·sqrt(n)) ~ 0.0099; 0.1 is ~10 sigma), quartiles
+    // median ± scale (se ~ 0.017; band 0.17).
+    "gen_float64_cauchy_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(abs(percentile(x, 0.5) - 10.0) < 0.1 AS BOOLEAN) AS median_ok,
+        |       CAST(abs(percentile(x, 0.25) - 8.0) < 0.17 AND
+        |            abs(percentile(x, 0.75) - 12.0) < 0.17 AS BOOLEAN) AS quartiles_ok
+        |FROM (SELECT randgen_float64_cauchy(10.0, 2.0, 83) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // ChiSq(5): mean = df = 5 (sd sqrt(2·df) = 3.162 -> se 0.01; band 0.1),
+    // var = 2·df = 10 (excess kurtosis 12/df = 2.4 -> se var 0.066; band 0.7).
+    "gen_float64_chisquare_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) > 0.0 AS BOOLEAN) AS positive,
+        |       CAST(abs(avg(x) - 5.0) < 0.1 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(avg(x * x) - avg(x) * avg(x) - 10.0) < 0.7 AS BOOLEAN) AS var_ok
+        |FROM (SELECT randgen_float64_chisquare(5.0, 89) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // t(8): median 0 (se 1/(2·f(0)·sqrt(n)) ~ 0.0041; band 0.04), var =
+    // ν/(ν-2) = 4/3 (excess kurtosis 6/(ν-4) = 1.5 -> se var 0.0079;
+    // band 0.08) — both moments exist at ν = 8.
+    "gen_float64_student_t_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(abs(percentile(x, 0.5)) < 0.04 AS BOOLEAN) AS median_ok,
+        |       CAST(abs(avg(x)) < 0.04 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(avg(x * x) - avg(x) * avg(x) - 1.333333) < 0.08 AS BOOLEAN) AS var_ok
+        |FROM (SELECT randgen_float64_student_t(8.0, 97) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
     // TableGen: schema-driven whole-table generation (the reference's stated
     // purpose, Cargo.toml:5) — deterministic under seed, properties constant.
     "gen_tablegen_props" -> { (spark: SparkSession, _: String) =>
@@ -287,6 +335,21 @@ object GeneratorQueries {
     "gen_int64_binomial_props" ->
       ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS in_bounds, " +
         "TRUE AS mean_ok, TRUE AS mean_flip_ok"),
+    "gen_float64_gamma_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS positive, " +
+        "TRUE AS mean_ok, TRUE AS var_ok"),
+    "gen_float64_beta_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS in_bounds, " +
+        "TRUE AS mean_ok, TRUE AS var_ok"),
+    "gen_float64_cauchy_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS median_ok, " +
+        "TRUE AS quartiles_ok"),
+    "gen_float64_chisquare_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS positive, " +
+        "TRUE AS mean_ok, TRUE AS var_ok"),
+    "gen_float64_student_t_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS median_ok, " +
+        "TRUE AS mean_ok, TRUE AS var_ok"),
     "gen_tablegen_props" ->
       ("SELECT CAST(10000 AS BIGINT) AS n, CAST(10000 AS BIGINT) AS n_ids, " +
         "TRUE AS qty_ok, TRUE AS price_ok, TRUE AS seg_ok, TRUE AS total_ok"),

@@ -173,6 +173,97 @@ class DistributionShapeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](rng.nextLogNormal(0.0, -0.1))
   }
 
+  test("gamma cdf: Erlang closed form (k >= 1) and ChiSq(1) boost path (k < 1)") {
+    // Gamma(3, 2) is Erlang(3, rate 1/2): F(x) = 1 - e^(-x/2) * (1 + x/2
+    // + (x/2)^2/2) — exact at any x.
+    val rng = new GraftRandom(37L, 0)
+    def erlang3(x: Double): Double = {
+      val h = x / 2.0
+      1.0 - math.exp(-h) * (1.0 + h + h * h / 2.0)
+    }
+    var below2 = 0; var below6 = 0
+    (0 until N).foreach { _ =>
+      val x = rng.nextGamma(3.0, 2.0)
+      assert(x > 0.0)
+      if (x < 2.0) below2 += 1
+      if (x < 6.0) below6 += 1
+    }
+    assert(math.abs(below2.toDouble / N - erlang3(2.0)) < 0.0035)
+    assert(math.abs(below6.toDouble / N - erlang3(6.0)) < 0.0035)
+    // Gamma(1/2, 2) = ChiSq(1) = Z^2: P(X < 1) = P(|Z| < 1) = 0.682689,
+    // P(X < 4) = 0.954500 — the 68-95 rule through the k < 1 boost path.
+    var b1 = 0; var b4 = 0
+    (0 until N).foreach { _ =>
+      val x = rng.nextGamma(0.5, 2.0)
+      if (x < 1.0) b1 += 1
+      if (x < 4.0) b4 += 1
+    }
+    assert(math.abs(b1.toDouble / N - 0.682689) < 0.0035)
+    assert(math.abs(b4.toDouble / N - 0.954500) < 0.0025)
+    intercept[IllegalArgumentException](rng.nextGamma(0.0, 1.0))
+    intercept[IllegalArgumentException](rng.nextGamma(1.0, -2.0))
+  }
+
+  test("beta(2,5) cdf matches the integer-parameter closed form") {
+    // For integer a, b: F(x) = 1 - sum_{k<a} C(a+b-1, k) x^k (1-x)^(a+b-1-k)
+    // — at (2,5): F(x) = 1 - (1-x)^6 - 6x(1-x)^5.
+    val rng = new GraftRandom(41L, 0)
+    def cdf(x: Double): Double =
+      1.0 - math.pow(1.0 - x, 6) - 6.0 * x * math.pow(1.0 - x, 5)
+    var b02 = 0; var b04 = 0
+    (0 until N).foreach { _ =>
+      val x = rng.nextBeta(2.0, 5.0)
+      assert(x > 0.0 && x < 1.0)
+      if (x < 0.2) b02 += 1
+      if (x < 0.4) b04 += 1
+    }
+    assert(math.abs(b02.toDouble / N - cdf(0.2)) < 0.0035)
+    assert(math.abs(b04.toDouble / N - cdf(0.4)) < 0.0035)
+    intercept[IllegalArgumentException](rng.nextBeta(-1.0, 2.0))
+    intercept[IllegalArgumentException](rng.nextBeta(2.0, 0.0))
+  }
+
+  test("cauchy cdf at the median and quartiles; student-t(1) IS cauchy") {
+    // F(x) = 1/2 + atan((x - median)/scale)/pi: quartiles at median ± scale.
+    val rng = new GraftRandom(43L, 0)
+    var q1 = 0; var med = 0; var q3 = 0
+    (0 until N).foreach { _ =>
+      val x = rng.nextCauchy(10.0, 2.0)
+      if (x < 8.0) q1 += 1
+      if (x < 10.0) med += 1
+      if (x < 12.0) q3 += 1
+    }
+    assert(math.abs(q1.toDouble / N - 0.25) < 0.0035)
+    assert(math.abs(med.toDouble / N - 0.5) < 0.0035)
+    assert(math.abs(q3.toDouble / N - 0.75) < 0.0035)
+    // t(nu=1) is standard Cauchy: P(T < 1) = 0.75.
+    var t1 = 0
+    (0 until N).foreach(_ => if (rng.nextStudentT(1.0) < 1.0) t1 += 1)
+    assert(math.abs(t1.toDouble / N - 0.75) < 0.0035)
+    intercept[IllegalArgumentException](rng.nextCauchy(0.0, 0.0))
+  }
+
+  test("chi-square(2) is exponential(1/2); student-t(2) has a closed cdf") {
+    val rng = new GraftRandom(47L, 0)
+    // ChiSq(2): F(x) = 1 - e^(-x/2); median 2 ln 2.
+    var bm = 0; var b2 = 0
+    (0 until N).foreach { _ =>
+      val x = rng.nextChiSquare(2.0)
+      assert(x > 0.0)
+      if (x < 2.0 * math.log(2.0)) bm += 1
+      if (x < 2.0) b2 += 1
+    }
+    assert(math.abs(bm.toDouble / N - 0.5) < 0.0035)
+    assert(math.abs(b2.toDouble / N - (1.0 - math.exp(-1.0))) < 0.0035)
+    // t(2): F(x) = 1/2 + x / (2 sqrt(2 + x^2)) — F(1) = 1/2 + 1/(2 sqrt 3).
+    var t1 = 0
+    (0 until N).foreach(_ => if (rng.nextStudentT(2.0) < 1.0) t1 += 1)
+    assert(math.abs(t1.toDouble / N - (0.5 + 1.0 / (2.0 * math.sqrt(3.0))))
+      < 0.0035)
+    intercept[IllegalArgumentException](rng.nextChiSquare(0.0))
+    intercept[IllegalArgumentException](rng.nextStudentT(-1.0))
+  }
+
   test("uuid stream has version/variant bits fixed and no short-range repeats") {
     val rng = new GraftRandom(31L, 0)
     val seen = new java.util.HashSet[String]
