@@ -122,11 +122,23 @@ object FeatureScaling {
    *
    * Determinism: the target folds as DECIMAL(18,2) (exact, order-free
    * sums); each encoding is then ONE fixed DOUBLE expression over the
-   * exact parts, so the DuckDB oracle replays it bit-for-bit:
-   *   prior      = gsum / gn
-   *   enc_smooth = (sum_c + alpha*prior) / (n_c + alpha)
-   *   enc_loo    = (sum_c - y_i + alpha*prior) / (n_c - 1 + alpha)
-   *   freq_enc   = n_c / gn
+   * exact parts, so the DuckDB oracle replays it bit-for-bit. With n_c =
+   * rows in the category, tn_c = rows with a NON-NULL target (they are
+   * equal on a fully-observed table, where these reduce to the classic
+   * formulas):
+   *   prior      = gsum / gtn           (global mean over observed targets)
+   *   enc_smooth = (sum_c + alpha*prior) / (tn_c + alpha)
+   *   enc_loo    = (sum_c - y_i + alpha*prior) / (tn_c - 1 + alpha)
+   *   freq_enc   = n_c / gn             (plain row share, nulls included)
+   *
+   * Null handling (explicit, not incidental): a NULL category is its own
+   * group — rows keep their encodings via a null-safe join instead of
+   * being silently dropped by equi-join semantics; a NULL target
+   * contributes to n_c/freq_enc but to no mean (it cannot inflate
+   * enc_smooth), and such a row's enc_loo equals enc_smooth (there is no
+   * own-target to leave out). enc_loo stays null only where LOO is
+   * genuinely undefined: a non-null target that is its category's single
+   * observation.
    *
    * Scale shape: one map-side-partial aggregate to a category-sized
    * table + a 1-row global aggregate, both BROADCAST back onto the
@@ -140,18 +152,24 @@ object FeatureScaling {
     require(alpha > 0, s"targetEncode: alpha must be positive, got $alpha")
     val yd = col(targetCol).cast("decimal(18,2)")
     val rows = df.withColumn("__y", yd.cast("double"))
-    val cat = df.groupBy(col(catCol))
-      .agg(count(lit(1)).as("n_c"), sum(yd).as("__sum_c"))
-    val glob = df.agg(count(lit(1)).as("__gn"), sum(yd).as("__gsum"))
-    val prior = col("__gsum").cast("double") / col("__gn")
-    rows.join(broadcast(cat), Seq(catCol)).crossJoin(broadcast(glob))
+    val cat = df.groupBy(col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("n_c"), count(yd).as("__tn_c"),
+        sum(yd).as("__sum_c"))
+    val glob = df.agg(count(lit(1)).as("__gn"), count(yd).as("__gtn"),
+      sum(yd).as("__gsum"))
+    val prior = col("__gsum").cast("double") / col("__gtn")
+    rows.join(broadcast(cat), col(catCol) <=> col("__cat"))
+      .crossJoin(broadcast(glob))
       .withColumn("enc_smooth",
-        (col("__sum_c").cast("double") + lit(alpha) * prior) /
-          (col("n_c").cast("double") + lit(alpha)))
+        (coalesce(col("__sum_c").cast("double"), lit(0.0)) +
+            lit(alpha) * prior) /
+          (col("__tn_c").cast("double") + lit(alpha)))
       .withColumn("enc_loo",
-        when(col("n_c") > 1,
-          (col("__sum_c").cast("double") - col("__y") + lit(alpha) * prior) /
-            (col("n_c").cast("double") - lit(1.0) + lit(alpha))))
+        when(col("__y").isNull, col("enc_smooth"))
+          .otherwise(when(col("__tn_c") > 1,
+            (col("__sum_c").cast("double") - col("__y") +
+              lit(alpha) * prior) /
+              (col("__tn_c").cast("double") - lit(1.0) + lit(alpha)))))
       .withColumn("freq_enc", col("n_c").cast("double") / col("__gn"))
       .select(df.columns.map(col) ++ Seq(col("n_c"), col("enc_smooth"),
         col("enc_loo"), col("freq_enc")): _*)

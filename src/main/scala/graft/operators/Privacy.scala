@@ -141,8 +141,12 @@ object Privacy {
         sum(abs(col("__cc") * col("__ng") - col("__gc") * col("__nc")))
           .as("__num"),
         max("__ng").as("__ng2"), max("__m").as("__m2"))
-      .withColumn("emd", round(col("__num").cast("double") /
-        (col("n_c").cast("double") * col("__ng2") * (col("__m2") - lit(1))), 9))
+      // m = 1 (a single distinct bin) makes the closed form 0/0; the
+      // distributions are then trivially identical, so emd = 0 — not NaN.
+      .withColumn("emd", when(col("__m2") > 1,
+        round(col("__num").cast("double") /
+          (col("n_c").cast("double") * col("__ng2") * (col("__m2") - lit(1))),
+          9)).otherwise(lit(0.0)))
       .withColumn("t_close", col("emd") <= lit(t))
       .select(q ++ Seq(col("n_c"), col("emd"), col("t_close")): _*)
   }

@@ -605,11 +605,14 @@ object ExtendedQueries {
         |    SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS nc
         |  FROM grid)
         |SELECT c_nationkey, c_mktsegment, CAST(MAX(nc) AS BIGINT) AS n_c,
-        |  round(CAST(SUM(ABS(cc * ng - gc * nc)) AS DOUBLE)
-        |    / (CAST(MAX(nc) AS DOUBLE) * MAX(ng) * (MAX(m) - 1)), 9) AS emd,
-        |  round(CAST(SUM(ABS(cc * ng - gc * nc)) AS DOUBLE)
-        |    / (CAST(MAX(nc) AS DOUBLE) * MAX(ng) * (MAX(m) - 1)), 9) <= 0.2
-        |    AS t_close
+        |  CASE WHEN MAX(m) > 1 THEN
+        |    round(CAST(SUM(ABS(cc * ng - gc * nc)) AS DOUBLE)
+        |      / (CAST(MAX(nc) AS DOUBLE) * MAX(ng) * (MAX(m) - 1)), 9)
+        |    ELSE 0.0 END AS emd,
+        |  CASE WHEN MAX(m) > 1 THEN
+        |    round(CAST(SUM(ABS(cc * ng - gc * nc)) AS DOUBLE)
+        |      / (CAST(MAX(nc) AS DOUBLE) * MAX(ng) * (MAX(m) - 1)), 9)
+        |    ELSE 0.0 END <= 0.2 AS t_close
         |FROM cum GROUP BY 1, 2""".stripMargin,
     "feat_target_encode" ->
       // Mirrors FeatureScaling.targetEncode: DECIMAL(18,2) exact sums,

@@ -142,11 +142,17 @@ object GraphQueries {
         "l_orderkey", "l_suppkey")
       graft.streaming.GraphStream.topKEdges(pc, EdgeK)
     },
-    // WARM-START streaming PageRank: same two-batch edge stream; batch 0
-    // cold-starts (6 uniform-seed rounds on the half graph), batch 1
-    // refreshes with 2 rounds seeded from the carried rank state (new
-    // nodes enter at scale). The oracle unrolls BOTH phases — the fold
-    // must land bit-for-bit on the replayed schedule.
+    // STREAMING PageRank at the RECOMMENDED bulk-ingest cadence
+    // (refreshEvery=2, warmRounds=2 — GraphStream.incrementalPagerank's
+    // scaladoc): batch 0 folds edges and carries the (empty) rank state
+    // forward untouched; the refresh lands on batch 1 and cold-starts on
+    // the FULL folded graph. The oracle is therefore the batch PageRank
+    // replay verbatim — proving the cadence-decoupled fold converges on
+    // exactly the batch answer, while the board's cost reflects a config
+    // users are told to run (r8's gate refreshed EVERY batch — max
+    // freshness, 2x the rank work; GraphSpec.refresh-equivalence proves
+    // the two cadences land on the same state, and graph_pagerank_warm
+    // below keeps the warm-round math under a DuckDB oracle).
     "stream_graph_rank" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
@@ -158,7 +164,21 @@ object GraphQueries {
         s, logDir,
         li.select("l_orderkey", "l_suppkey").schema,
         s"${Staging.freshStateRoot("graft_sgrank")}/state",
-        "l_orderkey", "l_suppkey", EdgeK, PrIters, WarmRounds)
+        "l_orderkey", "l_suppkey", EdgeK, PrIters, WarmRounds,
+        refreshEvery = 2)
+    },
+    // WARM-START rank math under a cross-engine oracle (the two-phase
+    // replay that used to ride the streaming gate): cold 6 rounds on the
+    // odd-linenumber half graph, then 2 warm rounds on the full graph
+    // seeded from the cold ranks (nodes new to the full cut enter at
+    // scale). Batch-only — the streaming fold is gated separately above;
+    // this isolates pagerankWarm's seeding + recurrence bit-for-bit.
+    "graph_pagerank_warm" -> { (s, dir) =>
+      val liHalf = Tables.load(s, dir, "lineitem")
+        .where(col("l_linenumber") % 2 === 1)
+      val cold = Graph.pagerank(Graph.topKAffinityEdges(liHalf, EdgeK),
+        PrIters)
+      Graph.pagerankWarm(edges(s, dir), cold, WarmRounds)
     },
     // Per-node triangle participation: local clustering evidence
     // (organic neighborhoods triangle-close; spam farms don't).
@@ -299,10 +319,24 @@ object GraphQueries {
          |SELECT node, r AS rank_scaled,
          |  round(CAST(r AS DOUBLE) / $prScale, 6) AS rank
          |FROM r$PrIters""".stripMargin,
+    // Bulk-ingest cadence (refreshEvery=2 over 2 batches): the fold
+    // carries empty rank state through batch 0 and the single refresh
+    // cold-starts on the FULL folded graph — so the stream must land on
+    // the batch PageRank replay verbatim.
+    "stream_graph_rank" ->
+      s"""WITH $duckEdges,
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST($prScale AS BIGINT) AS r FROM n),
+         |${(1 to PrIters).map(duckPrRound(_)).mkString(",\n")}
+         |SELECT node, r AS rank_scaled,
+         |  round(CAST(r AS DOUBLE) / $prScale, 6) AS rank
+         |FROM r$PrIters""".stripMargin,
     // Two-phase warm-start replay: phase a = cold 6 rounds on the
     // odd-linenumber half graph; phase b = 2 rounds on the full graph
     // seeded from ra6 (nodes new to the full cut enter at scale).
-    "stream_graph_rank" ->
+    "graph_pagerank_warm" ->
       s"""WITH ${duckEdgesSuf("a", "WHERE l_linenumber % 2 = 1")},
          |ra0 AS (SELECT node, CAST($prScale AS BIGINT) AS r FROM na),
          |${(1 to PrIters).map(duckPrRoundSuf(_, "a")).mkString(",\n")},

@@ -83,4 +83,29 @@ class FeatureScalingSpec extends GraftSuite {
     intercept[IllegalArgumentException](
       FeatureScaling.targetEncode(df, "cat", "y", 0.0))
   }
+
+  test("targetEncode: null categories and null targets have defined behavior") {
+    // cat a: y = {1, 3, null}; cat null: y = {5, null}.
+    // Observed targets: gtn = 3, gsum = 9, prior = 3; gn = 5 (freq base).
+    val df = Seq(
+        (1L, Some("a"), Some(1.0)), (2L, Some("a"), Some(3.0)),
+        (3L, Some("a"), None), (4L, None, Some(5.0)), (5L, None, None))
+      .toDF("id", "cat", "y")
+    val out = FeatureScaling.targetEncode(df, "cat", "y", 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getDouble(6)))).toMap
+    assert(out.size == 5, "null-category rows must NOT be dropped")
+    // cat a: tn_c = 2, sum_c = 4 -> enc_smooth = (4+3)/(2+1) = 7/3;
+    // n_c = 3 (freq counts the null-target row), freq = 3/5.
+    assert(out(1L) == ((3L, 7.0 / 3.0, Some(3.0), 0.6)))
+    assert(out(2L) == ((3L, 7.0 / 3.0, Some(2.0), 0.6)))
+    assert(out(3L) == ((3L, 7.0 / 3.0, Some(7.0 / 3.0), 0.6)),
+      "null target: nothing to leave out -> enc_loo = enc_smooth")
+    // cat null: tn_c = 1, sum_c = 5 -> enc_smooth = (5+3)/(1+1) = 4;
+    // row 4 is the single observed target -> LOO undefined (null).
+    assert(out(4L) == ((2L, 4.0, None, 0.4)))
+    assert(out(5L) == ((2L, 4.0, Some(4.0), 0.4)))
+  }
 }

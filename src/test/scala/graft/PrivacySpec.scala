@@ -65,6 +65,16 @@ class PrivacySpec extends GraftSuite {
       Privacy.tCloseness(df, Seq("qa"), col("bin"), 0.0))
   }
 
+  test("tCloseness: a single distinct bin gives emd = 0, never NaN") {
+    // m = 1 makes the closed form 0/0 — the distributions are trivially
+    // identical, so the release must report emd = 0 / t_close = true.
+    val df = Seq(("A", 1), ("A", 1), ("B", 1)).toDF("qa", "bin")
+    val out = Privacy.tCloseness(df, Seq("qa"), col("bin"), 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out == Map("A" -> ((0.0, true)), "B" -> ((0.0, true))))
+  }
+
   test("dimensionStats: exact fixed-point moments on known vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, -2.0f)), (2L, Array(0.5f, 4.0f)))
