@@ -56,11 +56,21 @@ object Bench {
     // micro-batch logs (memoized in Staging.batchLog) and run the fold
     // once, so the timed pass measures steady-state dataflow rather than
     // first-run fixture staging.
-    val (stagedGates, missingStaged) =
+    // Optional prefix filter for targeted scale runs (e.g.
+    // SPARK_GRAFT_BENCH_ONLY=diag_,dedup_,join_,text_ benches only those
+    // families — the sf3 third-point evidence runs use it so a 30x
+    // fixture doesn't have to pay the whole 250-gate board).
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    val (stagedAll, missingStaged) =
       Bench.stagedGateNames(SparkEntry.queries.keySet)
+    val stagedGates = stagedAll.filter(selected)
     // An extra (non-derived) name dropping out of the query map makes its
-    // timed number absorb fixture staging with no signal — shout.
-    missingStaged.foreach { n =>
+    // timed number absorb fixture staging with no signal — shout. (A
+    // prefix filter legitimately narrows the set, so only full runs warn.)
+    if (only.isEmpty) missingStaged.foreach { n =>
       System.err.println(s"[bench] WARNING: staged-gate name '$n' not in " +
         "SparkEntry.queries — warmup skipped, its timing will include staging")
     }
@@ -75,7 +85,8 @@ object Bench {
     // rounds running (r7 mm_decode_features, r8 rel_q* cluster). Raw runs
     // are kept in the JSON so swings remain visible for adjudication.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.map {
+    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq
+      .filter(q => selected(q._1)).map {
       case (name, fn) =>
         val times = (1 to nRuns).map { _ =>
           val t0 = System.nanoTime()

@@ -1,8 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{Decimal, StringType}
 
 import graft.functions.{RandgenFunctions, TextFunctions}
 
@@ -16,7 +18,18 @@ import graft.functions.{RandgenFunctions, TextFunctions}
  * (`/root/reference/src/lib.rs:8-10`).
  *
  * Also installs the [[graft.plans.RangeJoinRewrite]] optimizer rule
- * (inactive until `spark.graft.rangeJoin.binWidth` is set).
+ * (inactive until `spark.graft.rangeJoin.binWidth` is set), and the
+ * pipeline TABLE functions ([[GraftExtensions.tableFunctions]]) that put
+ * the two most user-facing layer-C pipelines on the pure-SQL surface:
+ *
+ *   SELECT * FROM graft_minhash_neardup('docs', 'doc_id', 'text', 0.5)
+ *   SELECT * FROM graft_lsh_neardup_auto('emb', 'vec_id', 'embedding', 0.45)
+ *
+ * Each resolves its first argument against the session catalog (temp view
+ * or table) and expands to the exact logical plan the Scala API builds —
+ * SQL and Scala results are identical row-for-row (PipelineTvfSpec pins
+ * it). The auto-LSH variant runs its corpus count() during resolution
+ * (the same metadata-cheap job the Scala call runs up front).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
@@ -26,7 +39,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    GraftExtensions.tableFunctions.foreach { case (name, builder) =>
+      extensions.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
     extensions.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     extensions.injectPlannerStrategy(_ => graft.plans.GraftTopKStrategy)
   }
+}
+
+object GraftExtensions {
+
+  private def strArg(fn: String, what: String, e: Expression): String =
+    e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $what must be a string literal, got $e")
+    }
+
+  private def dblArg(fn: String, what: String, e: Expression): Double =
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $what must be a numeric literal, got $e")
+    else e.eval() match {
+      case d: Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be numeric, got $other")
+    }
+
+  /** SQL table functions wrapping whole pipelines (name -> plan builder).
+    * The builder runs at ANALYSIS time in the active session: it reads
+    * the named relation from the catalog and returns the Scala
+    * operator's logical plan verbatim, so every scale property
+    * (bucketing, hot-bucket split, broadcast shapes) carries over to the
+    * SQL surface unchanged. */
+  val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_minhash_neardup" -> { (args: Seq[Expression]) =>
+      val fn = "graft_minhash_neardup"
+      require(args.length == 4,
+        s"$fn expects (table, idCol, textCol, threshold), got ${args.length} args")
+      val spark = SparkSession.active
+      graft.operators.Dedup.minhashNearDuplicates(
+          spark.table(strArg(fn, "table", args(0))),
+          strArg(fn, "idCol", args(1)), strArg(fn, "textCol", args(2)),
+          dblArg(fn, "threshold", args(3)))
+        .queryExecution.logical
+    },
+    "graft_lsh_neardup_auto" -> { (args: Seq[Expression]) =>
+      val fn = "graft_lsh_neardup_auto"
+      require(args.length == 4,
+        s"$fn expects (table, idCol, vecCol, threshold), got ${args.length} args")
+      val spark = SparkSession.active
+      graft.operators.Similarity.lshNearDuplicatesAuto(
+          spark.table(strArg(fn, "table", args(0))),
+          strArg(fn, "idCol", args(1)), strArg(fn, "vecCol", args(2)),
+          dblArg(fn, "threshold", args(3)))
+        .queryExecution.logical
+    })
 }

@@ -14,6 +14,10 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      // The production install path: every spec runs against a session
+      // with the extension applied, so function/TVF/rule registration is
+      // continuously exercised, not just in the spark-shell drive.
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.RandgenFunctions.registerAll(s)
