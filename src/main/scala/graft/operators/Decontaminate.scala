@@ -67,6 +67,24 @@ object Decontaminate {
    * aggregate; recall is dialed by numTables/numPlanes exactly as in
    * [[Similarity.lshNearDuplicates]].
    */
+  /** [[semanticOverlap]] with the LSH scale dial APPLIED
+    * ([[Similarity.lshAutoConfig]] on the CORPUS size): a fixed
+    * (tables, planes) config is quadratic once both sides grow with the
+    * corpus — the r10 sf3 evidence run measured the fixed 8x3 gate at
+    * x12.6 for 3x data — while occupancy-dialed planes keep buckets (and
+    * with them the candidate join) linear-ish, and the high decontam
+    * threshold keeps the recall-driven table count tiny (2 at the
+    * fixture, 5 at 150k rows). One corpus count() picks the config. */
+  def semanticOverlapAuto(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, evalIdCol: String, evalVecCol: String,
+      threshold: Double, targetOccupancy: Long = 64L, recall: Double = 0.92,
+      maxTables: Int = 128, seed: Int = 42, dim: Int = 64): DataFrame = {
+    val (numPlanes, numTables) = Similarity.lshAutoConfig(corpus.count(),
+      threshold, targetOccupancy, recall, maxTables)
+    semanticOverlap(corpus, evalSet, idCol, vecCol, evalIdCol, evalVecCol,
+      threshold, numTables, numPlanes, seed, dim)
+  }
+
   def semanticOverlap(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       vecCol: String, evalIdCol: String, evalVecCol: String,
       threshold: Double, numTables: Int = 8, numPlanes: Int = 3,

@@ -247,9 +247,11 @@ object SimilarityQueries {
     // Semantic decontamination: the eval set is a planted paraphrase
     // leak — every 50th corpus vector rescaled/shifted in double and
     // rounded once to float (cosine ≈ 0.999 with its source, vs ≤ ~0.51
-    // between unrelated fixture vectors). LSH bucket join (eval side
-    // broadcast) + exact cosine ≥ 0.98 refilter; the oracle replays the
-    // perturbation, both code sets, and the refilter.
+    // between unrelated fixture vectors). AUTO-dialed LSH bucket join
+    // (eval side broadcast; a fixed config measured quadratic at the
+    // r10 sf3 run) + exact cosine ≥ 0.98 refilter; the oracle replays
+    // the perturbation, both code sets at the fixture's auto resolution
+    // (3 planes x 2 tables, spec-pinned), and the refilter.
     "text_decontaminate_semantic" -> { (s, dir) =>
       val e = emb(s, dir)
       val evalSet = e.where(col("vec_id") % 50 === 0)
@@ -257,10 +259,10 @@ object SimilarityQueries {
           transform(col("embedding"),
             x => (x.cast("double") * lit(0.9) + lit(0.01)).cast("float"))
             .as("evec"))
-      graft.operators.Decontaminate.semanticOverlap(
+      graft.operators.Decontaminate.semanticOverlapAuto(
         e.select(col("vec_id").as("id"), col("embedding").as("vec")),
         evalSet, "id", "vec", "eval_id", "evec",
-        threshold = 0.98, NumTables, NumPlanes, Seed, Dim)
+        threshold = 0.98, seed = Seed, dim = Dim)
     },
     // ANALYZE for embeddings: per-dimension moments/range in exact
     // fixed point — the drift diagnostic before trusting a vector batch.
@@ -359,13 +361,26 @@ object SimilarityQueries {
     }.mkString("codes AS (", " UNION ALL ", ")")
 
   /** SRP code CTE over an arbitrary (idCol, vecCol) relation — the
-    * reusable form of [[duckCodesCte]] (same planes, same arithmetic). */
+    * reusable form of [[duckCodesCte]] (same planes, same arithmetic);
+    * `tables`/`planesArr` override the fixed gate config for auto-dialed
+    * gates. */
   private def duckCodesCteFor(name: String, rel: String, idCol: String,
-      vecCol: String): String =
-    (0 until NumTables).map { t =>
+      vecCol: String, tables: Int = NumTables,
+      planesArr: Array[Array[Array[Double]]] = ps): String =
+    (0 until tables).map { t =>
       s"SELECT $idCol AS vid, CAST($t AS BIGINT) AS tbl, " +
-        s"CAST(${duckCode(vecCol, ps(t))} AS BIGINT) AS code FROM $rel"
+        s"CAST(${duckCode(vecCol, planesArr(t))} AS BIGINT) AS code FROM $rel"
     }.mkString(s"$name AS (", " UNION ALL ", ")")
+
+  /** Auto-dial resolution of the semantic-decontamination gate at the
+    * sf0.01 fixture (500 embeddings): the 0.98-threshold recall formula
+    * needs only 2 of the occupancy-dialed 3-plane tables. The oracle
+    * embeds THIS config; SemanticDecontamSpec pins the resolution so a
+    * fixture resize breaks the spec loudly, not the oracle silently. */
+  private val semConfig = Similarity.lshAutoConfig(500L, 0.98)
+  private val SemPlanes = semConfig._1
+  private val SemTables = semConfig._2
+  private lazy val semPs = Similarity.planes(SemTables, SemPlanes, Dim, Seed)
 
   /** Per-subspace PQ replay block (assumes `corp(id, v)`, `qs(qid, qv)`,
     * `train(id, v)` CTEs in scope): all PqM codebooks trained by tagged
@@ -492,10 +507,11 @@ object SimilarityQueries {
          |    list_transform(embedding,
          |      x -> CAST(x::DOUBLE * 0.9 + 0.01 AS FLOAT)) AS evec
          |  FROM embeddings WHERE vec_id % 50 = 0),
-         |$duckCodesCte,
-         |${duckCodesCteFor("ecodes", "ev", "eid", "evec")},
-         |cand AS (SELECT DISTINCT c.vec_id AS doc_id, e.vid AS eid
-         |  FROM codes c JOIN ecodes e
+         |${duckCodesCteFor("ccodes", "embeddings", "vec_id", "embedding",
+             SemTables, semPs)},
+         |${duckCodesCteFor("ecodes", "ev", "eid", "evec", SemTables, semPs)},
+         |cand AS (SELECT DISTINCT c.vid AS doc_id, e.vid AS eid
+         |  FROM ccodes c JOIN ecodes e
          |    ON c.tbl = e.tbl AND c.code = e.code),
          |hits AS (SELECT cand.doc_id, cand.eid,
          |    ${duckCos("a.embedding", "ev.evec")} AS cos

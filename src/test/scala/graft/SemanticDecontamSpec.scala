@@ -59,4 +59,22 @@ class SemanticDecontamSpec extends GraftSuite {
       "id", "vec", "eval_id", "evec", 0.99999)
     assert(out.count() == 0)
   }
+
+  test("auto dial: fixture resolution pinned, and Auto == fixed at that config") {
+    // The text_decontaminate_semantic oracle embeds the auto config the
+    // sf0.01 fixture resolves to — 3 occupancy-dialed planes, and the
+    // 0.98-threshold recall formula needs only 2 tables. A fixture
+    // resize must break HERE, not the oracle silently.
+    assert(Similarity.lshAutoConfig(500L, Threshold) == (3, 2))
+    val auto = lshFlagged(Decontaminate.semanticOverlapAuto(corpus, evalSet,
+      "id", "vec", "eval_id", "evec", Threshold))
+    val n = corpus.count()
+    val (p, t) = Similarity.lshAutoConfig(n, Threshold)
+    val fixed = lshFlagged(Decontaminate.semanticOverlap(corpus, evalSet,
+      "id", "vec", "eval_id", "evec", Threshold, numTables = t,
+      numPlanes = p))
+    assert(auto == fixed)
+    // And the planted leaks still come back in full at the auto config.
+    assert(auto.keySet == bruteForcePairs.map(_._1))
+  }
 }
