@@ -41,6 +41,14 @@ object Gen {
   case class Int64Geometric(p: Double) extends Gen
   case class Float64Pareto(scale: Double, shape: Double) extends Gen
   case class Float64Laplace(mu: Double, b: Double) extends Gen
+  case class Float64Lognormal(mu: Double, sigma: Double) extends Gen
+  case class Float64Weibull(scale: Double, shape: Double) extends Gen
+  case class Int64Binomial(n: Long, p: Double) extends Gen
+  case class Float64Gamma(shape: Double, scale: Double) extends Gen
+  case class Float64Beta(a: Double, b: Double) extends Gen
+  case class Float64Cauchy(median: Double, scale: Double) extends Gen
+  case class Float64ChiSquare(df: Double) extends Gen
+  case class Float64StudentT(nu: Double) extends Gen
   /** Uniform pick from a literal value list (strings/numbers). */
   case class Choice(values: Seq[Any]) extends Gen
   /** Weighted pick: values(i) with probability weights(i)/sum(weights). */
@@ -79,6 +87,42 @@ object TableGen {
     }.select(cols.map { case (n, _) => col(n) }: _*)
   }
 
+  /**
+   * Relational child-table generation — the piece that turns single-table
+   * specs into a full referentially-intact synthetic SCHEMA (orders →
+   * lineitems, users → events): each parent row draws a fan-out count
+   * from `fanout` (Poisson/Zipf/geometric — the realistic fan-out
+   * shapes), explodes into that many child rows CARRYING the parent's
+   * `keyCols` (so every child FK resolves by construction — no
+   * post-hoc integrity repair), and generates the child columns from
+   * `cols` exactly like [[table]]. `__seq` (0-based child index within
+   * its parent) is in scope for `Gen.SqlExpr` specs, e.g. a TPC-H-style
+   * line number `SqlExpr("__seq + 1")`.
+   *
+   * Scale shape: one narrow stage over the parent — fan-out draw,
+   * sequence explode, child generators; no shuffle, no driver data. A
+   * zero fan-out parent contributes no children (the `when` guard —
+   * Spark's `sequence(0, -1)` would descend, not empty out).
+   */
+  def childTable(parent: DataFrame, keyCols: Seq[String], fanout: Gen,
+      seed: Long, cols: (String, Gen)*): DataFrame = {
+    require(keyCols.nonEmpty, "childTable: at least one parent key column")
+    val fan = column(fanout, seed ^ 0x9E3779B97F4A7C15L).cast("long")
+    val exploded = parent
+      .withColumn("__fan", fan)
+      .select(keyCols.map(col) :+
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.when(col("__fan") > 0,
+            org.apache.spark.sql.functions.sequence(
+              lit(0L), col("__fan") - 1))
+            .otherwise(lit(Array.empty[Long]))).as("__seq"): _*)
+    cols.zipWithIndex.foldLeft(exploded) {
+      case (df, ((name, gen), i)) =>
+        df.withColumn(name, column(gen, seed + 0x9E37L * (i + 1)))
+    }.select((keyCols :+ "__seq").map(col) ++
+      cols.map { case (n, _) => col(n) }: _*)
+  }
+
   /** The generator Column for one spec (usable standalone via withColumn). */
   def column(gen: Gen, seed: Long): Column = gen match {
     case Gen.SeqId => col("id")
@@ -109,6 +153,22 @@ object TableGen {
       randgen_float64_pareto(lit(scale), lit(shape), seed)
     case Gen.Float64Laplace(mu, b) =>
       randgen_float64_laplace(lit(mu), lit(b), seed)
+    case Gen.Float64Lognormal(mu, sigma) =>
+      randgen_float64_lognormal(lit(mu), lit(sigma), seed)
+    case Gen.Float64Weibull(scale, shape) =>
+      randgen_float64_weibull(lit(scale), lit(shape), seed)
+    case Gen.Int64Binomial(n, p) =>
+      randgen_int64_binomial(lit(n), lit(p), seed)
+    case Gen.Float64Gamma(shape, scale) =>
+      randgen_float64_gamma(lit(shape), lit(scale), seed)
+    case Gen.Float64Beta(a, b) =>
+      randgen_float64_beta(lit(a), lit(b), seed)
+    case Gen.Float64Cauchy(median, scale) =>
+      randgen_float64_cauchy(lit(median), lit(scale), seed)
+    case Gen.Float64ChiSquare(df) =>
+      randgen_float64_chisquare(lit(df), seed)
+    case Gen.Float64StudentT(nu) =>
+      randgen_float64_student_t(lit(nu), seed)
     case Gen.Choice(values) =>
       randgen_choice(
         org.apache.spark.sql.functions.array(values.map(lit): _*), seed)

@@ -259,6 +259,45 @@ object GeneratorQueries {
         |       CAST(abs(avg(x * x) - avg(x) * avg(x) - 1.333333) < 0.08 AS BOOLEAN) AS var_ok
         |FROM (SELECT randgen_float64_student_t(8.0, 97) AS x FROM range(1, 100001))
         |""".stripMargin) _,
+    // Relational child-table generation: parent (2000 rows) -> children
+    // with Poisson(3) fan-out carrying the parent key. Properties:
+    // referential integrity BY CONSTRUCTION (no orphan children), mean
+    // fan-out 3 (sd of mean sqrt(3/2000) ~ 0.039 -> 0.4 is ~10 sigma),
+    // per-parent __seq is exactly 0..cnt-1, child columns in bounds, and
+    // the whole build is bit-reproducible under the seed.
+    "gen_child_table_props" -> { (spark: SparkSession, _: String) =>
+      import org.apache.spark.sql.functions._
+      val parent = graft.TableGen.table(spark, 2000L, seed = 7L,
+        "pk" -> graft.Gen.SeqId,
+        "seg" -> graft.Gen.Choice(Seq("A", "B", "C")))
+      def build() = graft.TableGen.childTable(parent, Seq("pk"),
+        graft.Gen.Int64Poisson(3.0), seed = 11L,
+        "ln" -> graft.Gen.SqlExpr("__seq + 1"),
+        "qty" -> graft.Gen.Int64Uniform(1, 10))
+      val child = build()
+      val orphans = child.join(parent, Seq("pk"), "left_anti").count()
+      val reproducible =
+        build().exceptAll(child).count() == 0 &&
+          child.exceptAll(build()).count() == 0
+      val perKey = child.groupBy("pk")
+        .agg(count(lit(1)).as("cnt"), max(col("ln")).as("mx"),
+          min(col("ln")).as("mn"))
+      val seqBroken = perKey
+        .where(col("mx") =!= col("cnt") || col("mn") =!= 1L).count()
+      child.agg(
+        count(lit(1)).as("n_children"),
+        lit(orphans == 0).as("ref_ok"),
+        (abs(count(lit(1)).cast("double") / 2000.0 - 3.0) < 0.4)
+          .as("fanout_mean_ok"),
+        lit(seqBroken == 0L).as("seq_ok"),
+        (min(col("qty")) >= 1 && max(col("qty")) <= 10).as("qty_ok"),
+        lit(reproducible).as("reproducible"))
+        .select(lit(true).as("n_positive_ok") && col("n_children") > 4000,
+          col("ref_ok"), col("fanout_mean_ok"), col("seq_ok"),
+          col("qty_ok"), col("reproducible"))
+        .toDF("n_positive_ok", "ref_ok", "fanout_mean_ok", "seq_ok",
+          "qty_ok", "reproducible")
+    },
     // TableGen: schema-driven whole-table generation (the reference's stated
     // purpose, Cargo.toml:5) — deterministic under seed, properties constant.
     "gen_tablegen_props" -> { (spark: SparkSession, _: String) =>
@@ -353,5 +392,8 @@ object GeneratorQueries {
     "gen_tablegen_props" ->
       ("SELECT CAST(10000 AS BIGINT) AS n, CAST(10000 AS BIGINT) AS n_ids, " +
         "TRUE AS qty_ok, TRUE AS price_ok, TRUE AS seg_ok, TRUE AS total_ok"),
+    "gen_child_table_props" ->
+      ("SELECT TRUE AS n_positive_ok, TRUE AS ref_ok, TRUE AS fanout_mean_ok, " +
+        "TRUE AS seq_ok, TRUE AS qty_ok, TRUE AS reproducible"),
   )
 }

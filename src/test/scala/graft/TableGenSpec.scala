@@ -72,4 +72,62 @@ class TableGenSpec extends GraftSuite {
     assert(math.abs(r.getDouble(3) - 0.25) < 0.02)
     assert(r.getLong(4) >= 1L && r.getLong(5) <= 5L)
   }
+
+  test("childTable: referential integrity, per-parent sequences, zero fan-out") {
+    val parent = TableGen.table(spark, 500L, seed = 3L,
+      "pk" -> Gen.SeqId, "grp" -> Gen.Choice(Seq("x", "y")))
+    val child = TableGen.childTable(parent, Seq("pk"),
+      Gen.Int64Poisson(2.0), seed = 5L,
+      "ln" -> Gen.SqlExpr("__seq + 1"),
+      "v" -> Gen.Float64Uniform(0.0, 1.0))
+    assert(child.columns.toSeq == Seq("pk", "__seq", "ln", "v"))
+    // every child key resolves (integrity by construction)
+    assert(child.join(parent, Seq("pk"), "left_anti").count() == 0)
+    // per-parent __seq is a dense 0..cnt-1 (ln = 1..cnt)
+    val broken = child.groupBy("pk")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.max("ln").as("mx"),
+        org.apache.spark.sql.functions.min("ln").as("mn"))
+      .where(org.apache.spark.sql.functions.col("mx") =!=
+        org.apache.spark.sql.functions.col("cnt") ||
+        org.apache.spark.sql.functions.col("mn") =!= 1L)
+    assert(broken.count() == 0)
+    // Poisson(2) leaves ~13.5% of parents childless — the zero-fanout
+    // guard must EMPTY them out, not emit a descending sequence.
+    val parentsWithKids = child.select("pk").distinct().count()
+    assert(parentsWithKids < 500,
+      "fixture must exercise the zero-fanout path")
+    assert(child.where(org.apache.spark.sql.functions.col("__seq") < 0)
+      .count() == 0, "descending sequence leaked from a zero fan-out")
+  }
+
+  test("childTable with a constant zero fan-out is empty, not an error") {
+    val parent = TableGen.table(spark, 10L, seed = 3L, "pk" -> Gen.SeqId)
+    val none = TableGen.childTable(parent, Seq("pk"),
+      Gen.Int64Uniform(0, 0), seed = 5L, "v" -> Gen.Int64Uniform(1, 2))
+    assert(none.count() == 0)
+  }
+
+  test("new distribution specs map through the Gen ADT") {
+    val df = TableGen.table(spark, 20000L, seed = 9L,
+      "g" -> Gen.Float64Gamma(3.0, 2.0),
+      "b" -> Gen.Float64Beta(2.0, 5.0),
+      "c" -> Gen.Float64Cauchy(10.0, 2.0),
+      "x" -> Gen.Float64ChiSquare(5.0),
+      "t" -> Gen.Float64StudentT(8.0),
+      "ln" -> Gen.Float64Lognormal(0.0, 0.5),
+      "w" -> Gen.Float64Weibull(2.0, 2.0),
+      "bi" -> Gen.Int64Binomial(40L, 0.3))
+    val r = df.selectExpr(
+      "abs(avg(g) - 6.0) < 0.3 AS g_ok",
+      "min(b) > 0.0 AND max(b) < 1.0 AS b_ok",
+      "abs(percentile(c, 0.5) - 10.0) < 0.3 AS c_ok",
+      "abs(avg(x) - 5.0) < 0.3 AS x_ok",
+      "abs(avg(t)) < 0.1 AS t_ok",
+      "min(ln) > 0.0 AS ln_ok",
+      "min(w) >= 0.0 AS w_ok",
+      "min(bi) >= 0 AND max(bi) <= 40 AS bi_ok").collect()(0)
+    (0 until 8).foreach(i => assert(r.getBoolean(i), s"field $i"))
+  }
 }
