@@ -39,16 +39,30 @@ object TableStats {
       castTo: Map[String, String] = Map.empty,
       approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "columnStats: at least one column")
-    val aggs = cols.flatMap { c =>
-      val base = castTo.get(c).map(t => col(c).cast(t)).getOrElse(col(c))
-      val ndv = if (approx) approx_count_distinct(base, rsd)
-                else count_distinct(base)
-      Seq(min(base).cast("string").as(s"__min_$c"),
-        max(base).cast("string").as(s"__max_$c"),
-        (count(lit(1)) - count(base)).as(s"__nulls_$c"),
-        ndv.as(s"__ndv_$c"))
+    def base(c: String) =
+      castTo.get(c).map(t => col(c).cast(t)).getOrElse(col(c))
+    val mmAggs = cols.flatMap { c =>
+      Seq(min(base(c)).cast("string").as(s"__min_$c"),
+        max(base(c)).cast("string").as(s"__max_$c"),
+        (count(lit(1)) - count(base(c))).as(s"__nulls_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val ndvAggs = cols.map { c =>
+      val ndv = if (approx) approx_count_distinct(base(c), rsd)
+                else count_distinct(base(c))
+      ndv.as(s"__ndv_$c")
+    }
+    // Exact NDV: keep the N-way DISTINCT aggregate in its OWN job.
+    // Mixing it with the min/max/null aggregates forces Catalyst's
+    // Expand plan (rows × (N+1) projections) to evaluate EVERY update
+    // expression per expanded row — measured 3.5× slower than two
+    // single-purpose scans at sf0.1 (5.2 s vs 1.5 s warm). The second
+    // scan is columnar-cheap; both results are 1-row, combined with a
+    // constant-size broadcast. The approx (HLL) path has no DISTINCT
+    // aggregates, so one pass is already optimal there.
+    val wide =
+      if (approx) df.agg((mmAggs ++ ndvAggs).head, (mmAggs ++ ndvAggs).tail: _*)
+      else df.agg(mmAggs.head, mmAggs.tail: _*)
+        .crossJoin(broadcast(df.agg(ndvAggs.head, ndvAggs.tail: _*)))
     val stackArgs = cols.map(c =>
       s"'$c', __min_$c, __max_$c, __nulls_$c, __ndv_$c").mkString(", ")
     wide.select(expr(s"stack(${cols.size}, $stackArgs) " +

@@ -46,7 +46,11 @@ class PlanAuditSpec extends GraftSuite {
     "priv_t_closeness",
     // Intended brute-force exactness baseline (queries x corpus); the
     // bucketed scale twin is sim_hard_negatives_lsh.
-    "sim_hard_negatives")
+    "sim_hard_negatives",
+    // columnStats combines its 1-row min/max/nulls aggregate with the
+    // 1-row exact-NDV aggregate via a constant-size broadcast (the
+    // DISTINCT aggregates run in their own job to avoid the Expand plan).
+    "diag_table_stats", "diag_table_stats_approx")
 
   // Streaming queries plan at runtime; generator-only queries scan nothing.
   private val skip = Set("stream_hourly", "stream_dedup_pairs",
