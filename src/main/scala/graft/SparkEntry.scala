@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.JoinQueries.queries ++
       graft.queries.SamplingQueries.queries ++
       graft.queries.MergeQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.FuzzQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.JoinQueries.oracleSql ++
       graft.queries.SamplingQueries.oracleSql ++
       graft.queries.MergeQueries.oracleSql ++
-      graft.queries.GraphQueries.oracleSql
+      graft.queries.GraphQueries.oracleSql ++
+      graft.queries.FuzzQueries.oracleSql
 }

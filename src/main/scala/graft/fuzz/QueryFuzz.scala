@@ -1,0 +1,341 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Seeded random-query generation — the reference's raison d'être turned
+ * on this engine itself. corasaurus-hex/datafusion-randgen exists to
+ * feed randomized inputs through a SQL engine and catch divergence
+ * (`/root/reference/src/lib.rs:8-10` installs its generator UDF into a
+ * host session precisely so test harnesses can randomize queries); here
+ * the same idea runs at the QUERY level: a deterministic grammar over
+ * the TPC-H-ish catalog (TESTDATA.md) emits a battery of
+ * dialect-portable SQL queries, every query is reduced to one
+ * (qid, n_rows, digest) row, and the battery's UNION ALL runs VERBATIM
+ * on both Spark and the DuckDB oracle — any cross-engine semantic
+ * divergence (join, predicate, aggregate, null, or numeric) surfaces as
+ * a digest mismatch on the named qid.
+ *
+ * Dialect discipline (what keeps one SQL string portable):
+ *  - integers: every computed integer is CAST AS BIGINT on both sides
+ *    (DuckDB SUM(BIGINT) is HUGEINT, Spark's is BIGINT);
+ *  - floats: never summed raw — fixed-point via
+ *    CAST(FLOOR(x * 100) AS BIGINT) (Spark's FLOOR(double) is already
+ *    BIGINT, DuckDB's is DOUBLE — the CAST normalizes both);
+ *  - no AVG / approx aggregates / LIMIT-without-total-order anywhere —
+ *    only exact, order-insensitive reductions;
+ *  - per-row digests fold with % 999999937 so BIGINT sums cannot
+ *    overflow even at 10^10 rows (ANSI Spark errors on overflow,
+ *    DuckDB widens — both are divergence, so the mix stays bounded);
+ *  - timestamps hash through EXTRACT(YEAR/MONTH/DAY) (both engines),
+ *    never through epoch functions (dialect-divergent).
+ *
+ * Scale shape: the battery is a UNION ALL of independent one-row
+ * aggregates — each subquery is a straight declarative plan (scan →
+ * filter → join/agg → 1-row reduce) that Catalyst optimizes like any
+ * gate query; nothing collects, nothing is quadratic, and the whole
+ * battery shares scans per-subquery only (no cross-query state).
+ */
+object QueryFuzz {
+
+  /** Deterministic SplitMix64 — the generation is a pure function of
+    * the seed, so the same config always emits byte-identical SQL. */
+  private final class Rng(seed0: Long) {
+    private var s = seed0
+    def nextLong(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def nextInt(bound: Int): Int = Math.floorMod(nextLong(), bound.toLong).toInt
+    def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+    def choose[T](xs: Seq[T]): T = xs(nextInt(xs.size))
+    def chance(p: Double): Boolean = nextDouble() < p
+  }
+
+  private sealed trait CType
+  private case object TLong extends CType
+  private case object TInt extends CType
+  private case object TDouble extends CType
+  private case object TString extends CType
+  private case object TTs extends CType
+
+  /** `lo`/`hi` bound literal generation for numeric columns (chosen
+    * inside the SF-invariant value domain measured in TESTDATA);
+    * `values` is the closed domain for small string columns. */
+  private case class FCol(name: String, t: CType, lo: Double = 0.0,
+      hi: Double = 0.0, values: Seq[String] = Nil)
+
+  private case class FTable(name: String, key: String, cols: Seq[FCol])
+
+  // ---- catalog (value domains are scale-factor-invariant: the same
+  // literals are selective at sf0.001 and sf100) ----
+  private val lineitem = FTable("lineitem", "l_orderkey", Seq(
+    FCol("l_orderkey", TLong), FCol("l_partkey", TLong),
+    FCol("l_suppkey", TLong), FCol("l_linenumber", TInt, 1, 7),
+    FCol("l_quantity", TDouble, 1, 50),
+    FCol("l_extendedprice", TDouble, 900, 105000),
+    FCol("l_discount", TDouble, 0.0, 0.1),
+    FCol("l_tax", TDouble, 0.0, 0.08),
+    FCol("l_returnflag", TString, values = Seq("A", "N", "R")),
+    FCol("l_linestatus", TString, values = Seq("F", "O")),
+    FCol("l_shipdate", TTs)))
+  private val orders = FTable("orders", "o_orderkey", Seq(
+    FCol("o_orderkey", TLong), FCol("o_custkey", TLong),
+    FCol("o_orderstatus", TString, values = Seq("F", "O", "P")),
+    FCol("o_totalprice", TDouble, 1000, 500000),
+    FCol("o_orderdate", TTs),
+    FCol("o_orderpriority", TString, values = Seq("1-URGENT", "2-HIGH",
+      "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))))
+  private val customer = FTable("customer", "c_custkey", Seq(
+    FCol("c_custkey", TLong), FCol("c_nationkey", TInt, 0, 24),
+    FCol("c_acctbal", TDouble, -1000, 10000),
+    FCol("c_mktsegment", TString, values = Seq("AUTOMOBILE", "BUILDING",
+      "FURNITURE", "HOUSEHOLD", "MACHINERY"))))
+  private val part = FTable("part", "p_partkey", Seq(
+    FCol("p_partkey", TLong), FCol("p_size", TInt, 1, 50),
+    FCol("p_retailprice", TDouble, 900, 1000),
+    FCol("p_brand", TString, values = Seq("Brand#11", "Brand#12",
+      "Brand#13", "Brand#14", "Brand#15"))))
+  private val supplier = FTable("supplier", "s_suppkey", Seq(
+    FCol("s_suppkey", TLong), FCol("s_nationkey", TInt, 0, 24),
+    FCol("s_acctbal", TDouble, -1000, 10000)))
+  private val nation = FTable("nation", "n_nationkey", Seq(
+    FCol("n_nationkey", TInt, 0, 24), FCol("n_regionkey", TInt, 0, 4)))
+
+  private val allTables = Seq(lineitem, orders, customer, part, supplier)
+
+  /** FK edges (child key = parent key); all TPC-H column names are
+    * table-prefixed, so joined queries need no qualification. */
+  private case class Edge(child: FTable, childKey: String, parent: FTable,
+      parentKey: String)
+  private val edges = Seq(
+    Edge(lineitem, "l_orderkey", orders, "o_orderkey"),
+    Edge(lineitem, "l_partkey", part, "p_partkey"),
+    Edge(lineitem, "l_suppkey", supplier, "s_suppkey"),
+    Edge(orders, "o_custkey", customer, "c_custkey"),
+    Edge(customer, "c_nationkey", nation, "n_nationkey"),
+    Edge(supplier, "s_nationkey", nation, "n_nationkey"))
+  private val chains = Seq(
+    (lineitem, Edge(lineitem, "l_orderkey", orders, "o_orderkey"),
+      Edge(orders, "o_custkey", customer, "c_custkey")),
+    (lineitem, Edge(lineitem, "l_suppkey", supplier, "s_suppkey"),
+      Edge(supplier, "s_nationkey", nation, "n_nationkey")))
+
+  private val shapeNames = Seq("scan_filter", "fk_join", "group_agg",
+    "case_bucket", "union_all", "in_subquery", "chain_join",
+    "scalar_subquery")
+
+  case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 16)
+
+  case class Generated(id: Int, shape: String, innerSql: String,
+      wrappedSql: String)
+
+  // ---- literal + predicate generation ----
+
+  private def fmt2(x: Double): String = {
+    val b = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    b.bigDecimal.toPlainString
+  }
+
+  private def numLit(c: FCol, r: Rng): String = c.t match {
+    case TInt => (c.lo.toLong + r.nextInt((c.hi - c.lo).toInt + 1)).toString
+    case _ => fmt2(c.lo + r.nextDouble() * (c.hi - c.lo))
+  }
+
+  private def dateLit(r: Rng): String =
+    f"DATE '${1995 + r.nextInt(7)}%04d-${1 + r.nextInt(12)}%02d-${1 + r.nextInt(28)}%02d'"
+
+  private val cmpOps = Seq("<", "<=", ">", ">=")
+
+  /** One atomic predicate over a random column of `t`. */
+  private def atom(t: FTable, r: Rng): String = {
+    val c = r.choose(t.cols)
+    c.t match {
+      case TDouble | TInt if c.hi > c.lo =>
+        if (r.chance(0.25)) {
+          val a = c.lo + r.nextDouble() * (c.hi - c.lo) * 0.6
+          val b = a + r.nextDouble() * (c.hi - a)
+          val (la, lb) = if (c.t == TInt) (a.toLong.toString, b.toLong.toString)
+                         else (fmt2(a), fmt2(b))
+          s"${c.name} BETWEEN $la AND $lb"
+        } else s"${c.name} ${r.choose(cmpOps)} ${numLit(c, r)}"
+      case TString if c.values.nonEmpty =>
+        if (r.chance(0.4) && c.values.size > 2) {
+          val k = 2 + r.nextInt(c.values.size - 2)
+          val picked = r.choose(c.values.combinations(k).toSeq)
+          s"${c.name} IN (${picked.map(v => s"'$v'").mkString(", ")})"
+        } else s"${c.name} ${r.choose(Seq("=", "<>"))} '${r.choose(c.values)}'"
+      case TTs =>
+        s"CAST(${c.name} AS DATE) ${r.choose(cmpOps)} ${dateLit(r)}"
+      case _ => // key columns: modulo predicates are SF-invariant
+        val m = 2 + r.nextInt(6)
+        s"(${c.name} % $m) = ${r.nextInt(m)}"
+    }
+  }
+
+  /** 1-3 atoms joined with AND/OR (parenthesized, so precedence is
+    * explicit on both dialects). */
+  private def pred(t: FTable, r: Rng): String = {
+    val n = 1 + r.nextInt(3)
+    val atoms = Seq.fill(n)(atom(t, r))
+    if (n == 1) atoms.head
+    else atoms.map(a => s"($a)").mkString(s" ${r.choose(Seq("AND", "OR"))} ")
+  }
+
+  // ---- digest plumbing ----
+
+  private val Prime = 1000003L
+  private val FoldPrime = 999999937L
+  private val weights = Seq(31L, 131L, 257L, 1021L, 8191L)
+
+  /** A portable per-value integer hash, bounded < [[Prime]]. */
+  private def hashExpr(alias: String, t: CType): String = t match {
+    case TLong | TInt => s"(abs(CAST($alias AS BIGINT)) % $Prime)"
+    case TDouble => s"(abs(CAST(FLOOR($alias * 100) AS BIGINT)) % $Prime)"
+    case TString =>
+      s"((CAST(ascii($alias) AS BIGINT) * 131 + " +
+        s"CAST(length($alias) AS BIGINT) * 7) % $Prime)"
+    case TTs =>
+      s"((CAST(EXTRACT(YEAR FROM $alias) AS BIGINT) * 372 + " +
+        s"CAST(EXTRACT(MONTH FROM $alias) AS BIGINT) * 31 + " +
+        s"CAST(EXTRACT(DAY FROM $alias) AS BIGINT)) % $Prime)"
+  }
+
+  private def wrap(id: Int, inner: String,
+      outCols: Seq[(String, CType)]): String = {
+    val mix = outCols.zipWithIndex.map { case ((a, t), i) =>
+      s"${hashExpr(a, t)} * ${weights(i)}"
+    }.mkString(" + ")
+    s"""SELECT CAST($id AS BIGINT) AS qid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COALESCE(SUM(($mix) % $FoldPrime), 0) AS BIGINT) AS digest
+       |FROM (
+       |$inner
+       |) fz$id""".stripMargin
+  }
+
+  /** Random projection of `k` distinct columns, aliased c1..ck. */
+  private def proj(t: FTable, r: Rng, k: Int): Seq[(FCol, String)] = {
+    val picked = scala.collection.mutable.LinkedHashSet.empty[FCol]
+    while (picked.size < math.min(k, t.cols.size)) picked += r.choose(t.cols)
+    picked.toSeq.zipWithIndex.map { case (c, i) => (c, s"c${i + 1}") }
+  }
+
+  // ---- the eight shapes ----
+
+  private def genOne(id: Int, r: Rng): Generated = {
+    val shape = id % shapeNames.size
+    val (inner, outs) = shape match {
+      case 0 => // single-table scan + filter (+ optional DISTINCT)
+        val t = r.choose(allTables)
+        val ps = proj(t, r, 2 + r.nextInt(3))
+        val distinct = if (r.chance(0.3)) "DISTINCT " else ""
+        (s"SELECT $distinct${ps.map { case (c, a) => s"${c.name} AS $a" }.mkString(", ")}" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
+          ps.map { case (c, a) => (a, c.t) })
+      case 1 => // FK join + filters on both sides
+        val e = r.choose(edges)
+        val pc = proj(e.child, r, 2)
+        val pp = proj(e.parent, r, 1).map { case (c, _) => (c, "c3") }
+        val all = pc ++ pp
+        (s"SELECT ${all.map { case (c, a) => s"${c.name} AS $a" }.mkString(", ")}" +
+          s"\nFROM ${e.child.name} JOIN ${e.parent.name} ON ${e.childKey} = ${e.parentKey}" +
+          s"\nWHERE (${pred(e.child, r)}) AND (${pred(e.parent, r)})",
+          all.map { case (c, a) => (a, c.t) })
+      case 2 => // group-by aggregate (+ optional HAVING)
+        val t = r.choose(allTables)
+        val gCands = t.cols.filter(c => c.t == TString && c.values.nonEmpty)
+        val (gExpr, gType) =
+          if (gCands.nonEmpty && r.chance(0.5)) (r.choose(gCands).name, TString)
+          else t.cols.find(_.t == TTs) match {
+            case Some(ts) if r.chance(0.5) =>
+              (s"CAST(EXTRACT(YEAR FROM ${ts.name}) AS BIGINT)", TLong)
+            case _ => (s"(${t.key} % ${2 + r.nextInt(9)})", TLong)
+          }
+        val num = r.choose(t.cols.filter(_.t == TDouble) match {
+          case Nil => t.cols.filter(c => c.t == TInt && c.hi > c.lo)
+          case ds => ds
+        })
+        val having = if (r.chance(0.4)) s"\nHAVING COUNT(*) > ${1 + r.nextInt(4)}" else ""
+        (s"SELECT $gExpr AS c1, CAST(COUNT(*) AS BIGINT) AS c2,\n" +
+          s"  CAST(SUM(CAST(FLOOR(${num.name} * 100) AS BIGINT)) AS BIGINT) AS c3" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}\nGROUP BY 1$having",
+          Seq(("c1", gType), ("c2", TLong), ("c3", TLong)))
+      case 3 => // CASE bucketing + count
+        val t = r.choose(allTables)
+        val nums = t.cols.filter(c => c.t == TDouble && c.hi > c.lo)
+        val c = if (nums.nonEmpty) r.choose(nums)
+                else t.cols.find(c => c.t == TInt && c.hi > c.lo).get
+        val m1 = c.lo + (c.hi - c.lo) * (0.2 + r.nextDouble() * 0.3)
+        val m2 = m1 + (c.hi - m1) * (0.3 + r.nextDouble() * 0.4)
+        (s"SELECT CASE WHEN ${c.name} < ${fmt2(m1)} THEN 'lo' " +
+          s"WHEN ${c.name} < ${fmt2(m2)} THEN 'mid' ELSE 'hi' END AS c1,\n" +
+          s"  CAST(COUNT(*) AS BIGINT) AS c2" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}\nGROUP BY 1",
+          Seq(("c1", TString), ("c2", TLong)))
+      case 4 => // UNION ALL of two filters over the same projection
+        val t = r.choose(allTables)
+        val ps = proj(t, r, 2)
+        val sel = ps.map { case (c, a) => s"${c.name} AS $a" }.mkString(", ")
+        val sel2 = ps.map { case (c, _) => c.name }.mkString(", ")
+        (s"SELECT $sel\nFROM ${t.name}\nWHERE ${pred(t, r)}" +
+          s"\nUNION ALL\nSELECT $sel2\nFROM ${t.name}\nWHERE ${pred(t, r)}",
+          ps.map { case (c, a) => (a, c.t) })
+      case 5 => // IN-subquery semi filter along an FK edge
+        val e = r.choose(edges)
+        val ps = proj(e.child, r, 3)
+        (s"SELECT ${ps.map { case (c, a) => s"${c.name} AS $a" }.mkString(", ")}" +
+          s"\nFROM ${e.child.name}\nWHERE ${e.childKey} IN " +
+          s"(SELECT ${e.parentKey} FROM ${e.parent.name} WHERE ${pred(e.parent, r)})",
+          ps.map { case (c, a) => (a, c.t) })
+      case 6 => // 3-way join chain
+        val (t0, e1, e2) = r.choose(chains)
+        val p0 = proj(t0, r, 2)
+        val p2 = proj(e2.parent, r, 1).map { case (c, _) => (c, "c3") }
+        val all = p0 ++ p2
+        (s"SELECT ${all.map { case (c, a) => s"${c.name} AS $a" }.mkString(", ")}" +
+          s"\nFROM ${t0.name}" +
+          s"\nJOIN ${e1.parent.name} ON ${e1.childKey} = ${e1.parentKey}" +
+          s"\nJOIN ${e2.parent.name} ON ${e2.childKey} = ${e2.parentKey}" +
+          s"\nWHERE (${pred(t0, r)}) AND (${pred(e1.parent, r)})",
+          all.map { case (c, a) => (a, c.t) })
+      case _ => // uncorrelated scalar-subquery threshold (MIN/MAX: exact)
+        val t = r.choose(allTables)
+        val t2 = r.choose(allTables.filterNot(_.name == t.name))
+        val c = r.choose(t.cols.filter(x => x.t == TDouble && x.hi > x.lo))
+        val c2 = r.choose(t2.cols.filter(x =>
+          (x.t == TDouble || x.t == TInt) && x.hi > x.lo))
+        val agg = r.choose(Seq("MIN", "MAX"))
+        val ps = proj(t, r, 2)
+        (s"SELECT ${ps.map { case (cc, a) => s"${cc.name} AS $a" }.mkString(", ")}" +
+          s"\nFROM ${t.name}\nWHERE ${c.name} > " +
+          s"(SELECT $agg(${c2.name}) * ${fmt2(0.1 + r.nextDouble())} " +
+          s"FROM ${t2.name} WHERE ${pred(t2, r)})",
+          ps.map { case (cc, a) => (a, cc.t) })
+    }
+    Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
+  }
+
+  /** The full battery for `cfg` — a pure function of the seed. */
+  def generate(cfg: FuzzConfig = FuzzConfig()): Seq[Generated] = {
+    require(cfg.nQueries > 0, "QueryFuzz: nQueries > 0")
+    val r = new Rng(cfg.seed)
+    (0 until cfg.nQueries).map(genOne(_, r))
+  }
+
+  /** One portable SQL string: every generated query reduced to
+    * (qid, n_rows, digest) and UNION ALL'd — run it verbatim on any
+    * ANSI engine and diff the rows. */
+  def differentialSql(cfg: FuzzConfig = FuzzConfig()): String =
+    generate(cfg).map(g => s"(${g.wrappedSql})")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY qid")
+
+  /** Spark-side run over the standard table views. */
+  def run(spark: SparkSession, dir: String,
+      cfg: FuzzConfig = FuzzConfig()): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(differentialSql(cfg))
+  }
+}

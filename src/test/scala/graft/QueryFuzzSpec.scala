@@ -1,0 +1,48 @@
+package graft
+
+import graft.fuzz.QueryFuzz
+import graft.fuzz.QueryFuzz.FuzzConfig
+
+/**
+ * The differential fuzz battery (queries/FuzzQueries.scala): generation
+ * must be a pure function of the seed, cover every grammar shape, and
+ * execute end-to-end on Spark. The cross-engine half of the contract
+ * (the identical SQL on DuckDB) is the gate's oracle check.
+ */
+class QueryFuzzSpec extends GraftSuite {
+
+  test("same seed emits byte-identical SQL; different seed diverges") {
+    val a = QueryFuzz.differentialSql(FuzzConfig(seed = 42L, nQueries = 8))
+    val b = QueryFuzz.differentialSql(FuzzConfig(seed = 42L, nQueries = 8))
+    val c = QueryFuzz.differentialSql(FuzzConfig(seed = 43L, nQueries = 8))
+    assert(a == b, "generation must be deterministic under the seed")
+    assert(a != c, "different seeds must generate different batteries")
+  }
+
+  test("default battery covers all eight grammar shapes") {
+    val shapes = QueryFuzz.generate(FuzzConfig(nQueries = 16)).map(_.shape)
+    assert(shapes.distinct.size == 8, s"expected 8 shapes, got $shapes")
+    assert(shapes.size == 16)
+  }
+
+  test("battery executes on Spark: one row per query, qids dense") {
+    val rows = QueryFuzz.run(spark, SparkTestBase.sf0001,
+      FuzzConfig(seed = 0x5EED5EEDL, nQueries = 16)).collect()
+    assert(rows.length == 16)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 16L),
+      "qid column must be dense and ordered")
+    // Digests are COALESCE'd: empty results are 0, never null.
+    assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
+  test("a fresh seed battery still parses and plans on Spark") {
+    // Planning (not executing) 16 unseen queries guards the grammar
+    // against emitting Spark-invalid SQL for seeds beyond the gate's.
+    Tables.registerAll(spark, SparkTestBase.sf0001)
+    QueryFuzz.generate(FuzzConfig(seed = 987654321L, nQueries = 16))
+      .foreach { g =>
+        val plan = spark.sql(g.wrappedSql).queryExecution.executedPlan
+        assert(plan != null, s"q${g.id} (${g.shape}) failed to plan")
+      }
+  }
+}
