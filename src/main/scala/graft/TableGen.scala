@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit, to_date, to_timestamp}
+import org.apache.spark.sql.functions.{col, exp, expr, floor, least, lit,
+  log, pow, tan, to_date, to_timestamp, when}
 
 import graft.functions.RandgenFunctions._
 
@@ -121,6 +122,131 @@ object TableGen {
         df.withColumn(name, column(gen, seed + 0x9E37L * (i + 1)))
     }.select((keyCols :+ "__seq").map(col) ++
       cols.map { case (n, _) => col(n) }: _*)
+  }
+
+  /**
+   * Gaussian-copula correlated column generation — the realistic-schema
+   * knob [[table]] lacks: real tables have price ~ quantity ~ segment
+   * DEPENDENCE, and a fuzz corpus without it never exercises
+   * correlation-sensitive paths (join selectivity estimates, multi-column
+   * stats, stratified samplers). `corr` is the target k×k correlation
+   * matrix; each row draws k iid standard normals (decorrelated seeded
+   * streams), the driver-side Cholesky factor correlates them, and each
+   * marginal is applied by its closed-form inverse CDF through Φ (the
+   * Gaussian copula). Rank (Spearman) correlation between any two
+   * continuous columns is then (6/π)·asin(r/2) regardless of marginals;
+   * normal/lognormal marginals skip Φ entirely (y is used directly, so
+   * normal-normal pairs hit Pearson r exactly).
+   *
+   * Scale shape: identical to [[table]] — ONE narrow codegen'd stage
+   * over `spark.range`, no shuffle, no driver data; the Cholesky factor
+   * is k×k driver math baked into the expressions as literals.
+   *
+   * Supported marginals: Float64{Normal, Lognormal, Uniform, Exponential,
+   * Pareto, Weibull, Laplace, Cauchy} and Int64Uniform. Anything without
+   * a closed-form inverse CDF is rejected fail-fast.
+   */
+  def correlated(spark: SparkSession, rows: Long, seed: Long,
+      corr: Seq[Seq[Double]], cols: (String, Gen)*): DataFrame =
+    correlated(spark, rows, seed, 0, corr, cols: _*)
+
+  def correlated(spark: SparkSession, rows: Long, seed: Long,
+      numPartitions: Int, corr: Seq[Seq[Double]],
+      cols: (String, Gen)*): DataFrame = {
+    val k = cols.size
+    require(k >= 2, "correlated: at least two columns")
+    require(corr.size == k && corr.forall(_.size == k),
+      s"correlated: corr must be ${k}x$k for $k columns")
+    for (i <- 0 until k) {
+      require(math.abs(corr(i)(i) - 1.0) < 1e-12,
+        s"correlated: corr($i)($i) must be 1.0")
+      for (j <- 0 until i)
+        require(math.abs(corr(i)(j) - corr(j)(i)) < 1e-12,
+          s"correlated: corr must be symmetric at ($i,$j)")
+    }
+    val L = cholesky(corr)
+    val base =
+      if (numPartitions > 0) spark.range(0, rows, 1, numPartitions)
+      else spark.range(0, rows)
+    // Materialize the iid normals as named columns first: the copula
+    // re-uses each z_j across every correlated output.
+    val withZ = (0 until k).foldLeft(base.toDF()) { (df, j) =>
+      df.withColumn(s"__z$j", graft.functions.RandgenFunctions
+        .randgen_float64_normal(lit(0.0), lit(1.0), seed + 0x9E37L * (j + 1)))
+    }
+    val out = cols.zipWithIndex.foldLeft(withZ) {
+      case (df, ((name, gen), i)) =>
+        val y = (0 to i).map(j => col(s"__z$j") * lit(L(i)(j)))
+          .reduce(_ + _)
+        df.withColumn(name, copulaMarginal(gen, y))
+    }
+    out.select(cols.map { case (n, _) => col(n) }: _*)
+  }
+
+  /** Driver-side Cholesky of a correlation matrix; fails fast on a
+    * non-positive-definite input (|r| too close to 1, or inconsistent
+    * triangles). */
+  private[graft] def cholesky(r: Seq[Seq[Double]]): Array[Array[Double]] = {
+    val k = r.size
+    val L = Array.ofDim[Double](k, k)
+    for (i <- 0 until k; j <- 0 to i) {
+      val s = (0 until j).map(m => L(i)(m) * L(j)(m)).sum
+      if (i == j) {
+        val d = r(i)(i) - s
+        require(d > 1e-12,
+          s"correlated: correlation matrix not positive definite (row $i)")
+        L(i)(i) = math.sqrt(d)
+      } else L(i)(j) = (r(i)(j) - s) / L(j)(j)
+    }
+    L
+  }
+
+  /** Abramowitz–Stegun 7.1.26 erf (|error| < 1.5e-7) over built-in
+    * functions only — keeps the whole copula inside codegen. */
+  private def erfApprox(x: Column): Column = {
+    def pos(ax: Column): Column = {
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * ax)
+      val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+        lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+      lit(1.0) - poly * exp(-(ax * ax))
+    }
+    when(x >= 0, pos(x)).otherwise(-pos(-x))
+  }
+
+  /** Standard normal CDF Φ, clamped away from exact 0/1 so inverse CDFs
+    * with log/tan stay finite in the extreme tails. */
+  private def phi(y: Column): Column = {
+    val u = lit(0.5) * (lit(1.0) + erfApprox(y / lit(math.sqrt(2.0))))
+    least(lit(1.0 - 1e-12),
+      org.apache.spark.sql.functions.greatest(lit(1e-12), u))
+  }
+
+  /** Closed-form inverse-CDF application of `gen` to the correlated
+    * standard normal `y` (Gaussian copula). */
+  private def copulaMarginal(gen: Gen, y: Column): Column = gen match {
+    case Gen.Float64Normal(mean, std) => lit(mean) + lit(std) * y
+    case Gen.Float64Lognormal(mu, sigma) => exp(lit(mu) + lit(sigma) * y)
+    case other =>
+      val u = phi(y)
+      other match {
+        case Gen.Float64Uniform(lo, hi) => lit(lo) + u * lit(hi - lo)
+        case Gen.Float64Exponential(lambda) =>
+          -log(lit(1.0) - u) / lit(lambda)
+        case Gen.Float64Pareto(scale, shape) =>
+          lit(scale) * pow(lit(1.0) - u, lit(-1.0 / shape))
+        case Gen.Float64Weibull(scale, shape) =>
+          lit(scale) * pow(-log(lit(1.0) - u), lit(1.0 / shape))
+        case Gen.Float64Laplace(mu, b) =>
+          when(u < 0.5, lit(mu) + lit(b) * log(lit(2.0) * u))
+            .otherwise(lit(mu) - lit(b) * log(lit(2.0) * (lit(1.0) - u)))
+        case Gen.Float64Cauchy(median, scale) =>
+          lit(median) + lit(scale) * tan(lit(math.Pi) * (u - lit(0.5)))
+        case Gen.Int64Uniform(lo, hi) =>
+          least(lit(hi), lit(lo) +
+            floor(u * lit((hi - lo + 1).toDouble)).cast("long"))
+        case g => throw new IllegalArgumentException(
+          s"correlated: no closed-form inverse CDF for marginal $g")
+      }
   }
 
   /** The generator Column for one spec (usable standalone via withColumn). */

@@ -317,6 +317,42 @@ object GeneratorQueries {
         (sum(when(abs(col("total") - col("qty") * col("price")) < 1e-9, 0)
           .otherwise(1)) === 0).as("total_ok"))
     },
+    // Gaussian-copula correlated generation (TableGen.correlated): three
+    // marginals (normal / lognormal / uniform) under target correlation
+    // [[1,.7,.3],[.7,1,0],[.3,0,1]]. Closed-form expectations: ln(y) is
+    // the y-side Gaussian, so corr(x, ln y) = 0.7 exactly; for the
+    // uniform column U = PHI(Y), Stein's lemma gives
+    // corr(X, U) = r*sqrt(3/pi) = 0.3*0.97720 = 0.29316; corr(ln y, u)
+    // targets 0. Bands are ~10 sigma (se of r at n=1e5 is ~0.002-0.003).
+    // Rebuild-under-seed must reproduce bit-for-bit.
+    "gen_copula_props" -> { (spark: SparkSession, _: String) =>
+      import org.apache.spark.sql.functions._
+      val corrM = Seq(Seq(1.0, 0.7, 0.3), Seq(0.7, 1.0, 0.0),
+        Seq(0.3, 0.0, 1.0))
+      def build() = graft.TableGen.correlated(spark, 100000L, seed = 31337L,
+        corrM,
+        "x" -> graft.Gen.Float64Normal(0.0, 1.0),
+        "y" -> graft.Gen.Float64Lognormal(0.0, 0.5),
+        "u" -> graft.Gen.Float64Uniform(0.0, 1.0))
+      val df = build()
+      val reproducible =
+        build().exceptAll(df).count() == 0 && df.exceptAll(build()).count() == 0
+      df.agg(
+        count(lit(1)).as("n"),
+        (abs(corr(col("x"), log(col("y"))) - 0.7) < 0.02).as("corr_xy_ok"),
+        (abs(corr(col("x"), col("u")) - 0.29316) < 0.02).as("corr_xu_ok"),
+        (abs(corr(log(col("y")), col("u"))) < 0.02).as("corr_yu_ok"),
+        (min(col("u")) >= 0.0 && max(col("u")) <= 1.0 &&
+          abs(avg(col("u")) - 0.5) < 0.005).as("unif_ok"),
+        (abs(avg(col("x"))) < 0.02 &&
+          abs(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")) - 1.0)
+            < 0.03).as("norm_ok"),
+        (min(col("y")) > 0.0 && abs(avg(log(col("y")))) < 0.01 &&
+          abs(avg(log(col("y")) * log(col("y"))) -
+            avg(log(col("y"))) * avg(log(col("y"))) - 0.25) < 0.01)
+          .as("logn_ok"),
+        lit(reproducible).as("reproducible"))
+    },
   )
 
   /** Constant DuckDB rows encoding the properties asserted above. */
@@ -395,5 +431,9 @@ object GeneratorQueries {
     "gen_child_table_props" ->
       ("SELECT TRUE AS n_positive_ok, TRUE AS ref_ok, TRUE AS fanout_mean_ok, " +
         "TRUE AS seq_ok, TRUE AS qty_ok, TRUE AS reproducible"),
+    "gen_copula_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS corr_xy_ok, " +
+        "TRUE AS corr_xu_ok, TRUE AS corr_yu_ok, TRUE AS unif_ok, " +
+        "TRUE AS norm_ok, TRUE AS logn_ok, TRUE AS reproducible"),
   )
 }
