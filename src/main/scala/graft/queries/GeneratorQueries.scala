@@ -353,6 +353,44 @@ object GeneratorQueries {
           .as("logn_ok"),
         lit(reproducible).as("reproducible"))
     },
+    // Markov-chain synthetic text (TextGen): bigram model trained
+    // in-engine on the documents corpus, 2000 docs generated by seeded
+    // walks. Properties: every generated bigram is a trained transition
+    // (the walk only follows retained edges — subset by construction,
+    // asserted by anti-join), lengths in (0, 30] with dead-end early
+    // stops rare, walks diverge (distinct docs), and the whole build is
+    // bit-reproducible under the seed.
+    "gen_markov_text_props" -> { (spark: SparkSession, dir: String) =>
+      import org.apache.spark.sql.functions._
+      val bigramsOf = "transform(sequence(1, size(t) - 1), " +
+        "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+      val docs = graft.Tables.load(spark, dir, "documents")
+      val model = graft.operators.TextGen.trainBigrams(docs, "text",
+        maxVocab = 4096, maxFanout = 32)
+      def build() = graft.operators.TextGen.generate(spark, model, 2000L,
+        seed = 97L, len = 30)
+      val gen = build()
+      val trained = docs
+        .select(split(trim(col("text")), "\\s+").as("t"))
+        .where(size(col("t")) > 1) // sequence(1,0) would descend
+        .select(explode(expr(bigramsOf)).as("p"))
+        .select("p.a", "p.b").distinct()
+      val emitted = gen
+        .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) > 1)
+        .select(explode(expr(bigramsOf)).as("p"))
+        .select("p.a", "p.b").distinct()
+      val novel = emitted.join(trained, Seq("a", "b"), "left_anti").count()
+      val reproducible =
+        build().exceptAll(gen).count() == 0 && gen.exceptAll(build()).count() == 0
+      gen.select(size(split(col("text"), " ")).as("len"), col("text")).agg(
+        count(lit(1)).as("n"),
+        (min(col("len")) >= 1 && max(col("len")) <= 30).as("len_ok"),
+        (avg(col("len")) > 20.0).as("len_avg_ok"),
+        lit(novel == 0L).as("bigrams_trained_ok"),
+        (countDistinct(col("text")) > 1900L).as("distinct_ok"),
+        lit(reproducible).as("reproducible"))
+    },
   )
 
   /** Constant DuckDB rows encoding the properties asserted above. */
@@ -435,5 +473,9 @@ object GeneratorQueries {
       ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS corr_xy_ok, " +
         "TRUE AS corr_xu_ok, TRUE AS corr_yu_ok, TRUE AS unif_ok, " +
         "TRUE AS norm_ok, TRUE AS logn_ok, TRUE AS reproducible"),
+    "gen_markov_text_props" ->
+      ("SELECT CAST(2000 AS BIGINT) AS n, TRUE AS len_ok, " +
+        "TRUE AS len_avg_ok, TRUE AS bigrams_trained_ok, " +
+        "TRUE AS distinct_ok, TRUE AS reproducible"),
   )
 }
