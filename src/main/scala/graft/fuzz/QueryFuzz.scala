@@ -126,9 +126,10 @@ object QueryFuzz {
 
   private val shapeNames = Seq("scan_filter", "fk_join", "group_agg",
     "case_bucket", "union_all", "in_subquery", "chain_join",
-    "scalar_subquery")
+    "scalar_subquery", "left_join", "window_rank", "exists_semi",
+    "global_agg")
 
-  case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 16)
+  case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 24)
 
   case class Generated(id: Int, shape: String, innerSql: String,
       wrappedSql: String)
@@ -206,8 +207,12 @@ object QueryFuzz {
 
   private def wrap(id: Int, inner: String,
       outCols: Seq[(String, CType)]): String = {
+    // COALESCE keeps null-bearing columns (outer-join misses, empty-set
+    // MIN/MAX) contributing a sentinel instead of nulling the whole row
+    // out of the digest — null semantics still diff (COUNT vs SUM skip
+    // behavior is identical on both engines).
     val mix = outCols.zipWithIndex.map { case ((a, t), i) =>
-      s"${hashExpr(a, t)} * ${weights(i)}"
+      s"COALESCE(${hashExpr(a, t)}, 17) * ${weights(i)}"
     }.mkString(" + ")
     s"""SELECT CAST($id AS BIGINT) AS qid, CAST(COUNT(*) AS BIGINT) AS n_rows,
        |  CAST(COALESCE(SUM(($mix) % $FoldPrime), 0) AS BIGINT) AS digest
@@ -223,7 +228,7 @@ object QueryFuzz {
     picked.toSeq.zipWithIndex.map { case (c, i) => (c, s"c${i + 1}") }
   }
 
-  // ---- the eight shapes ----
+  // ---- the twelve shapes ----
 
   private def genOne(id: Int, r: Rng): Generated = {
     val shape = id % shapeNames.size
@@ -301,7 +306,7 @@ object QueryFuzz {
           s"\nJOIN ${e2.parent.name} ON ${e2.childKey} = ${e2.parentKey}" +
           s"\nWHERE (${pred(t0, r)}) AND (${pred(e1.parent, r)})",
           all.map { case (c, a) => (a, c.t) })
-      case _ => // uncorrelated scalar-subquery threshold (MIN/MAX: exact)
+      case 7 => // uncorrelated scalar-subquery threshold (MIN/MAX: exact)
         val t = r.choose(allTables)
         val t2 = r.choose(allTables.filterNot(_.name == t.name))
         val c = r.choose(t.cols.filter(x => x.t == TDouble && x.hi > x.lo))
@@ -314,6 +319,51 @@ object QueryFuzz {
           s"(SELECT $agg(${c2.name}) * ${fmt2(0.1 + r.nextDouble())} " +
           s"FROM ${t2.name} WHERE ${pred(t2, r)})",
           ps.map { case (cc, a) => (a, cc.t) })
+      case 8 => // LEFT OUTER join: parent filtered IN the join's ON clause
+        // so unmatched children survive with nulls (digest sentinels them)
+        val e = r.choose(edges)
+        val pc = proj(e.child, r, 2)
+        val pp = proj(e.parent, r, 1).map { case (c, _) => (c, "c3") }
+        val all = pc ++ pp
+        (s"SELECT ${all.map { case (c, a) => s"${c.name} AS $a" }.mkString(", ")}" +
+          s"\nFROM ${e.child.name} LEFT JOIN ${e.parent.name}" +
+          s"\n  ON ${e.childKey} = ${e.parentKey} AND (${pred(e.parent, r)})" +
+          s"\nWHERE ${pred(e.child, r)}",
+          all.map { case (c, a) => (a, c.t) })
+      case 9 => // windowed top-k per partition (total order via unique key)
+        val t = r.choose(allTables)
+        val partExpr = t.cols.find(c => c.t == TString && c.values.nonEmpty)
+          match {
+            case Some(sc) if r.chance(0.5) => sc.name
+            case _ => s"(${t.key} % ${2 + r.nextInt(5)})"
+          }
+        val tie = if (t.name == "lineitem") "l_orderkey, l_linenumber"
+                  else t.key
+        val ps = proj(t, r, 2)
+        val k = 3 + r.nextInt(8)
+        (s"SELECT c1, c2, rn FROM (" +
+          s"\nSELECT ${ps.map { case (c, a) => s"${c.name} AS $a" }.mkString(", ")}," +
+          s"\n  CAST(ROW_NUMBER() OVER (PARTITION BY $partExpr ORDER BY $tie)" +
+          s" AS BIGINT) AS rn" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}\n) w WHERE rn <= $k",
+          ps.map { case (c, a) => (a, c.t) } :+ (("rn", TLong)))
+      case 10 => // correlated EXISTS semi filter along an FK edge
+        val e = r.choose(edges)
+        val ps = proj(e.child, r, 3)
+        (s"SELECT ${ps.map { case (c, a) => s"${c.name} AS $a" }.mkString(", ")}" +
+          s"\nFROM ${e.child.name}\nWHERE EXISTS (SELECT 1 FROM ${e.parent.name}" +
+          s"\n  WHERE ${e.parentKey} = ${e.childKey} AND (${pred(e.parent, r)}))",
+          ps.map { case (c, a) => (a, c.t) })
+      case _ => // global multi-aggregate (empty-set MIN/MAX stay null-safe
+        // through the digest sentinels)
+        val t = r.choose(allTables)
+        val num = r.choose(t.cols.filter(c => c.t == TDouble && c.hi > c.lo))
+        (s"SELECT CAST(COUNT(*) AS BIGINT) AS c1," +
+          s"\n  CAST(MIN(${t.key}) AS BIGINT) AS c2," +
+          s"\n  CAST(MAX(${t.key}) AS BIGINT) AS c3," +
+          s"\n  CAST(SUM(CAST(FLOOR(${num.name} * 100) AS BIGINT)) AS BIGINT) AS c4" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
+          Seq(("c1", TLong), ("c2", TLong), ("c3", TLong), ("c4", TLong)))
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

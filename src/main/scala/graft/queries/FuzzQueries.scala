@@ -7,17 +7,19 @@ import graft.fuzz.QueryFuzz
 /**
  * Differential query-fuzz gate (SURVEY.md §2.5): the engine's own
  * randgen heritage applied to itself. A fixed-seed
- * [[graft.fuzz.QueryFuzz]] battery — eight grammar shapes (scan+filter,
- * FK join, group-agg, CASE bucketing, UNION ALL, IN-subquery, 3-way
- * chain join, scalar subquery) × dialect-portable predicates — reduces
- * every query to (qid, n_rows, digest), and the SAME SQL text is the
- * DuckDB oracle, so the gate IS a 16-query cross-engine differential
- * test: any divergence in predicate, join, aggregate, or numeric
- * semantics fails the hash match on a named qid.
+ * [[graft.fuzz.QueryFuzz]] battery — twelve grammar shapes
+ * (scan+filter, FK join, group-agg, CASE bucketing, UNION ALL,
+ * IN-subquery, 3-way chain join, scalar subquery, LEFT join, window
+ * rank, correlated EXISTS, global multi-aggregate) × dialect-portable
+ * predicates — reduces every query to (qid, n_rows, digest), and the
+ * SAME SQL text is the DuckDB oracle, so the gate IS a 24-query
+ * cross-engine differential test: any divergence in predicate, join,
+ * aggregate, window, null, or numeric semantics fails the hash match
+ * on a named qid.
  */
 object FuzzQueries {
 
-  private val cfg = QueryFuzz.FuzzConfig(seed = 0x5EED5EEDL, nQueries = 16)
+  private val cfg = QueryFuzz.FuzzConfig(seed = 0x5EED5EEDL, nQueries = 24)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzz_sql_differential" -> { (s, dir) => QueryFuzz.run(s, dir, cfg) }
