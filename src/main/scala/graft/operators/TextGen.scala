@@ -43,6 +43,8 @@ object TextGen {
       maxFanout: Int = 64): MarkovModel = {
     require(maxVocab > 0 && maxFanout > 0,
       "trainBigrams: maxVocab and maxFanout must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val toks = docs
       .select(split(trim(col(textCol)), "\\s+").as("t"))
       .where(size(col("t")) > 0)
@@ -54,11 +56,16 @@ object TextGen {
       .limit(maxVocab)
       .select("tok").collect().map(_.getString(0))
     val id = vocab.zipWithIndex.toMap
-    val inVocab = udfFreeIsIn(vocab)
+    // Vocabulary membership is applied AFTER aggregation via broadcast
+    // semi-joins: the filter touches count tables (distinct tokens /
+    // distinct bigrams), never the corpus-scale token stream — a
+    // per-token array_contains over a 64k-literal vocabulary would be
+    // O(corpus x vocab).
+    val vocabDf = broadcast(vocab.toSeq.toDF("tok"))
     // Start-token distribution (first token of each doc).
     val starts = toks.select(element_at(col("t"), 1).as("tok"))
-      .where(inVocab(col("tok")))
       .groupBy("tok").agg(count(lit(1)).as("n"))
+      .join(vocabDf, Seq("tok"), "left_semi")
       .orderBy(col("tok"))
       .collect().map(r => (id(r.getString(0)), r.getLong(1)))
     // Bigram counts with a per-token top-fanout cut. Single-token docs
@@ -69,8 +76,9 @@ object TextGen {
           "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .where(inVocab(col("a")) && inVocab(col("b")))
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .join(vocabDf.withColumnRenamed("tok", "a"), Seq("a"), "left_semi")
+      .join(vocabDf.withColumnRenamed("tok", "b"), Seq("b"), "left_semi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(col("n").desc, col("b"))
     val kept = pairs.withColumn("rn", row_number().over(w))
@@ -88,12 +96,6 @@ object TextGen {
     }
     val startCum = starts.map(_._2).scanLeft(0L)(_ + _).tail
     MarkovModel(vocab, starts.map(_._1), startCum, nextIds, nextCum)
-  }
-
-  /** Membership test as a literal-array expression (no UDF): vocabulary
-    * cuts stay inside codegen. */
-  private def udfFreeIsIn(vocab: Array[String]) = { c: org.apache.spark.sql.Column =>
-    array_contains(lit(vocab), c)
   }
 
   /**
