@@ -29,6 +29,7 @@ FAMILY_PATTERNS = [
     ("privacy", r"^priv_"),
     ("diagnostics", r"^(diag_|report_)"),
     ("pipeline", r"^pipeline_"),
+    ("fuzz", r"^fuzz_"),
 ]
 
 
