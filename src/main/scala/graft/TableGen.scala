@@ -155,6 +155,10 @@ object TableGen {
       cols: (String, Gen)*): DataFrame = {
     val k = cols.size
     require(k >= 2, "correlated: at least two columns")
+    require(cols.forall(!_._1.startsWith("__z")),
+      "correlated: column names starting with __z are reserved for the " +
+        "internal standard-normal columns (a clash would silently feed a " +
+        "marginal OUTPUT back into later columns' correlation)")
     require(corr.size == k && corr.forall(_.size == k),
       s"correlated: corr must be ${k}x$k for $k columns")
     for (i <- 0 until k) {

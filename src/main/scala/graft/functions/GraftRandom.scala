@@ -17,16 +17,28 @@ package graft.functions
  * Must be a top-level public class: whole-stage codegen instantiates it by
  * fully-qualified name inside generated Java.
  */
+object GraftRandom {
+  /** SplitMix64 golden-ratio increment. */
+  final val Golden = 0x9E3779B97F4A7C15L
+
+  /** SplitMix64 finalizer (Steele et al., OOPSLA 2014) — the ONE shared
+    * bit-mixing step behind expression seeding, `fuzz.QueryFuzz` query
+    * generation, and `operators.TextGen` walk streams. */
+  def mix64(z0: Long): Long = {
+    var z = (z0 ^ (z0 >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
 final class GraftRandom(seed: Long, partitionIndex: Int) {
 
   private[this] var state: Long = {
     // SplitMix64 finalizer over the combined seed; guarantees a well-mixed,
     // non-zero xorshift state even for seed = partition = 0.
-    var z = seed + 0x9E3779B97F4A7C15L * (partitionIndex + 1).toLong
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    if (z == 0L) 0x9E3779B97F4A7C15L else z
+    val z = GraftRandom.mix64(
+      seed + GraftRandom.Golden * (partitionIndex + 1).toLong)
+    if (z == 0L) GraftRandom.Golden else z
   }
 
   /** One cached spare for the Marsaglia polar gaussian. */

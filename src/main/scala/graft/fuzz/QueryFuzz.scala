@@ -24,9 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    BIGINT, DuckDB's is DOUBLE — the CAST normalizes both);
  *  - no AVG / approx aggregates / LIMIT-without-total-order anywhere —
  *    only exact, order-insensitive reductions;
- *  - per-row digests fold with % 999999937 so BIGINT sums cannot
- *    overflow even at 10^10 rows (ANSI Spark errors on overflow,
- *    DuckDB widens — both are divergence, so the mix stays bounded);
+ *  - per-row digests fold with % 67108859 (a prime < 2^26), bounding
+ *    the worst-case BIGINT sum to rows × 2^26 — safe to ~1.4×10^11
+ *    rows per subquery (ANSI Spark errors on overflow, DuckDB widens
+ *    to HUGEINT: either would be a spurious harness "divergence", so
+ *    the mix stays far under 2^63);
  *  - timestamps hash through EXTRACT(YEAR/MONTH/DAY) (both engines),
  *    never through epoch functions (dialect-divergent).
  *
@@ -38,16 +40,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object QueryFuzz {
 
-  /** Deterministic SplitMix64 — the generation is a pure function of
-    * the seed, so the same config always emits byte-identical SQL. */
+  /** Deterministic SplitMix64 (shared finalizer:
+    * [[graft.functions.GraftRandom.mix64]]) — the generation is a pure
+    * function of the seed, so the same config always emits
+    * byte-identical SQL. */
   private final class Rng(seed0: Long) {
     private var s = seed0
     def nextLong(): Long = {
-      s += 0x9E3779B97F4A7C15L
-      var z = s
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
+      s += graft.functions.GraftRandom.Golden
+      graft.functions.GraftRandom.mix64(s)
     }
     def nextInt(bound: Int): Int = Math.floorMod(nextLong(), bound.toLong).toInt
     def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
@@ -189,7 +190,7 @@ object QueryFuzz {
   // ---- digest plumbing ----
 
   private val Prime = 1000003L
-  private val FoldPrime = 999999937L
+  private val FoldPrime = 67108859L // < 2^26: SUM overflows only past ~1.4e11 rows
   private val weights = Seq(31L, 131L, 257L, 1021L, 8191L)
 
   /** A portable per-value integer hash, bounded < [[Prime]]. */

@@ -59,8 +59,9 @@ object TableStats {
     // scan is columnar-cheap; both results are 1-row, combined with a
     // constant-size broadcast. The approx (HLL) path has no DISTINCT
     // aggregates, so one pass is already optimal there.
+    val all = mmAggs ++ ndvAggs
     val wide =
-      if (approx) df.agg((mmAggs ++ ndvAggs).head, (mmAggs ++ ndvAggs).tail: _*)
+      if (approx) df.agg(all.head, all.tail: _*)
       else df.agg(mmAggs.head, mmAggs.tail: _*)
         .crossJoin(broadcast(df.agg(ndvAggs.head, ndvAggs.tail: _*)))
     val stackArgs = cols.map(c =>

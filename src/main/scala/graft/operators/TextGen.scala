@@ -45,9 +45,14 @@ object TextGen {
       "trainBigrams: maxVocab and maxFanout must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
+    // Persisted: tokenization (trim + regex split per document) is the
+    // corpus-scale cost, and three jobs below (vocab, starts, bigrams)
+    // read it — without the persist each would re-tokenize the corpus.
     val toks = docs
       .select(split(trim(col(textCol)), "\\s+").as("t"))
       .where(size(col("t")) > 0)
+      .persist()
+    try {
     // Vocabulary cut: top-maxVocab tokens by total occurrences.
     val vocab = toks.select(explode(col("t")).as("tok"))
       .where(col("tok") =!= "")
@@ -96,6 +101,7 @@ object TextGen {
     }
     val startCum = starts.map(_._2).scanLeft(0L)(_ + _).tail
     MarkovModel(vocab, starts.map(_._1), startCum, nextIds, nextCum)
+    } finally toks.unpersist()
   }
 
   /**
@@ -117,13 +123,11 @@ object TextGen {
     base.as[Long].mapPartitions { it =>
       val m = bc.value
       it.map { rowId =>
-        var s = seed * 0x9E3779B97F4A7C15L + rowId
+        val Golden = graft.functions.GraftRandom.Golden
+        var s = seed * Golden + rowId
         def next(): Long = {
-          s += 0x9E3779B97F4A7C15L
-          var z = s
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z ^ (z >>> 31)
+          s += Golden
+          graft.functions.GraftRandom.mix64(s)
         }
         def pick(ids: Array[Int], cum: Array[Long]): Int = {
           val r = Math.floorMod(next(), cum(cum.length - 1))
