@@ -59,6 +59,15 @@ object GraftExtensions {
         s"$fn: $what must be a string literal, got $e")
     }
 
+  private def lngArg(fn: String, what: String, e: Expression): Long =
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $e")
+    else e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer, got $other")
+    }
+
   private def dblArg(fn: String, what: String, e: Expression): Double =
     if (!e.foldable) throw new IllegalArgumentException(
       s"$fn: $what must be a numeric literal, got $e")
@@ -96,6 +105,51 @@ object GraftExtensions {
           spark.table(strArg(fn, "table", args(0))),
           strArg(fn, "idCol", args(1)), strArg(fn, "vecCol", args(2)),
           dblArg(fn, "threshold", args(3)))
+        .queryExecution.logical
+    },
+    // SELECT * FROM graft_markov_text('documents', 'text', 2000, 97, 30)
+    // Trains the bigram model during resolution (bounded driver sketch,
+    // same spirit as the auto-LSH corpus count) and expands to the
+    // seeded-walk generation plan: (gen_id, text).
+    "graft_markov_text" -> { (args: Seq[Expression]) =>
+      val fn = "graft_markov_text"
+      require(args.length == 5,
+        s"$fn expects (table, textCol, rows, seed, len), got ${args.length} args")
+      val spark = SparkSession.active
+      val model = graft.operators.TextGen.trainBigrams(
+        spark.table(strArg(fn, "table", args(0))),
+        strArg(fn, "textCol", args(1)))
+      graft.operators.TextGen.generate(spark, model,
+          lngArg(fn, "rows", args(2)), lngArg(fn, "seed", args(3)),
+          lngArg(fn, "len", args(4)).toInt)
+        .queryExecution.logical
+    },
+    // SELECT * FROM graft_copula_pair(100000, 7, 0.6) — (a, b) standard
+    // normals at Pearson correlation r, the SQL door into
+    // TableGen.correlated.
+    "graft_copula_pair" -> { (args: Seq[Expression]) =>
+      val fn = "graft_copula_pair"
+      require(args.length == 3,
+        s"$fn expects (rows, seed, r), got ${args.length} args")
+      val spark = SparkSession.active
+      val r = dblArg(fn, "r", args(2))
+      graft.TableGen.correlated(spark,
+          lngArg(fn, "rows", args(0)), lngArg(fn, "seed", args(1)),
+          Seq(Seq(1.0, r), Seq(r, 1.0)),
+          "a" -> graft.Gen.Float64Normal(0.0, 1.0),
+          "b" -> graft.Gen.Float64Normal(0.0, 1.0))
+        .queryExecution.logical
+    },
+    // SELECT * FROM graft_fuzz_battery(42, 24) — run the differential
+    // battery against the catalog's TPC-H views: (qid, n_rows, digest).
+    "graft_fuzz_battery" -> { (args: Seq[Expression]) =>
+      val fn = "graft_fuzz_battery"
+      require(args.length == 2,
+        s"$fn expects (seed, nQueries), got ${args.length} args")
+      val spark = SparkSession.active
+      spark.sql(graft.fuzz.QueryFuzz.differentialSql(
+          graft.fuzz.QueryFuzz.FuzzConfig(lngArg(fn, "seed", args(0)),
+            lngArg(fn, "nQueries", args(1)).toInt)))
         .queryExecution.logical
     })
 }

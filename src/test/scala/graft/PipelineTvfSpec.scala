@@ -43,4 +43,40 @@ class PipelineTvfSpec extends GraftSuite {
       String.valueOf(ex.getCause).contains("graft_minhash_neardup"),
       s"unhelpful error: ${ex.getMessage.take(300)}")
   }
+
+  test("graft_markov_text TVF == TextGen train + generate") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.createOrReplaceTempView("graft_tvf_mk")
+    val viaSql = spark.sql(
+        "SELECT * FROM graft_markov_text('graft_tvf_mk', 'text', 200, 97, 20)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val model = graft.operators.TextGen.trainBigrams(docs, "text")
+    val viaApi = graft.operators.TextGen.generate(spark, model, 200L, 97L, 20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql == viaApi)
+    assert(viaSql.size == 200)
+  }
+
+  test("graft_copula_pair TVF == TableGen.correlated 2x2") {
+    val viaSql = spark.sql("SELECT * FROM graft_copula_pair(5000, 7, 0.6)")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val viaApi = TableGen.correlated(spark, 5000L, 7L,
+        Seq(Seq(1.0, 0.6), Seq(0.6, 1.0)),
+        "a" -> Gen.Float64Normal(0.0, 1.0),
+        "b" -> Gen.Float64Normal(0.0, 1.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(viaSql == viaApi)
+    assert(viaSql.size == 5000)
+  }
+
+  test("graft_fuzz_battery TVF == QueryFuzz.run on the catalog views") {
+    Tables.registerAll(spark, SparkTestBase.sf0001)
+    val viaSql = spark.sql("SELECT * FROM graft_fuzz_battery(42, 12)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaApi = graft.fuzz.QueryFuzz.run(spark, SparkTestBase.sf0001,
+        graft.fuzz.QueryFuzz.FuzzConfig(42L, 12))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.size == 12)
+  }
 }
