@@ -23,10 +23,14 @@ import org.apache.spark.sql.types.StructType
  * Scale shape: per batch, one anti-join + one equi-join against
  * membership state keyed by the order id (at rest the state buckets by
  * that key, so probes co-locate), one within-batch self-join, and a
- * key-partitioned full-outer merge of pair counts. Day-N cost is
- * O(batch x order-fanout), never O(history). Both state chains are
- * versioned for idempotent replay and vacuumed to >= 2 replay anchors,
- * like every other streaming fold in the engine.
+ * key-partitioned merge of pair counts. The persisted pair-count state
+ * is UNDIRECTED (one row per a < b pair): the graph is symmetric, so
+ * the directed form would double the merge shuffle, the state write,
+ * and the at-rest bytes for zero information — consumers get the
+ * directed (src, dst, cnt) contract back through a narrow union view.
+ * Day-N cost is O(batch x order-fanout), never O(history). Both state
+ * chains are versioned for idempotent replay and vacuumed to >= 2
+ * replay anchors, like every other streaming fold in the engine.
  */
 object GraphStream {
 
@@ -40,8 +44,18 @@ object GraphStream {
       retainVersions: Int = 3): DataFrame = {
     val last = foldPairCounts(spark, streamDir, schema, stateDir, okCol,
       sCol, retainVersions, _ => ())
-    spark.read.parquet(s"$stateDir/pc_v$last")
+    directedView(spark.read.parquet(s"$stateDir/pc_v$last"))
   }
+
+  /** The co-occurrence graph is undirected, so the persisted state keeps
+    * ONE row per unordered pair (a < b) — half the merge shuffle, half
+    * the state write, half the at-rest bytes of the directed form. This
+    * view re-expands to the directed (src, dst, cnt) contract consumers
+    * expect; it is a narrow union, no shuffle. */
+  private def directedView(und: DataFrame): DataFrame =
+    und.select(col("a").as("src"), col("b").as("dst"), col("cnt"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"),
+        col("cnt")))
 
   /** The shared membership + pair-count fold; `afterBatch(id)` runs at
     * the end of each micro-batch (after pc_v{id+1}/os_v{id+1} land) so
@@ -55,7 +69,7 @@ object GraphStream {
     import spark.implicits._
     Seq.empty[(Long, Long)].toDF("ok", "s")
       .write.mode("overwrite").parquet(s"$stateDir/os_v0")
-    Seq.empty[(Long, Long, Long)].toDF("src", "dst", "cnt")
+    Seq.empty[(Long, Long, Long)].toDF("a", "b", "cnt")
       .write.mode("overwrite").parquet(s"$stateDir/pc_v0")
     @volatile var last = 0L
     val stream = spark.readStream.schema(schema)
@@ -69,22 +83,24 @@ object GraphStream {
       val fresh = incoming.join(members, Seq("ok", "s"), "left_anti")
         .localCheckpoint() // consumed 3x below; retry-unstable batch plans
                            // must not recompute differently per consumer
+      // Each unordered co-occurrence lands exactly once, normalized to
+      // a < b (fresh and members are disjoint, so (a) cannot duplicate
+      // (b), and the x.s < y.s guard halves the self-join):
       // (a) new member x already-known members of the same order.
       val crossOld = fresh.as("n")
         .join(members.as("o"), col("n.ok") === col("o.ok") &&
           col("n.s") =!= col("o.s"))
-        .select(col("n.s").as("src"), col("o.s").as("dst"))
-      // (b) new x new within the order (self-join emits both directions).
+        .select(least(col("n.s"), col("o.s")).as("a"),
+          greatest(col("n.s"), col("o.s")).as("b"))
+      // (b) new x new within the order.
       val crossNew = fresh.as("x")
         .join(fresh.as("y"), col("x.ok") === col("y.ok") &&
-          col("x.s") =!= col("y.s"))
-        .select(col("x.s").as("src"), col("y.s").as("dst"))
-      val delta = crossOld.unionByName(crossOld.select(col("dst").as("src"),
-          col("src").as("dst")))
-        .unionByName(crossNew)
-        .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+          col("x.s") < col("y.s"))
+        .select(col("x.s").as("a"), col("y.s").as("b"))
+      val delta = crossOld.unionByName(crossNew)
+        .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
       counts.unionByName(delta)
-        .groupBy("src", "dst").agg(sum(col("cnt")).as("cnt"))
+        .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
         .write.mode("overwrite").parquet(s"$stateDir/pc_v${id + 1}")
       members.unionByName(fresh)
         .write.mode("overwrite").parquet(s"$stateDir/os_v${id + 1}")
@@ -141,7 +157,8 @@ object GraphStream {
         val ranks =
           if ((id + 1) % refreshEvery != 0) prev // fold-only batch
           else {
-            val counts = spark.read.parquet(s"$stateDir/pc_v${id + 1}")
+            val counts =
+              directedView(spark.read.parquet(s"$stateDir/pc_v${id + 1}"))
             val edges = topKEdges(counts, k)
             if (prev.isEmpty)
               graft.operators.Graph.pagerank(edges, coldIters, scale)
