@@ -138,6 +138,41 @@ object TableStats {
   }
 
   /**
+   * [[columnCorrelations]] with the fixed-point scale DERIVED from the
+   * data instead of caller-sized: a first cheap pass folds max|x| per
+   * column and the row count, then the largest power-of-ten scale that
+   * keeps every pair's worst-case moment sum under 2^62 is applied.
+   * This is the 100 TB form — the fixed default (10^4) provably
+   * fail-fasts at ~6×10^7 rows of magnitude-50 columns (the sf10 scale
+   * run fired that guard, by design), and correlation is
+   * scale-invariant so only the floor granularity changes. Cost: one
+   * extra 1-row aggregate over the same scan.
+   */
+  def columnCorrelationsAuto(df: DataFrame, cols: Seq[String],
+      maxScale: Double = 10000.0): DataFrame = {
+    require(cols.size >= 2, "columnCorrelationsAuto: at least two columns")
+    val mAggs = Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => max(abs(col(c).cast("double"))).as(s"__m_$c"))
+    val row = df.agg(mAggs.head, mAggs.tail: _*).head()
+    val n = math.max(1L, row.getLong(0))
+    val maxAbs = math.max(1e-12,
+      cols.indices.map(i => row.getDouble(i + 1)).max)
+    // Largest power of ten with (maxAbs * scale)^2 * n < 2^62 (one bit
+    // of slack under the operator's enforced 2^63 contract). Scales
+    // below 1 are fine — fixed-point just gets coarser — as long as
+    // enough distinct levels remain for the correlation to mean
+    // anything (levels = maxAbs*scale; < 100 needs n > 2^62/10^4 ≈
+    // 4.6e14 rows, i.e. effectively never).
+    val safe = math.sqrt(math.pow(2.0, 62) / n) / maxAbs
+    val scale = math.min(maxScale,
+      math.pow(10.0, math.floor(math.log10(safe))))
+    require(maxAbs * scale >= 100.0,
+      s"columnCorrelationsAuto: n=$n maxAbs=$maxAbs leaves fewer than " +
+        "100 fixed-point levels — sample or pre-aggregate first")
+    columnCorrelations(df, cols, scale)
+  }
+
+  /**
    * Distribution-drift diagnostic between a reference slice and a live
    * slice of the same column — the check a training pipeline runs before
    * admitting a new data drop (has the value distribution shifted since

@@ -72,4 +72,28 @@ class TableStatsSpec extends GraftSuite {
     val actual = left.join(right, col("ka") === col("kb")).count()
     assert(actual == r.getLong(1))
   }
+
+  test("columnCorrelationsAuto derives a safe scale and keeps the answer") {
+    // Copula-generated inputs with a KNOWN Pearson correlation (0.6)
+    // and magnitudes that overflow the 10^4 default at this n.
+    val df = TableGen.correlated(spark, 40000L, 5L,
+        Seq(Seq(1.0, 0.6), Seq(0.6, 1.0)),
+        "a" -> Gen.Float64Normal(0, 1), "b" -> Gen.Float64Normal(0, 1))
+      .selectExpr("a * 1e7 AS a", "b * 1e7 AS b")
+    intercept[Exception] { // default fixed scale must fail FAST, not wrap
+      graft.operators.TableStats.columnCorrelations(df, Seq("a", "b"))
+        .collect()
+    }
+    val r = graft.operators.TableStats.columnCorrelationsAuto(df, Seq("a", "b"))
+      .head()
+    assert(math.abs(r.getDouble(3) - 0.6) < 0.02,
+      s"auto-scaled corr = ${r.getDouble(3)}")
+    // Sub-1 scales are coarser fixed-point, not failure: magnitudes that
+    // would need scale 1e-24 still resolve millions of levels.
+    val huge = df.selectExpr("a * 1e30 AS a", "b * 1e30 AS b")
+    val rh = graft.operators.TableStats
+      .columnCorrelationsAuto(huge, Seq("a", "b")).head()
+    assert(math.abs(rh.getDouble(3) - 0.6) < 0.02,
+      s"huge-magnitude corr = ${rh.getDouble(3)}")
+  }
 }
