@@ -91,6 +91,17 @@ object ExtendedQueries {
         Tables.load(s, dir, "lineitem"),
         Seq("l_quantity", "l_discount", "l_tax"))
     },
+    // The 100 TB form: the fixed-point scale is DERIVED from a 1-row
+    // max/count pre-pass (the default 10^4 provably overflow-fail-fasts
+    // at ~6e7 rows of magnitude-50 columns — witnessed at the sf10
+    // run). At the gate fixtures the derivation resolves to the 10^4
+    // cap (TableStatsSpec pins that), so the oracle replays the same
+    // mirror SQL as the fixed gate.
+    "diag_column_corr_auto" -> { (s, dir) =>
+      graft.operators.TableStats.columnCorrelationsAuto(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_discount", "l_tax"))
+    },
     // Distribution-drift pre-admission check: PSI + binned KS between
     // the first and second half of the events window over fixed value
     // bins — exact BIGINT bin counts, one fixed double expression per
@@ -499,6 +510,43 @@ object ExtendedQueries {
        |FROM s""".stripMargin
   }
 
+  /** Mirror of TableStats.columnCorrelations at scale 10^4 — shared by
+    * the fixed gate and the auto twin (whose derivation resolves to the
+    * 10^4 cap at the gate fixtures, spec-pinned). */
+  private lazy val oracleSqlFixedCorr: String = {
+    def corrRow(a: String, b: String, sa: String, sb: String,
+        ssa: String, ssb: String, sp: String) =
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  round((CAST(n AS DOUBLE) * CAST($sp AS DOUBLE)
+         |      - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE)) /
+         |    (sqrt(CAST(n AS DOUBLE) * CAST($ssa AS DOUBLE)
+         |        - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE)) *
+         |     sqrt(CAST(n AS DOUBLE) * CAST($ssb AS DOUBLE)
+         |        - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE))), 6)
+         |    AS corr
+         |FROM m""".stripMargin
+    s"""WITH sc AS (SELECT
+       |    CAST(floor(l_quantity * 10000.0) AS BIGINT) AS q,
+       |    CAST(floor(l_discount * 10000.0) AS BIGINT) AS d,
+       |    CAST(floor(l_tax * 10000.0) AS BIGINT) AS t
+       |  FROM lineitem),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(d) AS BIGINT) AS sd,
+       |    CAST(SUM(t) AS BIGINT) AS st,
+       |    CAST(SUM(q*q) AS BIGINT) AS sqq,
+       |    CAST(SUM(d*d) AS BIGINT) AS sdd,
+       |    CAST(SUM(t*t) AS BIGINT) AS stt,
+       |    CAST(SUM(q*d) AS BIGINT) AS sqd,
+       |    CAST(SUM(q*t) AS BIGINT) AS sqt,
+       |    CAST(SUM(d*t) AS BIGINT) AS sdt
+       |  FROM sc)
+       |${corrRow("l_quantity", "l_discount", "sq", "sd", "sqq", "sdd", "sqd")}
+       |UNION ALL
+       |${corrRow("l_quantity", "l_tax", "sq", "st", "sqq", "stt", "sqt")}
+       |UNION ALL
+       |${corrRow("l_discount", "l_tax", "sd", "st", "sdd", "stt", "sdt")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "report_corpus_stats" ->
       s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -633,41 +681,12 @@ object ExtendedQueries {
         |      / (CAST(c.n_c AS DOUBLE) - 1.0 + 20.0) END AS enc_loo,
         |  CAST(c.n_c AS DOUBLE) / g.gn AS freq_enc
         |FROM o JOIN c USING (o_orderpriority) CROSS JOIN g""".stripMargin,
-    "diag_column_corr" -> {
-      // Mirrors TableStats.columnCorrelations' expression tree exactly:
-      // exact BIGINT moment sums, then one fixed DOUBLE combination.
-      def corrRow(a: String, b: String, sa: String, sb: String,
-          ssa: String, ssb: String, sp: String) =
-        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
-           |  round((CAST(n AS DOUBLE) * CAST($sp AS DOUBLE)
-           |      - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE)) /
-           |    (sqrt(CAST(n AS DOUBLE) * CAST($ssa AS DOUBLE)
-           |        - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE)) *
-           |     sqrt(CAST(n AS DOUBLE) * CAST($ssb AS DOUBLE)
-           |        - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE))), 6)
-           |    AS corr
-           |FROM m""".stripMargin
-      s"""WITH sc AS (SELECT
-         |    CAST(floor(l_quantity * 10000.0) AS BIGINT) AS q,
-         |    CAST(floor(l_discount * 10000.0) AS BIGINT) AS d,
-         |    CAST(floor(l_tax * 10000.0) AS BIGINT) AS t
-         |  FROM lineitem),
-         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(d) AS BIGINT) AS sd,
-         |    CAST(SUM(t) AS BIGINT) AS st,
-         |    CAST(SUM(q*q) AS BIGINT) AS sqq,
-         |    CAST(SUM(d*d) AS BIGINT) AS sdd,
-         |    CAST(SUM(t*t) AS BIGINT) AS stt,
-         |    CAST(SUM(q*d) AS BIGINT) AS sqd,
-         |    CAST(SUM(q*t) AS BIGINT) AS sqt,
-         |    CAST(SUM(d*t) AS BIGINT) AS sdt
-         |  FROM sc)
-         |${corrRow("l_quantity", "l_discount", "sq", "sd", "sqq", "sdd", "sqd")}
-         |UNION ALL
-         |${corrRow("l_quantity", "l_tax", "sq", "st", "sqq", "stt", "sqt")}
-         |UNION ALL
-         |${corrRow("l_discount", "l_tax", "sd", "st", "sdd", "stt", "sdt")}""".stripMargin
-    },
+    // Mirrors TableStats.columnCorrelations' expression tree exactly:
+    // exact BIGINT moment sums, then one fixed DOUBLE combination.
+    "diag_column_corr" -> oracleSqlFixedCorr,
+    // Auto-scaled twin: the derivation hits the 10^4 cap at the gate
+    // fixtures (spec-pinned), so the mirror is the fixed gate's SQL.
+    "diag_column_corr_auto" -> oracleSqlFixedCorr,
     "rel_q23_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,

@@ -96,4 +96,16 @@ class TableStatsSpec extends GraftSuite {
     assert(math.abs(rh.getDouble(3) - 0.6) < 0.02,
       s"huge-magnitude corr = ${rh.getDouble(3)}")
   }
+
+  test("auto gate pin: the fixture derivation resolves to the 10^4 cap") {
+    // diag_column_corr_auto's oracle replays the FIXED 10^4 mirror; this
+    // pin fails loudly if a fixture resize ever moves the derived scale.
+    val li = spark.read.parquet(s"${SparkTestBase.sf0001}/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_discount", "l_tax")
+    val auto = graft.operators.TableStats.columnCorrelationsAuto(li, cols)
+      .collect().toSet
+    val fixed = graft.operators.TableStats.columnCorrelations(li, cols)
+      .collect().toSet
+    assert(auto == fixed)
+  }
 }
