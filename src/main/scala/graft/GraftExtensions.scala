@@ -63,10 +63,21 @@ object GraftExtensions {
     if (!e.foldable) throw new IllegalArgumentException(
       s"$fn: $what must be an integer literal, got $e")
     else e.eval() match {
-      case n: java.lang.Number => n.longValue()
+      case n: java.lang.Number
+          if n.doubleValue() == math.floor(n.doubleValue()) =>
+        n.longValue()
       case other => throw new IllegalArgumentException(
         s"$fn: $what must be an integer, got $other")
     }
+
+  /** [[lngArg]] bounded to Int — TVF args that feed Int parameters must
+    * reject out-of-range values, not wrap via .toInt. */
+  private def intArg(fn: String, what: String, e: Expression): Int = {
+    val v = lngArg(fn, what, e)
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"$fn: $what out of Int range: $v")
+    v.toInt
+  }
 
   private def dblArg(fn: String, what: String, e: Expression): Double =
     if (!e.foldable) throw new IllegalArgumentException(
@@ -108,9 +119,14 @@ object GraftExtensions {
         .queryExecution.logical
     },
     // SELECT * FROM graft_markov_text('documents', 'text', 2000, 97, 30)
-    // Trains the bigram model during resolution (bounded driver sketch,
-    // same spirit as the auto-LSH corpus count) and expands to the
-    // seeded-walk generation plan: (gen_id, text).
+    // Trains the bigram model during resolution (bounded driver sketch)
+    // and expands to the seeded-walk generation plan: (gen_id, text).
+    // COST NOTE: unlike the auto-LSH precedent's metadata-cheap count(),
+    // training is corpus-linear (explode + two keyed counts) and runs
+    // PER RESOLUTION — an EXPLAIN followed by the run trains twice. No
+    // cache on purpose: a model keyed by table name would silently go
+    // stale when the view is replaced. Train once via the Scala API
+    // (TextGen.trainBigrams + generate) when resolving repeatedly.
     "graft_markov_text" -> { (args: Seq[Expression]) =>
       val fn = "graft_markov_text"
       require(args.length == 5,
@@ -121,7 +137,7 @@ object GraftExtensions {
         strArg(fn, "textCol", args(1)))
       graft.operators.TextGen.generate(spark, model,
           lngArg(fn, "rows", args(2)), lngArg(fn, "seed", args(3)),
-          lngArg(fn, "len", args(4)).toInt)
+          intArg(fn, "len", args(4)))
         .queryExecution.logical
     },
     // SELECT * FROM graft_copula_pair(100000, 7, 0.6) — (a, b) standard
@@ -149,7 +165,7 @@ object GraftExtensions {
       val spark = SparkSession.active
       spark.sql(graft.fuzz.QueryFuzz.differentialSql(
           graft.fuzz.QueryFuzz.FuzzConfig(lngArg(fn, "seed", args(0)),
-            lngArg(fn, "nQueries", args(1)).toInt)))
+            intArg(fn, "nQueries", args(1)))))
         .queryExecution.logical
     })
 }

@@ -155,20 +155,26 @@ object TableStats {
       cols.map(c => max(abs(col(c).cast("double"))).as(s"__m_$c"))
     val row = df.agg(mAggs.head, mAggs.tail: _*).head()
     val n = math.max(1L, row.getLong(0))
-    val maxAbs = math.max(1e-12,
-      cols.indices.map(i => row.getDouble(i + 1)).max)
-    // Largest power of ten with (maxAbs * scale)^2 * n < 2^62 (one bit
+    require(cols.indices.forall(i => !row.isNullAt(i + 1)),
+      "columnCorrelationsAuto: empty input or all-null column — " +
+        "no magnitude to derive a scale from")
+    val maxAbsPer = cols.indices
+      .map(i => math.max(1e-12, row.getDouble(i + 1)))
+    // Largest power of ten with (max|x| * scale)^2 * n < 2^62 (one bit
     // of slack under the operator's enforced 2^63 contract). Scales
-    // below 1 are fine — fixed-point just gets coarser — as long as
-    // enough distinct levels remain for the correlation to mean
-    // anything (levels = maxAbs*scale; < 100 needs n > 2^62/10^4 ≈
-    // 4.6e14 rows, i.e. effectively never).
-    val safe = math.sqrt(math.pow(2.0, 62) / n) / maxAbs
+    // below 1 are fine — fixed-point just gets coarser — but ONE global
+    // scale serves every column, so the resolution check must hold for
+    // the SMALLEST-magnitude column: a (|a|~1e9, |b|~1) pair would
+    // otherwise floor every b to 0 and return NaN with no warning.
+    val safe = math.sqrt(math.pow(2.0, 62) / n) / maxAbsPer.max
     val scale = math.min(maxScale,
       math.pow(10.0, math.floor(math.log10(safe))))
-    require(maxAbs * scale >= 100.0,
-      s"columnCorrelationsAuto: n=$n maxAbs=$maxAbs leaves fewer than " +
-        "100 fixed-point levels — sample or pre-aggregate first")
+    val worst = cols(maxAbsPer.indexOf(maxAbsPer.min))
+    require(maxAbsPer.min * scale >= 100.0,
+      s"columnCorrelationsAuto: n=$n leaves '$worst' fewer than 100 " +
+        s"fixed-point levels at the derived scale $scale — the column " +
+        "magnitudes are too far apart for one shared scale; normalize " +
+        "(standardize) the columns first")
     columnCorrelations(df, cols, scale)
   }
 

@@ -96,7 +96,11 @@ object ExtendedQueries {
     // at ~6e7 rows of magnitude-50 columns — witnessed at the sf10
     // run). At the gate fixtures the derivation resolves to the 10^4
     // cap (TableStatsSpec pins that), so the oracle replays the same
-    // mirror SQL as the fixed gate.
+    // mirror SQL as the fixed gate. SCOPE: the cap holds while
+    // lineitem n < 2^62/(50*10^4)^2 ≈ 1.8e7 rows (verify fixtures up
+    // through sf3); a larger-SF verify run would derive 10^3 and the
+    // static mirror would report a spurious mismatch — re-derive the
+    // oracle at that scale, as sim_lsh_neardup_auto's did.
     "diag_column_corr_auto" -> { (s, dir) =>
       graft.operators.TableStats.columnCorrelationsAuto(
         Tables.load(s, dir, "lineitem"),

@@ -44,6 +44,22 @@ class PipelineTvfSpec extends GraftSuite {
       s"unhelpful error: ${ex.getMessage.take(300)}")
   }
 
+  test("TVF integer args reject fractional and out-of-Int-range values") {
+    val frac = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_copula_pair(CAST(200.9 AS DOUBLE), 7, 0.5)")
+        .collect()
+    }
+    assert(String.valueOf(frac.getMessage) .contains("integer") ||
+      String.valueOf(frac.getCause).contains("integer"),
+      s"fractional rows arg must be rejected: ${frac.getMessage.take(200)}")
+    val big = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_fuzz_battery(1, 5000000000)").collect()
+    }
+    assert(String.valueOf(big.getMessage).contains("out of Int range") ||
+      String.valueOf(big.getCause).contains("out of Int range"),
+      s"2^31-overflowing nQueries must not wrap: ${big.getMessage.take(200)}")
+  }
+
   test("graft_markov_text TVF == TextGen train + generate") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     docs.createOrReplaceTempView("graft_tvf_mk")

@@ -7,8 +7,11 @@ dedup witness is excluded from the sf10 run), family totals stop being
 comparable. This variant restricts every point to the gates present in
 ALL inputs, so the per-family exponents compare identical work.
 
-Usage: scale_fit_points.py out.json bench1.json factor12 bench2.json \
-           factor23 bench3.json [factorNN benchN.json ...]
+Usage: scale_fit_points.py [--exclude g1,g2] out.json bench1.json \
+           factor12 bench2.json factor23 bench3.json [factorNN benchN.json]
+
+--exclude drops named gates from every point (e.g. a gate that
+fail-fasted at one scale and therefore recorded no meaningful time).
 
 Factors are the data-size ratios between consecutive points. Reports
 per-family time at each point and the exponent on each consecutive
@@ -41,8 +44,9 @@ def main() -> None:
     common = set(loaded[0])
     for d in loaded[1:]:
         common &= set(d)
-    common -= set(excluded)
+    # dropped = genuinely missing from some input; excluded is separate.
     dropped = sorted(set().union(*loaded) - common)
+    common -= set(excluded)
     fams = sorted({family(g) for g in common})
     report = {"inputs": benches, "factors": factors,
               "gates_common": len(common), "gates_dropped": dropped,
@@ -53,7 +57,9 @@ def main() -> None:
     print(hdr)
     for fam in fams + ["TOTAL"]:
         gates = [g for g in common if fam == "TOTAL" or family(g) == fam]
-        ts = [sum(d[g] for g in gates) for d in loaded]
+        # 1e-9 floor: a zero family total (empty intersection, or a gate
+        # that recorded 0.0) must not crash the whole fit.
+        ts = [max(sum(d[g] for g in gates), 1e-9) for d in loaded]
         exps = [math.log(ts[i + 1] / ts[i]) / math.log(factors[i])
                 for i in range(len(factors))]
         row = {"t": [round(t, 2) for t in ts],
