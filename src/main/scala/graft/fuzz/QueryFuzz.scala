@@ -65,9 +65,12 @@ object QueryFuzz {
 
   /** `lo`/`hi` bound literal generation for numeric columns (chosen
     * inside the SF-invariant value domain measured in TESTDATA);
-    * `values` is the closed domain for small string columns. */
+    * `values` is the closed domain for small string columns; timestamp
+    * columns carry their own literal year span (TPC-H dates live in
+    * 1995-2001, the events window in January 2024). */
   private case class FCol(name: String, t: CType, lo: Double = 0.0,
-      hi: Double = 0.0, values: Seq[String] = Nil)
+      hi: Double = 0.0, values: Seq[String] = Nil,
+      tsYears: (Int, Int) = (1995, 2001), tsMonth: Option[Int] = None)
 
   private case class FTable(name: String, key: String, cols: Seq[FCol])
 
@@ -105,6 +108,14 @@ object QueryFuzz {
     FCol("s_acctbal", TDouble, -1000, 10000)))
   private val nation = FTable("nation", "n_nationkey", Seq(
     FCol("n_nationkey", TInt, 0, 24), FCol("n_regionkey", TInt, 0, 4)))
+  // The events table (user_id/value maxima grow with SF, so predicates
+  // use the key-modulo path and a conservative value band).
+  private val events = FTable("events", "event_id", Seq(
+    FCol("event_id", TLong), FCol("user_id", TLong),
+    FCol("ts", TTs, tsYears = (2024, 2024), tsMonth = Some(1)),
+    FCol("event_type", TString,
+      values = Seq("click", "error", "purchase", "signup", "view")),
+    FCol("value", TDouble, 0, 300)))
 
   private val allTables = Seq(lineitem, orders, customer, part, supplier)
 
@@ -128,9 +139,9 @@ object QueryFuzz {
   private val shapeNames = Seq("scan_filter", "fk_join", "group_agg",
     "case_bucket", "union_all", "in_subquery", "chain_join",
     "scalar_subquery", "left_join", "window_rank", "exists_semi",
-    "global_agg")
+    "global_agg", "string_funcs", "event_time")
 
-  case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 24)
+  case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 28)
 
   case class Generated(id: Int, shape: String, innerSql: String,
       wrappedSql: String)
@@ -147,8 +158,11 @@ object QueryFuzz {
     case _ => fmt2(c.lo + r.nextDouble() * (c.hi - c.lo))
   }
 
-  private def dateLit(r: Rng): String =
-    f"DATE '${1995 + r.nextInt(7)}%04d-${1 + r.nextInt(12)}%02d-${1 + r.nextInt(28)}%02d'"
+  private def dateLit(r: Rng, c: FCol): String = {
+    val y = c.tsYears._1 + r.nextInt(c.tsYears._2 - c.tsYears._1 + 1)
+    val m = c.tsMonth.getOrElse(1 + r.nextInt(12))
+    f"DATE '$y%04d-$m%02d-${1 + r.nextInt(28)}%02d'"
+  }
 
   private val cmpOps = Seq("<", "<=", ">", ">=")
 
@@ -171,7 +185,7 @@ object QueryFuzz {
           s"${c.name} IN (${picked.map(v => s"'$v'").mkString(", ")})"
         } else s"${c.name} ${r.choose(Seq("=", "<>"))} '${r.choose(c.values)}'"
       case TTs =>
-        s"CAST(${c.name} AS DATE) ${r.choose(cmpOps)} ${dateLit(r)}"
+        s"CAST(${c.name} AS DATE) ${r.choose(cmpOps)} ${dateLit(r, c)}"
       case _ => // key columns: modulo predicates are SF-invariant
         val m = 2 + r.nextInt(6)
         s"(${c.name} % $m) = ${r.nextInt(m)}"
@@ -229,7 +243,7 @@ object QueryFuzz {
     picked.toSeq.zipWithIndex.map { case (c, i) => (c, s"c${i + 1}") }
   }
 
-  // ---- the twelve shapes ----
+  // ---- the fourteen shapes ----
 
   private def genOne(id: Int, r: Rng): Generated = {
     val shape = id % shapeNames.size
@@ -355,8 +369,8 @@ object QueryFuzz {
           s"\nFROM ${e.child.name}\nWHERE EXISTS (SELECT 1 FROM ${e.parent.name}" +
           s"\n  WHERE ${e.parentKey} = ${e.childKey} AND (${pred(e.parent, r)}))",
           ps.map { case (c, a) => (a, c.t) })
-      case _ => // global multi-aggregate (empty-set MIN/MAX stay null-safe
-        // through the digest sentinels)
+      case 11 => // global multi-aggregate (empty-set MIN/MAX stay
+        // null-safe through the digest sentinels)
         val t = r.choose(allTables)
         val num = r.choose(t.cols.filter(c => c.t == TDouble && c.hi > c.lo))
         (s"SELECT CAST(COUNT(*) AS BIGINT) AS c1," +
@@ -365,6 +379,29 @@ object QueryFuzz {
           s"\n  CAST(SUM(CAST(FLOOR(${num.name} * 100) AS BIGINT)) AS BIGINT) AS c4" +
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
           Seq(("c1", TLong), ("c2", TLong), ("c3", TLong), ("c4", TLong)))
+      case 12 => // string-function projection (UPPER/LOWER/SUBSTR/LENGTH)
+        val t = r.choose(allTables.filter(_.cols.exists(c =>
+          c.t == TString && c.values.nonEmpty)))
+        val sc = r.choose(t.cols.filter(c =>
+          c.t == TString && c.values.nonEmpty))
+        val cased = r.choose(Seq("UPPER", "LOWER"))
+        val k = 1 + r.nextInt(4)
+        (s"SELECT $cased(${sc.name}) AS c1," +
+          s"\n  SUBSTR(${sc.name}, 1, $k) AS c2," +
+          s"\n  CAST(LENGTH(${sc.name}) AS BIGINT) AS c3" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
+          Seq(("c1", TString), ("c2", TString), ("c3", TLong)))
+      case _ => // events time-bucket aggregate (non-TPC-H table: real
+        // time-of-day timestamps, SF-growing key domain via modulo)
+        val gExpr = r.choose(Seq(
+          "CAST(EXTRACT(DAY FROM ts) AS BIGINT)",
+          "event_type",
+          s"(user_id % ${2 + r.nextInt(7)})"))
+        val gType = if (gExpr == "event_type") TString else TLong
+        (s"SELECT $gExpr AS c1, CAST(COUNT(*) AS BIGINT) AS c2," +
+          s"\n  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS c3" +
+          s"\nFROM events\nWHERE ${pred(events, r)}\nGROUP BY 1",
+          Seq(("c1", gType), ("c2", TLong), ("c3", TLong)))
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

@@ -7,19 +7,20 @@ import graft.fuzz.QueryFuzz
 /**
  * Differential query-fuzz gate (SURVEY.md §2.5): the engine's own
  * randgen heritage applied to itself. A fixed-seed
- * [[graft.fuzz.QueryFuzz]] battery — twelve grammar shapes
+ * [[graft.fuzz.QueryFuzz]] battery — fourteen grammar shapes
  * (scan+filter, FK join, group-agg, CASE bucketing, UNION ALL,
  * IN-subquery, 3-way chain join, scalar subquery, LEFT join, window
- * rank, correlated EXISTS, global multi-aggregate) × dialect-portable
- * predicates — reduces every query to (qid, n_rows, digest), and the
- * SAME SQL text is the DuckDB oracle, so the gate IS a 24-query
- * cross-engine differential test: any divergence in predicate, join,
- * aggregate, window, null, or numeric semantics fails the hash match
- * on a named qid.
+ * rank, correlated EXISTS, global multi-aggregate, string functions,
+ * events time-bucket aggregate) × dialect-portable predicates —
+ * reduces every query to (qid, n_rows, digest), and the SAME SQL text
+ * is the DuckDB oracle, so the gate IS a 28-query cross-engine
+ * differential test: any divergence in predicate, join, aggregate,
+ * window, null, string, timestamp, or numeric semantics fails the
+ * hash match on a named qid.
  */
 object FuzzQueries {
 
-  private val cfg = QueryFuzz.FuzzConfig(seed = 0x5EED5EEDL, nQueries = 24)
+  private val cfg = QueryFuzz.FuzzConfig(seed = 0x5EED5EEDL, nQueries = 28)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzz_sql_differential" -> { (s, dir) => QueryFuzz.run(s, dir, cfg) }
