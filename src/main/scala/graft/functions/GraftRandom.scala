@@ -378,6 +378,269 @@ final class GraftRandom(seed: Long, partitionIndex: Int) {
     z / math.sqrt(nextChiSquare(nu) / nu)
   }
 
+  /** Standard exponential draw guaranteed strictly positive (rejects the
+    * u = 0 lattice point, probability 2^-53 per draw) — the building
+    * block for the extreme-value samplers below, whose log/pow transforms
+    * would map 0 to an infinity. */
+  private[this] def nextExpPositive(): Double = {
+    var e = 0.0
+    while (e <= 0.0) e = -math.log1p(-nextDouble())
+    e
+  }
+
+  /** Gumbel(mu, beta) by inversion: mu - beta*ln(E), E ~ Exp(1) — the
+    * max-extreme-value law (block maxima of latencies, flood levels).
+    * Matches `rand_distr::Gumbel(location, scale)`. */
+  def nextGumbel(mu: Double, beta: Double): Double = {
+    if (beta <= 0.0 || java.lang.Double.isNaN(beta)) {
+      throw new IllegalArgumentException(
+        s"randgen gumbel: beta ($beta) must be > 0")
+    }
+    mu - beta * math.log(nextExpPositive())
+  }
+
+  /** Frechet(shape alpha, scale s) by inversion: s * E^(-1/alpha),
+    * E ~ Exp(1) — the heavy-tailed max-extreme-value law; moments exist
+    * only below alpha (mean needs alpha > 1, variance alpha > 2).
+    * `rand_distr::Frechet`'s location parameter is an additive shift —
+    * apply it in SQL (`loc + randgen_float64_frechet(...)`). */
+  def nextFrechet(shape: Double, scale: Double): Double = {
+    if (shape <= 0.0 || scale <= 0.0 ||
+        java.lang.Double.isNaN(shape) || java.lang.Double.isNaN(scale)) {
+      throw new IllegalArgumentException(
+        s"randgen frechet: shape ($shape) and scale ($scale) must be > 0")
+    }
+    scale * math.pow(nextExpPositive(), -1.0 / shape)
+  }
+
+  /** Fisher F(d1, d2) = (ChiSq(d1)/d1)/(ChiSq(d2)/d2) — the
+    * variance-ratio law (ANOVA statistics under H0); mean d2/(d2-2) for
+    * d2 > 2. Matches `rand_distr::FisherF`. */
+  def nextFisherF(d1: Double, d2: Double): Double = {
+    if (d1 <= 0.0 || d2 <= 0.0 ||
+        java.lang.Double.isNaN(d1) || java.lang.Double.isNaN(d2)) {
+      throw new IllegalArgumentException(
+        s"randgen fisher_f: d1 ($d1) and d2 ($d2) must be > 0")
+    }
+    (nextChiSquare(d1) / d1) / (nextChiSquare(d2) / d2)
+  }
+
+  /** Inverse Gaussian / Wald(mu, lambda) via the Michael–Schucany–Haas
+    * (1976) one-normal transform: first-passage times of drifted Brownian
+    * motion (service-time models); mean mu, variance mu^3/lambda. */
+  def nextInverseGaussian(mu: Double, lambda: Double): Double = {
+    if (mu <= 0.0 || lambda <= 0.0 ||
+        java.lang.Double.isNaN(mu) || java.lang.Double.isNaN(lambda)) {
+      throw new IllegalArgumentException(
+        s"randgen inverse_gaussian: mu ($mu) and lambda ($lambda) must be > 0")
+    }
+    val nu = nextGaussian(0.0, 1.0)
+    val y = nu * nu
+    val x = mu + (mu * mu * y) / (2.0 * lambda) -
+      (mu / (2.0 * lambda)) * math.sqrt(4.0 * mu * lambda * y + mu * mu * y * y)
+    if (nextDouble() <= mu / (mu + x)) x else (mu * mu) / x
+  }
+
+  /** Negative binomial(r, p): failures before the r-th success, exact via
+    * the Gamma–Poisson mixture Poisson(Gamma(r, (1-p)/p)) — so r may be
+    * real-valued (Polya), exactly as in `rand_distr::NegativeBinomial`.
+    * Mean r(1-p)/p, variance r(1-p)/p^2 (overdispersed counts: tokens per
+    * user, retries per request). */
+  def nextNegativeBinomial(r: Double, p: Double): Long = {
+    if (r <= 0.0 || p <= 0.0 || p > 1.0 ||
+        java.lang.Double.isNaN(r) || java.lang.Double.isNaN(p)) {
+      throw new IllegalArgumentException(
+        s"randgen negative_binomial: need r > 0 (got $r) and p in (0, 1] (got $p)")
+    }
+    if (p == 1.0) return 0L
+    val lambda = nextGamma(r, (1.0 - p) / p)
+    if (lambda == 0.0) 0L else nextPoisson(lambda)
+  }
+
+  /** Triangular(min, max, mode) by inversion — the bounded three-point
+    * estimate (PERT-style durations). Requires min < max and
+    * mode in [min, max]; matches `rand_distr::Triangular`. */
+  def nextTriangular(min: Double, max: Double, mode: Double): Double = {
+    if (!(min < max) || !(mode >= min) || !(mode <= max)) {
+      throw new IllegalArgumentException(
+        s"randgen triangular: need min < max and mode in [min, max] " +
+          s"(got min=$min, max=$max, mode=$mode)")
+    }
+    val u = nextDouble()
+    val fc = (mode - min) / (max - min)
+    if (u < fc) min + math.sqrt(u * (max - min) * (mode - min))
+    else max - math.sqrt((1.0 - u) * (max - min) * (max - mode))
+  }
+
+  /** Hypergeometric(nTotal, kSuccess, nDraws): successes in nDraws draws
+    * WITHOUT replacement from nTotal items of which kSuccess are
+    * successes. Exact sequential sampling — one uniform per draw, O(nDraws)
+    * (the without-replacement regime synthetic QA/dedup fixtures live in;
+    * for survey-scale nDraws the Binomial approximation is the 100 TB
+    * path). Matches `rand_distr::Hypergeometric`'s (N, K, n). */
+  def nextHypergeometric(nTotal: Long, kSuccess: Long, nDraws: Long): Long = {
+    if (nTotal < 0L || kSuccess < 0L || kSuccess > nTotal ||
+        nDraws < 0L || nDraws > nTotal) {
+      throw new IllegalArgumentException(
+        s"randgen hypergeometric: need 0 <= kSuccess <= nTotal and " +
+          s"0 <= nDraws <= nTotal (got N=$nTotal, K=$kSuccess, n=$nDraws)")
+    }
+    var remaining = nTotal
+    var good = kSuccess
+    var draws = nDraws
+    var count = 0L
+    while (draws > 0L && good > 0L && good < remaining) {
+      if (nextDouble() * remaining < good) { count += 1L; good -= 1L }
+      remaining -= 1L
+      draws -= 1L
+    }
+    // Degenerate tail: urn is all-successes (or all-failures) — the
+    // remaining draws are deterministic.
+    if (good >= remaining) count + draws else count
+  }
+
+  /** Skew-normal(location, scale, alpha) via Azzalini's representation:
+    * Z = delta*|U0| + sqrt(1-delta^2)*V with delta = alpha/sqrt(1+alpha^2)
+    * and U0, V independent standard normals. alpha = 0 is the normal;
+    * mean = loc + scale*delta*sqrt(2/pi). Matches `rand_distr::SkewNormal`. */
+  def nextSkewNormal(location: Double, scale: Double, alpha: Double): Double = {
+    if (scale <= 0.0 || java.lang.Double.isNaN(scale) ||
+        java.lang.Double.isNaN(alpha)) {
+      throw new IllegalArgumentException(
+        s"randgen skew_normal: scale ($scale) must be > 0")
+    }
+    val delta = alpha / math.sqrt(1.0 + alpha * alpha)
+    val u0 = nextGaussian(0.0, 1.0)
+    val v = nextGaussian(0.0, 1.0)
+    location + scale * (delta * math.abs(u0) +
+      math.sqrt(1.0 - delta * delta) * v)
+  }
+
+  /** Zeta(s), s > 1: unbounded power-law ranks, P(X = k) = k^-s / zeta(s)
+    * — the infinite-support sibling of [[nextZipf]] (vocabulary ranks,
+    * city sizes). Devroye's two-uniform rejection (Non-Uniform Random
+    * Variate Generation 1986, X.6.1), the algorithm `rand_distr::Zeta`
+    * uses; the expected iteration count is a small constant for s > 1.
+    * Draws whose inversion step overflows past 2^62 are rejected
+    * (tail mass < 2^-61 at s >= 2). */
+  def nextZeta(s: Double): Long = {
+    if (s <= 1.0 || java.lang.Double.isNaN(s)) {
+      throw new IllegalArgumentException(
+        s"randgen zeta: s ($s) must be > 1")
+    }
+    val b = math.pow(2.0, s - 1.0)
+    while (true) {
+      val u = nextDouble()
+      val v = nextDouble()
+      val x = math.floor(math.pow(u, -1.0 / (s - 1.0)))
+      if (x >= 1.0 && x <= 4.611686e18) { // reject u = 0 / overflow tail
+        val t = math.pow(1.0 + 1.0 / x, s - 1.0)
+        if (v * x * (t - 1.0) / (b - 1.0) <= t / b) return x.toLong
+      }
+    }
+    1L // unreachable
+  }
+
+  /** PERT(min, max, mode) — the smooth three-point estimate: a Beta with
+    * a = 1 + 4(mode-min)/(max-min), b = 1 + 4(max-mode)/(max-min) stretched
+    * onto [min, max]; mean is exactly (min + 4·mode + max)/6. The standard
+    * shape parameter is fixed at 4, as in `rand_distr::Pert::new`. */
+  def nextPert(min: Double, max: Double, mode: Double): Double = {
+    if (!(min < max) || !(mode > min) || !(mode < max)) {
+      throw new IllegalArgumentException(
+        s"randgen pert: need min < mode < max " +
+          s"(got min=$min, max=$max, mode=$mode)")
+    }
+    val range = max - min
+    val a = 1.0 + 4.0 * (mode - min) / range
+    val b = 1.0 + 4.0 * (max - mode) / range
+    min + range * nextBeta(a, b)
+  }
+
+  /** Dirichlet(alpha_1..alpha_k): a point on the probability simplex via
+    * the classic Gamma normalization — X_i ~ Gamma(alpha_i, 1), result
+    * X_i / ΣX_j. Marginals are Beta(alpha_i, alpha_0 - alpha_i); matches
+    * `rand_distr::Dirichlet`. Returns a fresh non-null double array (the
+    * mixture-weights / topic-proportions synthesizer). */
+  def nextDirichlet(
+      alphas: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = alphas.numElements()
+    if (k < 2) {
+      throw new IllegalArgumentException(
+        s"randgen dirichlet: need >= 2 concentration parameters (got $k)")
+    }
+    val out = new Array[Double](k)
+    var total = 0.0
+    var i = 0
+    while (i < k) {
+      if (alphas.isNullAt(i)) {
+        throw new IllegalArgumentException(
+          s"randgen dirichlet: alpha at index $i is null")
+      }
+      val a = alphas.getDouble(i)
+      if (a <= 0.0 || java.lang.Double.isNaN(a)) {
+        throw new IllegalArgumentException(
+          s"randgen dirichlet: alpha $a at index $i must be > 0")
+      }
+      val g = nextGamma(a, 1.0)
+      out(i) = g
+      total += g
+      i += 1
+    }
+    // total == 0 is possible only by underflow at tiny alphas; renormalize
+    // to the uniform simplex point rather than emit NaNs.
+    if (total <= 0.0) {
+      java.util.Arrays.fill(out, 1.0 / k)
+    } else {
+      i = 0
+      while (i < k) { out(i) /= total; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Uniform point on the surface of the unit (dim-1)-sphere in R^dim:
+    * dim i.i.d. standard normals normalized to length 1 (Muller 1959) —
+    * rotation-invariant by construction. dim = 2 is
+    * `rand_distr::UnitCircle`, dim = 3 `rand_distr::UnitSphere`; higher
+    * dim is the synthetic-embedding direction sampler. The all-zero draw
+    * (probability 0 up to rounding) is rejected and redrawn. */
+  def nextUnitVector(dim: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(unitDirection(dim))
+
+  /** Uniform point INSIDE the unit dim-ball: a [[nextUnitVector]] direction
+    * scaled by U^(1/dim), the radial CDF inverse of r^dim volume growth.
+    * dim = 2 is `rand_distr::UnitDisc`, dim = 3 `rand_distr::UnitBall`. */
+  def nextUnitBall(dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val v = unitDirection(dim)
+    val r = math.pow(nextDouble(), 1.0 / dim)
+    var i = 0
+    while (i < dim) { v(i) *= r; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+  }
+
+  private[this] def unitDirection(dim: Int): Array[Double] = {
+    if (dim < 1 || dim > 1 << 20) {
+      throw new IllegalArgumentException(
+        s"randgen unit vector: dim ($dim) must be in [1, 2^20]")
+    }
+    val v = new Array[Double](dim)
+    var norm2 = 0.0
+    while (norm2 <= 0.0) { // reject the measure-zero all-zero draw
+      var i = 0
+      while (i < dim) {
+        val g = nextGaussian(0.0, 1.0)
+        v(i) = g
+        norm2 += g * g
+        i += 1
+      }
+    }
+    val inv = 1.0 / math.sqrt(norm2)
+    var i = 0
+    while (i < dim) { v(i) *= inv; i += 1 }
+    v
+  }
+
   private[this] val alphanumChars: Array[Char] =
     ("abcdefghijklmnopqrstuvwxyz" +
       "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789").toCharArray

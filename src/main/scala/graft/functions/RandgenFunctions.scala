@@ -60,6 +60,18 @@ object RandgenFunctions {
       }
     }
 
+  private def arity3(name: String,
+      mk: (Expression, Expression, Expression, Long) => Expression)
+      : (String, Seq[Expression] => Expression) =
+    name -> { (args: Seq[Expression]) =>
+      args match {
+        case Seq(a, b, c) => mk(a, b, c, freshSeed())
+        case Seq(a, b, c, s) => mk(a, b, c, seedOf(name, s))
+        case _ => throw new IllegalArgumentException(
+          s"$name expects 3 arguments plus an optional seed, got ${args.length}")
+      }
+    }
+
   /** Name -> expression builder for every generator in the family. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     arity2("randgen_int64_uniform", RandgenInt64Uniform.apply),
@@ -87,6 +99,15 @@ object RandgenFunctions {
     arity1("randgen_float64_student_t", RandgenFloat64StudentT.apply),
     arity0("randgen_uuid", RandgenUuid.apply),
     arity2("randgen_choice_weighted", RandgenChoiceWeighted.apply),
+    arity2("randgen_float64_gumbel", RandgenFloat64Gumbel.apply),
+    arity2("randgen_float64_frechet", RandgenFloat64Frechet.apply),
+    arity2("randgen_float64_fisher_f", RandgenFloat64FisherF.apply),
+    arity2("randgen_float64_inverse_gaussian", RandgenFloat64InverseGaussian.apply),
+    arity2("randgen_int64_negative_binomial", RandgenInt64NegativeBinomial.apply),
+    arity3("randgen_float64_triangular", RandgenFloat64Triangular.apply),
+    arity3("randgen_int64_hypergeometric", RandgenInt64Hypergeometric.apply),
+    arity3("randgen_float64_skew_normal", RandgenFloat64SkewNormal.apply),
+    arity1("randgen_int64_zeta", RandgenInt64Zeta.apply),
   )
 
   /** Installs the whole family as temp functions in `spark`'s session. */
@@ -154,4 +175,26 @@ object RandgenFunctions {
   def randgen_uuid(seed: Long): Column = col(RandgenUuid(seed))
   def randgen_choice_weighted(arr: Column, weights: Column, seed: Long): Column =
     col(RandgenChoiceWeighted(ex(arr), ex(weights), seed))
+  def randgen_float64_gumbel(mu: Column, beta: Column, seed: Long): Column =
+    col(RandgenFloat64Gumbel(ex(mu), ex(beta), seed))
+  def randgen_float64_frechet(shape: Column, scale: Column, seed: Long): Column =
+    col(RandgenFloat64Frechet(ex(shape), ex(scale), seed))
+  def randgen_float64_fisher_f(d1: Column, d2: Column, seed: Long): Column =
+    col(RandgenFloat64FisherF(ex(d1), ex(d2), seed))
+  def randgen_float64_inverse_gaussian(mu: Column, lambda: Column,
+      seed: Long): Column =
+    col(RandgenFloat64InverseGaussian(ex(mu), ex(lambda), seed))
+  def randgen_int64_negative_binomial(r: Column, p: Column, seed: Long): Column =
+    col(RandgenInt64NegativeBinomial(ex(r), ex(p), seed))
+  def randgen_float64_triangular(min: Column, max: Column, mode: Column,
+      seed: Long): Column =
+    col(RandgenFloat64Triangular(ex(min), ex(max), ex(mode), seed))
+  def randgen_int64_hypergeometric(nTotal: Column, kSuccess: Column,
+      nDraws: Column, seed: Long): Column =
+    col(RandgenInt64Hypergeometric(ex(nTotal), ex(kSuccess), ex(nDraws), seed))
+  def randgen_float64_skew_normal(location: Column, scale: Column,
+      alpha: Column, seed: Long): Column =
+    col(RandgenFloat64SkewNormal(ex(location), ex(scale), ex(alpha), seed))
+  def randgen_int64_zeta(s: Column, seed: Long): Column =
+    col(RandgenInt64Zeta(ex(s), seed))
 }

@@ -98,6 +98,33 @@ trait RandgenUnary extends UnaryExpression with RandgenExpression
   }
 }
 
+/** Shared shape for three-argument generators. */
+trait RandgenTernary extends TernaryExpression with RandgenExpression
+    with ImplicitCastInputTypes {
+
+  protected def sample(a: Any, b: Any, c: Any): Any
+  protected def sampleCode(term: String, a: String, b: String, c: String): String
+
+  override protected def evalInternal(input: InternalRow): Any = {
+    val a = first.eval(input)
+    if (a == null) null
+    else {
+      val b = second.eval(input)
+      if (b == null) null
+      else {
+        val c = third.eval(input)
+        if (c == null) null else sample(a, b, c)
+      }
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val term = rngTerm(ctx)
+    nullSafeCodeGen(ctx, ev,
+      (a, b, c) => s"${ev.value} = ${sampleCode(term, a, b, c)};")
+  }
+}
+
 /**
  * `randgen_int64_uniform(min, max [, seed])` — discrete uniform on the
  * inclusive range [min, max]. The reference's sole operator
@@ -426,6 +453,145 @@ case class RandgenFloat64StudentT(child: Expression, seed: Long)
     rng.nextStudentT(a.asInstanceOf[Double])
   override protected def sampleCode(t: String, a: String): String =
     s"$t.nextStudentT($a)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `randgen_float64_gumbel(mu, beta [, seed])` — max-extreme-value law
+  * (block maxima); location mu, scale beta > 0. */
+case class RandgenFloat64Gumbel(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_gumbel"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextGumbel(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextGumbel($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_frechet(shape, scale [, seed])` — heavy-tailed
+  * max-extreme-value law; k-th moments exist only for k < shape. Location
+  * shifts are additive — apply in SQL. */
+case class RandgenFloat64Frechet(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_frechet"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextFrechet(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextFrechet($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_fisher_f(d1, d2 [, seed])` — variance-ratio law,
+  * (ChiSq(d1)/d1)/(ChiSq(d2)/d2). */
+case class RandgenFloat64FisherF(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_fisher_f"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextFisherF(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextFisherF($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_inverse_gaussian(mu, lambda [, seed])` — Wald
+  * first-passage-time law; mean mu, variance mu^3/lambda. */
+case class RandgenFloat64InverseGaussian(left: Expression, right: Expression,
+    seed: Long) extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_inverse_gaussian"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextInverseGaussian(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextInverseGaussian($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_int64_negative_binomial(r, p [, seed])` — failures before the
+  * r-th success (r real-valued via the Gamma–Poisson mixture):
+  * overdispersed count data. */
+case class RandgenInt64NegativeBinomial(left: Expression, right: Expression,
+    seed: Long) extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "randgen_int64_negative_binomial"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextNegativeBinomial(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextNegativeBinomial($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_float64_triangular(min, max, mode [, seed])` — bounded
+  * three-point estimate. */
+case class RandgenFloat64Triangular(first: Expression, second: Expression,
+    third: Expression, seed: Long) extends RandgenTernary {
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_triangular"
+  override protected def sample(a: Any, b: Any, c: Any): Any =
+    rng.nextTriangular(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String,
+      c: String): String = s"$t.nextTriangular($a, $b, $c)"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression) = copy(first = a, second = b, third = c)
+}
+
+/** `randgen_int64_hypergeometric(n_total, k_success, n_draws [, seed])` —
+  * successes in draws WITHOUT replacement. */
+case class RandgenInt64Hypergeometric(first: Expression, second: Expression,
+    third: Expression, seed: Long) extends RandgenTernary {
+  override def inputTypes = Seq(LongType, LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "randgen_int64_hypergeometric"
+  override protected def sample(a: Any, b: Any, c: Any): Any =
+    rng.nextHypergeometric(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long])
+  override protected def sampleCode(t: String, a: String, b: String,
+      c: String): String = s"$t.nextHypergeometric($a, $b, $c)"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression) = copy(first = a, second = b, third = c)
+}
+
+/** `randgen_float64_skew_normal(location, scale, alpha [, seed])` —
+  * Azzalini skew-normal; alpha = 0 degenerates to the normal. */
+case class RandgenFloat64SkewNormal(first: Expression, second: Expression,
+    third: Expression, seed: Long) extends RandgenTernary {
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_skew_normal"
+  override protected def sample(a: Any, b: Any, c: Any): Any =
+    rng.nextSkewNormal(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String,
+      c: String): String = s"$t.nextSkewNormal($a, $b, $c)"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression) = copy(first = a, second = b, third = c)
+}
+
+/** `randgen_int64_zeta(s [, seed])` — unbounded power-law rank,
+  * P(X = k) = k^-s / zeta(s); s > 1. */
+case class RandgenInt64Zeta(child: Expression, seed: Long)
+    extends RandgenUnary {
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "randgen_int64_zeta"
+  override protected def sample(a: Any): Any =
+    rng.nextZeta(a.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String): String =
+    s"$t.nextZeta($a)"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

@@ -259,6 +259,87 @@ object GeneratorQueries {
         |       CAST(abs(avg(x * x) - avg(x) * avg(x) - 1.333333) < 0.08 AS BOOLEAN) AS var_ok
         |FROM (SELECT randgen_float64_student_t(8.0, 97) AS x FROM range(1, 100001))
         |""".stripMargin) _,
+    // Gumbel(1, 2): mean = mu + beta*gamma_E ~ 2.154431 (sd = pi*beta/sqrt(6)
+    // = 2.565 -> se 0.0081; band 0.09 ~ 11 sigma), median = mu - beta*ln(ln 2)
+    // ~ 1.733026 (se ~ 0.0091; band 0.09).
+    "gen_float64_gumbel_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(abs(avg(x) - 2.154431) < 0.09 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(percentile(x, 0.5) - 1.733026) < 0.09 AS BOOLEAN) AS median_ok
+        |FROM (SELECT randgen_float64_gumbel(1.0, 2.0, 101) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // Frechet(shape 3, scale 2): support > 0; mean = 2*Gamma(2/3) ~ 2.708236
+    // (sd 1.839 -> se 0.0058; band 0.08 is ~13 sigma, wide because the
+    // third moment diverges at alpha = 3), median = 2*ln(2)^(-1/3) ~ 2.259895.
+    "gen_float64_frechet_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) > 0.0 AS BOOLEAN) AS positive,
+        |       CAST(abs(avg(x) - 2.708236) < 0.08 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(percentile(x, 0.5) - 2.259895) < 0.03 AS BOOLEAN) AS median_ok
+        |FROM (SELECT randgen_float64_frechet(3.0, 2.0, 103) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // F(6, 20): mean = d2/(d2-2) ~ 1.111111 (var 0.6173 -> se 0.0025;
+    // band 0.025 ~ 10 sigma); support > 0.
+    "gen_float64_fisher_f_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) > 0.0 AS BOOLEAN) AS positive,
+        |       CAST(abs(avg(x) - 1.111111) < 0.025 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT randgen_float64_fisher_f(6.0, 20.0, 107) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // InverseGaussian(2, 6): mean = mu = 2 (sd 1.155 -> se 0.0037; band
+    // 0.04), var = mu^3/lambda = 4/3 (excess kurtosis 15*mu/lambda = 5 ->
+    // se var 0.011; band 0.12); support > 0.
+    "gen_float64_inverse_gaussian_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) > 0.0 AS BOOLEAN) AS positive,
+        |       CAST(abs(avg(x) - 2.0) < 0.04 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(avg(x * x) - avg(x) * avg(x) - 1.333333) < 0.12 AS BOOLEAN) AS var_ok
+        |FROM (SELECT randgen_float64_inverse_gaussian(2.0, 6.0, 109) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // NegativeBinomial(5, 0.4): failures before the 5th success; mean =
+    // r(1-p)/p = 7.5 (var 18.75 -> se 0.0137; band 0.14 ~ 10 sigma).
+    "gen_int64_negative_binomial_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 0 AS BOOLEAN) AS nonneg,
+        |       CAST(abs(avg(x) - 7.5) < 0.14 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT randgen_int64_negative_binomial(5.0, 0.4, 113) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // Triangular(0, 10, mode 2): bounded support; mean = (a+b+c)/3 = 4
+    // (var 14/3 -> se 0.0068; band 0.07 ~ 10 sigma).
+    "gen_float64_triangular_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 0.0 AND max(x) <= 10.0 AS BOOLEAN) AS in_bounds,
+        |       CAST(abs(avg(x) - 4.0) < 0.07 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT randgen_float64_triangular(0.0, 10.0, 2.0, 127) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // Hypergeometric(N=50, K=20, n=10): successes without replacement;
+    // bounds [0, 10]; mean = nK/N = 4 (var = 1.9592 -> se 0.0044; band 0.05).
+    "gen_int64_hypergeometric_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 0 AND max(x) <= 10 AS BOOLEAN) AS in_bounds,
+        |       CAST(abs(avg(x) - 4.0) < 0.05 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT randgen_int64_hypergeometric(50, 20, 10, 131) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // SkewNormal(0, 1, alpha 4): delta = 4/sqrt(17); mean = delta*sqrt(2/pi)
+    // ~ 0.774062 (se 0.0020; band 0.02 ~ 10 sigma), var = 1 - 2 delta^2/pi
+    // ~ 0.400828 (se var ~ 0.0020; band 0.02).
+    "gen_float64_skew_normal_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(abs(avg(x) - 0.774062) < 0.02 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(avg(x * x) - avg(x) * avg(x) - 0.400828) < 0.02 AS BOOLEAN) AS var_ok
+        |FROM (SELECT randgen_float64_skew_normal(0.0, 1.0, 4.0, 137) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // Zeta(4): unbounded power-law rank; P(1) = 1/zeta(4) ~ 0.923938
+    // (se 0.00084; band 0.009 ~ 10 sigma), mean = zeta(3)/zeta(4)
+    // ~ 1.110627 (se 0.0017; band 0.017) — variance is finite at s = 4.
+    "gen_int64_zeta_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 1 AS BOOLEAN) AS support_ok,
+        |       CAST(abs(avg(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END) - 0.923938)
+        |            < 0.009 AS BOOLEAN) AS p1_ok,
+        |       CAST(abs(avg(x) - 1.110627) < 0.017 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT randgen_int64_zeta(4.0, 139) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
     // Relational child-table generation: parent (2000 rows) -> children
     // with Poisson(3) fan-out carrying the parent key. Properties:
     // referential integrity BY CONSTRUCTION (no orphan children), mean
@@ -463,6 +544,33 @@ object GeneratorQueries {
     "gen_float64_student_t_props" ->
       ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS median_ok, " +
         "TRUE AS mean_ok, TRUE AS var_ok"),
+    "gen_float64_gumbel_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS mean_ok, " +
+        "TRUE AS median_ok"),
+    "gen_float64_frechet_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS positive, " +
+        "TRUE AS mean_ok, TRUE AS median_ok"),
+    "gen_float64_fisher_f_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS positive, " +
+        "TRUE AS mean_ok"),
+    "gen_float64_inverse_gaussian_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS positive, " +
+        "TRUE AS mean_ok, TRUE AS var_ok"),
+    "gen_int64_negative_binomial_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS nonneg, " +
+        "TRUE AS mean_ok"),
+    "gen_float64_triangular_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS in_bounds, " +
+        "TRUE AS mean_ok"),
+    "gen_int64_hypergeometric_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS in_bounds, " +
+        "TRUE AS mean_ok"),
+    "gen_float64_skew_normal_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS mean_ok, " +
+        "TRUE AS var_ok"),
+    "gen_int64_zeta_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS support_ok, " +
+        "TRUE AS p1_ok, TRUE AS mean_ok"),
     "gen_tablegen_props" ->
       ("SELECT CAST(10000 AS BIGINT) AS n, CAST(10000 AS BIGINT) AS n_ids, " +
         "TRUE AS qty_ok, TRUE AS price_ok, TRUE AS seg_ok, TRUE AS total_ok"),

@@ -264,6 +264,166 @@ class DistributionShapeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](rng.nextStudentT(-1.0))
   }
 
+  test("gumbel cdf: exp(-exp(-(x-mu)/beta)) at the median and at mu") {
+    val rng = new GraftRandom(53L, 0)
+    // Gumbel(1, 2): F(median) = 1/2 at mu - beta ln ln 2; F(mu) = 1/e.
+    val median = 1.0 - 2.0 * math.log(math.log(2.0))
+    var bm = 0; var bmu = 0
+    (0 until N).foreach { _ =>
+      val x = rng.nextGumbel(1.0, 2.0)
+      if (x < median) bm += 1
+      if (x < 1.0) bmu += 1
+    }
+    assert(math.abs(bm.toDouble / N - 0.5) < 0.0035)
+    assert(math.abs(bmu.toDouble / N - math.exp(-1.0)) < 0.0035)
+    intercept[IllegalArgumentException](rng.nextGumbel(0.0, 0.0))
+  }
+
+  test("frechet cdf: exp(-(x/s)^-a) at the median and at the scale") {
+    val rng = new GraftRandom(59L, 0)
+    // Frechet(3, 2): F(median) = 1/2 at 2 (ln 2)^(-1/3); F(scale) = 1/e.
+    val median = 2.0 * math.pow(math.log(2.0), -1.0 / 3.0)
+    var bm = 0; var bs = 0
+    (0 until N).foreach { _ =>
+      val x = rng.nextFrechet(3.0, 2.0)
+      assert(x > 0.0)
+      if (x < median) bm += 1
+      if (x < 2.0) bs += 1
+    }
+    assert(math.abs(bm.toDouble / N - 0.5) < 0.0035)
+    assert(math.abs(bs.toDouble / N - math.exp(-1.0)) < 0.0035)
+    intercept[IllegalArgumentException](rng.nextFrechet(-3.0, 2.0))
+    intercept[IllegalArgumentException](rng.nextFrechet(3.0, 0.0))
+  }
+
+  test("fisher F(2,2) has the closed cdf x/(1+x); F(d,d) median is 1") {
+    val rng = new GraftRandom(61L, 0)
+    // F(2,2): F(x) = x/(1+x) — F(1) = 1/2, F(3) = 3/4.
+    var b1 = 0; var b3 = 0
+    (0 until N).foreach { _ =>
+      val x = rng.nextFisherF(2.0, 2.0)
+      assert(x > 0.0)
+      if (x < 1.0) b1 += 1
+      if (x < 3.0) b3 += 1
+    }
+    assert(math.abs(b1.toDouble / N - 0.5) < 0.0035)
+    assert(math.abs(b3.toDouble / N - 0.75) < 0.0035)
+    // Equal dfs are symmetric under X -> 1/X, so the median is exactly 1.
+    var m = 0
+    (0 until N).foreach(_ => if (rng.nextFisherF(7.0, 7.0) < 1.0) m += 1)
+    assert(math.abs(m.toDouble / N - 0.5) < 0.0035)
+    intercept[IllegalArgumentException](rng.nextFisherF(0.0, 2.0))
+  }
+
+  test("inverse gaussian(2, 6) moments: mean mu, var mu^3/lambda") {
+    val rng = new GraftRandom(67L, 0)
+    var s = 0.0; var s2 = 0.0
+    (0 until N).foreach { _ =>
+      val x = rng.nextInverseGaussian(2.0, 6.0)
+      assert(x > 0.0)
+      s += x; s2 += x * x
+    }
+    val mean = s / N
+    val v = s2 / N - mean * mean
+    assert(math.abs(mean - 2.0) < 0.008, s"IG mean: $mean") // se 0.0012, ~7 sigma
+    assert(math.abs(v - 4.0 / 3.0) < 0.025, s"IG var: $v") // se var 0.0035
+    intercept[IllegalArgumentException](rng.nextInverseGaussian(0.0, 6.0))
+    intercept[IllegalArgumentException](rng.nextInverseGaussian(2.0, -1.0))
+  }
+
+  test("negative binomial(3, 1/2) pmf: C(k+2,k)/2^(k+3) at k = 0..2") {
+    val rng = new GraftRandom(71L, 0)
+    val counts = new Array[Int](3)
+    (0 until N).foreach { _ =>
+      val k = rng.nextNegativeBinomial(3.0, 0.5)
+      assert(k >= 0L)
+      if (k < 3) counts(k.toInt) += 1
+    }
+    assert(math.abs(counts(0).toDouble / N - 0.125) < 0.0035)
+    assert(math.abs(counts(1).toDouble / N - 0.1875) < 0.0035)
+    assert(math.abs(counts(2).toDouble / N - 0.1875) < 0.0035)
+    assert(rng.nextNegativeBinomial(5.0, 1.0) == 0L) // p = 1: no failures
+    intercept[IllegalArgumentException](rng.nextNegativeBinomial(0.0, 0.5))
+    intercept[IllegalArgumentException](rng.nextNegativeBinomial(3.0, 1.5))
+  }
+
+  test("triangular(0, 10, 2) cdf: x^2/20 below the mode, 1-(10-x)^2/80 above") {
+    val rng = new GraftRandom(73L, 0)
+    var b2 = 0; var b5 = 0
+    (0 until N).foreach { _ =>
+      val x = rng.nextTriangular(0.0, 10.0, 2.0)
+      assert(x >= 0.0 && x <= 10.0)
+      if (x < 2.0) b2 += 1
+      if (x < 5.0) b5 += 1
+    }
+    assert(math.abs(b2.toDouble / N - 0.2) < 0.0035) // F(mode) = fc
+    assert(math.abs(b5.toDouble / N - 0.6875) < 0.0035)
+    intercept[IllegalArgumentException](rng.nextTriangular(1.0, 1.0, 1.0))
+    intercept[IllegalArgumentException](rng.nextTriangular(0.0, 10.0, 11.0))
+  }
+
+  test("hypergeometric(10, 4, 5) exact pmf; degenerate urns are deterministic") {
+    val rng = new GraftRandom(79L, 0)
+    // P(X = k) = C(4,k) C(6,5-k)/C(10,5), C(10,5) = 252.
+    val pmf = Array(6.0, 60.0, 120.0, 60.0, 6.0).map(_ / 252.0)
+    val counts = new Array[Int](5)
+    (0 until N).foreach { _ =>
+      val k = rng.nextHypergeometric(10L, 4L, 5L)
+      assert(k >= 0L && k <= 4L)
+      counts(k.toInt) += 1
+    }
+    (0 to 4).foreach { k =>
+      assert(math.abs(counts(k).toDouble / N - pmf(k)) < 0.0035,
+        s"hypergeometric p($k)")
+    }
+    assert(rng.nextHypergeometric(7L, 7L, 3L) == 3L) // all successes
+    assert(rng.nextHypergeometric(7L, 0L, 3L) == 0L) // no successes
+    assert(rng.nextHypergeometric(7L, 4L, 7L) == 4L) // exhaustive draw
+    intercept[IllegalArgumentException](rng.nextHypergeometric(5L, 6L, 2L))
+    intercept[IllegalArgumentException](rng.nextHypergeometric(5L, 2L, 6L))
+  }
+
+  test("skew normal: alpha 0 is normal; alpha -> inf is half-normal; mean closed form") {
+    val rng = new GraftRandom(83L, 0)
+    // alpha = 0 degenerates to N(0, 1): 68% within 1 sigma.
+    var in1 = 0
+    (0 until N).foreach { _ =>
+      if (math.abs(rng.nextSkewNormal(0.0, 1.0, 0.0)) < 1.0) in1 += 1
+    }
+    assert(math.abs(in1.toDouble / N - 0.682689) < 0.0035)
+    // alpha = 1e9: delta ~ 1, so X ~ |Z|: P(X < 1) = 0.682689.
+    var h1 = 0
+    (0 until N).foreach { _ =>
+      val x = rng.nextSkewNormal(0.0, 1.0, 1e9)
+      assert(x > -1e-6)
+      if (x < 1.0) h1 += 1
+    }
+    assert(math.abs(h1.toDouble / N - 0.682689) < 0.0035)
+    // alpha = 4: mean = delta sqrt(2/pi), delta = 4/sqrt(17).
+    var s = 0.0
+    (0 until N).foreach(_ => s += rng.nextSkewNormal(0.0, 1.0, 4.0))
+    val expectedMean = (4.0 / math.sqrt(17.0)) * math.sqrt(2.0 / math.Pi)
+    assert(math.abs(s / N - expectedMean) < 0.004) // se 0.00063, ~6 sigma
+    intercept[IllegalArgumentException](rng.nextSkewNormal(0.0, 0.0, 1.0))
+  }
+
+  test("zeta(3) pmf: k^-3/zeta(3) at k = 1..3") {
+    val rng = new GraftRandom(89L, 0)
+    val zeta3 = 1.2020569031595943
+    val counts = new Array[Int](4)
+    (0 until N).foreach { _ =>
+      val k = rng.nextZeta(3.0)
+      assert(k >= 1L)
+      if (k < 4) counts(k.toInt) += 1
+    }
+    (1 to 3).foreach { k =>
+      val expected = math.pow(k.toDouble, -3.0) / zeta3
+      assert(math.abs(counts(k).toDouble / N - expected) < 0.0035,
+        s"zeta p($k): got ${counts(k).toDouble / N} expected $expected")
+    }
+    intercept[IllegalArgumentException](rng.nextZeta(1.0))
+  }
+
   test("uuid stream has version/variant bits fixed and no short-range repeats") {
     val rng = new GraftRandom(31L, 0)
     val seen = new java.util.HashSet[String]
