@@ -619,8 +619,27 @@ final class GraftRandom(seed: Long, partitionIndex: Int) {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
   }
 
+  /** NormalInverseGaussian(alpha, beta) — the standard (mu = 0, delta = 1)
+    * NIG law, matching `rand_distr::NormalInverseGaussian::new(alpha, beta)`:
+    * tail heaviness alpha > 0, asymmetry |beta| < alpha. Sampled as the
+    * classic normal variance-mean mixture: Z ~ IG(1/gamma, 1) with
+    * gamma = sqrt(alpha^2 - beta^2), X = beta*Z + sqrt(Z)*N(0,1) — rides
+    * [[nextInverseGaussian]] + [[nextGaussian]]. Mean beta/gamma, variance
+    * alpha^2/gamma^3; location/scale shifts (mu, delta) are affine — apply
+    * in SQL. */
+  def nextNormalInverseGaussian(alpha: Double, beta: Double): Double = {
+    if (!(alpha > 0.0) || !(math.abs(beta) < alpha)) {
+      throw new IllegalArgumentException(
+        s"randgen normal inverse gaussian: need alpha > 0 and |beta| < alpha " +
+          s"(got alpha=$alpha, beta=$beta)")
+    }
+    val gamma = math.sqrt(alpha * alpha - beta * beta)
+    val z = nextInverseGaussian(1.0 / gamma, 1.0)
+    beta * z + math.sqrt(z) * nextGaussian(0.0, 1.0)
+  }
+
   private[this] def unitDirection(dim: Int): Array[Double] = {
-    if (dim < 1 || dim > 1 << 20) {
+    if (dim < 1 || dim > (1 << 20)) {
       throw new IllegalArgumentException(
         s"randgen unit vector: dim ($dim) must be in [1, 2^20]")
     }
