@@ -23,18 +23,38 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val boards = run(spark, sfDir, outDir, only)
+    spark.stop()
+    // A run that produced ZERO result boards is a broken run, never a
+    // green one — fail loudly instead of leaving an empty artifact the
+    // driver could mistake for "nothing to check" (round-10 postmortem:
+    // CORRECTNESS_r10.json was silently `{}`).
+    if (boards == 0) {
+      System.err.println("[verify] FATAL: 0 result boards written " +
+        "(empty query map or filter matched nothing) - exiting nonzero")
+      sys.exit(1)
+    }
+  }
+
+  /** Dumps every matching query board + oracle/errors/run_info JSON;
+    * returns the number of result boards successfully written. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Seq[String]]): Int = {
     new java.io.File(outDir).mkdirs()
     // A query that throws must show up on the board as a red entry, not
     // silently vanish (in round 7 a fixture-schema crash made 66 gates
     // disappear from the report). Record every failure in errors.json.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var written = 0
     SparkEntry.queries
       .filter { case (name, _) =>
         only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        written += 1
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
@@ -71,6 +91,6 @@ object Verify {
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))
-    spark.stop()
+    written
   }
 }

@@ -108,6 +108,11 @@ object RandgenFunctions {
     arity3("randgen_int64_hypergeometric", RandgenInt64Hypergeometric.apply),
     arity3("randgen_float64_skew_normal", RandgenFloat64SkewNormal.apply),
     arity1("randgen_int64_zeta", RandgenInt64Zeta.apply),
+    arity3("randgen_float64_pert", RandgenFloat64Pert.apply),
+    arity2("randgen_float64_nig", RandgenFloat64Nig.apply),
+    arity1("randgen_array_dirichlet", RandgenArrayDirichlet.apply),
+    arity1("randgen_array_unit_vector", RandgenArrayUnitVector.apply),
+    arity1("randgen_array_unit_ball", RandgenArrayUnitBall.apply),
   )
 
   /** Installs the whole family as temp functions in `spark`'s session. */
@@ -197,4 +202,15 @@ object RandgenFunctions {
     col(RandgenFloat64SkewNormal(ex(location), ex(scale), ex(alpha), seed))
   def randgen_int64_zeta(s: Column, seed: Long): Column =
     col(RandgenInt64Zeta(ex(s), seed))
+  def randgen_float64_pert(min: Column, max: Column, mode: Column,
+      seed: Long): Column =
+    col(RandgenFloat64Pert(ex(min), ex(max), ex(mode), seed))
+  def randgen_float64_nig(alpha: Column, beta: Column, seed: Long): Column =
+    col(RandgenFloat64Nig(ex(alpha), ex(beta), seed))
+  def randgen_array_dirichlet(alphas: Column, seed: Long): Column =
+    col(RandgenArrayDirichlet(ex(alphas), seed))
+  def randgen_array_unit_vector(dim: Column, seed: Long): Column =
+    col(RandgenArrayUnitVector(ex(dim), seed))
+  def randgen_array_unit_ball(dim: Column, seed: Long): Column =
+    col(RandgenArrayUnitBall(ex(dim), seed))
 }

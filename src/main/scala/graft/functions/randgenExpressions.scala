@@ -595,6 +595,90 @@ case class RandgenInt64Zeta(child: Expression, seed: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `randgen_float64_pert(min, max, mode [, seed])` — the smooth three-point
+  * estimate (`rand_distr::Pert::new`, shape fixed at 4): a stretched
+  * Beta(1 + 4(mode-min)/range, 1 + 4(max-mode)/range) with mean exactly
+  * (min + 4·mode + max)/6. Fails fast unless min < mode < max. */
+case class RandgenFloat64Pert(first: Expression, second: Expression,
+    third: Expression, seed: Long) extends RandgenTernary {
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_pert"
+  override protected def sample(a: Any, b: Any, c: Any): Any =
+    rng.nextPert(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String,
+      c: String): String = s"$t.nextPert($a, $b, $c)"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression) = copy(first = a, second = b, third = c)
+}
+
+/** `randgen_float64_nig(alpha, beta [, seed])` — NormalInverseGaussian with
+  * tail alpha > 0, asymmetry |beta| < alpha (standard mu = 0, delta = 1, as
+  * `rand_distr::NormalInverseGaussian::new`); affine shifts go in SQL.
+  * Completes the `rand_distr 0.5` surface
+  * (`/root/reference/Cargo.toml:15`). */
+case class RandgenFloat64Nig(left: Expression, right: Expression, seed: Long)
+    extends RandgenBinary {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "randgen_float64_nig"
+  override protected def sample(a: Any, b: Any): Any =
+    rng.nextNormalInverseGaussian(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def sampleCode(t: String, a: String, b: String): String =
+    s"$t.nextNormalInverseGaussian($a, $b)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `randgen_array_dirichlet(alphas [, seed])` — point on the probability
+  * simplex, Gamma-normalization sampling (`rand_distr::Dirichlet`); the
+  * mixture-weights / topic-proportions generator. Element i has a
+  * Beta(alpha_i, alpha_0 - alpha_i) marginal; components sum to 1. */
+case class RandgenArrayDirichlet(child: Expression, seed: Long)
+    extends RandgenUnary {
+  override def inputTypes = Seq(ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "randgen_array_dirichlet"
+  override protected def sample(a: Any): Any =
+    rng.nextDirichlet(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def sampleCode(t: String, a: String): String =
+    s"$t.nextDirichlet($a)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `randgen_array_unit_vector(dim [, seed])` — uniform direction on the
+  * unit (dim-1)-sphere (normalized i.i.d. gaussians, Muller 1959);
+  * dim 2/3 are `rand_distr::UnitCircle`/`UnitSphere`, higher dim is the
+  * synthetic-embedding direction sampler. */
+case class RandgenArrayUnitVector(child: Expression, seed: Long)
+    extends RandgenUnary {
+  override def inputTypes = Seq(IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "randgen_array_unit_vector"
+  override protected def sample(a: Any): Any =
+    rng.nextUnitVector(a.asInstanceOf[Int])
+  override protected def sampleCode(t: String, a: String): String =
+    s"$t.nextUnitVector($a)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `randgen_array_unit_ball(dim [, seed])` — uniform point INSIDE the unit
+  * dim-ball (direction scaled by U^(1/dim)); dim 2/3 are
+  * `rand_distr::UnitDisc`/`UnitBall`. */
+case class RandgenArrayUnitBall(child: Expression, seed: Long)
+    extends RandgenUnary {
+  override def inputTypes = Seq(IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "randgen_array_unit_ball"
+  override protected def sample(a: Any): Any =
+    rng.nextUnitBall(a.asInstanceOf[Int])
+  override protected def sampleCode(t: String, a: String): String =
+    s"$t.nextUnitBall($a)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `randgen_uuid([seed])` — RFC 4122 v4-format UUID string, drawn from the
   * seeded per-partition stream (reproducible + retry-stable, unlike
   * java.util.UUID.randomUUID). Zero-argument leaf generator. */

@@ -340,6 +340,64 @@ object GeneratorQueries {
         |       CAST(abs(avg(x) - 1.110627) < 0.017 AS BOOLEAN) AS mean_ok
         |FROM (SELECT randgen_int64_zeta(4.0, 139) AS x FROM range(1, 100001))
         |""".stripMargin) _,
+    // PERT(2, 10, mode 4): Beta(2, 4) stretched onto [2, 10]; mean =
+    // (min + 4*mode + max)/6 = 28/6 ~ 4.666667 (var 64*8/(36*7) ~ 2.0317,
+    // sd 1.4254 -> se 0.0045; band 0.05 ~ 11 sigma); bounded support.
+    "gen_float64_pert_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(min(x) >= 2.0 AND max(x) <= 10.0 AS BOOLEAN) AS in_bounds,
+        |       CAST(abs(avg(x) - 4.666667) < 0.05 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT randgen_float64_pert(2.0, 10.0, 4.0, 149) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // NormalInverseGaussian(alpha 3, beta 1): gamma = sqrt(8); mean =
+    // beta/gamma ~ 0.353553 (se 0.0020; band 0.02 ~ 10 sigma), var =
+    // alpha^2/gamma^3 ~ 0.397748 (excess kurtosis ~ 1.532 -> se var
+    // 0.0024; band 0.025).
+    "gen_float64_nig_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(abs(avg(x) - 0.353553) < 0.02 AS BOOLEAN) AS mean_ok,
+        |       CAST(abs(avg(x * x) - avg(x) * avg(x) - 0.397748) < 0.025
+        |            AS BOOLEAN) AS var_ok
+        |FROM (SELECT randgen_float64_nig(3.0, 1.0, 151) AS x FROM range(1, 100001))
+        |""".stripMargin) _,
+    // Dirichlet(2, 3, 5): simplex point — components sum to 1 exactly
+    // (per-row assert), marginal means alpha_i/alpha_0 = .2/.3/.5
+    // (Beta marginal se ~ 0.0004-0.0005; bands 0.004-0.005 ~ 10 sigma),
+    // every component strictly inside (0, 1).
+    "gen_dirichlet_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(max(abs(x1 + x2 + x3 - 1.0)) < 1e-9 AS BOOLEAN) AS sum_ok,
+        |       CAST(min(least(x1, x2, x3)) > 0.0 AND
+        |            max(greatest(x1, x2, x3)) < 1.0 AS BOOLEAN) AS in_bounds,
+        |       CAST(abs(avg(x1) - 0.2) < 0.004 AND abs(avg(x2) - 0.3) < 0.005
+        |            AND abs(avg(x3) - 0.5) < 0.005 AS BOOLEAN) AS means_ok
+        |FROM (SELECT element_at(v, 1) AS x1, element_at(v, 2) AS x2,
+        |             element_at(v, 3) AS x3
+        |      FROM (SELECT randgen_array_dirichlet(array(2.0D, 3.0D, 5.0D), 157) AS v
+        |            FROM range(1, 100001)))
+        |""".stripMargin) _,
+    // Unit sphere S^3 (dim 4) + unit 3-ball: vector norm is 1 up to fp
+    // (per-row assert); component mean 0 (se 0.0016; band 0.016) and
+    // E[x^2] = 1/d = 0.25 (se 0.0008; band 0.008) — rotation invariance
+    // in expectation; ball radius^2 has E = d/(d+2) = 3/5 (se 0.00083;
+    // band 0.008) and never exceeds 1.
+    "gen_unit_vector_props" -> sql(
+      """SELECT count(*) AS n,
+        |       CAST(max(abs(v1*v1 + v2*v2 + v3*v3 + v4*v4 - 1.0)) < 1e-9
+        |            AS BOOLEAN) AS norm_ok,
+        |       CAST(abs(avg(v1)) < 0.016 AND abs(avg(v1*v1) - 0.25) < 0.008
+        |            AS BOOLEAN) AS component_ok,
+        |       CAST(max(w1*w1 + w2*w2 + w3*w3) <= 1.0 AND
+        |            abs(avg(w1*w1 + w2*w2 + w3*w3) - 0.6) < 0.008
+        |            AS BOOLEAN) AS ball_ok
+        |FROM (SELECT element_at(v, 1) AS v1, element_at(v, 2) AS v2,
+        |             element_at(v, 3) AS v3, element_at(v, 4) AS v4,
+        |             element_at(w, 1) AS w1, element_at(w, 2) AS w2,
+        |             element_at(w, 3) AS w3
+        |      FROM (SELECT randgen_array_unit_vector(4, 163) AS v,
+        |                   randgen_array_unit_ball(3, 167) AS w
+        |            FROM range(1, 100001)))
+        |""".stripMargin) _,
     // Relational child-table generation: parent (2000 rows) -> children
     // with Poisson(3) fan-out carrying the parent key. Properties:
     // referential integrity BY CONSTRUCTION (no orphan children), mean
@@ -571,6 +629,18 @@ object GeneratorQueries {
     "gen_int64_zeta_props" ->
       ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS support_ok, " +
         "TRUE AS p1_ok, TRUE AS mean_ok"),
+    "gen_float64_pert_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS in_bounds, " +
+        "TRUE AS mean_ok"),
+    "gen_float64_nig_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS mean_ok, " +
+        "TRUE AS var_ok"),
+    "gen_dirichlet_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS sum_ok, " +
+        "TRUE AS in_bounds, TRUE AS means_ok"),
+    "gen_unit_vector_props" ->
+      ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS norm_ok, " +
+        "TRUE AS component_ok, TRUE AS ball_ok"),
     "gen_tablegen_props" ->
       ("SELECT CAST(10000 AS BIGINT) AS n, CAST(10000 AS BIGINT) AS n_ids, " +
         "TRUE AS qty_ok, TRUE AS price_ok, TRUE AS seg_ok, TRUE AS total_ok"),

@@ -424,6 +424,120 @@ class DistributionShapeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](rng.nextZeta(1.0))
   }
 
+  test("pert: symmetric case has median at the mode; mean is (min+4m+max)/6") {
+    val rng = new GraftRandom(41L, 0)
+    // PERT(0, 1, 0.5) is Beta(3, 3): median = mean = 0.5.
+    var below = 0; var s = 0.0
+    (0 until N).foreach { _ =>
+      val x = rng.nextPert(0.0, 1.0, 0.5)
+      assert(x >= 0.0 && x <= 1.0)
+      if (x < 0.5) below += 1
+      s += x
+    }
+    assert(math.abs(below.toDouble / N - 0.5) < 0.0035)
+    assert(math.abs(s / N - 0.5) < 0.002) // se 0.00019, ~10 sigma
+    // Asymmetric PERT(2, 10, 4): mean = (2 + 16 + 10)/6.
+    var s2 = 0.0
+    (0 until N).foreach(_ => s2 += rng.nextPert(2.0, 10.0, 4.0))
+    assert(math.abs(s2 / N - 28.0 / 6.0) < 0.015) // se 0.0014, ~10 sigma
+    intercept[IllegalArgumentException](rng.nextPert(0.0, 1.0, 0.0))
+    intercept[IllegalArgumentException](rng.nextPert(0.0, 1.0, 1.0))
+    intercept[IllegalArgumentException](rng.nextPert(1.0, 0.0, 0.5))
+  }
+
+  test("dirichlet(2,3,5): rows sum to 1; Beta(a_i, a_0-a_i) marginal moments") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rng = new GraftRandom(43L, 0)
+    val alphas = new GenericArrayData(Array(2.0, 3.0, 5.0))
+    val n = 200000
+    val sums = new Array[Double](3)
+    val sqs = new Array[Double](3)
+    (0 until n).foreach { _ =>
+      val v = rng.nextDirichlet(alphas)
+      var total = 0.0
+      (0 until 3).foreach { i =>
+        val x = v.getDouble(i)
+        assert(x > 0.0 && x < 1.0)
+        total += x
+        sums(i) += x
+        sqs(i) += x * x
+      }
+      assert(math.abs(total - 1.0) < 1e-9)
+    }
+    // Marginal means alpha_i/10; marginal vars a_i(10-a_i)/(100*11).
+    val wantMean = Array(0.2, 0.3, 0.5)
+    val wantVar = Array(2.0 * 8, 3.0 * 7, 5.0 * 5).map(_ / 1100.0)
+    (0 until 3).foreach { i =>
+      val m = sums(i) / n
+      assert(math.abs(m - wantMean(i)) < 0.003, s"dirichlet mean $i: $m")
+      val v = sqs(i) / n - m * m
+      assert(math.abs(v - wantVar(i)) < 0.001, s"dirichlet var $i: $v")
+    }
+    intercept[IllegalArgumentException](
+      rng.nextDirichlet(new GenericArrayData(Array(2.0))))
+    intercept[IllegalArgumentException](
+      rng.nextDirichlet(new GenericArrayData(Array(2.0, 0.0))))
+    intercept[IllegalArgumentException](
+      rng.nextDirichlet(new GenericArrayData(Array(2.0, -1.0, 3.0))))
+  }
+
+  test("unit vector: norm 1; S^2 z-coordinate is uniform; dim 1 is a sign") {
+    val rng = new GraftRandom(47L, 0)
+    // Archimedes: on S^2 each coordinate is uniform on [-1, 1].
+    var zAbove = 0
+    val n = 500000
+    (0 until n).foreach { _ =>
+      val v = rng.nextUnitVector(3)
+      val norm2 = (0 until 3).map(i => v.getDouble(i)).map(x => x * x).sum
+      assert(math.abs(norm2 - 1.0) < 1e-9)
+      if (v.getDouble(2) > 0.5) zAbove += 1
+    }
+    assert(math.abs(zAbove.toDouble / n - 0.25) < 0.0035)
+    (0 until 100).foreach { _ =>
+      val v = rng.nextUnitVector(1)
+      assert(math.abs(math.abs(v.getDouble(0)) - 1.0) < 1e-12)
+    }
+    intercept[IllegalArgumentException](rng.nextUnitVector(0))
+    intercept[IllegalArgumentException](rng.nextUnitVector((1 << 20) + 1))
+  }
+
+  test("unit ball: radius^dim is uniform (P(r < t) = t^dim); norm <= 1") {
+    val rng = new GraftRandom(53L, 0)
+    var below = 0
+    val n = 500000
+    (0 until n).foreach { _ =>
+      val v = rng.nextUnitBall(3)
+      val r = math.sqrt((0 until 3).map(i => v.getDouble(i)).map(x => x * x).sum)
+      assert(r <= 1.0 + 1e-12)
+      if (r < 0.5) below += 1
+    }
+    assert(math.abs(below.toDouble / n - 0.125) < 0.0035)
+  }
+
+  test("normal inverse gaussian: symmetric beta=0 is centered; moments match") {
+    val rng = new GraftRandom(59L, 0)
+    // NIG(alpha 3, beta 1): gamma = sqrt(8); mean = beta/gamma,
+    // var = alpha^2/gamma^3.
+    val gamma = math.sqrt(8.0)
+    var s = 0.0; var sq = 0.0
+    (0 until N).foreach { _ =>
+      val x = rng.nextNormalInverseGaussian(3.0, 1.0)
+      s += x; sq += x * x
+    }
+    val mean = s / N
+    assert(math.abs(mean - 1.0 / gamma) < 0.006) // se 0.00063, ~10 sigma
+    assert(math.abs((sq / N - mean * mean) - 9.0 / math.pow(gamma, 3)) < 0.008)
+    // beta = 0 is symmetric around 0: P(X < 0) = 1/2.
+    var neg = 0
+    (0 until N).foreach { _ =>
+      if (rng.nextNormalInverseGaussian(2.0, 0.0) < 0.0) neg += 1
+    }
+    assert(math.abs(neg.toDouble / N - 0.5) < 0.0035)
+    intercept[IllegalArgumentException](rng.nextNormalInverseGaussian(0.0, 0.0))
+    intercept[IllegalArgumentException](rng.nextNormalInverseGaussian(2.0, 2.0))
+    intercept[IllegalArgumentException](rng.nextNormalInverseGaussian(2.0, -2.5))
+  }
+
   test("uuid stream has version/variant bits fixed and no short-range repeats") {
     val rng = new GraftRandom(31L, 0)
     val seen = new java.util.HashSet[String]
