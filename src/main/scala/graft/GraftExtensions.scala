@@ -95,6 +95,49 @@ object GraftExtensions {
     * operator's logical plan verbatim, so every scale property
     * (bucketing, hot-bucket split, broadcast shapes) carries over to the
     * SQL surface unchanged. */
+  /** LRU-bounded memo of TVF-trained Markov models. Key = (table, col,
+    * file-set fingerprint): `inputFiles` enumerates every backing file
+    * (driver-side metadata, no scan), and the on-disk snapshot hash
+    * folds each path's name/size/mtime — data replaced under the same
+    * table name changes the fingerprint and re-trains. Bounded at 4
+    * models; each model is a capped driver sketch (maxVocab × maxFanout),
+    * so the cache's worst case is a few MB. */
+  private val markovCache =
+    new java.util.LinkedHashMap[String, graft.operators.TextGen.MarkovModel](
+        8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, graft.operators.TextGen.MarkovModel])
+          : Boolean = size() > 4
+    }
+
+  private def markovModelFor(spark: SparkSession, tableName: String,
+      textCol: String, docs: org.apache.spark.sql.DataFrame)
+      : graft.operators.TextGen.MarkovModel = {
+    val files = docs.inputFiles
+    if (files.isEmpty) {
+      // No file-backed fingerprint (temp view over generated data, etc.)
+      // — no safe staleness signal, so train fresh every resolution.
+      return graft.operators.TextGen.trainBigrams(docs, textCol)
+    }
+    val fp = files.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = try {
+        val s = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p)
+        s"${s.getLen}:${s.getModificationTime}"
+      } catch { case _: java.io.IOException => "?" }
+      s"$f@$st"
+    }.mkString("|").hashCode
+    val key = s"$tableName#$textCol#$fp"
+    markovCache.synchronized {
+      val hit = markovCache.get(key)
+      if (hit != null) return hit
+    }
+    val model = graft.operators.TextGen.trainBigrams(docs, textCol)
+    markovCache.synchronized { markovCache.put(key, model) }
+    model
+  }
+
   val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_minhash_neardup" -> { (args: Seq[Expression]) =>
       val fn = "graft_minhash_neardup"
@@ -121,20 +164,24 @@ object GraftExtensions {
     // SELECT * FROM graft_markov_text('documents', 'text', 2000, 97, 30)
     // Trains the bigram model during resolution (bounded driver sketch)
     // and expands to the seeded-walk generation plan: (gen_id, text).
-    // COST NOTE: unlike the auto-LSH precedent's metadata-cheap count(),
-    // training is corpus-linear (explode + two keyed counts) and runs
-    // PER RESOLUTION — an EXPLAIN followed by the run trains twice. No
-    // cache on purpose: a model keyed by table name would silently go
-    // stale when the view is replaced. Train once via the Scala API
-    // (TextGen.trainBigrams + generate) when resolving repeatedly.
+    // Training is corpus-linear (explode + two keyed counts), so unlike
+    // the auto-LSH precedent's metadata-cheap count() a per-resolution
+    // retrain is real money — EXPLAIN-then-run would train twice.
+    // Models memoize keyed by (table, textCol, CURRENT FILE SET): the
+    // fingerprint covers path/size/mtime of every backing file, so
+    // replacing the data re-trains while a re-resolution of unchanged
+    // data hits the cache. Non-file-backed relations (in-memory views,
+    // generators) have no stable fingerprint and retrain every time —
+    // train once via the Scala API (trainBigrams + generate) there.
     "graft_markov_text" -> { (args: Seq[Expression]) =>
       val fn = "graft_markov_text"
       require(args.length == 5,
         s"$fn expects (table, textCol, rows, seed, len), got ${args.length} args")
       val spark = SparkSession.active
-      val model = graft.operators.TextGen.trainBigrams(
-        spark.table(strArg(fn, "table", args(0))),
-        strArg(fn, "textCol", args(1)))
+      val tableName = strArg(fn, "table", args(0))
+      val textCol = strArg(fn, "textCol", args(1))
+      val docs = spark.table(tableName)
+      val model = markovModelFor(spark, tableName, textCol, docs)
       graft.operators.TextGen.generate(spark, model,
           lngArg(fn, "rows", args(2)), lngArg(fn, "seed", args(3)),
           intArg(fn, "len", args(4)))

@@ -212,7 +212,16 @@ object QueryFuzz {
     case TLong | TInt => s"(abs(CAST($alias AS BIGINT)) % $Prime)"
     case TDouble => s"(abs(CAST(FLOOR($alias * 100) AS BIGINT)) % $Prime)"
     case TString =>
+      // First + second + last char code points, not just the first: a
+      // divergence that preserves first char and length (broken
+      // UPPER/LOWER on cased values, wrong middle chars from SUBSTR)
+      // must still flip the digest. greatest(length, 1) keeps the
+      // last-char probe off position 0, where the dialects' substr
+      // semantics differ ('' on DuckDB, first char on Spark).
       s"((CAST(ascii($alias) AS BIGINT) * 131 + " +
+        s"CAST(ascii(substr($alias, 2, 1)) AS BIGINT) * 37 + " +
+        s"CAST(ascii(substr($alias, greatest(length($alias), 1), 1)) " +
+        s"AS BIGINT) * 17 + " +
         s"CAST(length($alias) AS BIGINT) * 7) % $Prime)"
     case TTs =>
       s"((CAST(EXTRACT(YEAR FROM $alias) AS BIGINT) * 372 + " +

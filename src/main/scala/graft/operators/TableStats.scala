@@ -149,7 +149,15 @@ object TableStats {
    * extra 1-row aggregate over the same scan.
    */
   def columnCorrelationsAuto(df: DataFrame, cols: Seq[String],
-      maxScale: Double = 10000.0): DataFrame = {
+      maxScale: Double = 10000.0): DataFrame =
+    columnCorrelations(df, cols, deriveCorrelationScale(df, cols, maxScale))
+
+  /** The scale-derivation pass of [[columnCorrelationsAuto]], exposed so
+    * a caller pinning an oracle to a specific resolved scale can assert
+    * the resolution (and fail with the real cause, not a downstream
+    * value mismatch). One 1-row aggregate over the projected columns. */
+  def deriveCorrelationScale(df: DataFrame, cols: Seq[String],
+      maxScale: Double = 10000.0): Double = {
     require(cols.size >= 2, "columnCorrelationsAuto: at least two columns")
     val mAggs = Seq(count(lit(1)).as("__n")) ++
       cols.map(c => max(abs(col(c).cast("double"))).as(s"__m_$c"))
@@ -175,7 +183,7 @@ object TableStats {
         s"fixed-point levels at the derived scale $scale — the column " +
         "magnitudes are too far apart for one shared scale; normalize " +
         "(standardize) the columns first")
-    columnCorrelations(df, cols, scale)
+    scale
   }
 
   /**

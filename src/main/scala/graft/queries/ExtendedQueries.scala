@@ -102,9 +102,18 @@ object ExtendedQueries {
     // static mirror would report a spurious mismatch — re-derive the
     // oracle at that scale, as sim_lsh_neardup_auto's did.
     "diag_column_corr_auto" -> { (s, dir) =>
-      graft.operators.TableStats.columnCorrelationsAuto(
-        Tables.load(s, dir, "lineitem"),
-        Seq("l_quantity", "l_discount", "l_tax"))
+      val li = Tables.load(s, dir, "lineitem")
+      val cs = Seq("l_quantity", "l_discount", "l_tax")
+      // The static oracle mirror bakes the 10^4 scale the derivation
+      // resolves to at every verify fixture through ~sf3. Assert the
+      // resolution itself so a larger fixture fails HERE with the real
+      // cause, not downstream as a spurious value mismatch.
+      val derived = graft.operators.TableStats.deriveCorrelationScale(li, cs)
+      require(derived == 10000.0,
+        s"diag_column_corr_auto: oracle pinned to derived scale 10^4; " +
+          s"this fixture derives $derived - re-derive oracleSqlFixedCorr " +
+          "at that scale")
+      graft.operators.TableStats.columnCorrelations(li, cs, derived)
     },
     // Distribution-drift pre-admission check: PSI + binned KS between
     // the first and second half of the events window over fixed value

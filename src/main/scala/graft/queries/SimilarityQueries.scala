@@ -254,6 +254,16 @@ object SimilarityQueries {
     // (3 planes x 2 tables, spec-pinned), and the refilter.
     "text_decontaminate_semantic" -> { (s, dir) =>
       val e = emb(s, dir)
+      // The DuckDB oracle bakes in the auto-LSH config RESOLVED AT THE
+      // 500-ROW FIXTURE (semConfig). Running this gate against any
+      // other corpus size would auto-dial a different (planes, tables)
+      // on the Spark side only — fail here with the real cause instead
+      // of surfacing as a mysterious hash mismatch.
+      val corpusRows = e.count()
+      require(corpusRows == 500L,
+        s"text_decontaminate_semantic: oracle pinned to the 500-row " +
+          s"embeddings fixture (auto-dial -> ${SemPlanes}x$SemTables); " +
+          s"got $corpusRows rows - re-derive semConfig for this fixture")
       val evalSet = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("eval_id"),
           transform(col("embedding"),

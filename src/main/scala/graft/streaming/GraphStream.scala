@@ -44,7 +44,7 @@ object GraphStream {
       retainVersions: Int = 3): DataFrame = {
     val last = foldPairCounts(spark, streamDir, schema, stateDir, okCol,
       sCol, retainVersions, _ => ())
-    directedView(spark.read.parquet(s"$stateDir/pc_v$last"))
+    directedView(spark.read.parquet(s"$stateDir/pc2_v$last"))
   }
 
   /** The co-occurrence graph is undirected, so the persisted state keeps
@@ -58,9 +58,16 @@ object GraphStream {
         col("cnt")))
 
   /** The shared membership + pair-count fold; `afterBatch(id)` runs at
-    * the end of each micro-batch (after pc_v{id+1}/os_v{id+1} land) so
+    * the end of each micro-batch (after pc2_v{id+1}/os_v{id+1} land) so
     * derived state chains — e.g. the rank fold — version in lockstep.
-    * Returns the final version id. */
+    * Returns the final version id.
+    *
+    * State-format note: the pair-count schema changed in r10 from
+    * directed (src, dst, cnt) to undirected (a, b, cnt) with 2x-different
+    * count semantics; the version prefix is `pc2_v` (was `pc_v`) so a
+    * stale directed-era state directory is simply not found and the fold
+    * rebuilds from v0, instead of unionByName failing mid-merge on the
+    * old columns. */
   private def foldPairCounts(spark: SparkSession, streamDir: String,
       schema: StructType, stateDir: String, okCol: String, sCol: String,
       retainVersions: Int, afterBatch: Long => Unit): Long = {
@@ -70,13 +77,13 @@ object GraphStream {
     Seq.empty[(Long, Long)].toDF("ok", "s")
       .write.mode("overwrite").parquet(s"$stateDir/os_v0")
     Seq.empty[(Long, Long, Long)].toDF("a", "b", "cnt")
-      .write.mode("overwrite").parquet(s"$stateDir/pc_v0")
+      .write.mode("overwrite").parquet(s"$stateDir/pc2_v0")
     @volatile var last = 0L
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
     EventStream.runForeachBatch(spark, stream, (batch, id) => {
       val members = spark.read.parquet(s"$stateDir/os_v$id")
-      val counts = spark.read.parquet(s"$stateDir/pc_v$id")
+      val counts = spark.read.parquet(s"$stateDir/pc2_v$id")
       val incoming = batch
         .select(col(okCol).cast("long").as("ok"), col(sCol).cast("long").as("s"))
         .distinct()
@@ -101,11 +108,11 @@ object GraphStream {
         .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
       counts.unionByName(delta)
         .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
-        .write.mode("overwrite").parquet(s"$stateDir/pc_v${id + 1}")
+        .write.mode("overwrite").parquet(s"$stateDir/pc2_v${id + 1}")
       members.unionByName(fresh)
         .write.mode("overwrite").parquet(s"$stateDir/os_v${id + 1}")
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = "os_v")
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pc_v")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pc2_v")
       afterBatch(id)
       last = id + 1
     })
@@ -158,7 +165,7 @@ object GraphStream {
           if ((id + 1) % refreshEvery != 0) prev // fold-only batch
           else {
             val counts =
-              directedView(spark.read.parquet(s"$stateDir/pc_v${id + 1}"))
+              directedView(spark.read.parquet(s"$stateDir/pc2_v${id + 1}"))
             val edges = topKEdges(counts, k)
             if (prev.isEmpty)
               graft.operators.Graph.pagerank(edges, coldIters, scale)

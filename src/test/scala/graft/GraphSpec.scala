@@ -133,7 +133,7 @@ class GraphSpec extends GraftSuite {
     assert(streamed == batch, "folded edges must equal the batch computation")
     // Retention: only the newest versions of each chain remain.
     val kept = new java.io.File(s"$root/state").listFiles().map(_.getName)
-    assert(kept.count(_.startsWith("pc_v")) <= 3 &&
+    assert(kept.count(_.startsWith("pc2_v")) <= 3 &&
       kept.count(_.startsWith("os_v")) <= 3, kept.mkString(","))
   }
 
