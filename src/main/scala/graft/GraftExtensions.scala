@@ -110,6 +110,17 @@ object GraftExtensions {
           : Boolean = size() > 4
     }
 
+  /** Training events since JVM start — a test hook: MarkovCacheSpec
+    * asserts hit-on-unchanged (count stays flat across re-resolutions)
+    * and retrain-on-replace (count bumps after the backing files
+    * change). Incremented only on the TVF path, never by direct
+    * `TextGen.trainBigrams` calls. */
+  private[graft] val markovTrainCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def markovCacheReset(): Unit =
+    markovCache.synchronized { markovCache.clear() }
+
   private def markovModelFor(spark: SparkSession, tableName: String,
       textCol: String, docs: org.apache.spark.sql.DataFrame)
       : graft.operators.TextGen.MarkovModel = {
@@ -117,9 +128,17 @@ object GraftExtensions {
     if (files.isEmpty) {
       // No file-backed fingerprint (temp view over generated data, etc.)
       // — no safe staleness signal, so train fresh every resolution.
+      markovTrainCount.incrementAndGet()
       return graft.operators.TextGen.trainBigrams(docs, textCol)
     }
-    val fp = files.sorted.map { f =>
+    // Full cryptographic digest of the file-set snapshot (count + each
+    // path@size:mtime). A 32-bit String.hashCode here would make a
+    // collision — or a same-name/same-size overwrite within mtime
+    // granularity colliding with a stale entry — serve an outdated
+    // model silently; SHA-256 of the joined string leaves only the
+    // mtime-granularity window, which is inherent to metadata-only
+    // fingerprints and documented on the TVF.
+    val snapshot = files.length.toString + "|" + files.sorted.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       val st = try {
         val s = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -127,12 +146,16 @@ object GraftExtensions {
         s"${s.getLen}:${s.getModificationTime}"
       } catch { case _: java.io.IOException => "?" }
       s"$f@$st"
-    }.mkString("|").hashCode
+    }.mkString("|")
+    val fp = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(snapshot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     val key = s"$tableName#$textCol#$fp"
     markovCache.synchronized {
       val hit = markovCache.get(key)
       if (hit != null) return hit
     }
+    markovTrainCount.incrementAndGet()
     val model = graft.operators.TextGen.trainBigrams(docs, textCol)
     markovCache.synchronized { markovCache.put(key, model) }
     model

@@ -139,7 +139,8 @@ object QueryFuzz {
   private val shapeNames = Seq("scan_filter", "fk_join", "group_agg",
     "case_bucket", "union_all", "in_subquery", "chain_join",
     "scalar_subquery", "left_join", "window_rank", "exists_semi",
-    "global_agg", "string_funcs", "event_time")
+    "global_agg", "string_funcs", "event_time", "grouping_sets",
+    "setop_all", "range_frame", "lateral_fanout", "decimal_arith")
 
   case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 28)
 
@@ -150,6 +151,11 @@ object QueryFuzz {
 
   private def fmt2(x: Double): String = {
     val b = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    b.bigDecimal.toPlainString
+  }
+
+  private def fmt4(x: Double): String = {
+    val b = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     b.bigDecimal.toPlainString
   }
 
@@ -252,7 +258,7 @@ object QueryFuzz {
     picked.toSeq.zipWithIndex.map { case (c, i) => (c, s"c${i + 1}") }
   }
 
-  // ---- the fourteen shapes ----
+  // ---- the nineteen shapes ----
 
   private def genOne(id: Int, r: Rng): Generated = {
     val shape = id % shapeNames.size
@@ -400,7 +406,7 @@ object QueryFuzz {
           s"\n  CAST(LENGTH(${sc.name}) AS BIGINT) AS c3" +
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
           Seq(("c1", TString), ("c2", TString), ("c3", TLong)))
-      case _ => // events time-bucket aggregate (non-TPC-H table: real
+      case 13 => // events time-bucket aggregate (non-TPC-H table: real
         // time-of-day timestamps, SF-growing key domain via modulo)
         val gExpr = r.choose(Seq(
           "CAST(EXTRACT(DAY FROM ts) AS BIGINT)",
@@ -411,6 +417,129 @@ object QueryFuzz {
           s"\n  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS c3" +
           s"\nFROM events\nWHERE ${pred(events, r)}\nGROUP BY 1",
           Seq(("c1", gType), ("c2", TLong), ("c3", TLong)))
+      case 14 => // ROLLUP / CUBE / GROUPING SETS + GROUPING()
+        // disambiguation: super-aggregate rows carry NULL group keys,
+        // and the GROUPING bitmask is the only thing separating them
+        // from a genuine NULL group — exactly the semantics engines
+        // get subtly wrong (Spark's Expand vs DuckDB's grouping-set
+        // re-aggregation must agree row-for-row).
+        // Dialect note (campaign-caught divergence, r12): over EMPTY
+        // input, ANSI's empty grouping set () is a global aggregate and
+        // yields one COUNT=0 row (DuckDB, Postgres); Spark's
+        // Expand+groupBy lowering yields ZERO rows. HAVING COUNT(*) > 0
+        // is a no-op on every non-empty grouping-set row (all count
+        // >= 1) and aligns only the empty-input case, keeping the
+        // rollup/bitmask semantics under test.
+        val groupable = (t: FTable) => t.cols.filter(c =>
+          (c.t == TString && c.values.nonEmpty) ||
+            (c.t == TInt && c.hi > c.lo))
+        val t = r.choose(allTables.filter(t => groupable(t).size >= 2))
+        val pool = groupable(t)
+        val g1 = r.choose(pool)
+        val g2 = r.choose(pool.filterNot(_ == g1))
+        val spec = r.choose(Seq(
+          s"ROLLUP(${g1.name}, ${g2.name})",
+          s"CUBE(${g1.name}, ${g2.name})",
+          s"GROUPING SETS ((${g1.name}, ${g2.name}), (${g1.name}), ())"))
+        (s"SELECT ${g1.name} AS c1, ${g2.name} AS c2,\n" +
+          s"  CAST(GROUPING(${g1.name}) * 2 + GROUPING(${g2.name})" +
+          s" AS BIGINT) AS c3,\n" +
+          s"  CAST(COUNT(*) AS BIGINT) AS c4" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}\nGROUP BY $spec" +
+          s"\nHAVING COUNT(*) > 0",
+          Seq(("c1", g1.t), ("c2", g2.t), ("c3", TLong), ("c4", TLong)))
+      case 15 => // INTERSECT ALL / EXCEPT ALL bag semantics: projections
+        // are deliberately low-cardinality (string domain × key modulo)
+        // so real duplicate multiplicities flow through the set op —
+        // an engine that dedups like DISTINCT-set-ops flips n_rows.
+        val t = r.choose(allTables.filter(_.cols.exists(c =>
+          c.t == TString && c.values.nonEmpty)))
+        val sc = r.choose(t.cols.filter(c =>
+          c.t == TString && c.values.nonEmpty))
+        val m = 2 + r.nextInt(5)
+        val op = r.choose(Seq("INTERSECT ALL", "EXCEPT ALL"))
+        (s"SELECT ${sc.name} AS c1, CAST(${t.key} % $m AS BIGINT) AS c2" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}" +
+          s"\n$op\nSELECT ${sc.name}, CAST(${t.key} % $m AS BIGINT)" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
+          Seq(("c1", TString), ("c2", TLong)))
+      case 16 => // RANGE window frame: value-based bounds include ALL
+        // peers of the frame edge (unlike ROWS), so the result is
+        // deterministic even on a non-unique order key — the frame
+        // boundary arithmetic (offset PRECEDING on a BIGINT order key)
+        // is what's under test.
+        val t = r.choose(allTables)
+        val partExpr = t.cols.find(c =>
+          c.t == TString && c.values.nonEmpty) match {
+            case Some(sc) if r.chance(0.5) => sc.name
+            case _ => s"(${t.key} % ${2 + r.nextInt(5)})"
+          }
+        val nums = t.cols.filter(c => c.t == TDouble && c.hi > c.lo)
+        val sumExpr =
+          if (nums.nonEmpty)
+            s"CAST(FLOOR(${r.choose(nums).name} * 100) AS BIGINT)"
+          else "CAST(1 AS BIGINT)"
+        val frame =
+          if (r.chance(0.5))
+            s"RANGE BETWEEN ${100 + r.nextInt(5000)} PRECEDING AND CURRENT ROW"
+          else "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        val ps = proj(t, r, 2)
+        (s"SELECT ${ps.map { case (c, a) => s"${c.name} AS $a" }.mkString(", ")},\n" +
+          s"  CAST(SUM($sumExpr) OVER (PARTITION BY $partExpr" +
+          s" ORDER BY ${t.key}\n    $frame) AS BIGINT) AS c3" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
+          ps.map { case (c, a) => (a, c.t) } :+ (("c3", TLong)))
+      case 17 => // LATERAL / explode: either a correlated LATERAL
+        // aggregate in FROM (per-parent child fold, empty set => NULL
+        // through the digest sentinel), or a data-dependent fan-out
+        // join against an inline numbers table — the portable spelling
+        // of explode(sequence(1, 1 + key % m)).
+        // Dialect note (campaign-caught divergence, r12): comma-LATERAL
+        // over a correlated scalar aggregate DROPS empty-group parents
+        // on DuckDB 1.0 (decorrelates to an inner join), while Spark
+        // keeps them with NULL per ANSI one-row-aggregate semantics.
+        // LEFT JOIN LATERAL ... ON TRUE agrees on both engines (and
+        // with the scalar-subquery form), so the grammar emits that.
+        if (r.chance(0.5)) {
+          val e = r.choose(edges)
+          val pp = proj(e.parent, r, 2)
+          val agg = r.choose(Seq("COUNT(*)", s"MAX(${e.childKey})"))
+          (s"SELECT ${pp.map { case (c, a) => s"${c.name} AS $a" }.mkString(", ")}, lx.c3" +
+            s"\nFROM ${e.parent.name} LEFT JOIN LATERAL (SELECT CAST($agg AS BIGINT) AS c3" +
+            s"\n  FROM ${e.child.name} WHERE ${e.childKey} = ${e.parentKey}" +
+            s" AND (${pred(e.child, r)})) lx ON TRUE" +
+            s"\nWHERE ${pred(e.parent, r)}",
+            pp.map { case (c, a) => (a, c.t) } :+ (("c3", TLong)))
+        } else {
+          val t = r.choose(allTables)
+          val ps = proj(t, r, 2)
+          val m = 2 + r.nextInt(3) // fan-out 1..m, m <= 4
+          (s"SELECT ${ps.map { case (c, a) => s"${c.name} AS $a" }.mkString(", ")}, d.i AS c3" +
+            s"\nFROM ${t.name}" +
+            s"\nJOIN (SELECT CAST(1 AS BIGINT) AS i UNION ALL SELECT 2" +
+            s" UNION ALL SELECT 3 UNION ALL SELECT 4) d" +
+            s"\n  ON d.i <= 1 + (${t.key} % $m)" +
+            s"\nWHERE ${pred(t, r)}",
+            ps.map { case (c, a) => (a, c.t) } :+ (("c3", TLong)))
+        }
+      case _ => // DECIMAL arithmetic: double -> DECIMAL(18,2) cast,
+        // decimal × decimal precision propagation (27,6 — under 38, so
+        // neither engine hits precision-loss paths), ROUND half-up at
+        // scale 2, exact integer cents out. Columns restricted to
+        // non-negative domains so HALF_UP == round-half-away on both.
+        val t = r.choose(allTables.filter(_.cols.exists(c =>
+          c.t == TDouble && c.lo >= 0 && c.hi > c.lo)))
+        val c = r.choose(t.cols.filter(c =>
+          c.t == TDouble && c.lo >= 0 && c.hi > c.lo))
+        val factor = fmt4(0.5 + r.nextDouble())
+        val gm = 2 + r.nextInt(7)
+        (s"SELECT CAST(${t.key} % $gm AS BIGINT) AS c1," +
+          s" CAST(COUNT(*) AS BIGINT) AS c2,\n" +
+          s"  CAST(SUM(CAST(ROUND(CAST(${c.name} AS DECIMAL(18,2)) *" +
+          s" CAST($factor AS DECIMAL(8,4)), 2) * 100 AS BIGINT))" +
+          s" AS BIGINT) AS c3" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}\nGROUP BY 1",
+          Seq(("c1", TLong), ("c2", TLong), ("c3", TLong)))
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

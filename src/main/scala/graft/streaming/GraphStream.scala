@@ -74,6 +74,17 @@ object GraphStream {
     require(retainVersions >= 2,
       "incrementalPairCounts: retainVersions >= 2 (current + replay anchor)")
     import spark.implicits._
+    // One-time migration sweep: a stateDir written by the directed-era
+    // fold still holds pc_v* directories that the pc2_v vacuum never
+    // touches — without this they orphan and accumulate forever.
+    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("pc_v\\d+"))
+      .foreach { legacy =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(legacy)
+      }
     Seq.empty[(Long, Long)].toDF("ok", "s")
       .write.mode("overwrite").parquet(s"$stateDir/os_v0")
     Seq.empty[(Long, Long, Long)].toDF("a", "b", "cnt")

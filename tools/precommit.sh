@@ -17,9 +17,11 @@
 set -euo pipefail
 cd "$(git rev-parse --show-toplevel)"
 echo "[precommit] sbt Test/compile ..." >&2
-if ! sbt -batch Test/compile > /tmp/precommit_compile.log 2>&1; then
+log=$(mktemp /tmp/precommit_compile.XXXXXX)
+trap 'rm -f "$log"' EXIT
+if ! sbt -batch Test/compile > "$log" 2>&1; then
   echo "[precommit] COMPILE FAILED - commit blocked. Tail of log:" >&2
-  tail -20 /tmp/precommit_compile.log >&2
+  tail -20 "$log" >&2
   exit 1
 fi
 echo "[precommit] compile green" >&2
