@@ -437,6 +437,43 @@ object GeneratorQueries {
         .toDF("n_positive_ok", "ref_ok", "fanout_mean_ok", "seq_ok",
           "qty_ok", "reproducible")
     },
+    // Generator ∘ ANN composition, half 1: TableGen + unit-vector noise +
+    // a driver Dirichlet draw synthesize a clustered embedding corpus
+    // with PLANTED ground truth. Properties: exact n, float-exact unit
+    // norms, all 8 planted clusters hit, every cluster's mean alignment
+    // with its own centroid near the closed-form 1/sqrt(1+noise^2)
+    // (= 0.857 at noise 0.6; gate at 0.8), observed mixture within 4
+    // sigma of the planted Dirichlet weights, and bit-reproducibility
+    // under the seed.
+    "gen_synthetic_embeddings" -> { (spark: SparkSession, _: String) =>
+      import org.apache.spark.sql.functions._
+      val (k, dim, seed) = (8, 32, 1205L)
+      val cents = graft.operators.SyntheticEmbeddings.centroids(k, dim, seed)
+      val w = graft.operators.SyntheticEmbeddings
+        .mixtureWeights(k, 2.0, seed ^ 0x5D1E7AL)
+      def build() = graft.operators.SyntheticEmbeddings
+        .clustered(spark, 4096L, k, dim, seed, 0.6)
+      val corpus = build().cache()
+      val reproducible =
+        build().exceptAll(corpus).count() == 0 &&
+          corpus.exceptAll(build()).count() == 0
+      val obs = corpus.groupBy("cluster").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toDouble / 4096).toMap
+      val weightsOk = (0 until k).forall(i =>
+        math.abs(obs.getOrElse(i.toLong, 0.0) - w(i)) < 0.03)
+      graft.operators.SyntheticEmbeddings.centroidAlignment(corpus, cents)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("cn"), avg(col("align")).as("ca"),
+          max(abs(sqrt(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))) - 1.0))
+            .as("ne"))
+        .agg(sum(col("cn")).cast("long").as("n"),
+          (count(lit(1)) === k).as("clusters_ok"),
+          (max(col("ne")) < 1e-6).as("norm_ok"),
+          (min(col("ca")) > 0.8).as("align_ok"),
+          lit(weightsOk).as("weights_ok"),
+          lit(reproducible).as("reproducible"))
+    },
     // TableGen: schema-driven whole-table generation (the reference's stated
     // purpose, Cargo.toml:5) — deterministic under seed, properties constant.
     "gen_tablegen_props" -> { (spark: SparkSession, _: String) =>
@@ -641,6 +678,10 @@ object GeneratorQueries {
     "gen_unit_vector_props" ->
       ("SELECT CAST(100000 AS BIGINT) AS n, TRUE AS norm_ok, " +
         "TRUE AS component_ok, TRUE AS ball_ok"),
+    "gen_synthetic_embeddings" ->
+      ("SELECT CAST(4096 AS BIGINT) AS n, TRUE AS clusters_ok, " +
+        "TRUE AS norm_ok, TRUE AS align_ok, TRUE AS weights_ok, " +
+        "TRUE AS reproducible"),
     "gen_tablegen_props" ->
       ("SELECT CAST(10000 AS BIGINT) AS n, CAST(10000 AS BIGINT) AS n_ids, " +
         "TRUE AS qty_ok, TRUE AS price_ok, TRUE AS seg_ok, TRUE AS total_ok"),

@@ -50,7 +50,11 @@ class PlanAuditSpec extends GraftSuite {
     // columnStats combines its 1-row min/max/nulls aggregate with the
     // 1-row exact-NDV aggregate via a constant-size broadcast (the
     // DISTINCT aggregates run in their own job to avoid the Expand plan).
-    "diag_table_stats", "diag_table_stats_approx")
+    "diag_table_stats", "diag_table_stats_approx",
+    // The lateral_fanout fuzz shape joins a 4-row inline numbers table
+    // on d.i <= expr — the portable explode spelling; the broadcast
+    // side is constant-size (4 rows) at any corpus scale.
+    "fuzz_sql_differential")
 
   // Streaming queries plan at runtime; generator-only queries scan nothing.
   private val skip = Set("stream_hourly", "stream_dedup_pairs",
