@@ -107,7 +107,15 @@ object Bench {
       "\"" + k + "\":[" + v.map(t => f"$t%.4f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"n_runs":$nRuns,"sf":"$sfDir"}""")
+    // Machine-load context: bench totals swing ±10-15% between same-code
+    // runs purely from host contention (adjudicated r8 and r11). Recording
+    // loadavg + core count + JVM memory at run end makes the next
+    // environment-vs-code call mechanical instead of forensic.
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val load = f"""{"loadavg_1m":${os.getSystemLoadAverage}%.2f,""" +
+      s""""available_processors":${os.getAvailableProcessors},""" +
+      s""""jvm_max_mem_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"n_runs":$nRuns,"sf":"$sfDir","load":$load}""")
     spark.stop()
   }
 }
