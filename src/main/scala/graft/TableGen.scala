@@ -56,6 +56,13 @@ object Gen {
   case class ChoiceWeighted(values: Seq[Any], weights: Seq[Double]) extends Gen
   /** RFC 4122 v4-format UUID strings (seeded, reproducible). */
   case object Uuid extends Gen
+  /** Uniform direction on the unit (dim−1)-sphere as ARRAY<DOUBLE> — the
+    * spec-level door to synthetic embedding columns (see also
+    * [[graft.operators.SyntheticEmbeddings]] for planted-cluster corpora). */
+  case class ArrayUnitVector(dim: Int) extends Gen
+  /** One Dirichlet(alphas) draw per row (a point on the simplex) as
+    * ARRAY<DOUBLE> — per-row mixture weights / topic proportions. */
+  case class ArrayDirichlet(alphas: Seq[Double]) extends Gen
   /** Null injection: `inner`'s value, replaced by NULL with probability
     * pNull — the realistic-messy-data knob every synthetic schema needs. */
   case class Nullable(inner: Gen, pNull: Double) extends Gen
@@ -307,6 +314,11 @@ object TableGen {
         org.apache.spark.sql.functions.array(values.map(lit): _*),
         org.apache.spark.sql.functions.array(weights.map(lit): _*), seed)
     case Gen.Uuid => randgen_uuid(seed)
+    case Gen.ArrayUnitVector(dim) =>
+      randgen_array_unit_vector(lit(dim), seed)
+    case Gen.ArrayDirichlet(alphas) =>
+      randgen_array_dirichlet(
+        org.apache.spark.sql.functions.array(alphas.map(lit): _*), seed)
     case Gen.Nullable(inner, p) =>
       // The null gate draws from a decorrelated stream so it doesn't
       // perturb the inner generator's sequence.

@@ -124,6 +124,23 @@ object Similarity {
     val n = emb.count()
     val (numPlanes, numTables) =
       lshAutoConfig(n, threshold, targetOccupancy, recall, maxTables)
+    // Budget-saturation diagnostic (measured r12, SCALE_overrides_r12):
+    // when `maxTables` caps planes below the occupancy target, bucket
+    // occupancy — and with it per-bucket pair work — grows with n
+    // instead of staying flat (sf3→sf10 exponent 1.27 under the default
+    // 128-table budget vs 0.92-0.95 while the dial still tracked n).
+    // Memory stays bounded either way (hot-bucket salting); this warns
+    // that TIME has left the occupancy-flat regime and names the dial.
+    if (numPlanes < planesForOccupancy(n, targetOccupancy)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshNearDuplicatesAuto: maxTables=$maxTables budget caps planes " +
+          s"at $numPlanes (occupancy target wants " +
+          s"${planesForOccupancy(n, targetOccupancy)} at n=$n) - expected " +
+          s"bucket occupancy ~${n >> numPlanes} exceeds target " +
+          s"$targetOccupancy, so candidate-pair work grows super-linearly " +
+          "from here; raise maxTables (higher index cost) or the " +
+          "threshold to restore occupancy-flat scaling")
+    }
     lshNearDuplicates(emb, idCol, vecCol, threshold, numTables, numPlanes,
       seed, dim, maxBucket)
   }

@@ -130,4 +130,18 @@ class TableGenSpec extends GraftSuite {
       "min(bi) >= 0 AND max(bi) <= 40 AS bi_ok").collect()(0)
     (0 until 8).foreach(i => assert(r.getBoolean(i), s"field $i"))
   }
+
+  test("array specs map through the Gen ADT: unit vectors and Dirichlet") {
+    val df = TableGen.table(spark, 5000L, seed = 31L,
+      "v" -> Gen.ArrayUnitVector(8),
+      "w" -> Gen.ArrayDirichlet(Seq(2.0, 3.0, 5.0)))
+    val r = df.selectExpr(
+      "max(abs(aggregate(v, 0D, (a, x) -> a + x * x) - 1.0)) < 1e-9 AS v_norm_ok",
+      "min(size(v)) = 8 AND max(size(v)) = 8 AS v_dim_ok",
+      "max(abs(aggregate(w, 0D, (a, x) -> a + x) - 1.0)) < 1e-9 AS w_sum_ok",
+      // Dirichlet marginal mean: alpha_i / sum(alpha) = 0.2, 0.3, 0.5.
+      "abs(avg(element_at(w, 1)) - 0.2) < 0.02 AS w_m1_ok",
+      "abs(avg(element_at(w, 3)) - 0.5) < 0.02 AS w_m3_ok").collect()(0)
+    (0 until 5).foreach(i => assert(r.getBoolean(i), s"field $i"))
+  }
 }
