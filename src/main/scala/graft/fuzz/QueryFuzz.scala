@@ -140,7 +140,8 @@ object QueryFuzz {
     "case_bucket", "union_all", "in_subquery", "chain_join",
     "scalar_subquery", "left_join", "window_rank", "exists_semi",
     "global_agg", "string_funcs", "event_time", "grouping_sets",
-    "setop_all", "range_frame", "lateral_fanout", "decimal_arith")
+    "setop_all", "range_frame", "lateral_fanout", "decimal_arith",
+    "agg_filter", "full_outer", "cte_reuse", "limit_offset")
 
   case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 28)
 
@@ -522,7 +523,7 @@ object QueryFuzz {
             s"\nWHERE ${pred(t, r)}",
             ps.map { case (c, a) => (a, c.t) } :+ (("c3", TLong)))
         }
-      case _ => // DECIMAL arithmetic: double -> DECIMAL(18,2) cast,
+      case 18 => // DECIMAL arithmetic: double -> DECIMAL(18,2) cast,
         // decimal × decimal precision propagation (27,6 — under 38, so
         // neither engine hits precision-loss paths), ROUND half-up at
         // scale 2, exact integer cents out. Columns restricted to
@@ -540,6 +541,72 @@ object QueryFuzz {
           s" AS BIGINT) AS c3" +
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}\nGROUP BY 1",
           Seq(("c1", TLong), ("c2", TLong), ("c3", TLong)))
+      case 19 => // aggregate FILTER (WHERE): per-aggregate predicates on
+        // top of the group's WHERE — COUNT FILTER must stay 0 (never
+        // NULL) on empty groups while SUM FILTER goes NULL (through the
+        // digest sentinel); an engine that conflates the two, or that
+        // leaks the FILTER predicate into the other aggregates, flips
+        // c2/c3 against c4's unfiltered control count.
+        val t = r.choose(allTables)
+        val num = r.choose(t.cols.filter(c => c.t == TDouble && c.hi > c.lo))
+        val m = 2 + r.nextInt(7)
+        (s"SELECT CAST(${t.key} % $m AS BIGINT) AS c1," +
+          s"\n  CAST(COUNT(*) FILTER (WHERE ${atom(t, r)}) AS BIGINT) AS c2," +
+          s"\n  CAST(SUM(CAST(FLOOR(${num.name} * 100) AS BIGINT))" +
+          s" FILTER (WHERE ${atom(t, r)}) AS BIGINT) AS c3," +
+          s"\n  CAST(COUNT(*) AS BIGINT) AS c4" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}\nGROUP BY 1",
+          Seq(("c1", TLong), ("c2", TLong), ("c3", TLong), ("c4", TLong)))
+      case 20 => // FULL OUTER join of two INDEPENDENTLY filtered sides of
+        // an FK edge: the child filter strands parents (child-side
+        // nulls), the parent filter strands children (parent-side
+        // nulls), and both null shapes must flow through the digest
+        // sentinels — the row count alone distinguishes full-outer from
+        // left/right/inner lowering.
+        val e = r.choose(edges)
+        val cp = proj(e.child, r, 2)
+        val pp = proj(e.parent, r, 1).map { case (c, _) => (c, "c3") }
+        (s"SELECT ${(cp ++ pp).map { case (c, a) => s"${c.name} AS $a" }
+            .mkString(", ")}" +
+          s"\nFROM (SELECT * FROM ${e.child.name} WHERE ${pred(e.child, r)}) fc" +
+          s"\nFULL OUTER JOIN (SELECT * FROM ${e.parent.name}" +
+          s" WHERE ${pred(e.parent, r)}) fp" +
+          s"\n  ON fc.${e.childKey} = fp.${e.parentKey}",
+          (cp ++ pp).map { case (c, a) => (a, c.t) })
+      case 21 => // WITH-clause reuse: one filtered base CTE consumed by
+        // TWO independent aggregations joined back on the group key —
+        // an engine that re-plans the CTE inconsistently (or pushes one
+        // consumer's predicate into the shared scan) diverges c2 vs c3.
+        val t = r.choose(allTables)
+        val num = r.choose(t.cols.filter(c => c.t == TDouble && c.hi > c.lo))
+        val m = 2 + r.nextInt(7)
+        (s"WITH base AS (SELECT ${t.key} AS k, ${num.name} AS x" +
+          s"\n  FROM ${t.name} WHERE ${pred(t, r)})," +
+          s"\nag1 AS (SELECT k % $m AS g, CAST(COUNT(*) AS BIGINT) AS n1" +
+          s"\n  FROM base GROUP BY 1)," +
+          s"\nag2 AS (SELECT k % $m AS g," +
+          s" CAST(SUM(CAST(FLOOR(x * 100) AS BIGINT)) AS BIGINT) AS s1" +
+          s"\n  FROM base GROUP BY 1)" +
+          s"\nSELECT CAST(ag1.g AS BIGINT) AS c1, ag1.n1 AS c2, ag2.s1 AS c3" +
+          s"\nFROM ag1 JOIN ag2 ON ag1.g = ag2.g",
+          Seq(("c1", TLong), ("c2", TLong), ("c3", TLong)))
+      case _ => // LIMIT/OFFSET pagination under a UNIQUE total order (the
+        // only way LIMIT is deterministic): the page must contain
+        // exactly rows [offset, offset+limit) of the ordered stream on
+        // both engines — off-by-one in OFFSET or an unstable sort under
+        // LIMIT pushdown flips the digest.
+        val t = r.choose(allTables)
+        val order = if (t.name == "lineitem") "l_orderkey, l_linenumber"
+                    else t.key
+        val ps = proj(t, r, 2)
+        val lim = 5 + r.nextInt(20)
+        val off = r.nextInt(10)
+        (s"SELECT ${ps.map { case (_, a) => a }.mkString(", ")} FROM (" +
+          s"\nSELECT ${ps.map { case (c, a) => s"${c.name} AS $a" }
+            .mkString(", ")}" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}" +
+          s"\nORDER BY $order LIMIT $lim OFFSET $off\n) pg",
+          ps.map { case (c, a) => (a, c.t) })
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

@@ -689,6 +689,66 @@ object Dedup {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540 — the recipe that pruned LAION to half at equal
+    * model quality): cluster embeddings with a trained k-means codebook,
+    * then prune near-identical items WITHIN each cluster by pairwise
+    * cosine >= `threshold`. Near-dup text restated by different sites
+    * lands in one cluster; cross-cluster pairs are never compared — that
+    * restriction is what makes the method tractable at corpus scale.
+    *
+    * Keep policy: by default the LOWEST id in each duplicate chain
+    * survives (first-writer-wins, same convention as the MinHash/SimHash
+    * family above); `keepFarthest = true` instead keeps the item LEAST
+    * similar to its cluster centroid first (the paper's §3 choice — the
+    * most "extreme" exemplar carries the most training signal), ties to
+    * the lower id. A row is dropped iff SOME higher-priority same-cluster
+    * neighbor sits at cosine >= threshold; `dup_of` names the lowest such
+    * neighbor id (NULL for survivors).
+    *
+    * Output: every input row as (id, cid, kept, dup_of).
+    *
+    * Scale (100 TB): centroid assignment is ONE narrow broadcast-literal
+    * projection (k codegen'd dot products per row, no shuffle — the
+    * [[Similarity.ivfAssignments]] path); the pair stage is a self
+    * equi-join keyed by cluster id, so total compare work is
+    * sum(c_i^2) — bounded by E[c] = n/k, and k is the published cost
+    * dial (SemDeDup uses k ~ sqrt(n); grow k with the corpus and the
+    * per-cluster work stays flat). Norms are computed once per row, the
+    * per-pair test is a single codegen'd dot product, and only
+    * (cid, id, vec) rows shuffle — never raw documents. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])], threshold: Double,
+      keepFarthest: Boolean = false): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedup: need trained centroids")
+    val asg0 = Similarity.ivfAssignments(emb, idCol, vecCol, centroids)
+    // Priority struct: ascending order = keep-first. Struct comparison
+    // gives the tie-break for free (equal first field -> lower id).
+    val asg = (if (keepFarthest) {
+      val cm = typedLit(centroids.map { case (c, v) => c -> v.toSeq }.toMap)
+      asg0.withColumn("pri",
+        struct(cosine(col("vec"), element_at(cm, col("cid"))).as("p1"),
+          col("id").as("p2")))
+    } else {
+      asg0.withColumn("pri", struct(col("id").as("p1")))
+    }).withColumn("nrm", VectorOps.norm(col("vec")))
+    val a = asg.select(col("cid"), col("pri").as("pri_a"),
+      col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("cid"), col("pri").as("pri_b"),
+      col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cid"))
+      .where(col("pri_a") < col("pri_b") &&
+        VectorOps.dot(col("va"), col("vb")) >=
+          col("na") * col("nb") * lit(threshold))
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("dup_of"))
+      .withColumnRenamed("id_b", "id")
+    asg.select(col("id"), col("cid"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id"), col("cid"), col("dup_of").isNull.as("kept"),
+        col("dup_of"))
+  }
+
   /** All-pairs embedding near-duplicates (cosine >= threshold). Baseline
     * exact form — O(n^2) compare, distributed but quadratic; at corpus
     * scale use Similarity.lshNearDuplicates (bucketed) instead. */

@@ -7,14 +7,17 @@ import graft.fuzz.QueryFuzz
 /**
  * Differential query-fuzz gate (SURVEY.md §2.5): the engine's own
  * randgen heritage applied to itself. A fixed-seed
- * [[graft.fuzz.QueryFuzz]] battery — nineteen grammar shapes
+ * [[graft.fuzz.QueryFuzz]] battery — twenty-three grammar shapes
  * (scan+filter, FK join, group-agg, CASE bucketing, UNION ALL,
  * IN-subquery, 3-way chain join, scalar subquery, LEFT join, window
  * rank, correlated EXISTS, global multi-aggregate, string functions,
  * events time-bucket aggregate, ROLLUP/CUBE/GROUPING SETS with
  * GROUPING(), INTERSECT/EXCEPT ALL bag semantics, RANGE window
  * frames, LATERAL aggregates + numbers-table fan-out, DECIMAL
- * round/propagation arithmetic) × dialect-portable predicates —
+ * round/propagation arithmetic, aggregate FILTER (WHERE), FULL OUTER
+ * join of independently filtered FK sides, WITH-clause reuse across
+ * two aggregations, LIMIT/OFFSET pagination under a unique total
+ * order) × dialect-portable predicates —
  * reduces every query to (qid, n_rows, digest), and the SAME SQL text
  * is the DuckDB oracle, so the gate IS a 28-query cross-engine
  * differential test: any divergence in predicate, join, aggregate,

@@ -145,6 +145,29 @@ object SimilarityQueries {
       Similarity.ivfTopK(corpus, qs, 5, centroids, 3)
         .withColumnRenamed("rank", "rnk")
     },
+    // SemDeDup (cluster-then-prune semantic dedup): the corpus is the 500
+    // fixture embeddings plus 20 PLANTED paraphrase copies (every 25th
+    // vector re-scaled in double, rounded once to float, re-keyed +1000 —
+    // the decontamination gate's perturbation, cosine ~0.999 to its
+    // source), k-means trained on the 1-in-4 id sample, then within-
+    // cluster cosine >= 0.45 prune, keep-lowest-id. Every planted copy
+    // must land in its source's cluster and be dropped with dup_of = the
+    // source; the oracle replays the training, the assignment, and the
+    // prune rule row-for-row.
+    "dedup_semantic" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val base = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val planted = e.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000L).as("id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(0.9) + lit(0.01)).cast("float"))
+            .as("vec"))
+      val corpus = base.unionAll(planted)
+      val centroids = Similarity.trainKMeans(
+        corpus.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
+      graft.operators.Dedup.semanticDedup(corpus, "id", "vec",
+        centroids, 0.45)
+    },
     // Generator ∘ ANN composition, half 2: the IVF path run over a
     // SYNTHETIC corpus with planted cluster structure
     // (SyntheticEmbeddings.clustered — unit-vector centroids + Dirichlet
@@ -524,6 +547,32 @@ object SimilarityQueries {
          |        ORDER BY score DESC, id) AS rn FROM sc)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
          |FROM r WHERE rn <= 5""".stripMargin,
+    // SemDeDup: replay the planted-copy corpus, the k-means training on
+    // the 1-in-4 sample (unrolled Lloyd, exact scaled-integer sums), the
+    // full-corpus nearest-centroid assignment (cos DESC, cid — Spark's
+    // struct sort), and the within-cluster keep-lowest-id prune.
+    "dedup_semantic" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000, list_transform(embedding,
+         |      x -> CAST(x::DOUBLE * 0.9 + 0.01 AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |asg AS (SELECT id, v, cid FROM (
+         |  SELECT c.id, c.v, ct.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY c.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
+         |  FROM corp c, cent ct) t WHERE rn = 1),
+         |nb AS (SELECT b.id AS id, MIN(a.id) AS dup_of
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
+         |  WHERE ${duckCos("a.v", "b.v")} >= 0.45
+         |  GROUP BY b.id)
+         |SELECT asg.id, asg.cid, nb.dup_of IS NULL AS kept,
+         |  nb.dup_of AS dup_of
+         |FROM asg LEFT JOIN nb ON asg.id = nb.id""".stripMargin,
     // Streaming IVF x PQ: training replays on HISTORY only (id < 200,
     // 1-in-4 sample); codes/assignments are batch-independent so the
     // accumulated state equals one pass over the full corpus; queries

@@ -63,6 +63,26 @@ object TextEventsQueries {
       TextAnalysis.bm25FromPostings(postings,
         Seq("spark", "window", "customer"), 15)
     },
+    // Hybrid retrieval: BM25 top-50 (sparse, the 3-term keyword query)
+    // fused with brute-force cosine top-50 (dense, query = embedding 7;
+    // doc_id and vec_id index the same corpus) by reciprocal-rank fusion
+    // at k0=60, fused top-20. Ranks derive from each list's own
+    // (score DESC, id) order; the oracle replays both retrievals and the
+    // 1/(60+rank) sum.
+    "text_hybrid_rrf" -> { (s, dir) =>
+      val sparse = TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window", "customer"), 50)
+        .select(col("doc_id").as("id"), col("score"))
+      val e = Tables.load(s, dir, "embeddings")
+      val dense = graft.operators.Similarity.bruteForceTopK(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        e.where(col("vec_id") === 7)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        50).select(col("id"), col("rank").as("rnk"))
+      graft.operators.Retrieval.rrfFuse(
+        Seq(graft.operators.Retrieval.asRankList(sparse, "id", "score"),
+          dense), 60, 20)
+    },
     // Overlapping token-window chunking (RAG/training prep): 20-token
     // windows, stride 10 (50% overlap), full-coverage tiling.
     "text_chunking" -> { (s, dir) =>
@@ -919,6 +939,49 @@ object TextEventsQueries {
          |sc AS (SELECT doc_id, round($score, 6) AS score FROM f, st)
          |SELECT doc_id, score FROM sc WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    },
+    // Hybrid RRF: replay BM25 (rounded scores, top-50), brute cosine
+    // (raw scores, top-50), both rank orders, and the 1/(60+rank) fused
+    // sum (at most one contribution per list per id — a single IEEE
+    // addition, so the double is bit-identical across engines).
+    "text_hybrid_rrf" -> {
+      val terms = Seq("spark", "window", "customer")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(", ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1) * tf$i * 2.2" +
+          s" / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(range(64), j -> " +
+          s"$a[j+1]::DOUBLE * $b[j+1]::DOUBLE), (p, q) -> p + q)"
+      val cos = s"${dot("embedding", "qv")} / (sqrt(${dot("embedding",
+        "embedding")}) * sqrt(${dot("qv", "qv")}))"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks)::DOUBLE AS dl, $tfs FROM t),
+         |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl, $dfs FROM f),
+         |sc AS (SELECT doc_id, round($score, 6) AS score FROM f, st),
+         |sp AS (SELECT doc_id AS id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, score FROM sc WHERE score > 0
+         |        ORDER BY score DESC, doc_id LIMIT 50) sp0),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+         |dn AS (SELECT id, rnk FROM (
+         |  SELECT vec_id AS id,
+         |    ROW_NUMBER() OVER (ORDER BY $cos DESC, vec_id) AS rnk
+         |  FROM embeddings, q) dn0 WHERE rnk <= 50),
+         |u AS (SELECT id, 1.0 / (60 + rnk) AS contrib FROM sp
+         |  UNION ALL SELECT id, 1.0 / (60 + rnk) FROM dn),
+         |fz AS (SELECT id, SUM(contrib) AS rrf, COUNT(*) AS n_lists
+         |  FROM u GROUP BY id),
+         |r AS (SELECT id, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rnk,
+         |    rrf, n_lists FROM fz)
+         |SELECT id, CAST(rnk AS BIGINT) AS rnk, round(rrf, 6) AS rrf,
+         |  CAST(n_lists AS BIGINT) AS n_lists
+         |FROM r WHERE rnk <= 20""".stripMargin
     },
     "text_chunking" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

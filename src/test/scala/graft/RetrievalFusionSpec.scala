@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.Retrieval
+
+/**
+ * Retrieval.rrfFuse / asRankList: reciprocal-rank fusion arithmetic,
+ * tie-breaks, list-membership counting, and the k trim — on fixtures
+ * where every 1/(k0+rank) term is written out by hand. The cross-engine
+ * half (BM25 + cosine + fused replay) is the text_hybrid_rrf gate.
+ */
+class RetrievalFusionSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ranks(rows: (Long, Int)*) = rows.toSeq.toDF("id", "rnk")
+
+  private def byId(out: Array[Row]): Map[Long, (Long, Double, Long)] =
+    out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+
+  test("two-list fusion: sums, ordering, and n_lists") {
+    val a = ranks(10L -> 1, 20L -> 2, 30L -> 3)
+    val b = ranks(20L -> 1, 40L -> 2)
+    val out = byId(Retrieval.rrfFuse(Seq(a, b), 60, 10).collect())
+    // id 20 appears in both lists: 1/62 + 1/61.
+    assert(math.abs(out(20L)._2 - BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(20L)._3 == 2L)
+    // Singles: 10 at 1/61 beats 40 at 1/62 beats 30 at 1/63.
+    assert(out(10L)._1 == 2L && out(40L)._1 == 3L && out(30L)._1 == 4L,
+      s"got $out")
+    assert(out(20L)._1 == 1L)
+    assert(Seq(10L, 30L, 40L).forall(out(_)._3 == 1L))
+  }
+
+  test("equal fused scores tie-break on id") {
+    // Same rank in disjoint lists -> identical rrf; lower id wins.
+    val out = Retrieval.rrfFuse(
+      Seq(ranks(7L -> 1), ranks(3L -> 1)), 60, 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 7L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
+  test("k trims the fused list") {
+    val a = ranks(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4)
+    assert(Retrieval.rrfFuse(Seq(a), 60, 2).count() == 2)
+  }
+
+  test("asRankList ranks by score DESC then id ASC") {
+    val scored = Seq((5L, 2.0), (9L, 3.0), (2L, 2.0)).toDF("id", "score")
+    val got = Retrieval.asRankList(scored, "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(9L -> 1, 2L -> 2, 5L -> 3), s"got $got")
+  }
+
+  test("argument validation fails fast") {
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Nil) }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(ranks(1L -> 1)), k0 = 0)
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.Dedup
+
+/**
+ * Dedup.semanticDedup (SemDeDup): cluster-then-prune semantics on
+ * hand-built fixtures where every cosine and assignment is chosen by
+ * construction — the cross-engine half (trained k-means + full replay)
+ * is the dedup_semantic gate's oracle.
+ */
+class SemanticDedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  // Two orthogonal unit centroids; all fixture vectors live in the
+  // plane they span, so assignments and cosines are readable by eye.
+  private val cents: Seq[(Long, Array[Float])] = Seq(
+    0L -> Array(1f, 0f, 0f, 0f),
+    1L -> Array(0f, 1f, 0f, 0f))
+
+  private def df(rows: (Long, Array[Float])*) =
+    rows.toSeq.toDF("id", "vec")
+
+  private def byId(out: Array[Row]): Map[Long, (Long, Boolean, Option[Long])] =
+    out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+
+  test("keep-lowest-id: dup chains collapse greedily within a cluster") {
+    // Cluster 0: id 1 is the axis; id 2 at cos ~0.990 to id 1 (dup of 1);
+    // id 3 at cos ~0.900 to id 1 (NOT a dup of 1 at t=0.95) but cos
+    // ~0.951 to id 2 — greedy semantics drop 3 via the already-dropped 2.
+    // Cluster 1: id 4 alone, kept.
+    val emb = df(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.99f, 0.141f, 0f, 0f),
+      3L -> Array(0.9f, 0.4359f, 0f, 0f),
+      4L -> Array(0f, 1f, 0f, 0f))
+    val out = byId(
+      Dedup.semanticDedup(emb, "id", "vec", cents, 0.95).collect())
+    assert(out(1L) == ((0L, true, None)), s"got $out")
+    assert(out(2L) == ((0L, false, Some(1L))))
+    assert(out(3L) == ((0L, false, Some(2L))), "chain: dropped via 2, not 1")
+    assert(out(4L) == ((1L, true, None)))
+  }
+
+  test("near-identical pair straddling a cluster boundary is NOT compared") {
+    // cos(10, 11) ~0.99999 >= 0.95, but 10 assigns to cluster 0 and 11 to
+    // cluster 1 — SemDeDup's defining restriction keeps both.
+    val emb = df(
+      10L -> Array(0.7072f, 0.707f, 0f, 0f),
+      11L -> Array(0.707f, 0.7072f, 0f, 0f))
+    val out = byId(
+      Dedup.semanticDedup(emb, "id", "vec", cents, 0.95).collect())
+    assert(out(10L) == ((0L, true, None)), s"got $out")
+    assert(out(11L) == ((1L, true, None)))
+  }
+
+  test("keepFarthest flips the representative to the centroid-far item") {
+    // id 1 IS the centroid (ccos = 1); id 2 sits at ccos ~0.960. They are
+    // mutual dups (cos ~0.960 >= 0.95). Paper policy keeps the far one.
+    val emb = df(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.96f, 0.28f, 0f, 0f))
+    val near = byId(
+      Dedup.semanticDedup(emb, "id", "vec", cents, 0.95).collect())
+    assert(near(1L)._2 && !near(2L)._2, s"default keeps the lower id: $near")
+    val far = byId(
+      Dedup.semanticDedup(emb, "id", "vec", cents, 0.95,
+        keepFarthest = true).collect())
+    assert(far(2L) == ((0L, true, None)), s"got $far")
+    assert(far(1L) == ((0L, false, Some(2L))))
+  }
+
+  test("singleton clusters and below-threshold neighbors all survive") {
+    val emb = df(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.6f, 0.8f, 0f, 0f)) // cos(1,2) = 0.6 < 0.95; 2 -> cluster 1
+    val out = byId(
+      Dedup.semanticDedup(emb, "id", "vec", cents, 0.95).collect())
+    assert(out.values.forall(_._2), s"got $out")
+  }
+
+  test("empty centroid seq fails fast") {
+    val emb = df(1L -> Array(1f, 0f, 0f, 0f))
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(emb, "id", "vec", Nil, 0.9)
+    }
+  }
+}
