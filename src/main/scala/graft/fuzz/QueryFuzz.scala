@@ -252,6 +252,22 @@ object QueryFuzz {
        |) fz$id""".stripMargin
   }
 
+  /** A UNIQUE total order for `t` — what makes windows-with-ties and
+    * LIMIT/OFFSET pages deterministic. Single-table keys are unique in
+    * the fixtures at every SF; lineitem is NOT (the synthetic generator,
+    * unlike real TPC-H, duplicates (l_orderkey, l_linenumber) with
+    * distinct payloads — campaign-caught at r12: two limit_offset pages
+    * legitimately differed between engines under the non-unique 2-column
+    * order), so it orders by EVERY column (full rows are unique, checked
+    * at sf0.001/0.01/0.1; values are same-case strings + numerics +
+    * timestamps, identical under both engines' binary collations). */
+  private def totalOrder(t: FTable): String =
+    if (t.name == "lineitem")
+      "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, " +
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, " +
+        "l_shipdate"
+    else t.key
+
   /** Random projection of `k` distinct columns, aliased c1..ck. */
   private def proj(t: FTable, r: Rng, k: Int): Seq[(FCol, String)] = {
     val picked = scala.collection.mutable.LinkedHashSet.empty[FCol]
@@ -368,8 +384,7 @@ object QueryFuzz {
             case Some(sc) if r.chance(0.5) => sc.name
             case _ => s"(${t.key} % ${2 + r.nextInt(5)})"
           }
-        val tie = if (t.name == "lineitem") "l_orderkey, l_linenumber"
-                  else t.key
+        val tie = totalOrder(t)
         val ps = proj(t, r, 2)
         val k = 3 + r.nextInt(8)
         (s"SELECT c1, c2, rn FROM (" +
@@ -596,8 +611,7 @@ object QueryFuzz {
         // both engines — off-by-one in OFFSET or an unstable sort under
         // LIMIT pushdown flips the digest.
         val t = r.choose(allTables)
-        val order = if (t.name == "lineitem") "l_orderkey, l_linenumber"
-                    else t.key
+        val order = totalOrder(t)
         val ps = proj(t, r, 2)
         val lim = 5 + r.nextInt(20)
         val off = r.nextInt(10)

@@ -63,4 +63,82 @@ object Retrieval {
       .select(col("id"), col("rnk"), round(col("rrf"), 6).as("rrf"),
         col("n_lists"))
   }
+
+  /** Hard cap on [[mmrRerank]]'s candidate list — MMR is a RE-RANKER over
+    * an already-retrieved top-N, never a corpus operator. */
+  val MmrMaxCandidates: Int = 10000
+
+  /** Maximal-marginal-relevance diversified re-rank (Carbonell &
+    * Goldstein, SIGIR 1998): greedily select k items maximizing
+    *
+    *   lambda * rel(d) - (1 - lambda) * max over selected s of cos(d, s)
+    *
+    * — relevance traded against redundancy with what's already picked,
+    * the standard answer to "my top-k is ten copies of the same page".
+    * Step 1 has no selected set (the penalty term is 0); ties break on
+    * the objective DESC then id ASC. Output: (id, rnk, mmr) — selection
+    * order and the rounded objective at selection time.
+    *
+    * Scale (100 TB): the greedy argmax chain is inherently sequential
+    * (step i depends on picks 1..i-1), so the input CONTRACT is a
+    * k-bounded retrieval result (<= [[MmrMaxCandidates]] rows,
+    * fail-fast), and the selection runs on the collected list —
+    * O(k * n) cosines over a few hundred rows, the same bounded-driver
+    * pattern as trainKMeans. The corpus-scale work (scan, candidate
+    * generation, top-N) stays in the upstream retrieval operators.
+    * Cosines fold left-to-right in double, matching [[VectorOps.dot]]
+    * and the DuckDB oracle's list_reduce exactly. */
+  def mmrRerank(candidates: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k > 0, "mmrRerank: k > 0")
+    require(lambda >= 0.0 && lambda <= 1.0, "mmrRerank: lambda in [0, 1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(vecCol),
+        col(relCol).cast("double"))
+      .collect()
+    require(rows.length <= MmrMaxCandidates,
+      s"mmrRerank: ${rows.length} candidates exceed $MmrMaxCandidates — " +
+        "MMR re-ranks a bounded retrieval list, not a corpus")
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val cand = rows.map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val nrm = cand.map { case (_, v, _) => math.sqrt(dot(v, v)) }
+    // Candidates sorted by id so every argmax sweep visits ids in the
+    // same order on any engine (ties resolve to the LOWER id because a
+    // later equal objective never displaces the incumbent).
+    val order = cand.indices.sortBy(cand(_)._1)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val taken = scala.collection.mutable.Set.empty[Int]
+    while (out.length < math.min(k, cand.length)) {
+      var bestI = -1
+      var bestObj = Double.NegativeInfinity
+      order.foreach { i =>
+        if (!taken.contains(i)) {
+          val (_, v, rel) = cand(i)
+          var maxSim = 0.0
+          var any = false
+          selected.foreach { j =>
+            val s = dot(v, cand(j)._2) / (nrm(i) * nrm(j))
+            if (!any || s > maxSim) { maxSim = s; any = true }
+          }
+          val obj = lambda * rel - (1.0 - lambda) * (if (any) maxSim else 0.0)
+          if (obj > bestObj) { bestObj = obj; bestI = i }
+        }
+      }
+      selected += bestI
+      taken += bestI
+      out += ((cand(bestI)._1, out.length + 1L,
+        BigDecimal(bestObj).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }
+    out.toSeq.toDF("id", "rnk", "mmr")
+  }
 }

@@ -28,6 +28,8 @@ object SimilarityQueries {
   private val RpOutDim = 16
   private val IvfNprobe = 3
   private val IvfPqRefine = 50
+  private val MmrK = 8
+  private val MmrLambda = 0.7
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -167,6 +169,24 @@ object SimilarityQueries {
         corpus.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
       graft.operators.Dedup.semanticDedup(corpus, "id", "vec",
         centroids, 0.45)
+    },
+    // MMR diversified re-rank over a retrieved top-20: query = embedding
+    // 3, corpus vec_id >= 5, rel = the ROUNDED brute-force cosine score,
+    // lambda 0.7, 8 picks. The oracle unrolls the greedy argmax chain
+    // step by step (each pick joins all previous picks, GREATEST of
+    // cosines is the redundancy penalty) — selection order, tie rule,
+    // and the objective values all replay exactly.
+    "sim_mmr_rerank" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = e.where(col("vec_id") === 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cand = Similarity.bruteForceTopK(corpus, q, 20)
+        .select(col("id"), col("score").as("rel"))
+        .join(corpus, "id")
+      graft.operators.Retrieval.mmrRerank(cand, "id", "vec", "rel",
+        MmrK, MmrLambda)
     },
     // Generator ∘ ANN composition, half 2: the IVF path run over a
     // SYNTHETIC corpus with planted cluster structure
@@ -547,6 +567,42 @@ object SimilarityQueries {
          |        ORDER BY score DESC, id) AS rn FROM sc)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
          |FROM r WHERE rn <= 5""".stripMargin,
+    // MMR: the greedy argmax chain unrolled — pick i joins picks 1..i-1,
+    // penalty = GREATEST of raw cosines, objective literals emitted from
+    // the exact Scala doubles (1 - 0.7 is 0.30000000000000004 in IEEE —
+    // writing "0.3" would diverge in the last ulp).
+    "sim_mmr_rerank" -> {
+      val lam = MmrLambda.toString
+      val oneMinus = (1.0 - MmrLambda).toString
+      val steps = (1 to MmrK).map { i =>
+        if (i == 1)
+          s"p1 AS (SELECT id, v, $lam * rel AS obj FROM cand" +
+            s" ORDER BY obj DESC, id LIMIT 1)"
+        else {
+          val prev = (1 until i).map(j => s"p$j").mkString(", ")
+          val notIn = (1 until i).map(j => s"c.id <> p$j.id").mkString(" AND ")
+          val sims = (1 until i).map(j => duckCos("c.v", s"p$j.v"))
+            .mkString(", ")
+          val pen = if (i == 2) sims else s"GREATEST($sims)"
+          s"""p$i AS (SELECT id, v, obj FROM (
+             |  SELECT c.id, c.v AS v, $lam * c.rel - $oneMinus * ($pen) AS obj
+             |  FROM cand c, $prev WHERE $notIn) x$i
+             |  ORDER BY obj DESC, id LIMIT 1)""".stripMargin
+        }
+      }.mkString(",\n")
+      val pages = (1 to MmrK).map(i =>
+        s"SELECT id, CAST($i AS BIGINT) AS rnk, round(obj, 6) AS mmr FROM p$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+         |sc AS (SELECT vec_id AS id, embedding AS v,
+         |    ${duckCos("embedding", "qv")} AS s
+         |  FROM embeddings, q WHERE vec_id >= 5),
+         |cand AS (SELECT id, v, round(s, 6) AS rel FROM (
+         |  SELECT id, v, s, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rn
+         |  FROM sc) c0 WHERE rn <= 20),
+         |$steps
+         |$pages""".stripMargin
+    },
     // SemDeDup: replay the planted-copy corpus, the k-means training on
     // the 1-in-4 sample (unrolled Lloyd, exact scaled-integer sums), the
     // full-corpus nearest-centroid assignment (cos DESC, cid — Spark's

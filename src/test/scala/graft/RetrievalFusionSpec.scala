@@ -60,4 +60,57 @@ class RetrievalFusionSpec extends GraftSuite {
       Retrieval.rrfFuse(Seq(ranks(1L -> 1)), k0 = 0)
     }
   }
+
+  // ---- MMR ----------------------------------------------------------------
+
+  private def cands(rows: (Long, Array[Float], Double)*) =
+    rows.toSeq.toDF("id", "vec", "rel")
+
+  test("MMR diversifies: a near-dup of the first pick loses to a lower-rel " +
+    "orthogonal item") {
+    // b is a near-copy of a (cos ~0.9992): pure relevance would rank it
+    // 2nd, but at lambda 0.5 its redundancy penalty (~0.4996) crushes its
+    // 0.49 relevance half; orthogonal c (penalty 0) wins the second slot.
+    val out = Retrieval.mmrRerank(cands(
+      (1L, Array(1f, 0f), 0.99),
+      (2L, Array(0.999f, 0.04f), 0.98),
+      (3L, Array(0f, 1f), 0.50)),
+      "id", "vec", "rel", 3, 0.5).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L), s"got ${out.toSeq}")
+    // Step-1 objective is lambda * rel exactly.
+    assert(math.abs(out.head.getDouble(2) - 0.495) < 1e-9)
+  }
+
+  test("MMR at lambda 1 is pure relevance order; k > n selects all") {
+    val out = Retrieval.mmrRerank(cands(
+      (1L, Array(1f, 0f), 0.9),
+      (2L, Array(0.999f, 0.04f), 0.8)),
+      "id", "vec", "rel", 10, 1.0).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
+  test("MMR equal objectives tie-break on id") {
+    val out = Retrieval.mmrRerank(cands(
+      (9L, Array(1f, 0f), 0.7),
+      (4L, Array(0f, 1f), 0.7)),
+      "id", "vec", "rel", 1, 1.0).collect()
+    assert(out.head.getLong(0) == 4L)
+  }
+
+  test("MMR validation: lambda range, k, candidate cap") {
+    val one = cands((1L, Array(1f, 0f), 0.5))
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(one, "id", "vec", "rel", 0, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(one, "id", "vec", "rel", 1, 1.5)
+    }
+    val big = spark.range(Retrieval.MmrMaxCandidates + 1)
+      .selectExpr("id", "array(cast(1.0 as float)) AS vec",
+        "cast(id as double) AS rel")
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(big, "id", "vec", "rel", 1, 0.5)
+    }
+  }
 }
