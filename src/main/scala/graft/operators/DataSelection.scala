@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+
+/**
+ * DSIR-style data selection (Xie et al., NeurIPS 2023, arXiv:2302.03169):
+ * score every raw document by its importance under a TARGET distribution,
+ *
+ *   log w(x) = sum over features f of [log p_T(b(f)) - log p_R(b(f))]
+ *
+ * where features are word unigrams + bigrams hashed into `buckets`
+ * fixed-size buckets, and p_T / p_R are add-1-smoothed bucket LMs of the
+ * target and raw corpora. High-scoring documents "look like" the target
+ * (e.g. curated reference text) — the published recipe for selecting
+ * pretraining data toward a quality distribution without a trained
+ * classifier. This produces the per-document score (mean log ratio, so
+ * long documents aren't favored); thresholding/sampling on it composes
+ * with the [[Sampling]] operators.
+ *
+ * Determinism (the oracle contract): features hash through the md5-based
+ * [[TextHash.hash60]] (engine-portable), each bucket's log-ratio is
+ * floor-quantized to 1e-6 fixed point ONCE, and per-document sums are
+ * exact BIGINTs — the [[TextAnalysis.lmPerplexity]] pattern, so
+ * accumulation order cannot perturb anything.
+ *
+ * Scale (100 TB): two corpus scans (bucket counts, then scoring), each a
+ * narrow explode + one keyed count with map-side partial aggregation;
+ * model state is exactly `buckets` rows (fixed, tiny — production DSIR
+ * uses ~10k buckets), broadcast to the scoring scan. Counts are
+ * mergeable sums, so the model also folds incrementally per batch.
+ */
+object DataSelection {
+
+  /** Hashed unigram + bigram feature buckets of a text column — one
+    * narrow codegen projection (split + WordGramsAll + md5 per feature). */
+  private def featureBuckets(text: Column, buckets: Int): Column = {
+    val bigrams = GraftSqlBridge.column(
+      graft.functions.WordGramsAll(GraftSqlBridge.expression(text), 2))
+    transform(concat(split(text, " "), bigrams),
+      f => pmod(TextHash.hash60(f), lit(buckets.toLong)))
+  }
+
+  /** (b, cnt) bucket occurrence counts of a corpus' features. */
+  private def bucketCounts(docs: DataFrame, textCol: String,
+      buckets: Int): DataFrame =
+    docs.select(explode(featureBuckets(col(textCol), buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+
+  /** Per-raw-document DSIR importance: (doc_id, n_feats, lr_sum_scaled,
+    * score) with score = mean feature log-ratio rounded to 6. */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "dsirScores: buckets > 0")
+    val spark = raw.sparkSession
+    val bl = buckets.toLong
+    val tgt = bucketCounts(target, textCol, buckets)
+      .withColumnRenamed("cnt", "tc")
+    val src = bucketCounts(raw, textCol, buckets)
+      .withColumnRenamed("cnt", "rc")
+    val nT = tgt.agg(coalesce(sum("tc"), lit(0L)).as("n_t"))
+    val nR = src.agg(coalesce(sum("rc"), lit(0L)).as("n_r"))
+    // The full B-bucket log-ratio table: unseen buckets smooth to
+    // count 0 on either side; ONE floor quantization per bucket.
+    val lr = spark.range(buckets).select(col("id").as("b"))
+      .join(tgt, Seq("b"), "left")
+      .join(src, Seq("b"), "left")
+      .crossJoin(broadcast(nT))
+      .crossJoin(broadcast(nR))
+      .select(col("b"),
+        floor((log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_t") + lit(bl)).cast("double")) -
+          log((coalesce(col("rc"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_r") + lit(bl)).cast("double"))) * lit(1000000.0))
+          .cast("long").as("lr_scaled"))
+    raw.select(col(idCol).as("doc_id"),
+        explode(featureBuckets(col(textCol), buckets)).as("b"))
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("lr_scaled")).as("lr_sum_scaled"))
+      .withColumn("score", round(col("lr_sum_scaled").cast("double") /
+        (col("n_feats") * lit(1000000L)).cast("double"), 6))
+  }
+}

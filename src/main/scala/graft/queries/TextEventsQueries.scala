@@ -391,6 +391,16 @@ object TextEventsQueries {
     "text_ppl_buckets" -> { (s, dir) =>
       TextAnalysis.perplexityBuckets(docs(s, dir), "doc_id", "text", "lang")
     },
+    // DSIR importance scores: target = every 10th document (the "curated
+    // reference" stand-in), raw = the whole corpus; hashed unigram+bigram
+    // bucket LMs (1024 buckets, add-1), per-doc mean log-ratio. The
+    // oracle replays the md5 bucket hash, both count tables, the
+    // floor-quantized per-bucket ratios, and the exact integer sums.
+    "text_dsir_scores" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.DataSelection.dsirScores(
+        d, d.where(col("doc_id") % 10 === 0), "doc_id", "text", 1024)
+    },
     // Collocation PMI over forward word pairs (gap 1-2): the phrase
     // signal a tokenizer/vocab builder reads; one ln() on exact integer
     // products, floor-quantized — fully hash-gated.
@@ -1399,6 +1409,47 @@ object TextEventsQueries {
     "text_lm_perplexity" ->
       s"""WITH $duckPplCtes
          |SELECT doc_id, n_grams, nll_scaled, avg_nll FROM ppl""".stripMargin,
+    // DSIR: features = unigrams UNION ALL bigrams, bucket = md5-hash60
+    // % 1024 (TextHash replay), add-1 bucket LMs over target/raw, ONE
+    // floor quantization per bucket, exact BIGINT per-doc sums.
+    "text_dsir_scores" -> {
+      val B = 1024
+      def feats(rel: String, withId: Boolean) = {
+        val idSel = if (withId) "doc_id, " else ""
+        val idT = if (withId) "t.doc_id, " else ""
+        s"""SELECT $idSel(('0x' || substr(md5(f), 1, 15))::BIGINT % $B) AS b
+           |FROM (
+           |  SELECT ${idSel}unnest(string_split(text, ' ')) AS f FROM $rel
+           |  UNION ALL
+           |  SELECT ${idT}t.tk[u.i+1] || ' ' || t.tk[u.i+2] AS f
+           |  FROM (SELECT ${idSel}string_split(text, ' ') AS tk FROM $rel) t
+           |    CROSS JOIN unnest(range(0,
+           |      (SELECT MAX(len(tk)) - 1 FROM
+           |        (SELECT string_split(text, ' ') AS tk FROM $rel) mt))) u(i)
+           |  WHERE u.i <= len(t.tk) - 2
+           |) z""".stripMargin
+      }
+      s"""WITH tgrel AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+         |tf AS (${feats("tgrel", withId = false)}),
+         |tc AS (SELECT b, COUNT(*) AS tc FROM tf GROUP BY 1),
+         |nt AS (SELECT COALESCE(SUM(tc), 0) AS n_t FROM tc),
+         |rf AS (${feats("documents", withId = true)}),
+         |rc AS (SELECT b, COUNT(*) AS rc FROM rf GROUP BY 1),
+         |nr AS (SELECT COALESCE(SUM(rc), 0) AS n_r FROM rc),
+         |lr AS (SELECT u.b, CAST(floor(
+         |    (ln((COALESCE(tc, 0) + 1)::DOUBLE / (n_t + $B)::DOUBLE)
+         |     - ln((COALESCE(rc, 0) + 1)::DOUBLE / (n_r + $B)::DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS lr_scaled
+         |  FROM (SELECT unnest(range($B)) AS b) u
+         |  LEFT JOIN tc ON u.b = tc.b LEFT JOIN rc ON u.b = rc.b, nt, nr),
+         |sc AS (SELECT rf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |    CAST(SUM(lr_scaled) AS BIGINT) AS lr_sum_scaled
+         |  FROM rf JOIN lr ON rf.b = lr.b GROUP BY 1)
+         |SELECT doc_id, n_feats, lr_sum_scaled,
+         |  round(lr_sum_scaled::DOUBLE / (n_feats * 1000000)::DOUBLE, 6)
+         |    AS score
+         |FROM sc""".stripMargin
+    },
     // Forward pairs replayed with 1-based list indexing; the PMI ratio
     // multiplies the same exact BIGINTs both engines cast to double.
     "text_word_pmi" ->

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.DataSelection
+
+/**
+ * DataSelection.dsirScores: the hashed-ngram importance estimator on
+ * constructed corpora where the target/raw likelihood gap is obvious by
+ * eye — the cross-engine half (md5 bucket hash + smoothed LMs + exact
+ * integer sums in DuckDB) is the text_dsir_scores gate's oracle.
+ */
+class DataSelectionSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def byId(rows: Array[Row]): Map[Long, (Long, Long, Double)] =
+    rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("a target-like document outscores an off-target document") {
+    // Target speaks only "alpha beta"; raw has a target-like doc (1) and
+    // an alien-vocabulary doc (2). DSIR must rank 1 above 2.
+    val target = Seq((100L, "alpha beta alpha beta"),
+      (101L, "beta alpha beta")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = byId(DataSelection.dsirScores(raw, target, "doc_id", "text",
+      buckets = 64).collect())
+    assert(out(1L)._3 > out(2L)._3,
+      s"target-like doc must outscore the alien one: $out")
+    // n_feats = unigrams + bigrams = t + (t - 1) = 2t - 1.
+    assert(out(1L)._1 == 5L, s"3 tokens -> 5 features: ${out(1L)}")
+    assert(out(2L)._1 == 7L)
+  }
+
+  test("score is a mean: repeating a document's text does not inflate it") {
+    val target = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text")
+    val out = byId(DataSelection.dsirScores(raw, target, "doc_id", "text",
+      buckets = 64).collect())
+    // Not exactly equal (the bigram "beta alpha" only exists in doc 2),
+    // but the per-feature MEAN keeps both scores in the same ballpark
+    // while the raw scaled SUM of doc 2 is ~3.8x doc 1's — i.e. a
+    // sum-scored selector would treat repetition as 4x the evidence.
+    assert(math.abs(out(2L)._3 - out(1L)._3) < 0.2,
+      s"mean normalization must hold: $out")
+    assert(math.abs(out(2L)._2) > 3 * math.abs(out(1L)._2),
+      "scaled sums grow with length; the mean divides it back out")
+  }
+
+  test("deterministic: same inputs give identical boards") {
+    val target = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha gamma"), (2L, "beta beta"))
+      .toDF("doc_id", "text")
+    val a = DataSelection.dsirScores(raw, target, "doc_id", "text", 32)
+      .collect().sortBy(_.getLong(0)).toSeq
+    val b = DataSelection.dsirScores(raw, target, "doc_id", "text", 32)
+      .collect().sortBy(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("empty target degrades to the uniform prior without crashing") {
+    val target = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val out = DataSelection.dsirScores(raw, target, "doc_id", "text", 16)
+      .collect()
+    assert(out.length == 1 && !out.head.isNullAt(3))
+  }
+
+  test("buckets must be positive") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DataSelection.dsirScores(df, df, "doc_id", "text", 0)
+    }
+  }
+}
