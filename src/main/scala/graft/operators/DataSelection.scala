@@ -42,23 +42,41 @@ object DataSelection {
       f => pmod(TextHash.hash60(f), lit(buckets.toLong)))
   }
 
-  /** (b, cnt) bucket occurrence counts of a corpus' features. */
-  private def bucketCounts(docs: DataFrame, textCol: String,
+  /** (b, cnt) bucket occurrence counts of a corpus' features — the DSIR
+    * "model". Counts are exact integers, so two corpora's models merge
+    * losslessly by per-bucket addition ([[mergeCounts]]), which is what
+    * lets the model fold incrementally over document batches
+    * ([[graft.streaming.RetrievalStream.incrementalDsirCounts]]) and
+    * still equal the one-pass scan bit-for-bit. */
+  private[graft] def bucketCounts(docs: DataFrame, textCol: String,
       buckets: Int): DataFrame =
     docs.select(explode(featureBuckets(col(textCol), buckets)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("cnt"))
 
+  /** Lossless model merge: per-bucket count addition. */
+  private[graft] def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("b").agg(sum(col("cnt")).as("cnt"))
+
   /** Per-raw-document DSIR importance: (doc_id, n_feats, lr_sum_scaled,
     * score) with score = mean feature log-ratio rounded to 6. */
   def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 1024): DataFrame = {
+      textCol: String, buckets: Int = 1024): DataFrame =
+    dsirScoresFromCounts(raw, idCol, textCol, buckets,
+      bucketCounts(target, textCol, buckets),
+      bucketCounts(raw, textCol, buckets))
+
+  /** The scoring tail over MATERIALIZED models ([[bucketCounts]] rows —
+    * e.g. the accumulated state of the streaming fold): because every
+    * model entry is an exact integer count, scoring from folded state is
+    * bit-identical to [[dsirScores]] over the same corpora. */
+  def dsirScoresFromCounts(raw: DataFrame, idCol: String, textCol: String,
+      buckets: Int, targetCounts: DataFrame,
+      rawCounts: DataFrame): DataFrame = {
     require(buckets > 0, "dsirScores: buckets > 0")
     val spark = raw.sparkSession
     val bl = buckets.toLong
-    val tgt = bucketCounts(target, textCol, buckets)
-      .withColumnRenamed("cnt", "tc")
-    val src = bucketCounts(raw, textCol, buckets)
-      .withColumnRenamed("cnt", "rc")
+    val tgt = targetCounts.withColumnRenamed("cnt", "tc")
+    val src = rawCounts.withColumnRenamed("cnt", "rc")
     val nT = tgt.agg(coalesce(sum("tc"), lit(0L)).as("n_t"))
     val nR = src.agg(coalesce(sum("rc"), lit(0L)).as("n_r"))
     // The full B-bucket log-ratio table: unseen buckets smooth to

@@ -401,6 +401,26 @@ object TextEventsQueries {
       graft.operators.DataSelection.dsirScores(
         d, d.where(col("doc_id") % 10 === 0), "doc_id", "text", 1024)
     },
+    // STREAMING DSIR model: the raw-corpus bucket counts fold per
+    // document batch (lossless integer merge); scoring the corpus from
+    // the ACCUMULATED model must equal the batch scan bit-for-bit —
+    // the oracle is text_dsir_scores' verbatim.
+    "stream_dsir_model" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = d.where(col("doc_id") < 100)
+      val days = Seq(
+        d.where(col("doc_id") >= 100 && col("doc_id") < 300),
+        d.where(col("doc_id") >= 300))
+      val logDir = Staging.batchLog("sdsir", dir, "day", days)
+      val rawCounts = graft.streaming.RetrievalStream.incrementalDsirCounts(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sdsir")}/state", "text", 1024)
+      graft.operators.DataSelection.dsirScoresFromCounts(
+        d, "doc_id", "text", 1024,
+        graft.operators.DataSelection.bucketCounts(
+          d.where(col("doc_id") % 10 === 0), "text", 1024),
+        rawCounts)
+    },
     // Collocation PMI over forward word pairs (gap 1-2): the phrase
     // signal a tokenizer/vocab builder reads; one ln() on exact integer
     // products, floor-quantized — fully hash-gated.
@@ -887,6 +907,47 @@ object TextEventsQueries {
       |  round(CAST(-SUM(lp) AS DOUBLE)
       |        / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS avg_nll
       |FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** Shared DSIR replay (batch gate + streaming-fold gate): bucket
+    * hash, both count LMs, quantized ratios, exact sums. */
+  private val duckDsirSql: String = {
+      val B = 1024
+      def feats(rel: String, withId: Boolean) = {
+        val idSel = if (withId) "doc_id, " else ""
+        val idT = if (withId) "t.doc_id, " else ""
+        s"""SELECT $idSel(('0x' || substr(md5(f), 1, 15))::BIGINT % $B) AS b
+           |FROM (
+           |  SELECT ${idSel}unnest(string_split(text, ' ')) AS f FROM $rel
+           |  UNION ALL
+           |  SELECT ${idT}t.tk[u.i+1] || ' ' || t.tk[u.i+2] AS f
+           |  FROM (SELECT ${idSel}string_split(text, ' ') AS tk FROM $rel) t
+           |    CROSS JOIN unnest(range(0,
+           |      (SELECT MAX(len(tk)) - 1 FROM
+           |        (SELECT string_split(text, ' ') AS tk FROM $rel) mt))) u(i)
+           |  WHERE u.i <= len(t.tk) - 2
+           |) z""".stripMargin
+      }
+      s"""WITH tgrel AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+         |tf AS (${feats("tgrel", withId = false)}),
+         |tc AS (SELECT b, COUNT(*) AS tc FROM tf GROUP BY 1),
+         |nt AS (SELECT COALESCE(SUM(tc), 0) AS n_t FROM tc),
+         |rf AS (${feats("documents", withId = true)}),
+         |rc AS (SELECT b, COUNT(*) AS rc FROM rf GROUP BY 1),
+         |nr AS (SELECT COALESCE(SUM(rc), 0) AS n_r FROM rc),
+         |lr AS (SELECT u.b, CAST(floor(
+         |    (ln((COALESCE(tc, 0) + 1)::DOUBLE / (n_t + $B)::DOUBLE)
+         |     - ln((COALESCE(rc, 0) + 1)::DOUBLE / (n_r + $B)::DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS lr_scaled
+         |  FROM (SELECT unnest(range($B)) AS b) u
+         |  LEFT JOIN tc ON u.b = tc.b LEFT JOIN rc ON u.b = rc.b, nt, nr),
+         |sc AS (SELECT rf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |    CAST(SUM(lr_scaled) AS BIGINT) AS lr_sum_scaled
+         |  FROM rf JOIN lr ON rf.b = lr.b GROUP BY 1)
+         |SELECT doc_id, n_feats, lr_sum_scaled,
+         |  round(lr_sum_scaled::DOUBLE / (n_feats * 1000000)::DOUBLE, 6)
+         |    AS score
+         |FROM sc""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "text_lm_trigrams" ->
@@ -1411,45 +1472,11 @@ object TextEventsQueries {
          |SELECT doc_id, n_grams, nll_scaled, avg_nll FROM ppl""".stripMargin,
     // DSIR: features = unigrams UNION ALL bigrams, bucket = md5-hash60
     // % 1024 (TextHash replay), add-1 bucket LMs over target/raw, ONE
-    // floor quantization per bucket, exact BIGINT per-doc sums.
-    "text_dsir_scores" -> {
-      val B = 1024
-      def feats(rel: String, withId: Boolean) = {
-        val idSel = if (withId) "doc_id, " else ""
-        val idT = if (withId) "t.doc_id, " else ""
-        s"""SELECT $idSel(('0x' || substr(md5(f), 1, 15))::BIGINT % $B) AS b
-           |FROM (
-           |  SELECT ${idSel}unnest(string_split(text, ' ')) AS f FROM $rel
-           |  UNION ALL
-           |  SELECT ${idT}t.tk[u.i+1] || ' ' || t.tk[u.i+2] AS f
-           |  FROM (SELECT ${idSel}string_split(text, ' ') AS tk FROM $rel) t
-           |    CROSS JOIN unnest(range(0,
-           |      (SELECT MAX(len(tk)) - 1 FROM
-           |        (SELECT string_split(text, ' ') AS tk FROM $rel) mt))) u(i)
-           |  WHERE u.i <= len(t.tk) - 2
-           |) z""".stripMargin
-      }
-      s"""WITH tgrel AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
-         |tf AS (${feats("tgrel", withId = false)}),
-         |tc AS (SELECT b, COUNT(*) AS tc FROM tf GROUP BY 1),
-         |nt AS (SELECT COALESCE(SUM(tc), 0) AS n_t FROM tc),
-         |rf AS (${feats("documents", withId = true)}),
-         |rc AS (SELECT b, COUNT(*) AS rc FROM rf GROUP BY 1),
-         |nr AS (SELECT COALESCE(SUM(rc), 0) AS n_r FROM rc),
-         |lr AS (SELECT u.b, CAST(floor(
-         |    (ln((COALESCE(tc, 0) + 1)::DOUBLE / (n_t + $B)::DOUBLE)
-         |     - ln((COALESCE(rc, 0) + 1)::DOUBLE / (n_r + $B)::DOUBLE))
-         |    * 1000000.0) AS BIGINT) AS lr_scaled
-         |  FROM (SELECT unnest(range($B)) AS b) u
-         |  LEFT JOIN tc ON u.b = tc.b LEFT JOIN rc ON u.b = rc.b, nt, nr),
-         |sc AS (SELECT rf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-         |    CAST(SUM(lr_scaled) AS BIGINT) AS lr_sum_scaled
-         |  FROM rf JOIN lr ON rf.b = lr.b GROUP BY 1)
-         |SELECT doc_id, n_feats, lr_sum_scaled,
-         |  round(lr_sum_scaled::DOUBLE / (n_feats * 1000000)::DOUBLE, 6)
-         |    AS score
-         |FROM sc""".stripMargin
-    },
+    // floor quantization per bucket, exact BIGINT per-doc sums. The
+    // streaming-fold gate scores from the accumulated integer model, so
+    // the same SQL is its oracle verbatim.
+    "text_dsir_scores" -> duckDsirSql,
+    "stream_dsir_model" -> duckDsirSql,
     // Forward pairs replayed with 1-based list indexing; the PMI ratio
     // multiplies the same exact BIGINTs both engines cast to double.
     "text_word_pmi" ->

@@ -31,4 +31,23 @@ object RetrievalStream {
     EmbeddingIndexStream.incrementalFold(spark, history, docDir, schema,
       stateDir, "post_v", retainVersions,
       batch => TextAnalysis.termPostings(batch, idCol, textCol))
+
+  /** Streaming DSIR model maintenance: document batches fold into the
+    * persisted (b, cnt) hashed-ngram bucket counts
+    * ([[graft.operators.DataSelection.bucketCounts]]) by lossless
+    * per-bucket count addition — the raw-corpus language model stays
+    * current as data lands, WITHOUT re-featurizing history, and because
+    * every entry is an exact integer the folded model scores documents
+    * ([[graft.operators.DataSelection.dsirScoresFromCounts]])
+    * bit-identically to a one-pass scan. State is `buckets` rows —
+    * constant-size at any corpus. Same versioning/vacuum contract as
+    * every other fold. */
+  def incrementalDsirCounts(spark: SparkSession, history: DataFrame,
+      docDir: String, schema: StructType, stateDir: String,
+      textCol: String, buckets: Int, retainVersions: Int = 3): DataFrame =
+    EmbeddingIndexStream.incrementalFold(spark, history, docDir, schema,
+      stateDir, "dsir_v", retainVersions,
+      batch => graft.operators.DataSelection.bucketCounts(batch, textCol,
+        buckets),
+      (prev, rows) => graft.operators.DataSelection.mergeCounts(prev, rows))
 }

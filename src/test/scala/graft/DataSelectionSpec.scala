@@ -70,6 +70,18 @@ class DataSelectionSpec extends GraftSuite {
     assert(out.length == 1 && !out.head.isNullAt(3))
   }
 
+  test("model merge is lossless: fold over halves equals one pass") {
+    val a = Seq((1L, "alpha beta gamma alpha")).toDF("doc_id", "text")
+    val b = Seq((2L, "beta beta delta")).toDF("doc_id", "text")
+    val merged = DataSelection.mergeCounts(
+      DataSelection.bucketCounts(a, "text", 32),
+      DataSelection.bucketCounts(b, "text", 32))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val onePass = DataSelection.bucketCounts(a.unionAll(b), "text", 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(merged == onePass)
+  }
+
   test("buckets must be positive") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

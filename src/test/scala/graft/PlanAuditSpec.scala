@@ -47,6 +47,14 @@ class PlanAuditSpec extends GraftSuite {
     // Intended brute-force exactness baseline (queries x corpus); the
     // bucketed scale twin is sim_hard_negatives_lsh.
     "sim_hard_negatives",
+    // The dense half is bruteForceTopK with ONE broadcast query row
+    // (corpus x 1); swap in ivfTopK/lshTopK at corpus scale — the
+    // fusion/re-rank tails are list-bounded either way.
+    "text_hybrid_rrf", "sim_mmr_rerank",
+    // DSIR broadcasts the two 1-row corpus totals (n_t, n_r) into the
+    // fixed buckets-row log-ratio table — constant-size at any corpus
+    // (same shape scoring the scan or the folded model).
+    "text_dsir_scores", "stream_dsir_model",
     // columnStats combines its 1-row min/max/nulls aggregate with the
     // 1-row exact-NDV aggregate via a constant-size broadcast (the
     // DISTINCT aggregates run in their own job to avoid the Expand plan).
