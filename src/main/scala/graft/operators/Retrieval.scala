@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,58 @@ object Retrieval {
       .where(col("rnk") <= k)
       .select(col("id"), col("rnk"), round(col("rrf"), 6).as("rrf"),
         col("n_lists"))
+  }
+
+  /** Quantized nDCG gain term: floor(1e6 / log2(rank + 1)) — fixed-point
+    * so per-query DCG sums are exact integers (order-independent across
+    * engines and partitionings; the lmPerplexity pattern). log2 spelled
+    * ln(x)/ln(2) because that exact expression replays on any engine. */
+  private def gainScaled(rank: Column): Column =
+    floor(lit(1000000.0) /
+      (log(rank.cast("double") + lit(1.0)) / log(lit(2.0)))).cast("long")
+
+  /** Ranking-quality metrics at cutoff k — the retrieval/RAG evaluation
+    * staple: per query, hit count, first-hit rank, reciprocal rank (the
+    * MRR term), precision@k, recall@k, and binary-gain nDCG@k. `results`
+    * is a ranked list (qid, id, rnk); `truth` the relevant set (qid, id)
+    * — e.g. an ANN index's output scored against brute-force ground
+    * truth, which turns index recall into a first-class, oracle-checked
+    * number instead of a spec-only assertion.
+    *
+    * Every query in `truth` reports (queries the ranker missed entirely
+    * score 0, not NULL-out). DCG/IDCG terms are quantized once to 1e-6
+    * fixed point so the grouped sums are exact integers; IDCG folds a
+    * sequence(1..min(n_rel,k)) in-row.
+    *
+    * Scale: one k-bounded join per query + two keyed aggregates — the
+    * evaluation set is always metadata-sized next to the corpus. */
+  def rankingMetrics(results: DataFrame, truth: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, "rankingMetrics: k > 0")
+    val res = results.where(col("rnk") <= k)
+    val j = res.join(truth.select(col("qid"), col("id"), lit(1L).as("__r")),
+        Seq("qid", "id"), "left")
+      .withColumn("relv", coalesce(col("__r"), lit(0L)))
+    val perQ = j.groupBy("qid").agg(
+      sum(col("relv")).as("hits"),
+      min(when(col("relv") === 1L, col("rnk").cast("long"))).as("first_rnk"),
+      sum(when(col("relv") === 1L, gainScaled(col("rnk")))
+        .otherwise(lit(0L))).as("dcg_scaled"))
+    val nRel = truth.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    nRel.join(perQ, Seq("qid"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("dcg_scaled", coalesce(col("dcg_scaled"), lit(0L)))
+      .withColumn("idcg_scaled",
+        aggregate(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+          lit(0L), (acc, i) => acc + gainScaled(i)))
+      .select(col("qid"), col("n_rel"), col("hits"), col("first_rnk"),
+        round(coalesce(lit(1.0) / col("first_rnk").cast("double"),
+          lit(0.0)), 6).as("rr"),
+        round(col("hits").cast("double") / lit(k.toDouble), 6).as("prec"),
+        round(col("hits").cast("double") / col("n_rel").cast("double"), 6)
+          .as("recall"),
+        round(col("dcg_scaled").cast("double") /
+          col("idcg_scaled").cast("double"), 6).as("ndcg"))
   }
 
   /** Hard cap on [[mmrRerank]]'s candidate list — MMR is a RE-RANKER over

@@ -110,6 +110,19 @@ object SimilarityQueries {
         NumTables, NumPlanes, Seed)
         .withColumnRenamed("rank", "rnk")
     },
+    // Ranking-quality evaluation: the LSH ANN index's top-5 scored
+    // against brute-force ground truth — per query MRR term, P@5, R@5,
+    // binary nDCG@5. Turns index recall into an oracle-checked number;
+    // the oracle replays BOTH retrievals and the quantized metric
+    // arithmetic.
+    "sim_rank_metrics" -> { (s, dir) =>
+      val res = Similarity.lshTopK(corpusDf(s, dir, 10),
+        queriesDf(s, dir, 10), 5, NumTables, NumPlanes, Seed)
+        .select(col("qid"), col("id"), col("rank").as("rnk"))
+      val tru = Similarity.bruteForceTopK(corpusDf(s, dir, 10),
+        queriesDf(s, dir, 10), 5).select(col("qid"), col("id"))
+      graft.operators.Retrieval.rankingMetrics(res, tru, 5)
+    },
     // LSH-bucketed near-dup pairs: the corpus-scale form of
     // dedup_embedding_pairs (candidates from the bucket join, exact
     // cosine refilter; the oracle replays the identical algorithm).
@@ -829,6 +842,53 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
          |FROM r WHERE rn <= 5""".stripMargin,
+    // Ranking metrics: replay the LSH retrieval (res), the brute-force
+    // truth (tru), and the fixed-point metric arithmetic — gains are
+    // floor(1e6/log2(rnk+1)) BIGINTs, IDCG a list_reduce over 1..n_rel.
+    "sim_rank_metrics" -> {
+      def gain(x: String) =
+        s"CAST(floor(1000000.0 / (ln(($x + 1)::DOUBLE) / ln(2.0))) AS BIGINT)"
+      s"""WITH $duckCodesCte,
+         |cand AS (SELECT DISTINCT qc.vec_id AS qid, cc.vec_id AS id
+         |  FROM codes qc JOIN codes cc ON qc.tbl = cc.tbl AND qc.code = cc.code
+         |  WHERE qc.vec_id < 10 AND cc.vec_id >= 10),
+         |s AS (SELECT cand.qid, cand.id,
+         |        ${duckCos("q.embedding", "c.embedding")} AS score
+         |      FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+         |                JOIN embeddings c ON cand.id = c.vec_id),
+         |res AS (SELECT qid, id, rn AS rnk FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) AS rn FROM s) t WHERE rn <= 5),
+         |bs AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+         |    ${duckCos("q.embedding", "c.embedding")} AS score
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+         |tru AS (SELECT qid, id FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) AS rn FROM bs) t WHERE rn <= 5),
+         |j AS (SELECT res.qid, res.rnk,
+         |    CASE WHEN tru.id IS NOT NULL THEN 1 ELSE 0 END AS relv
+         |  FROM res LEFT JOIN tru
+         |    ON res.qid = tru.qid AND res.id = tru.id),
+         |pq AS (SELECT qid, CAST(SUM(relv) AS BIGINT) AS hits,
+         |    MIN(CASE WHEN relv = 1 THEN rnk END) AS first_rnk,
+         |    CAST(SUM(CASE WHEN relv = 1 THEN ${gain("rnk")}
+         |      ELSE 0 END) AS BIGINT) AS dcg
+         |  FROM j GROUP BY qid),
+         |nr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |  FROM tru GROUP BY qid),
+         |fin AS (SELECT nr.qid, nr.n_rel, COALESCE(pq.hits, 0) AS hits,
+         |    pq.first_rnk, COALESCE(pq.dcg, 0) AS dcg,
+         |    list_reduce(list_transform(range(1, least(nr.n_rel, 5) + 1),
+         |      i -> ${gain("i")}), (a, b) -> a + b) AS idcg
+         |  FROM nr LEFT JOIN pq ON nr.qid = pq.qid)
+         |SELECT qid, n_rel, hits, CAST(first_rnk AS BIGINT) AS first_rnk,
+         |  round(COALESCE(1.0 / first_rnk, 0.0), 6) AS rr,
+         |  round(hits::DOUBLE / 5.0, 6) AS prec,
+         |  round(hits::DOUBLE / n_rel::DOUBLE, 6) AS recall,
+         |  round(dcg::DOUBLE / idcg::DOUBLE, 6) AS ndcg
+         |FROM fin""".stripMargin
+    },
     "sim_ann_topk" ->
       s"""WITH $duckCodesCte,
          |cand AS (SELECT DISTINCT qc.vec_id AS qid, cc.vec_id AS id

@@ -61,6 +61,39 @@ class RetrievalFusionSpec extends GraftSuite {
     }
   }
 
+  // ---- ranking metrics ------------------------------------------------------
+
+  test("rankingMetrics: hand-computed MRR/P/R/nDCG on a 2-query fixture") {
+    // q1: truth {10, 20}; ranked 10(rel) @1, 30 @2, 20(rel) @3.
+    // q2: truth {40}; the ranker returned NOTHING for it.
+    val results = Seq((1L, 10L, 1), (1L, 30L, 2), (1L, 20L, 3))
+      .toDF("qid", "id", "rnk")
+    val truth = Seq((1L, 10L), (1L, 20L), (2L, 40L)).toDF("qid", "id")
+    val out = Retrieval.rankingMetrics(results, truth, 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q1 = out(1L)
+    assert(q1.getLong(1) == 2L && q1.getLong(2) == 2L) // n_rel, hits
+    assert(q1.getLong(3) == 1L && q1.getDouble(4) == 1.0) // first_rnk, rr
+    assert(q1.getDouble(5) == 0.666667 && q1.getDouble(6) == 1.0)
+    def g(r: Int) = math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong
+    val expNdcg = BigDecimal((g(1) + g(3)).toDouble / (g(1) + g(2)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(q1.getDouble(7) == expNdcg, s"ndcg ${q1.getDouble(7)} != $expNdcg")
+    val q2 = out(2L)
+    assert(q2.getLong(1) == 1L && q2.getLong(2) == 0L)
+    assert(q2.isNullAt(3) && q2.getDouble(4) == 0.0)
+    assert(q2.getDouble(6) == 0.0 && q2.getDouble(7) == 0.0,
+      "a query the ranker missed scores 0, not NULL")
+  }
+
+  test("rankingMetrics: perfect ranking scores 1.0 everywhere") {
+    val results = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("qid", "id", "rnk")
+    val truth = Seq((1L, 10L), (1L, 20L)).toDF("qid", "id")
+    val r = Retrieval.rankingMetrics(results, truth, 2).collect().head
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0 &&
+      r.getDouble(6) == 1.0 && r.getDouble(7) == 1.0)
+  }
+
   // ---- MMR ----------------------------------------------------------------
 
   private def cands(rows: (Long, Array[Float], Double)*) =
