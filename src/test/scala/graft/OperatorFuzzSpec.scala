@@ -131,4 +131,113 @@ class OperatorFuzzSpec extends GraftSuite {
       same(op, brute, s"exactHeavyHitters seed=$seed")
     }
   }
+
+  // ---- r12 retrieval/dedup operators vs driver-side brute replays ----------
+
+  /** Left-to-right double dot — the VectorOps fold, replayed in Scala. */
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("semanticDedup matches a driver-side brute formulation") {
+    val cents: Seq[(Long, Array[Float])] = (0 until 4).map(c =>
+      c.toLong -> Array.tabulate(8)(j => if (j == c * 2) 1f else 0f))
+    for (seed <- seeds) {
+      val emb = TableGen.table(spark, 300L, seed,
+        "id" -> Gen.SeqId, "v" -> Gen.ArrayUnitVector(8))
+        .select(col("id"), col("v").cast("array<float>").as("vec"))
+      val got = graft.operators.Dedup
+        .semanticDedup(emb, "id", "vec", cents, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      // Brute replay: same double folds, same tie rules.
+      val rows = emb.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val cn = cents.map { case (_, cv) => math.sqrt(dot(cv, cv)) }
+      def cid(v: Array[Float]): Long = {
+        val n = math.sqrt(dot(v, v))
+        cents.indices.minBy { c =>
+          (-(dot(v, cents(c)._2) / (n * cn(c))), cents(c)._1)
+        }.toLong
+      }
+      val asg = rows.map { case (id, v) => (id, v, cid(v),
+        math.sqrt(dot(v, v))) }
+      val want = asg.map { case (id, v, c, n) =>
+        val lower = asg.filter(a => a._3 == c && a._1 < id &&
+          dot(a._2, v) >= a._4 * n * 0.8).map(_._1)
+        (id, c, lower.isEmpty, if (lower.isEmpty) -1L else lower.min)
+      }.toSet
+      assert(got == want, s"semanticDedup seed=$seed: " +
+        s"+${(got -- want).take(3)} -${(want -- got).take(3)}")
+      assert(got.exists(!_._3), s"seed=$seed produced no drops — fixture " +
+        "too sparse to exercise the prune (lower the threshold)")
+    }
+  }
+
+  test("rrfFuse matches a driver-side fold over random rank lists") {
+    for (seed <- seeds) {
+      def list(s: Long) = TableGen.table(spark, 40L, s,
+        "id" -> Gen.Int64Uniform(0, 100)).dropDuplicates("id")
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(xxhash64(col("id"), lit(s)))))
+      val (a, b) = (list(seed), list(seed + 13))
+      val got = graft.operators.Retrieval.rrfFuse(Seq(a, b), 60, 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      val ra = a.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val rb = b.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val fused = (ra.keySet ++ rb.keySet).toSeq.map { id =>
+        val c = ra.get(id).map(r => 1.0 / (60.0 + r)).toSeq ++
+          rb.get(id).map(r => 1.0 / (60.0 + r)).toSeq
+        (id, c.sum, c.size.toLong)
+      }.sortBy { case (id, rrf, _) => (-rrf, id) }.take(15)
+      val want = fused.zipWithIndex.map { case ((id, rrf, n), i) =>
+        (id, i + 1L, round6(rrf), n) }.toSet
+      assert(got == want, s"rrfFuse seed=$seed")
+    }
+  }
+
+  test("rankingMetrics matches a driver-side metric replay") {
+    def gain(r: Long): Long =
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong
+    for (seed <- seeds) {
+      val results = TableGen.table(spark, 200L, seed,
+        "qid" -> Gen.Int64Uniform(0, 4), "id" -> Gen.Int64Uniform(0, 60))
+        .dropDuplicates("qid", "id")
+        .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+          .orderBy(xxhash64(col("id"), lit(seed)))))
+      val truth = TableGen.table(spark, 60L, seed + 3,
+        "qid" -> Gen.Int64Uniform(0, 4), "id" -> Gen.Int64Uniform(0, 60))
+        .dropDuplicates("qid", "id")
+      val k = 5
+      val got = graft.operators.Retrieval.rankingMetrics(
+        results.select(col("qid"), col("id"), col("rnk")), truth, k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+      val res = results.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+        .filter(_._3 <= k)
+      val tru = truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = tru.groupBy(_._1).map { case (q, rel) =>
+        val nRel = rel.size.toLong
+        val hitRnks = res.filter(r => r._1 == q && rel.contains((q, r._2)))
+          .map(_._3).sorted
+        val hits = hitRnks.size.toLong
+        val first = hitRnks.headOption.getOrElse(-1L)
+        val dcg = hitRnks.map(gain).sum
+        val idcg = (1L to math.min(nRel, k.toLong)).map(gain).sum
+        q -> ((nRel, hits, first,
+          round6(if (first > 0) 1.0 / first else 0.0),
+          round6(hits.toDouble / k), round6(hits.toDouble / nRel),
+          round6(dcg.toDouble / idcg)))
+      }
+      assert(got == want, s"rankingMetrics seed=$seed:\n got=$got\nwant=$want")
+    }
+  }
 }
