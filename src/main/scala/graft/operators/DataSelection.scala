@@ -95,6 +95,57 @@ object DataSelection {
       targetCounts, rawCounts)
   }
 
+  /** Hashed-ngram distribution divergence between two corpora — the
+    * TEXT drift monitor (the numeric twin is the PSI diagnostic): add-1-
+    * smoothed bucket LMs P (corpus a) and Q (corpus b) over the same
+    * [[bucketCounts]] features, reporting KL(P||Q), KL(Q||P), and the
+    * bounded symmetric Jensen-Shannon divergence (nats). A vocabulary /
+    * topic / language shift between two crawls, two time windows, or a
+    * corpus and its filtered output moves JS off zero long before any
+    * single heuristic flags it.
+    *
+    * Determinism: each bucket's contribution (p*ln(p/q), p*ln(p/m), ...)
+    * is floor-quantized ONCE to 1e-9 fixed point (contributions are
+    * O(1/buckets), so 1e-9 keeps ~5 significant digits at B=1024) and
+    * the B-term sums are exact BIGINTs; the oracle replays term-for-term.
+    *
+    * Scale: two narrow count scans + one `buckets`-row join — the
+    * comparison itself is constant-size at any corpus. Counts merge
+    * ([[mergeCounts]]), so either side can come from the streaming fold.
+    * Output: one row (n_a, n_b, kl_ab, kl_ba, js). */
+  def bucketDivergence(a: DataFrame, b: DataFrame, textCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "bucketDivergence: buckets > 0")
+    val spark = a.sparkSession
+    val bl = buckets.toLong
+    val ca = bucketCounts(a, textCol, buckets).withColumnRenamed("cnt", "cnta")
+    val cb = bucketCounts(b, textCol, buckets).withColumnRenamed("cnt", "cntb")
+    val nA = ca.agg(coalesce(sum("cnta"), lit(0L)).as("n_a"))
+    val nB = cb.agg(coalesce(sum("cntb"), lit(0L)).as("n_b"))
+    val Scale = 1000000000.0
+    val joined = spark.range(buckets).select(col("id").as("b"))
+      .join(ca, Seq("b"), "left").join(cb, Seq("b"), "left")
+      .crossJoin(broadcast(nA)).crossJoin(broadcast(nB))
+      .withColumn("p", (coalesce(col("cnta"), lit(0L)) + lit(1L))
+        .cast("double") / (col("n_a") + lit(bl)).cast("double"))
+      .withColumn("q", (coalesce(col("cntb"), lit(0L)) + lit(1L))
+        .cast("double") / (col("n_b") + lit(bl)).cast("double"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+    joined.agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(floor(col("p") * log(col("p") / col("q")) * lit(Scale))
+          .cast("long")).as("kab"),
+        sum(floor(col("q") * log(col("q") / col("p")) * lit(Scale))
+          .cast("long")).as("kba"),
+        sum(floor((col("p") * log(col("p") / col("m")) +
+            col("q") * log(col("q") / col("m"))) * lit(500000000.0))
+          .cast("long")).as("jss"))
+      .select(col("n_a"), col("n_b"),
+        round(col("kab").cast("double") / lit(Scale), 6).as("kl_ab"),
+        round(col("kba").cast("double") / lit(Scale), 6).as("kl_ba"),
+        round(col("jss").cast("double") / lit(Scale), 6).as("js"))
+  }
+
   private def scoreFeats(rawFeats: DataFrame, buckets: Int,
       targetCounts: DataFrame, rawCounts: DataFrame): DataFrame = {
     val spark = rawFeats.sparkSession

@@ -421,6 +421,16 @@ object TextEventsQueries {
           d.where(col("doc_id") % 10 === 0), "text", 1024),
         rawCounts)
     },
+    // TEXT drift: KL/JS divergence between the two corpus halves' hashed
+    // unigram+bigram bucket LMs — the vocabulary/topic-shift monitor
+    // (numeric twin: diag_drift_psi). One row; the oracle replays every
+    // quantized per-bucket term.
+    "text_ngram_drift" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.DataSelection.bucketDivergence(
+        d.where(col("doc_id") < 250), d.where(col("doc_id") >= 250),
+        "text", 1024)
+    },
     // Collocation PMI over forward word pairs (gap 1-2): the phrase
     // signal a tokenizer/vocab builder reads; one ln() on exact integer
     // products, floor-quantized — fully hash-gated.
@@ -949,7 +959,57 @@ object TextEventsQueries {
          |FROM sc""".stripMargin
   }
 
+  /** Text-drift oracle: replay the two halves' bucket LMs and the
+    * 1e-9-quantized per-bucket KL/JS terms. */
+  private val duckDriftSql: String = {
+    val B = 1024
+    def feats(name: String, where: String) =
+      s"""$name AS (
+         |  SELECT (('0x' || substr(md5(f), 1, 15))::BIGINT % $B) AS b
+         |  FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS f FROM documents
+         |    WHERE $where
+         |    UNION ALL
+         |    SELECT t.tk[u.i+1] || ' ' || t.tk[u.i+2] AS f
+         |    FROM (SELECT string_split(text, ' ') AS tk FROM documents
+         |          WHERE $where) t
+         |      CROSS JOIN unnest(range(0,
+         |        (SELECT MAX(len(tk)) - 1 FROM
+         |          (SELECT string_split(text, ' ') AS tk FROM documents
+         |           WHERE $where) mt))) u(i)
+         |    WHERE u.i <= len(t.tk) - 2
+         |  ) z)""".stripMargin
+    s"""WITH ${feats("fa", "doc_id < 250")},
+       |${feats("fb", "doc_id >= 250")},
+       |ca AS (SELECT b, COUNT(*) AS cnta FROM fa GROUP BY 1),
+       |cb AS (SELECT b, COUNT(*) AS cntb FROM fb GROUP BY 1),
+       |na AS (SELECT COALESCE(SUM(cnta), 0) AS n_a FROM ca),
+       |nb AS (SELECT COALESCE(SUM(cntb), 0) AS n_b FROM cb),
+       |g AS (SELECT u.b,
+       |    (COALESCE(cnta, 0) + 1)::DOUBLE / (n_a + $B)::DOUBLE AS p,
+       |    (COALESCE(cntb, 0) + 1)::DOUBLE / (n_b + $B)::DOUBLE AS q,
+       |    n_a, n_b
+       |  FROM (SELECT unnest(range($B)) AS b) u
+       |  LEFT JOIN ca ON u.b = ca.b LEFT JOIN cb ON u.b = cb.b, na, nb),
+       |s AS (SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       |    CAST(MAX(n_b) AS BIGINT) AS n_b,
+       |    CAST(SUM(CAST(floor(p * ln(p / q) * 1000000000.0) AS BIGINT))
+       |      AS BIGINT) AS kab,
+       |    CAST(SUM(CAST(floor(q * ln(q / p) * 1000000000.0) AS BIGINT))
+       |      AS BIGINT) AS kba,
+       |    CAST(SUM(CAST(floor((p * ln(p / ((p + q) / 2.0)) +
+       |        q * ln(q / ((p + q) / 2.0))) * 500000000.0) AS BIGINT))
+       |      AS BIGINT) AS jss
+       |  FROM g)
+       |SELECT n_a, n_b,
+       |  round(kab::DOUBLE / 1000000000.0, 6) AS kl_ab,
+       |  round(kba::DOUBLE / 1000000000.0, 6) AS kl_ba,
+       |  round(jss::DOUBLE / 1000000000.0, 6) AS js
+       |FROM s""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "text_ngram_drift" -> duckDriftSql,
     "text_lm_trigrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT array_to_string(tk[u.i+1 : u.i+2], ' ') AS prefix,

@@ -82,6 +82,27 @@ class DataSelectionSpec extends GraftSuite {
     assert(merged == onePass)
   }
 
+  test("bucketDivergence: zero on identical corpora, symmetric JS, " +
+    "drift strictly positive on disjoint vocabularies") {
+    val a = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "delta epsilon zeta"), (4L, "epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    def row(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      DataSelection.bucketDivergence(x, y, "text", 64).collect().head
+    val self = row(a, a)
+    assert(self.getDouble(2) == 0.0 && self.getDouble(3) == 0.0 &&
+      self.getDouble(4) == 0.0, s"identical corpora must diverge 0: $self")
+    val ab = row(a, b)
+    val ba = row(b, a)
+    assert(ab.getDouble(4) > 0.0, s"disjoint vocabularies must drift: $ab")
+    assert(ab.getDouble(4) == ba.getDouble(4), "JS is symmetric")
+    assert(ab.getDouble(2) == ba.getDouble(3) &&
+      ab.getDouble(3) == ba.getDouble(2), "KL swaps under argument swap")
+    assert(ab.getLong(0) == 10L && ab.getLong(1) == 10L,
+      s"feature totals (2t-1 per doc): $ab")
+  }
+
   test("buckets must be positive") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
