@@ -114,12 +114,24 @@ object DataSelection {
     * ([[mergeCounts]]), so either side can come from the streaming fold.
     * Output: one row (n_a, n_b, kl_ab, kl_ba, js). */
   def bucketDivergence(a: DataFrame, b: DataFrame, textCol: String,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024): DataFrame =
+    bucketDivergenceFromCounts(
+      bucketCounts(a, textCol, buckets),
+      bucketCounts(b, textCol, buckets), buckets)
+
+  /** [[bucketDivergence]] over MATERIALIZED models ([[bucketCounts]]
+    * rows) — either side can be the streaming fold's accumulated state
+    * ([[graft.streaming.RetrievalStream.incrementalDsirCounts]]); exact
+    * integer counts make the probe bit-identical to the direct scan. The
+    * live-monitoring shape: a static reference model vs the
+    * continuously-folded current-corpus model. */
+  def bucketDivergenceFromCounts(countsA: DataFrame, countsB: DataFrame,
+      buckets: Int): DataFrame = {
     require(buckets > 0, "bucketDivergence: buckets > 0")
-    val spark = a.sparkSession
+    val spark = countsA.sparkSession
     val bl = buckets.toLong
-    val ca = bucketCounts(a, textCol, buckets).withColumnRenamed("cnt", "cnta")
-    val cb = bucketCounts(b, textCol, buckets).withColumnRenamed("cnt", "cntb")
+    val ca = countsA.withColumnRenamed("cnt", "cnta")
+    val cb = countsB.withColumnRenamed("cnt", "cntb")
     val nA = ca.agg(coalesce(sum("cnta"), lit(0L)).as("n_a"))
     val nB = cb.agg(coalesce(sum("cntb"), lit(0L)).as("n_b"))
     val Scale = 1000000000.0

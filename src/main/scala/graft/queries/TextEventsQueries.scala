@@ -431,6 +431,25 @@ object TextEventsQueries {
         d.where(col("doc_id") < 250), d.where(col("doc_id") >= 250),
         "text", 1024)
     },
+    // STREAMING drift: the doc_id >= 250 half arrives in batches and its
+    // bucket-count model FOLDS; divergence of the static < 250 reference
+    // vs the accumulated state must equal the batch scan bit-for-bit —
+    // oracle is text_ngram_drift's verbatim.
+    "stream_ngram_drift" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val cur = d.where(col("doc_id") >= 250)
+      val history = cur.where(col("doc_id") < 350)
+      val days = Seq(
+        cur.where(col("doc_id") >= 350 && col("doc_id") < 430),
+        cur.where(col("doc_id") >= 430))
+      val logDir = Staging.batchLog("sndrift", dir, "day", days)
+      val folded = graft.streaming.RetrievalStream.incrementalDsirCounts(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sndrift")}/state", "text", 1024)
+      graft.operators.DataSelection.bucketDivergenceFromCounts(
+        graft.operators.DataSelection.bucketCounts(
+          d.where(col("doc_id") < 250), "text", 1024), folded, 1024)
+    },
     // Collocation PMI over forward word pairs (gap 1-2): the phrase
     // signal a tokenizer/vocab builder reads; one ln() on exact integer
     // products, floor-quantized — fully hash-gated.
@@ -1010,6 +1029,7 @@ object TextEventsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "text_ngram_drift" -> duckDriftSql,
+    "stream_ngram_drift" -> duckDriftSql,
     "text_lm_trigrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT array_to_string(tk[u.i+1 : u.i+2], ' ') AS prefix,

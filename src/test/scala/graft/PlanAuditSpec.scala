@@ -51,10 +51,16 @@ class PlanAuditSpec extends GraftSuite {
     // (corpus x 1); swap in ivfTopK/lshTopK at corpus scale — the
     // fusion/re-rank tails are list-bounded either way.
     "text_hybrid_rrf", "sim_mmr_rerank",
+    // Ground truth is the brute baseline BY DESIGN (the metric gate
+    // exists to score the LSH index against exact top-k); the broadcast
+    // side is the 10-row query set.
+    "sim_rank_metrics",
     // DSIR broadcasts the two 1-row corpus totals (n_t, n_r) into the
     // fixed buckets-row log-ratio table — constant-size at any corpus
     // (same shape scoring the scan or the folded model).
     "text_dsir_scores", "stream_dsir_model",
+    // Same two 1-row totals feeding the constant-size divergence table.
+    "text_ngram_drift", "stream_ngram_drift",
     // columnStats combines its 1-row min/max/nulls aggregate with the
     // 1-row exact-NDV aggregate via a constant-size broadcast (the
     // DISTINCT aggregates run in their own job to avoid the Expand plan).
