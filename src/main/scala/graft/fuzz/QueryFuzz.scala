@@ -141,7 +141,8 @@ object QueryFuzz {
     "scalar_subquery", "left_join", "window_rank", "exists_semi",
     "global_agg", "string_funcs", "event_time", "grouping_sets",
     "setop_all", "range_frame", "lateral_fanout", "decimal_arith",
-    "agg_filter", "full_outer", "cte_reuse", "limit_offset")
+    "agg_filter", "full_outer", "cte_reuse", "limit_offset",
+    "null_order")
 
   case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 28)
 
@@ -605,7 +606,7 @@ object QueryFuzz {
           s"\nSELECT CAST(ag1.g AS BIGINT) AS c1, ag1.n1 AS c2, ag2.s1 AS c3" +
           s"\nFROM ag1 JOIN ag2 ON ag1.g = ag2.g",
           Seq(("c1", TLong), ("c2", TLong), ("c3", TLong)))
-      case _ => // LIMIT/OFFSET pagination under a UNIQUE total order (the
+      case 22 => // LIMIT/OFFSET pagination under a UNIQUE total order (the
         // only way LIMIT is deterministic): the page must contain
         // exactly rows [offset, offset+limit) of the ordered stream on
         // both engines — off-by-one in OFFSET or an unstable sort under
@@ -621,6 +622,26 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}" +
           s"\nORDER BY $order LIMIT $lim OFFSET $off\n) pg",
           ps.map { case (c, a) => (a, c.t) })
+      case _ => // explicit NULLS FIRST/LAST ordering under LIMIT: the
+        // engines' DEFAULT null placement genuinely differs (Spark sorts
+        // nulls first ascending, DuckDB last), so unannotated ORDER BY
+        // over a nullable key is a portability trap — this shape makes
+        // the placement explicit (the portable spelling), manufactures
+        // nulls with NULLIF on a low-cardinality expression, and pages
+        // with LIMIT so the null block's position decides the digest.
+        val t = r.choose(allTables)
+        val m = 2 + r.nextInt(5)
+        val place = r.choose(Seq("NULLS FIRST", "NULLS LAST"))
+        val dir = r.choose(Seq("ASC", "DESC"))
+        val ps = proj(t, r, 2)
+        val lim = 8 + r.nextInt(20)
+        (s"SELECT ${ps.map { case (_, a) => a }.mkString(", ")}, c3 FROM (" +
+          s"\nSELECT ${ps.map { case (c, a) => s"${c.name} AS $a" }
+            .mkString(", ")}," +
+          s"\n  NULLIF(${t.key} % $m, ${r.nextInt(m)}) AS c3" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}" +
+          s"\nORDER BY c3 $dir $place, ${totalOrder(t)} LIMIT $lim\n) pg",
+          ps.map { case (c, a) => (a, c.t) } :+ (("c3", TLong)))
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

@@ -7,7 +7,7 @@ import graft.fuzz.QueryFuzz
 /**
  * Differential query-fuzz gate (SURVEY.md §2.5): the engine's own
  * randgen heritage applied to itself. A fixed-seed
- * [[graft.fuzz.QueryFuzz]] battery — twenty-three grammar shapes
+ * [[graft.fuzz.QueryFuzz]] battery — twenty-four grammar shapes
  * (scan+filter, FK join, group-agg, CASE bucketing, UNION ALL,
  * IN-subquery, 3-way chain join, scalar subquery, LEFT join, window
  * rank, correlated EXISTS, global multi-aggregate, string functions,
@@ -17,7 +17,9 @@ import graft.fuzz.QueryFuzz
  * round/propagation arithmetic, aggregate FILTER (WHERE), FULL OUTER
  * join of independently filtered FK sides, WITH-clause reuse across
  * two aggregations, LIMIT/OFFSET pagination under a unique total
- * order) × dialect-portable predicates —
+ * order, explicit NULLS FIRST/LAST ordering under LIMIT — the engines'
+ * DEFAULT null placement differs, so explicit placement is the
+ * portable spelling this battery pins) × dialect-portable predicates —
  * reduces every query to (qid, n_rows, digest), and the SAME SQL text
  * is the DuckDB oracle, so the gate IS a 28-query cross-engine
  * differential test: any divergence in predicate, join, aggregate,

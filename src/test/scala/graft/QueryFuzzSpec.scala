@@ -19,9 +19,9 @@ class QueryFuzzSpec extends GraftSuite {
     assert(a != c, "different seeds must generate different batteries")
   }
 
-  test("default battery covers all twenty-three grammar shapes") {
+  test("default battery covers all twenty-four grammar shapes") {
     val shapes = QueryFuzz.generate(FuzzConfig(nQueries = 28)).map(_.shape)
-    assert(shapes.distinct.size == 23, s"expected 23 shapes, got $shapes")
+    assert(shapes.distinct.size == 24, s"expected 24 shapes, got $shapes")
     assert(shapes.size == 28)
   }
 
