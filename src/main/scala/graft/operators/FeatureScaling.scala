@@ -147,6 +147,33 @@ object FeatureScaling {
    * popular category on one reducer — the classic skew trap for
    * low-cardinality encodes).
    */
+
+  /** Equi-depth (quantile) binning of an integer-cents column, with cut
+    * points from the MERGEABLE histogram sketch
+    * ([[Sketches.histBuild]]/[[Sketches.histQuantiles]] — rank error at
+    * most one sketch bucket): cuts at the i/bins quantile estimates,
+    * each row assigned bin = number of cuts <= its value (0..bins-1; if
+    * two quantiles resolve to the same cut the in-between bin is empty
+    * on BOTH engines — the replayable convention). The feature-prep
+    * staple behind "bucketize this skewed numeric before crossing it".
+    *
+    * Scale: the sketch is one keyed aggregate with map-side combine and
+    * bucket-bounded state; the bins-1 cut points collect to the driver
+    * and ride the scan as a codegen'd CASE chain (the k-means-literal
+    * pattern) — no second shuffle, no sort, and the sketch merges, so
+    * cuts can also come from folded per-batch state. */
+  def binEquiDepth(df: DataFrame, valueCents: Column, bins: Int,
+      widthCents: Long): DataFrame = {
+    require(bins >= 2, "binEquiDepth: bins >= 2")
+    val sketch = Sketches.histBuild(df, valueCents, widthCents)
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val cuts = Sketches.histQuantiles(sketch, qs, widthCents)
+      .select(col("est_cents")).collect().map(_.getLong(0))
+    val bin = cuts.map(c => when(valueCents >= lit(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.withColumn("bin", bin)
+  }
+
   def targetEncode(df: DataFrame, catCol: String, targetCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0, s"targetEncode: alpha must be positive, got $alpha")

@@ -194,6 +194,19 @@ object ExtendedQueries {
         .select("o_orderkey", "o_orderpriority", "n_c",
           "enc_smooth", "enc_loo", "freq_enc")
     },
+    // Equi-depth binning of events.value via the histogram-sketch
+    // quantile cuts (quartiles, 500-cent sketch buckets): per-bin count
+    // + exact value range witness the cut points and every row's
+    // assignment. The oracle replays the sketch, the cuts, and the
+    // cuts-below-value assignment.
+    "feat_bin_equidepth" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("__c", round(col("value") * 100).cast("long"))
+      graft.operators.FeatureScaling.binEquiDepth(ev, col("__c"), 4, 500L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min(col("__c")).as("min_cents"),
+          max(col("__c")).as("max_cents"))
+    },
     // Pivot: explicit value list so the schema is static.
     "rel_q23_pivot" -> { (s, dir) =>
       reg(s, dir)
@@ -675,6 +688,23 @@ object ExtendedQueries {
         |      / (CAST(MAX(nc) AS DOUBLE) * MAX(ng) * (MAX(m) - 1)), 9)
         |    ELSE 0.0 END <= 0.2 AS t_close
         |FROM cum GROUP BY 1, 2""".stripMargin,
+    // Equi-depth bins: replay the width-500 histogram, the quartile cut
+    // rule ((min qualifying bucket + 1) * width), and bin = cuts <= c.
+    "feat_bin_equidepth" ->
+      """WITH cents AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |b AS (SELECT (c - ((c % 500 + 500) % 500)) // 500 AS bucket,
+        |             COUNT(*) AS cnt FROM cents GROUP BY 1),
+        |cum AS (SELECT bucket, cnt,
+        |    SUM(cnt) OVER (ORDER BY bucket) AS cum,
+        |    SUM(cnt) OVER () AS n FROM b),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q),
+        |cuts AS (SELECT q, CAST((MIN(bucket) + 1) * 500 AS BIGINT) AS cut
+        |  FROM qs JOIN cum ON cum >= ceil(q * n) GROUP BY q),
+        |asg AS (SELECT c,
+        |    (SELECT COUNT(*) FROM cuts WHERE cut <= c) AS bin FROM cents)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(c) AS min_cents, MAX(c) AS max_cents
+        |FROM asg GROUP BY bin""".stripMargin,
     "feat_target_encode" ->
       // Mirrors FeatureScaling.targetEncode: DECIMAL(18,2) exact sums,
       // each encoding one fixed DOUBLE expression over the exact parts.

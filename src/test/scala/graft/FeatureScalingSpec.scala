@@ -108,4 +108,27 @@ class FeatureScalingSpec extends GraftSuite {
     assert(out(4L) == ((2L, 4.0, None, 0.4)))
     assert(out(5L) == ((2L, 4.0, Some(4.0), 0.4)))
   }
+
+  test("binEquiDepth: exact quartiles on 1..100 cents at width 1") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("c")
+    val out = FeatureScaling.binEquiDepth(df, col("c"), 4, 1L)
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        min("c").as("lo"), max("c").as("hi"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(0L -> ((25L, 1L, 25L)), 1L -> ((25L, 26L, 50L)),
+      2L -> ((25L, 51L, 75L)), 3L -> ((25L, 76L, 100L))), s"got $out")
+  }
+
+  test("binEquiDepth: identical values collapse to one bin; bins >= 2") {
+    import spark.implicits._
+    val same = Seq.fill(40)(7L).toDF("c")
+    val bins = FeatureScaling.binEquiDepth(same, col("c"), 4, 5L)
+      .select("bin").distinct().collect().map(_.getLong(0)).toSeq
+    assert(bins == Seq(0L), s"all-identical input is one bin: $bins")
+    intercept[IllegalArgumentException] {
+      FeatureScaling.binEquiDepth(same, col("c"), 1, 5L)
+    }
+  }
 }
