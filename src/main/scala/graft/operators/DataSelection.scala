@@ -95,6 +95,29 @@ object DataSelection {
       targetCounts, rawCounts)
   }
 
+  /** The selection tail: keep the ceil(frac * n) highest-importance
+    * documents under [[dsirScores]] (ties: higher score, then lower
+    * doc_id) — DSIR as actually deployed: score the crawl against the
+    * curated target, keep the top slice. Output (doc_id, rnk, score).
+    *
+    * The exact global ranking is the ORACLE-replayable contract; at
+    * 100 TB swap the row_number window for a score threshold from the
+    * quantile sketch ([[Sketches.histQuantiles]] /
+    * [[FeatureScaling.binEquiDepth]]'s cut machinery) — same decision,
+    * sketch-sized state (the perplexityBuckets convention). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, frac: Double, buckets: Int = 1024): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "dsirSelect: frac in (0, 1]")
+    val scores = dsirScores(raw, target, idCol, textCol, buckets)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    scores
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(scores.agg(count(lit(1)).as("__n"))))
+      .where(col("rnk") <= ceil(lit(frac) * col("__n")).cast("long"))
+      .select(col("doc_id"), col("rnk"), col("score"))
+  }
+
   /** Hashed-ngram distribution divergence between two corpora — the
     * TEXT drift monitor (the numeric twin is the PSI diagnostic): add-1-
     * smoothed bucket LMs P (corpus a) and Q (corpus b) over the same

@@ -450,6 +450,15 @@ object TextEventsQueries {
         graft.operators.DataSelection.bucketCounts(
           d.where(col("doc_id") < 250), "text", 1024), folded, 1024)
     },
+    // DSIR deployed end-to-end: score the corpus against the target
+    // sample and keep the top 20% — the selection pipeline a pretraining
+    // run actually consumes. Oracle = the DSIR replay + the exact rank
+    // cut.
+    "pipeline_dsir_select" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.DataSelection.dsirSelect(
+        d, d.where(col("doc_id") % 10 === 0), "doc_id", "text", 0.2, 1024)
+    },
     // Collocation PMI over forward word pairs (gap 1-2): the phrase
     // signal a tokenizer/vocab builder reads; one ln() on exact integer
     // products, floor-quantized — fully hash-gated.
@@ -1030,6 +1039,16 @@ object TextEventsQueries {
   val oracleSql: Map[String, String] = Map(
     "text_ngram_drift" -> duckDriftSql,
     "stream_ngram_drift" -> duckDriftSql,
+    // DSIR selection: the full scoring replay ranked and cut at the top
+    // 20% (ceil in DOUBLE on both engines — the same IEEE product).
+    "pipeline_dsir_select" ->
+      s"""WITH base AS (
+         |$duckDsirSql
+         |), r AS (SELECT doc_id, score,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk,
+         |    COUNT(*) OVER () AS nn FROM base)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, score
+         |FROM r WHERE rnk <= ceil(0.2 * nn)""".stripMargin,
     "text_lm_trigrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT array_to_string(tk[u.i+1 : u.i+2], ' ') AS prefix,

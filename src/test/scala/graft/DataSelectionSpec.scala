@@ -103,6 +103,21 @@ class DataSelectionSpec extends GraftSuite {
       s"feature totals (2t-1 per doc): $ab")
   }
 
+  test("dsirSelect keeps the ceil(frac*n) top-scored docs, ties to id") {
+    val target = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"),
+      (4L, "epsilon zeta"), (5L, "alpha gamma")).toDF("doc_id", "text")
+    val out = DataSelection.dsirSelect(raw, target, "doc_id", "text",
+      0.4, 32).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ceil(0.4*5)=2; docs 1 and 2 are identical target-matches (equal
+    // scores) and win, the tie broken by doc_id.
+    assert(out.toSet == Set((1L, 1L), (2L, 2L)), s"got ${out.toSeq}")
+    intercept[IllegalArgumentException] {
+      DataSelection.dsirSelect(raw, target, "doc_id", "text", 0.0)
+    }
+  }
+
   test("buckets must be positive") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -61,6 +61,10 @@ class PlanAuditSpec extends GraftSuite {
     "text_dsir_scores", "stream_dsir_model",
     // Same two 1-row totals feeding the constant-size divergence table.
     "text_ngram_drift", "stream_ngram_drift",
+    // The selection cut broadcasts the 1-row corpus count into the
+    // rank filter (the exact form is the oracle contract; sketch cut
+    // at scale).
+    "pipeline_dsir_select",
     // columnStats combines its 1-row min/max/nulls aggregate with the
     // 1-row exact-NDV aggregate via a constant-size broadcast (the
     // DISTINCT aggregates run in their own job to avoid the Expand plan).
