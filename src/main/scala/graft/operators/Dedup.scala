@@ -724,6 +724,10 @@ object Dedup {
     val asg0 = Similarity.ivfAssignments(emb, idCol, vecCol, centroids)
     // Priority struct: ascending order = keep-first. Struct comparison
     // gives the tie-break for free (equal first field -> lower id).
+    // Persisted: the assignment (k codegen'd dots + a k-struct in-row
+    // sort per row) feeds THREE plan branches (both self-join sides and
+    // the final output join); without materialization Catalyst re-runs
+    // it per branch — measured 2x the prune cost at k=250/62k rows.
     val asg = (if (keepFarthest) {
       val cm = typedLit(centroids.map { case (c, v) => c -> v.toSeq }.toMap)
       asg0.withColumn("pri",
@@ -732,6 +736,7 @@ object Dedup {
     } else {
       asg0.withColumn("pri", struct(col("id").as("p1")))
     }).withColumn("nrm", VectorOps.norm(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = asg.select(col("cid"), col("pri").as("pri_a"),
       col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
     val b = asg.select(col("cid"), col("pri").as("pri_b"),
