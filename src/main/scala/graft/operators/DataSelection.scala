@@ -72,15 +72,29 @@ object DataSelection {
     * (the raw-model count and the scoring aggregate) read the
     * materialized rows; without it Catalyst re-expands the lineage into
     * a second full featurization scan (measured 1.4x at the sf3 scale
-    * point). Same persist rationale as [[TextAnalysis.lmPerplexity]]. */
+    * point). Same persist rationale as [[TextAnalysis.lmPerplexity]].
+    *
+    * CACHE CONTRACT: the returned plan depends on the persisted
+    * featurization, so the cache cannot be released here; in a
+    * long-lived session the caller owns it — materialize the result
+    * (write/collect), then `spark.catalog.clearCache()` or re-derive via
+    * [[dsirScoresFromCounts]] with pre-materialized models. The batch
+    * gates run one call per session, where eviction handles it. */
   def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 1024): DataFrame = {
+      textCol: String, buckets: Int = 1024): DataFrame =
+    dsirScoresAndFeats(raw, target, idCol, textCol, buckets)._1
+
+  /** [[dsirScores]] returning the persisted featurization handle too, so
+    * selection tails that materialize the scores can release it. */
+  private def dsirScoresAndFeats(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int)
+      : (DataFrame, DataFrame) = {
     require(buckets > 0, "dsirScores: buckets > 0")
     val rawFeats = featurize(raw, idCol, textCol, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scoreFeats(rawFeats, buckets,
+    (scoreFeats(rawFeats, buckets,
       bucketCounts(target, textCol, buckets),
-      rawFeats.groupBy("b").agg(count(lit(1)).as("cnt")))
+      rawFeats.groupBy("b").agg(count(lit(1)).as("cnt"))), rawFeats)
   }
 
   /** The scoring tail over MATERIALIZED models ([[bucketCounts]] rows —
@@ -95,27 +109,81 @@ object DataSelection {
       targetCounts, rawCounts)
   }
 
-  /** The selection tail: keep the ceil(frac * n) highest-importance
-    * documents under [[dsirScores]] (ties: higher score, then lower
-    * doc_id) — DSIR as actually deployed: score the crawl against the
-    * curated target, keep the top slice. Output (doc_id, rnk, score).
+  /** The selection tail, EXACT-RANK form: keep the ceil(frac * n)
+    * highest-importance documents under [[dsirScores]] (ties: higher
+    * score, then lower doc_id) — DSIR as actually deployed: score the
+    * crawl against the curated target, keep the top slice. Output
+    * (doc_id, rnk, score).
     *
-    * The exact global ranking is the ORACLE-replayable contract; at
-    * 100 TB swap the row_number window for a score threshold from the
-    * quantile sketch ([[Sketches.histQuantiles]] /
-    * [[FeatureScaling.binEquiDepth]]'s cut machinery) — same decision,
-    * sketch-sized state (the perplexityBuckets convention). */
+    * This form is the small-scale ORACLE twin: the unpartitioned
+    * row_number window funnels every scored row through one task, so at
+    * corpus scale use [[dsirSelectByThreshold]] — same decision from a
+    * mergeable sketch cut, no global sort anywhere in the plan. The
+    * corpus count rides the SAME single-partition window pass
+    * (COUNT(*) OVER ()), so the scoring tail runs exactly once. */
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, frac: Double, buckets: Int = 1024): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, "dsirSelect: frac in (0, 1]")
     val scores = dsirScores(raw, target, idCol, textCol, buckets)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     scores
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .crossJoin(broadcast(scores.agg(count(lit(1)).as("__n"))))
+      .withColumn("__n", count(lit(1)).over(wAll))
       .where(col("rnk") <= ceil(lit(frac) * col("__n")).cast("long"))
       .select(col("doc_id"), col("rnk"), col("score"))
+  }
+
+  /** Exact integer floor division (both arguments BIGINT, divisor > 0):
+    * subtracting pmod makes the numerator an exact multiple, so the
+    * decimal divide is exact over the full Long range — the
+    * [[Sketches.histBuild]] bucket discipline with a column divisor. */
+  private def floorDivCol(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
+
+  /** The selection tail, SKETCH-THRESHOLD form — the 100 TB path: keep
+    * every document whose integer mean log-ratio (micros,
+    * floorDiv(lr_sum_scaled, n_feats)) clears the (1 - frac) quantile
+    * cut of the mergeable histogram sketch
+    * ([[Sketches.histBuild]]/[[Sketches.histQuantiles]], bucket width
+    * `widthMicros`). Output (doc_id, score) — no rank: ranking is what
+    * the global sort would buy, and the deployed decision ("keep the
+    * top slice") doesn't need it.
+    *
+    * Contract vs [[dsirSelect]]: kept documents are a SUBSET of the
+    * exact top-ceil(frac*n) set extended by at most one sketch bucket —
+    * the cut is the upper edge of the bucket where cumulative count
+    * reaches ceil((1-frac)*n), so the kept count is within the cut
+    * bucket's population of exact (and never exceeds floor(frac*n)).
+    * Every step is deterministic integer/IEEE arithmetic, so the DuckDB
+    * oracle replays sketch, cut, and filter row-for-row.
+    *
+    * Scale shape: the sketch is one keyed aggregate with map-side
+    * combine over at most (score range / width) cells; ONE cut value
+    * collects to the driver (the [[FeatureScaling.binEquiDepth]]
+    * pattern) and rides the scored scan as a codegen'd filter — no
+    * window, no single-partition exchange, no global sort. The scores
+    * are persisted (they feed the sketch job and the returned filter);
+    * the featurization cache is released once the cut is computed. */
+  def dsirSelectByThreshold(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, frac: Double, buckets: Int = 1024,
+      widthMicros: Long = 1000L): DataFrame = {
+    require(frac > 0.0 && frac < 1.0,
+      "dsirSelectByThreshold: frac in (0, 1) — frac = 1 is a no-op filter")
+    require(widthMicros > 0, "dsirSelectByThreshold: widthMicros > 0")
+    val (scores0, rawFeats) =
+      dsirScoresAndFeats(raw, target, idCol, textCol, buckets)
+    val scores = scores0
+      .withColumn("__v", floorDivCol(col("lr_sum_scaled"), col("n_feats")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketch = Sketches.histBuild(scores, col("__v"), widthMicros)
+    val cut = Sketches.histQuantiles(sketch, Seq(1.0 - frac), widthMicros)
+      .select(col("est_cents")).collect()
+    require(cut.nonEmpty, "dsirSelectByThreshold: empty raw corpus")
+    rawFeats.unpersist(false) // scores are materialized; drop the big cache
+    scores.where(col("__v") >= lit(cut.head.getLong(0)))
+      .select(col("doc_id"), col("score"))
   }
 
   /** Hashed-ngram distribution divergence between two corpora — the

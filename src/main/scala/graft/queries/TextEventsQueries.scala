@@ -459,6 +459,19 @@ object TextEventsQueries {
       graft.operators.DataSelection.dsirSelect(
         d, d.where(col("doc_id") % 10 === 0), "doc_id", "text", 0.2, 1024)
     },
+    // The SCALE form of the DSIR selection: same scoring replay, but the
+    // top-20% cut comes from the mergeable histogram sketch's 0.8
+    // quantile (width 1000 micros) instead of a global rank — no window,
+    // no single-partition exchange over the scored rows. Every step is
+    // deterministic, so the oracle replays sketch + cut + filter exactly
+    // (hash gate); the ±one-bucket rank tolerance vs the exact form is
+    // the spec's contract (DataSelectionSpec).
+    "pipeline_dsir_threshold" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.DataSelection.dsirSelectByThreshold(
+        d, d.where(col("doc_id") % 10 === 0), "doc_id", "text", 0.2, 1024,
+        1000L)
+    },
     // Collocation PMI over forward word pairs (gap 1-2): the phrase
     // signal a tokenizer/vocab builder reads; one ln() on exact integer
     // products, floor-quantized — fully hash-gated.
@@ -1049,6 +1062,24 @@ object TextEventsQueries {
          |    COUNT(*) OVER () AS nn FROM base)
          |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, score
          |FROM r WHERE rnk <= ceil(0.2 * nn)""".stripMargin,
+    // Sketch-threshold selection: replay the integer mean log-ratio
+    // (exact floor division), the width-1000 histogram, the 0.8-quantile
+    // cut ((min qualifying bucket + 1) * width — the feat_bin_equidepth
+    // rule), and the v >= cut filter.
+    "pipeline_dsir_threshold" ->
+      s"""WITH base AS (
+         |$duckDsirSql
+         |), v AS (SELECT doc_id, score,
+         |    (lr_sum_scaled - ((lr_sum_scaled % n_feats + n_feats)
+         |       % n_feats)) // n_feats AS v
+         |  FROM base),
+         |b AS (SELECT (v - ((v % 1000 + 1000) % 1000)) // 1000 AS bucket,
+         |             COUNT(*) AS cnt FROM v GROUP BY 1),
+         |cum AS (SELECT bucket, cnt, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+         |             SUM(cnt) OVER () AS n FROM b),
+         |cut AS (SELECT CAST((MIN(bucket) + 1) * 1000 AS BIGINT) AS cut
+         |  FROM cum WHERE cum >= ceil(0.8 * n))
+         |SELECT doc_id, score FROM v, cut WHERE v.v >= cut.cut""".stripMargin,
     "text_lm_trigrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT array_to_string(tk[u.i+1 : u.i+2], ' ') AS prefix,

@@ -124,4 +124,106 @@ class DataSelectionSpec extends GraftSuite {
       DataSelection.dsirScores(df, df, "doc_id", "text", 0)
     }
   }
+
+  // ---- dsirSelectByThreshold (the sketch-cut scale form) -------------------
+
+  /** Single-partition shuffles in the plan ABOVE any cache scan — the
+    * scale-killer witness. AQE-wrapped plans unwrap to the live plan. */
+  private def singlePartitionExchanges(
+      df: org.apache.spark.sql.DataFrame): Int = {
+    val p0 = df.queryExecution.executedPlan
+    val p = p0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+    }.size
+  }
+
+  test("threshold cut equals the exact rank cut when scores straddle a " +
+    "bucket boundary") {
+    // Two target-like docs score high, three alien docs score very low —
+    // the 0.6-quantile cut of a width-1000-micros sketch lands between
+    // the two score clusters, so the sketch selection must EQUAL the
+    // exact-rank top-40%. (The target repeats its vocabulary: with a
+    // single "alpha beta" the fixture degenerates — (tc+1)/(rc+1) is
+    // exactly 1/2 for BOTH target and alien features, every log-ratio
+    // collapses to ln(0.7), and all five docs tie.)
+    val target = Seq((0L, "alpha beta alpha beta alpha"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"),
+      (4L, "epsilon zeta"), (5L, "eta theta iota")).toDF("doc_id", "text")
+    val byThreshold = DataSelection.dsirSelectByThreshold(
+        raw, target, "doc_id", "text", 0.4, 32, 1000L)
+      .collect().map(_.getLong(0)).toSet
+    val exact = DataSelection.dsirSelect(raw, target, "doc_id", "text",
+      0.4, 32).collect().map(_.getLong(0)).toSet
+    assert(byThreshold == exact && exact == Set(1L, 2L),
+      s"sketch cut $byThreshold must match exact $exact")
+  }
+
+  test("threshold keep-count is within one sketch bucket of exact and " +
+    "never exceeds the exact top fraction") {
+    // A smooth score gradient (increasing overlap with the target
+    // vocabulary), coarse buckets: the cut bucket's population is the
+    // documented slack.
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val target = Seq((0L, words.take(5).mkString(" "))).toDF("doc_id", "text")
+    val raw = (1L to 20L).map { i =>
+      // doc i speaks a 5-word window starting at i % 6: sliding overlap.
+      val w = (0 until 5).map(j => words(((i + j) % 10).toInt))
+      (i, w.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (frac <- Seq(0.25, 0.5); width <- Seq(1000L, 100000L)) {
+      val kept = DataSelection.dsirSelectByThreshold(
+        raw, target, "doc_id", "text", frac, 32, width)
+      val keptIds = kept.collect().map(_.getLong(0)).toSet
+      val exact = DataSelection.dsirSelect(raw, target, "doc_id", "text",
+          frac, 32).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exactN = exact.size
+      assert(keptIds.size <= exactN,
+        s"frac=$frac width=$width: sketch must never over-keep " +
+          s"(${keptIds.size} > $exactN)")
+      // Every kept doc must be inside the exact top set EXTENDED by score
+      // ties (equal integer micros can swap across the rank cut).
+      val scores = DataSelection.dsirScores(raw, target, "doc_id", "text", 32)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val minExact = exact.keySet.map(scores).min
+      keptIds.foreach { id =>
+        assert(scores(id) >= minExact,
+          s"frac=$frac width=$width: kept doc $id scores ${scores(id)} " +
+            s"below the exact cut $minExact")
+      }
+    }
+  }
+
+  test("threshold plan has no window and no single-partition exchange " +
+    "above the scored scan; the exact form provably does") {
+    val target = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    val raw = (1L to 30L).map(i => (i, s"alpha w$i beta")).toDF("doc_id", "text")
+    val th = DataSelection.dsirSelectByThreshold(
+      raw, target, "doc_id", "text", 0.3, 32, 1000L)
+    assert(singlePartitionExchanges(th) == 0,
+      "sketch-threshold selection must not funnel scored rows through " +
+        s"one task:\n${th.queryExecution.executedPlan}")
+    assert(!th.queryExecution.executedPlan.getClass.getName.contains("Window"))
+    val exact = DataSelection.dsirSelect(raw, target, "doc_id", "text", 0.3, 32)
+    assert(singlePartitionExchanges(exact) >= 1,
+      "the exact-rank twin is EXPECTED to carry the global-sort exchange " +
+        "(that contrast is the point of the threshold form)")
+  }
+
+  test("threshold frac bounds: 0, 1 and out-of-range all fail fast") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    for (bad <- Seq(0.0, 1.0, -0.1, 1.5)) {
+      intercept[IllegalArgumentException] {
+        DataSelection.dsirSelectByThreshold(df, df, "doc_id", "text", bad)
+      }
+    }
+  }
 }

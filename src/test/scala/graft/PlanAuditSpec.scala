@@ -61,10 +61,11 @@ class PlanAuditSpec extends GraftSuite {
     "text_dsir_scores", "stream_dsir_model",
     // Same two 1-row totals feeding the constant-size divergence table.
     "text_ngram_drift", "stream_ngram_drift",
-    // The selection cut broadcasts the 1-row corpus count into the
-    // rank filter (the exact form is the oracle contract; sketch cut
-    // at scale).
-    "pipeline_dsir_select",
+    // Both selection forms embed dsirScores' two 1-row total broadcasts
+    // (the exact-rank form is the oracle contract; the sketch-threshold
+    // form is the scale path — its cut is a collected literal, but the
+    // cached scoring plan still prints the 1-row BNLJs).
+    "pipeline_dsir_select", "pipeline_dsir_threshold",
     // columnStats combines its 1-row min/max/nulls aggregate with the
     // 1-row exact-NDV aggregate via a constant-size broadcast (the
     // DISTINCT aggregates run in their own job to avoid the Expand plan).
