@@ -169,8 +169,11 @@ object FeatureScaling {
     val qs = (1 until bins).map(_.toDouble / bins)
     val cuts = Sketches.histQuantiles(sketch, qs, widthCents)
       .select(col("est_cents")).collect().map(_.getLong(0))
+    // foldLeft, not reduce: an EMPTY input produces an empty sketch and
+    // zero cuts — the fold then assigns bin 0 to the zero rows instead
+    // of crashing with an obscure empty.reduce.
     val bin = cuts.map(c => when(valueCents >= lit(c), 1L).otherwise(0L))
-      .reduce(_ + _)
+      .foldLeft(lit(0L))(_ + _)
     df.withColumn("bin", bin)
   }
 

@@ -162,6 +162,14 @@ object Retrieval {
     val cand = rows.map(r => (r.getLong(0),
       r.getSeq[Float](1).toArray, r.getDouble(2)))
     val nrm = cand.map { case (_, v, _) => math.sqrt(dot(v, v)) }
+    // Fail-fast like the siblings: a zero-norm (or NaN) vector makes its
+    // cosine 0/0 = NaN, whose objective silently never wins the argmax —
+    // and if all remaining candidates are NaN the argmax has no winner.
+    val badNorm = cand.indices.filter(i => !(nrm(i) > 0.0))
+    require(badNorm.isEmpty,
+      s"mmrRerank: ${badNorm.size} candidate vector(s) with zero/NaN norm " +
+        s"(ids ${badNorm.take(5).map(cand(_)._1).mkString(", ")}) — " +
+        "cosine redundancy is undefined; drop or re-embed them upstream")
     // Candidates sorted by id so every argmax sweep visits ids in the
     // same order on any engine (ties resolve to the LOWER id because a
     // later equal objective never displaces the incumbent).

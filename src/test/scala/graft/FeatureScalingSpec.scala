@@ -131,4 +131,11 @@ class FeatureScalingSpec extends GraftSuite {
       FeatureScaling.binEquiDepth(same, col("c"), 1, 5L)
     }
   }
+
+  test("binEquiDepth: empty input yields zero rows, not empty.reduce") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("c")
+    val out = FeatureScaling.binEquiDepth(empty, col("c"), 4, 5L)
+    assert(out.columns.contains("bin") && out.count() == 0L)
+  }
 }

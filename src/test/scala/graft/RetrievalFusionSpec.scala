@@ -146,4 +146,14 @@ class RetrievalFusionSpec extends GraftSuite {
       Retrieval.mmrRerank(big, "id", "vec", "rel", 1, 0.5)
     }
   }
+
+  test("MMR fails fast on a zero-norm candidate instead of NaN cosines") {
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(cands(
+        (1L, Array(1f, 0f), 0.9),
+        (7L, Array(0f, 0f), 0.8)), // zero vector: cosine would be 0/0
+        "id", "vec", "rel", 2, 0.5)
+    }
+    assert(e.getMessage.contains("7"), s"must name the offender: $e")
+  }
 }
