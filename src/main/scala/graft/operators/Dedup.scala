@@ -754,6 +754,37 @@ object Dedup {
         col("dup_of"))
   }
 
+  /** The SemDeDup cluster-count dial: k = max(2, round(sqrt(n / 2))) —
+    * the paper's k ~ sqrt(n) growth with the calibration constant chosen
+    * so expected cluster size is sqrt(2n). Total pair-compare work is
+    * then sum(c_i^2) ~ n * sqrt(2n): sub-quadratic (n^1.5) at ANY corpus
+    * size without retuning, the same corpus-count auto-dial contract as
+    * [[Similarity.lshAutoConfig]]. Exposed so the gate fixture's
+    * resolution can be spec-pinned (a fixture resize breaks the spec
+    * loudly, not the oracle silently — the lshAutoConfig convention). */
+  def semanticKFor(n: Long): Int =
+    math.max(2, math.round(math.sqrt(n / 2.0)).toInt)
+
+  /** [[semanticDedup]] with the k dial APPLIED: cluster count from
+    * [[semanticKFor]] over the corpus count, codebook trained in-engine
+    * on the deterministic 1-in-`trainMod` id sample (the documented
+    * corpus-scale recipe — Lloyd on a sample, the full corpus touched
+    * only by the one-pass assignment). At the sf0.01 gate fixture
+    * (500 + 20 planted = 520 rows) the dial resolves to exactly the
+    * fixed gate's k = 16, so the existing oracle replays it verbatim;
+    * at corpus scale the same call grows k with sqrt(n) and keeps the
+    * within-cluster prune sub-quadratic. */
+  def semanticDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, kmIters: Int, trainMod: Int = 4,
+      keepFarthest: Boolean = false): DataFrame = {
+    require(trainMod >= 1, "semanticDedupAuto: trainMod >= 1")
+    val k = semanticKFor(emb.count())
+    val centroids = Similarity.trainKMeans(
+      emb.where(col(idCol) % trainMod === 0), idCol, vecCol, k, dim,
+      kmIters)
+    semanticDedup(emb, idCol, vecCol, centroids, threshold, keepFarthest)
+  }
+
   /** All-pairs embedding near-duplicates (cosine >= threshold). Baseline
     * exact form — O(n^2) compare, distributed but quadratic; at corpus
     * scale use Similarity.lshNearDuplicates (bucketed) instead. */

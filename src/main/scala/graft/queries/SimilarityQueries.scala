@@ -42,6 +42,22 @@ object SimilarityQueries {
     emb(s, dir).where(col("vec_id") >= minId)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
+  /** The SemDeDup gate corpus: the fixture embeddings plus 20 PLANTED
+    * paraphrase copies (every 25th vector re-scaled in double, rounded
+    * once to float, re-keyed +1000 — the decontamination gate's
+    * perturbation, cosine ~0.999 to its source). Shared by the fixed-k
+    * and auto-k gates so both replay the same oracle. */
+  private def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = e.where(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000L).as("id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(0.9) + lit(0.01)).cast("float"))
+          .as("vec"))
+    base.unionAll(planted)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_lsh_codes" -> { (s, dir) =>
       Similarity.lshCodes(emb(s, dir), "vec_id", "embedding",
@@ -170,18 +186,23 @@ object SimilarityQueries {
     // source; the oracle replays the training, the assignment, and the
     // prune rule row-for-row.
     "dedup_semantic" -> { (s, dir) =>
-      val e = emb(s, dir)
-      val base = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val planted = e.where(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 1000L).as("id"),
-          transform(col("embedding"),
-            x => (x.cast("double") * lit(0.9) + lit(0.01)).cast("float"))
-            .as("vec"))
-      val corpus = base.unionAll(planted)
+      val corpus = plantedCorpus(s, dir)
       val centroids = Similarity.trainKMeans(
         corpus.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
       graft.operators.Dedup.semanticDedup(corpus, "id", "vec",
         centroids, 0.45)
+    },
+    // The k DIAL applied: cluster count from the corpus count
+    // (semanticKFor — k ~ sqrt(n/2), the SemDeDup cost knob), training
+    // on the same 1-in-4 id sample. At this fixture (n = 520) the dial
+    // resolves to EXACTLY the fixed gate's k = 16 — the oracle is
+    // dedup_semantic's verbatim (SemanticDedupSpec pins the resolution,
+    // so a fixture resize breaks the spec, not the oracle silently) —
+    // while at corpus scale the same call grows k as sqrt(n) and keeps
+    // the within-cluster prune work at ~n^1.5.
+    "dedup_semantic_auto" -> { (s, dir) =>
+      graft.operators.Dedup.semanticDedupAuto(plantedCorpus(s, dir),
+        "id", "vec", 0.45, Dim, KmIters)
     },
     // MMR diversified re-rank over a retrieved top-20: query = embedding
     // 3, corpus vec_id >= 5, rel = the ROUNDED brute-force cosine score,
@@ -556,6 +577,33 @@ object SimilarityQueries {
        |                  AND lt.cid = c.cid
        |  GROUP BY cand.qid, cand.id)""".stripMargin
 
+  /** SemDeDup replay (shared by the fixed-k and auto-k gates — the dial
+    * resolves to KmK at the fixture): planted-copy corpus, unrolled
+    * Lloyd training on the 1-in-4 sample, nearest-centroid assignment,
+    * within-cluster keep-lowest-id prune. */
+  private lazy val duckSemanticDedupSql: String =
+    s"""WITH corp AS (
+       |  SELECT vec_id AS id, embedding AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000, list_transform(embedding,
+       |      x -> CAST(x::DOUBLE * 0.9 + 0.01 AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+       |${duckKMeansCtes(KmK, KmIters, "train")},
+       |cent AS (SELECT cid, cv FROM cent$KmIters),
+       |asg AS (SELECT id, v, cid FROM (
+       |  SELECT c.id, c.v, ct.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY c.id
+       |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
+       |  FROM corp c, cent ct) t WHERE rn = 1),
+       |nb AS (SELECT b.id AS id, MIN(a.id) AS dup_of
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
+       |  WHERE ${duckCos("a.v", "b.v")} >= 0.45
+       |  GROUP BY b.id)
+       |SELECT asg.id, asg.cid, nb.dup_of IS NULL AS kept,
+       |  nb.dup_of AS dup_of
+       |FROM asg LEFT JOIN nb ON asg.id = nb.id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "sim_pq_adc" -> duckPqOracle,
     // IVF x PQ + exact refine: replay both trainings, the code
@@ -620,28 +668,10 @@ object SimilarityQueries {
     // the 1-in-4 sample (unrolled Lloyd, exact scaled-integer sums), the
     // full-corpus nearest-centroid assignment (cos DESC, cid — Spark's
     // struct sort), and the within-cluster keep-lowest-id prune.
-    "dedup_semantic" ->
-      s"""WITH corp AS (
-         |  SELECT vec_id AS id, embedding AS v FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 1000, list_transform(embedding,
-         |      x -> CAST(x::DOUBLE * 0.9 + 0.01 AS FLOAT))
-         |  FROM embeddings WHERE vec_id % 25 = 0),
-         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
-         |${duckKMeansCtes(KmK, KmIters, "train")},
-         |cent AS (SELECT cid, cv FROM cent$KmIters),
-         |asg AS (SELECT id, v, cid FROM (
-         |  SELECT c.id, c.v, ct.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY c.id
-         |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
-         |  FROM corp c, cent ct) t WHERE rn = 1),
-         |nb AS (SELECT b.id AS id, MIN(a.id) AS dup_of
-         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
-         |  WHERE ${duckCos("a.v", "b.v")} >= 0.45
-         |  GROUP BY b.id)
-         |SELECT asg.id, asg.cid, nb.dup_of IS NULL AS kept,
-         |  nb.dup_of AS dup_of
-         |FROM asg LEFT JOIN nb ON asg.id = nb.id""".stripMargin,
+    "dedup_semantic" -> duckSemanticDedupSql,
+    // The auto-k dial resolves to the fixed gate's k = 16 at this
+    // fixture (spec-pinned in SemanticDedupSpec) — same replay verbatim.
+    "dedup_semantic_auto" -> duckSemanticDedupSql,
     // Streaming IVF x PQ: training replays on HISTORY only (id < 200,
     // 1-in-4 sample); codes/assignments are batch-independent so the
     // accumulated state equals one pass over the full corpus; queries

@@ -88,4 +88,43 @@ class SemanticDedupSpec extends GraftSuite {
       Dedup.semanticDedup(emb, "id", "vec", Nil, 0.9)
     }
   }
+
+  // ---- the auto-k dial (semanticDedupAuto) ---------------------------------
+
+  test("semanticKFor pins the gate fixture resolution and grows as sqrt(n)") {
+    // THE GATE CONTRACT: at the sf0.01 fixture (500 embeddings + 20
+    // planted copies) the dial must resolve to the fixed gate's k = 16,
+    // because dedup_semantic_auto replays dedup_semantic's oracle
+    // verbatim. If the driver fixture is ever resized, THIS assertion is
+    // what breaks — re-derive the oracle at the new resolution.
+    assert(Dedup.semanticKFor(520L) == 16)
+    // sqrt growth: 4x the corpus ~ 2x the clusters (rounding slack 1).
+    for (n <- Seq(1000L, 10000L, 1000000L)) {
+      val k4 = Dedup.semanticKFor(4 * n)
+      assert(math.abs(k4 - 2 * Dedup.semanticKFor(n)) <= 1,
+        s"k(4n) must be ~2k(n): n=$n k=${Dedup.semanticKFor(n)} k4=$k4")
+    }
+    assert(Dedup.semanticKFor(0L) == 2 && Dedup.semanticKFor(1L) == 2,
+      "degenerate corpora floor at k = 2")
+  }
+
+  test("auto equals fixed-k semanticDedup when the dial resolves the same") {
+    // 32 vectors near the two axes => semanticKFor(32) = 4; train on the
+    // 1-in-4 sample. The auto wrapper must produce the identical board
+    // to hand-training at the same k over the same sample.
+    val rows = (0L until 32L).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0.01f * i, 0f, 0f)
+        else Array(0.01f * i, 1f, 0f, 0f)
+      i -> base
+    }
+    val emb = df(rows: _*)
+    assert(Dedup.semanticKFor(32L) == 4)
+    val auto = Dedup.semanticDedupAuto(emb, "id", "vec", 0.99, 4, 2)
+      .collect().map(_.toSeq).toSet
+    val trained = graft.operators.Similarity.trainKMeans(
+      emb.where($"id" % 4 === 0), "id", "vec", 4, 4, 2)
+    val fixed = Dedup.semanticDedup(emb, "id", "vec", trained, 0.99)
+      .collect().map(_.toSeq).toSet
+    assert(auto == fixed, "auto-k wrapper must be the fixed path verbatim")
+  }
 }
