@@ -83,6 +83,37 @@ object TextEventsQueries {
         Seq(graft.operators.Retrieval.asRankList(sparse, "id", "score"),
           dense), 60, 20)
     },
+    // RAG retrieval deployed END-TO-END: BM25 top-50 (sparse) + brute
+    // cosine top-50 (dense, query = embedding 7) -> RRF fusion (k0=60,
+    // top-20) -> MMR diversified re-rank (lambda 0.7, 8 picks, rel =
+    // the fused RRF score) -> ranking metrics of the picks against the
+    // dense brute-force top-8 truth. Every stage is individually gated
+    // (text_bm25_topk / text_hybrid_rrf / sim_mmr_rerank /
+    // sim_rank_metrics); THIS gate replays the whole chain in one
+    // oracle, because compositions are where k-trims and rank-contract
+    // mismatches hide. Output: one metrics row for the query.
+    "pipeline_rag_retrieval" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = e.where(col("vec_id") === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val sparse = TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window", "customer"), 50)
+        .select(col("doc_id").as("id"), col("score"))
+      val dense = graft.operators.Similarity.bruteForceTopK(corpus, q, 50)
+        .select(col("id"), col("rank").as("rnk"))
+      val fused = graft.operators.Retrieval.rrfFuse(
+        Seq(graft.operators.Retrieval.asRankList(sparse, "id", "score"),
+          dense), 60, 20)
+      val cand = fused.select(col("id"), col("rrf").as("rel"))
+        .join(corpus, "id")
+      val picks = graft.operators.Retrieval.mmrRerank(
+        cand, "id", "vec", "rel", 8, 0.7)
+      val truth = graft.operators.Similarity.bruteForceTopK(corpus, q, 8)
+        .select(col("qid"), col("id"))
+      graft.operators.Retrieval.rankingMetrics(
+        picks.select(lit(7L).as("qid"), col("id"), col("rnk")), truth, 8)
+    },
     // Overlapping token-window chunking (RAG/training prep): 20-token
     // windows, stride 10 (50% overlap), full-coverage tiling.
     "text_chunking" -> { (s, dir) =>
@@ -1183,6 +1214,98 @@ object TextEventsQueries {
          |SELECT id, CAST(rnk AS BIGINT) AS rnk, round(rrf, 6) AS rrf,
          |  CAST(n_lists AS BIGINT) AS n_lists
          |FROM r WHERE rnk <= 20""".stripMargin
+    },
+    // Full RAG chain: BM25 + dense cosine lists, the RRF fusion, the
+    // MMR greedy argmax unrolled 8 steps over the fused top-20 (rel =
+    // the ROUNDED rrf, penalty = GREATEST of raw cosines to the picks,
+    // objective literals from the exact Scala doubles: 1 - 0.7 is
+    // 0.30000000000000004 in IEEE), and the fixed-point ranking metrics
+    // of the picks against the dense brute top-8 truth.
+    "pipeline_rag_retrieval" -> {
+      val terms = Seq("spark", "window", "customer")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(", ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1) * tf$i * 2.2" +
+          s" / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(range(64), jj -> " +
+          s"$a[jj+1]::DOUBLE * $b[jj+1]::DOUBLE), (p, q) -> p + q)"
+      def cos(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      val lam = "0.7"
+      val oneMinus = (1.0 - 0.7).toString
+      val mmrK = 8
+      val steps = (1 to mmrK).map { i =>
+        if (i == 1)
+          s"p1 AS (SELECT id, v, $lam * rel AS obj FROM cand" +
+            s" ORDER BY obj DESC, id LIMIT 1)"
+        else {
+          val prev = (1 until i).map(j => s"p$j").mkString(", ")
+          val notIn = (1 until i).map(j => s"c.id <> p$j.id").mkString(" AND ")
+          val sims = (1 until i).map(j => cos("c.v", s"p$j.v")).mkString(", ")
+          val pen = if (i == 2) sims else s"GREATEST($sims)"
+          s"""p$i AS (SELECT id, v, obj FROM (
+             |  SELECT c.id, c.v AS v, $lam * c.rel - $oneMinus * ($pen) AS obj
+             |  FROM cand c, $prev WHERE $notIn) x$i
+             |  ORDER BY obj DESC, id LIMIT 1)""".stripMargin
+        }
+      }.mkString(",\n")
+      val pages = (1 to mmrK).map(i =>
+        s"SELECT id, CAST($i AS BIGINT) AS rnk FROM p$i")
+        .mkString("\nUNION ALL\n")
+      def gain(x: String) =
+        s"CAST(floor(1000000.0 / (ln(($x + 1)::DOUBLE) / ln(2.0))) AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks)::DOUBLE AS dl, $tfs FROM t),
+         |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl, $dfs FROM f),
+         |sc AS (SELECT doc_id, round($score, 6) AS score FROM f, st),
+         |sp AS (SELECT doc_id AS id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, score FROM sc WHERE score > 0
+         |        ORDER BY score DESC, doc_id LIMIT 50) sp0),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+         |dall AS (SELECT vec_id AS id, embedding AS v,
+         |    ROW_NUMBER() OVER (ORDER BY ${cos("embedding", "qv")} DESC,
+         |      vec_id) AS rnk
+         |  FROM embeddings, q),
+         |dn AS (SELECT id, rnk FROM dall WHERE rnk <= 50),
+         |u AS (SELECT id, 1.0 / (60 + rnk) AS contrib FROM sp
+         |  UNION ALL SELECT id, 1.0 / (60 + rnk) FROM dn),
+         |fz AS (SELECT id, SUM(contrib) AS rrf FROM u GROUP BY id),
+         |fr AS (SELECT id, round(rrf, 6) AS rel,
+         |    ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS frnk FROM fz),
+         |cand AS (SELECT fr.id, e.embedding AS v, fr.rel
+         |  FROM fr JOIN embeddings e ON fr.id = e.vec_id
+         |  WHERE fr.frnk <= 20),
+         |$steps,
+         |picks AS ($pages),
+         |tru AS (SELECT id FROM dall WHERE rnk <= 8),
+         |j AS (SELECT picks.rnk,
+         |    CASE WHEN tru.id IS NOT NULL THEN 1 ELSE 0 END AS relv
+         |  FROM picks LEFT JOIN tru ON picks.id = tru.id),
+         |pq AS (SELECT CAST(SUM(relv) AS BIGINT) AS hits,
+         |    MIN(CASE WHEN relv = 1 THEN rnk END) AS first_rnk,
+         |    CAST(SUM(CASE WHEN relv = 1 THEN ${gain("rnk")}
+         |      ELSE 0 END) AS BIGINT) AS dcg
+         |  FROM j),
+         |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM tru),
+         |fin AS (SELECT nr.n_rel, COALESCE(pq.hits, 0) AS hits,
+         |    pq.first_rnk, COALESCE(pq.dcg, 0) AS dcg,
+         |    list_reduce(list_transform(range(1, least(nr.n_rel, 8) + 1),
+         |      i -> ${gain("i")}), (a, b) -> a + b) AS idcg
+         |  FROM nr, pq)
+         |SELECT CAST(7 AS BIGINT) AS qid, n_rel, hits,
+         |  CAST(first_rnk AS BIGINT) AS first_rnk,
+         |  round(COALESCE(1.0 / first_rnk, 0.0), 6) AS rr,
+         |  round(hits::DOUBLE / 8.0, 6) AS prec,
+         |  round(hits::DOUBLE / n_rel::DOUBLE, 6) AS recall,
+         |  round(dcg::DOUBLE / idcg::DOUBLE, 6) AS ndcg
+         |FROM fin""".stripMargin
     },
     "text_chunking" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -49,8 +49,9 @@ class PlanAuditSpec extends GraftSuite {
     "sim_hard_negatives",
     // The dense half is bruteForceTopK with ONE broadcast query row
     // (corpus x 1); swap in ivfTopK/lshTopK at corpus scale — the
-    // fusion/re-rank tails are list-bounded either way.
-    "text_hybrid_rrf", "sim_mmr_rerank",
+    // fusion/re-rank tails are list-bounded either way. The rag
+    // pipeline composes the same dense half (and its brute truth).
+    "text_hybrid_rrf", "sim_mmr_rerank", "pipeline_rag_retrieval",
     // Ground truth is the brute baseline BY DESIGN (the metric gate
     // exists to score the LSH index against exact top-k); the broadcast
     // side is the 10-row query set.

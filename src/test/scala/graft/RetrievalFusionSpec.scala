@@ -147,6 +147,38 @@ class RetrievalFusionSpec extends GraftSuite {
     }
   }
 
+  // ---- the fused chain (rrfFuse -> mmrRerank), the rag pipeline's core ----
+
+  test("RRF fusion is list-order commutative; the chained MMR at " +
+    "lambda 1 is the fused order, at low lambda it diversifies") {
+    val sparse = ranks(1L -> 1, 2L -> 2, 3L -> 3)
+    val dense = ranks(2L -> 1, 1L -> 2, 4L -> 3)
+    val ab = Retrieval.rrfFuse(Seq(sparse, dense), 60, 10)
+      .collect().map(_.toSeq).toSet
+    val ba = Retrieval.rrfFuse(Seq(dense, sparse), 60, 10)
+      .collect().map(_.toSeq).toSet
+    assert(ab == ba, "swapping the input lists must not change the fusion")
+    // Vectors: 1 and 2 near-identical; 4 orthogonal. rel = fused rrf.
+    val vecs = Map(
+      1L -> Array(1f, 0f), 2L -> Array(0.999f, 0.0447f),
+      3L -> Array(0.97f, 0.2431f), 4L -> Array(0f, 1f))
+    val fused = Retrieval.rrfFuse(Seq(sparse, dense), 60, 10)
+    val cand = fused.collect()
+      .map(r => (r.getLong(0), vecs(r.getLong(0)), r.getDouble(2)))
+      .toSeq.toDF("id", "vec", "rel")
+    val fusedOrder = fused.orderBy($"rnk").collect().map(_.getLong(0)).toSeq
+    val pure = Retrieval.mmrRerank(cand, "id", "vec", "rel", 3, 1.0)
+      .orderBy($"rnk").collect().map(_.getLong(0)).toSeq
+    assert(pure == fusedOrder.take(3),
+      s"lambda 1 must reproduce the fused order: $pure vs $fusedOrder")
+    val diverse = Retrieval.mmrRerank(cand, "id", "vec", "rel", 3, 0.1)
+      .orderBy($"rnk").collect().map(_.getLong(0)).toSeq
+    // Pick 1 is still the fused top; pick 2 must jump to the orthogonal
+    // id 4 instead of the near-duplicate runner-up.
+    assert(diverse.head == fusedOrder.head && diverse(1) == 4L,
+      s"low lambda must diversify away from the near-dup: $diverse")
+  }
+
   test("MMR fails fast on a zero-norm candidate instead of NaN cosines") {
     val e = intercept[IllegalArgumentException] {
       Retrieval.mmrRerank(cands(
