@@ -240,4 +240,157 @@ class OperatorFuzzSpec extends GraftSuite {
       assert(got == want, s"rankingMetrics seed=$seed:\n got=$got\nwant=$want")
     }
   }
+
+  // ---- r13: the numeric/selection tail vs driver-side replays --------------
+
+  /** TextHash.hash60 replayed on the driver: first 15 hex chars of the
+    * md5 as a 60-bit non-negative long, then mod buckets. */
+  private def bucketOf(f: String, b: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % b
+  }
+
+  /** DataSelection.featureBuckets replayed: split(" ", -1) unigrams ++
+    * in-order word bigrams (the WordGramsAll contract — trailing empties
+    * kept, so "" is 1 feature and " " is 3). */
+  private def featsOf(text: String, b: Int): Seq[Long] = {
+    val toks = text.split(" ", -1).toSeq
+    val bi = if (toks.length >= 2)
+      toks.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty[String]
+    (toks ++ bi).map(bucketOf(_, b))
+  }
+
+  /** Random short-doc corpus over a tiny vocabulary (so target/raw
+    * overlap is substantial), with PLANTED degenerate texts the driver
+    * fixtures never produce: empty, whitespace-only, one-word. */
+  private def textCorpus(seed: Long, n: Long): DataFrame = {
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val gen = TableGen.table(spark, n, seed,
+      "doc_id" -> Gen.SeqId,
+      "w1" -> Gen.Choice(vocab), "w2" -> Gen.Choice(vocab),
+      "w3" -> Gen.Choice(vocab),
+      "len" -> Gen.Int64Uniform(1, 3),
+      "text" -> Gen.SqlExpr("CASE WHEN len = 1 THEN w1 " +
+        "WHEN len = 2 THEN concat(w1, ' ', w2) " +
+        "ELSE concat(w1, ' ', w2, ' ', w3) END"))
+      .select("doc_id", "text")
+    import spark.implicits._
+    val degenerate = Seq((n, ""), (n + 1, " "), (n + 2, "alpha"))
+      .toDF("doc_id", "text")
+    gen.unionAll(degenerate)
+  }
+
+  test("dsirScores matches a driver-side hash/LM/fixed-point replay, " +
+    "degenerate texts included") {
+    val b = 64
+    for (seed <- seeds) {
+      val raw = textCorpus(seed, 120L)
+      val target = textCorpus(seed + 7, 40L)
+      val got = graft.operators.DataSelection
+        .dsirScores(raw, target, "doc_id", "text", b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val tc = target.collect().flatMap(r => featsOf(r.getString(1), b))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rawDocs = raw.collect()
+        .map(r => r.getLong(0) -> featsOf(r.getString(1), b))
+      val rc = rawDocs.flatMap(_._2).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val (nt, nr) = (tc.values.sum, rc.values.sum)
+      def lr(bk: Long): Long = math.floor(
+        (math.log((tc.getOrElse(bk, 0L) + 1L).toDouble / (nt + b).toDouble) -
+          math.log((rc.getOrElse(bk, 0L) + 1L).toDouble / (nr + b).toDouble))
+          * 1000000.0).toLong
+      val want = rawDocs.map { case (id, fs) =>
+        val s = fs.map(lr).sum
+        (id, fs.size.toLong, s,
+          round6(s.toDouble / (fs.size.toLong * 1000000L).toDouble))
+      }.toSet
+      assert(got == want, s"dsirScores seed=$seed: " +
+        s"+${(got -- want).take(3)} -${(want -- got).take(3)}")
+    }
+  }
+
+  test("bucketDivergence: driver replay, zero law on a permuted twin, " +
+    "JS symmetry, KL swap — degenerate texts included") {
+    val b = 64
+    for (seed <- seeds) {
+      val a = textCorpus(seed, 100L)
+      val c = textCorpus(seed + 31, 80L)
+      // Permuted twin: same texts, shuffled ids and physical layout —
+      // the model is a bag of features, so divergence must be 0 exactly.
+      val perm = a.withColumn("doc_id", col("doc_id") * 7919L % 100003L)
+        .repartition(7)
+      def row(x: DataFrame, y: DataFrame) = graft.operators.DataSelection
+        .bucketDivergence(x, y, "text", b).collect().head
+      val self = row(a, perm)
+      assert(self.getDouble(2) == 0.0 && self.getDouble(3) == 0.0 &&
+        self.getDouble(4) == 0.0, s"seed=$seed permuted twin: $self")
+      val ac = row(a, c)
+      val ca = row(c, a)
+      assert(ac.getDouble(4) == ca.getDouble(4), s"seed=$seed JS symmetry")
+      assert(ac.getDouble(2) == ca.getDouble(3) &&
+        ac.getDouble(3) == ca.getDouble(2), s"seed=$seed KL swap")
+      // Full driver replay of the quantized terms.
+      def counts(x: DataFrame) = x.collect()
+        .flatMap(r => featsOf(r.getString(1), b))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (cntA, cntC) = (counts(a), counts(c))
+      val (na, nc) = (cntA.values.sum, cntC.values.sum)
+      var (kab, kba, jss) = (0L, 0L, 0L)
+      for (bk <- 0 until b) {
+        val p = (cntA.getOrElse(bk.toLong, 0L) + 1L).toDouble /
+          (na + b).toDouble
+        val q = (cntC.getOrElse(bk.toLong, 0L) + 1L).toDouble /
+          (nc + b).toDouble
+        val m = (p + q) / 2.0
+        kab += math.floor(p * math.log(p / q) * 1000000000.0).toLong
+        kba += math.floor(q * math.log(q / p) * 1000000000.0).toLong
+        jss += math.floor((p * math.log(p / m) + q * math.log(q / m))
+          * 500000000.0).toLong
+      }
+      val want = (na, nc, round6(kab.toDouble / 1e9),
+        round6(kba.toDouble / 1e9), round6(jss.toDouble / 1e9))
+      val gotT = (ac.getLong(0), ac.getLong(1), ac.getDouble(2),
+        ac.getDouble(3), ac.getDouble(4))
+      assert(gotT == want, s"divergence replay seed=$seed: $gotT != $want")
+    }
+  }
+
+  test("binEquiDepth matches a driver-side sketch/cut/assign replay on " +
+    "skewed and negative values") {
+    for (seed <- seeds;
+        (gen, width) <- Seq(
+          (Gen.Int64Zipf(500, 1.3): Gen, 10L), // duplicate-heavy
+          (Gen.Float64Laplace(0.0, 200.0), 25L))) { // negatives cross 0
+      val df = TableGen.table(spark, 2000L, seed, "x" -> gen)
+        .select(round(col("x")).cast("long").as("c"))
+      for (bins <- Seq(4, 8)) {
+        val got = graft.operators.FeatureScaling
+          .binEquiDepth(df, col("c"), bins, width)
+          .groupBy("c", "bin").count()
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val vals = df.collect().map(_.getLong(0)).toSeq
+        def bucket(v: Long): Long =
+          (v - (((v % width) + width) % width)) / width
+        val cumul = vals.groupBy(bucket).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(_._1)
+          .scanLeft((Long.MinValue, 0L)) { case ((_, c), (bk, cnt)) =>
+            (bk, c + cnt)
+          }.tail
+        val n = vals.size.toLong
+        val cuts = (1 until bins).map { i =>
+          val need = math.ceil(i.toDouble / bins * n).toLong
+          (cumul.find(_._2 >= need).get._1 + 1) * width
+        }
+        val want = vals.map(v => v -> cuts.count(_ <= v).toLong)
+          .groupBy(identity).view.mapValues(_.size.toLong)
+          .map { case ((v, bin), cnt) => (v, bin, cnt) }.toSet
+        assert(got == want, s"binEquiDepth seed=$seed bins=$bins " +
+          s"width=$width: +${(got -- want).take(3)} -${(want -- got).take(3)}")
+      }
+    }
+  }
 }
