@@ -85,6 +85,22 @@ object Bench {
     // rounds running (r7 mm_decode_features, r8 rel_q* cluster). Raw runs
     // are kept in the JSON so swings remain visible for adjudication.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    // Calibration probe: one FIXED, trivial, code-stable gate timed first
+    // (median of 3), emitted as calib_s. Environment drift (host
+    // contention swung totals 1.2-1.5x in r8/r11/r12 with zero code
+    // change) becomes a computed scalar — divide two rounds' totals by
+    // their calib_s before comparing — instead of a judged signature.
+    val calibS: Option[Double] = SparkEntry.queries
+      .get("gen_date_uniform_props").map { fn =>
+        median((1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        })
+      }
     val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq
       .filter(q => selected(q._1)).map {
       case (name, fn) =>
@@ -97,9 +113,6 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         name -> times
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + median(v) }
       .mkString("{", ",", "}")
@@ -115,7 +128,8 @@ object Bench {
     val load = f"""{"loadavg_1m":${os.getSystemLoadAverage}%.2f,""" +
       s""""available_processors":${os.getAvailableProcessors},""" +
       s""""jvm_max_mem_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"n_runs":$nRuns,"sf":"$sfDir","load":$load}""")
+    val calib = calibS.map(c => f"$c%.4f").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"queries":$qs,"runs":$raw,"n_runs":$nRuns,"sf":"$sfDir","load":$load}""")
     spark.stop()
   }
 }
