@@ -176,6 +176,113 @@ object PqOps {
   }
 }
 
+object IvfOps {
+  /** Top-`nprobe` centroid ids by cosine DESC, ties -> lower cid — the
+    * loop form of `slice(sort_array(array(struct(0.0 - score, cid))), 1,
+    * nprobe)` and BIT-IDENTICAL to it by construction: the row norm is
+    * the full-length FloatVecDot fold (sqrt of the self-dot), each
+    * per-centroid dot folds over min(|v|, dim) like FloatVecDot's
+    * min-length contract, the key is exactly `0.0 - dot / (nrm *
+    * norms(e))`, and the selection compares keys with Spark's nan-safe
+    * double ordering ((x == y) ? 0 : Double.compare — equal keys fall
+    * to the lower cid). A zero-norm row vector fails FAST with a
+    * descriptive error: under ANSI mode the declarative twin throws an
+    * opaque DIVIDE_BY_ZERO on the same input, so cosine assignment of a
+    * zero vector was never defined — this keeps the fail visible and
+    * named (the mmrRerank discipline). `cents` is flattened
+    * entry-major: entry e spans cents[e*dim, (e+1)*dim); norms(e) is
+    * the driver-precomputed sequential-fold ||cent_e||. */
+  def nearestCentroids(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      nprobe: Int, dim: Int, cids: Array[Long], norms: Array[Double],
+      cents: Array[Float]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = cids.length
+    var s = 0.0
+    var i = 0
+    val vn = v.numElements()
+    while (i < vn) {
+      val f = v.getFloat(i).toDouble
+      s += f * f
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    if (!(nrm > 0.0)) throw new IllegalArgumentException(
+      "nearest_centroids: zero-norm (or NaN) vector — cosine assignment " +
+        "is undefined; drop or re-embed the row upstream")
+    val negs = new Array[Double](k)
+    var e = 0
+    val n = math.min(vn, dim)
+    while (e < k) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += v.getFloat(j).toDouble * cents(e * dim + j).toDouble
+        j += 1
+      }
+      negs(e) = 0.0 - acc / (nrm * norms(e))
+      e += 1
+    }
+    val taken = new Array[Boolean](k)
+    val out = new Array[Long](math.min(nprobe, k))
+    var slot = 0
+    while (slot < out.length) {
+      var best = -1
+      var c = 0
+      e = 0
+      while (e < k) {
+        if (!taken(e)) {
+          if (best < 0) best = e
+          else {
+            c = if (negs(e) == negs(best)) 0
+              else java.lang.Double.compare(negs(e), negs(best))
+            if (c < 0 || (c == 0 && cids(e) < cids(best))) best = e
+          }
+        }
+        e += 1
+      }
+      taken(best) = true
+      out(slot) = cids(best)
+      slot += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
+ * `nearest_centroids(vec)` — the top-`nprobe` probe cids in ONE narrow
+ * codegen call: the PqEncode/SrpCodes 64 KB lesson applied to centroid
+ * assignment. The declarative sort_array-of-k-structs form inlines k
+ * dot products + a k-struct sort per row; once the auto-k dial grows
+ * past ~a hundred centroids the projection overflows the JVM's 64 KB
+ * method limit and the whole stage silently drops to interpreted
+ * evaluation (the same failure PqEncode fixed at m=32). Centroids ride
+ * along as reference objects; generated code is one static call.
+ */
+case class NearestCentroids(child: Expression, nprobe: Int, dim: Int,
+    cids: Array[Long], norms: Array[Double], cents: Array[Float])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override protected def nullSafeEval(a: Any): Any =
+    IvfOps.nearestCentroids(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nprobe, dim, cids, norms, cents)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidRef = ctx.addReferenceObj("ivfCids", cids, "long[]")
+    val nrmRef = ctx.addReferenceObj("ivfNorms", norms, "double[]")
+    val cenRef = ctx.addReferenceObj("ivfCents", cents, "float[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.IvfOps.nearestCentroids(" +
+        s"$c, $nprobe, $dim, $cidRef, $nrmRef, $cenRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /**
  * `pq_encode(vec)` — all m PQ subspace codes in ONE narrow codegen call.
  *

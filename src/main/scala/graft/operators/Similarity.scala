@@ -462,14 +462,13 @@ object Similarity {
   private def normOf(v: Array[Float]): Double =
     math.sqrt(v.foldLeft(0.0)((acc, f) => acc + f.toDouble * f.toDouble))
 
-  /** Per-centroid (negated score, cid) structs for probe selection —
-    * ascending sort = descending score with ties to the lower cid, the
-    * same order the DuckDB oracle's ROW_NUMBER uses. */
-  private def probeEntries(vecCol: String,
-      centroids: Seq[(Long, Array[Float])]): Seq[Column] =
-    probeEntriesOf(col(vecCol), centroids)
-
-  private def probeEntriesOf(vec: Column,
+  /** Per-centroid (negated score, cid) structs — ascending sort =
+    * descending score with ties to the lower cid, the same order the
+    * DuckDB oracle's ROW_NUMBER uses. TEST ORACLE ONLY since r13: the
+    * production probe path is [[probeCids]] (one loop expression);
+    * this declarative twin inlines k dots + a k-struct sort and
+    * overflows the 64 KB codegen limit past ~a hundred centroids. */
+  private[graft] def probeEntriesOf(vec: Column,
       centroids: Seq[(Long, Array[Float])]): Seq[Column] = {
     val n = VectorOps.norm(vec)
     centroids.map { case (cid, cv) =>
@@ -479,12 +478,41 @@ object Similarity {
     }
   }
 
+  /** Declarative twin of [[probeCids]] — the spec's oracle. */
+  private[graft] def probeCidsDeclarative(vec: Column,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int): Column =
+    transform(
+      slice(sort_array(array(probeEntriesOf(vec, centroids): _*)), 1, nprobe),
+      e => e.getField("cid"))
+
+  /** Top-`nprobe` probe cids as ONE loop codegen expression
+    * (array<long>, cosine DESC, ties -> lower cid) — the
+    * PqEncode/SrpCodes 64 KB lesson applied to centroid assignment:
+    * with the auto-k dial (k ~ sqrt(n)) the declarative form's
+    * projection overflows the method limit past ~a hundred centroids
+    * and drops the whole assignment stage (and every Lloyd training
+    * round) to interpreted evaluation. Bit-identical to
+    * [[probeCidsDeclarative]]: same folds, same nan-safe (neg, cid)
+    * order (spec-pinned on random vectors, ties, and a zero vector). */
+  private[graft] def probeCids(vec: Column,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int): Column = {
+    require(centroids.nonEmpty, "probeCids: empty centroids")
+    val dim = centroids.head._2.length
+    require(centroids.forall(_._2.length == dim),
+      "probeCids: centroids must share one dimension")
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.NearestCentroids(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(vec),
+        nprobe, dim, centroids.map(_._1).toArray,
+        centroids.map(c => normOf(c._2)).toArray,
+        centroids.toArray.flatMap(_._2)))
+  }
+
   /** Nearest codebook entry (highest cosine, ties -> lower cid) for an
     * arbitrary vector expression — a single narrow projection. */
   private def nearestCid(vec: Column,
       centroids: Seq[(Long, Array[Float])]): Column =
-    element_at(sort_array(array(probeEntriesOf(vec, centroids): _*)), 1)
-      .getField("cid")
+    element_at(probeCids(vec, centroids, 1), 1)
 
   /** Sequential-fold squared norm of a centroid (no sqrt) — same fold
     * order as the DuckDB oracle's list_reduce, so L2 distances stay
@@ -524,9 +552,7 @@ object Similarity {
   def ivfProbes(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])], nprobe: Int): DataFrame =
     vecs.select(col(idCol),
-        explode(slice(sort_array(array(probeEntries(vecCol, centroids): _*)),
-          1, nprobe)).as("e"))
-      .select(col(idCol), col("e.cid").as("cid"))
+      explode(probeCids(col(vecCol), centroids, nprobe)).as("cid"))
 
   /** Fixed-point scale for the k-means update sums: per-dimension values
     * are accumulated as floor(x * 2^20) integers, making the cluster sum
@@ -570,9 +596,7 @@ object Similarity {
       sum(floor(element_at(col(vecCol), j + 1).cast("double") *
         KMeansScale).cast("long")).as(s"s$j"))
     for (_ <- 0 until iters) {
-      val nearest = element_at(
-        sort_array(array(probeEntries(vecCol, cents): _*)), 1)
-        .getField("cid")
+      val nearest = nearestCid(col(vecCol), cents)
       val rows = vecs.select(nearest.as("cid"), col(vecCol))
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), sums: _*)

@@ -116,4 +116,35 @@ class CodegenAuditSpec extends GraftSuite {
     assert(fails.nonEmpty,
       "audit failed to flag the known-oversized SRP unroll stage")
   }
+
+  test("declarative k=300 centroid assignment overflows; the " +
+    "NearestCentroids loop stays in codegen") {
+    // The r13 instance of the same lesson: semanticDedupAuto's k dial
+    // reaches ~323 centroids at sf10, where the sort_array-of-structs
+    // assignment form inlines 300 dot products + a 300-struct in-row
+    // sort and blows the method limit (every Lloyd training round AND
+    // the corpus assignment drop to interpreted). The loop expression
+    // is one static call.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = auditSession.read.parquet(s"$dir/embeddings.parquet").limit(10)
+    val rnd = new scala.util.Random(7)
+    val cents: Seq[(Long, Array[Float])] =
+      (0 until 300).map(c => (c.toLong, Array.fill(64)(rnd.nextFloat())))
+    val hugeLimit = spark.conf.get("spark.sql.codegen.hugeMethodLimit").toInt
+    val declarative = emb.select(element_at(sort_array(array(
+      Similarity.probeEntriesOf(col("embedding"), cents): _*)), 1)
+      .getField("cid"))
+    val (n1, f1) = audit("planted_declarative_assign",
+      declarative.queryExecution.executedPlan, hugeLimit)
+    assert(n1 > 0 && f1.nonEmpty,
+      "audit failed to flag the k=300 declarative assignment")
+    val loop = Similarity.ivfProbes(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "id", "vec", cents, 1)
+    val (n2, f2) = audit("nearest_centroids_loop",
+      loop.queryExecution.executedPlan, hugeLimit)
+    assert(n2 > 0 && f2.isEmpty,
+      s"loop assignment must stay inside codegen at k=300:\n${f2.mkString("\n")}")
+  }
 }
