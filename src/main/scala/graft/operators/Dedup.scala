@@ -716,7 +716,14 @@ object Dedup {
     * dial (SemDeDup uses k ~ sqrt(n); grow k with the corpus and the
     * per-cluster work stays flat). Norms are computed once per row, the
     * per-pair test is a single codegen'd dot product, and only
-    * (cid, id, vec) rows shuffle — never raw documents. */
+    * (cid, id, vec) rows shuffle — never raw documents.
+    *
+    * CACHE CONTRACT: the returned plan reads the persisted assignment
+    * (it feeds three plan branches), so the cache cannot be released
+    * here; in a long-lived session the caller owns it — materialize the
+    * result, then `spark.catalog.clearCache()`. The batch gates run one
+    * call per session, where eviction handles it (same contract as
+    * [[DataSelection.dsirScores]]). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])], threshold: Double,
       keepFarthest: Boolean = false): DataFrame = {
