@@ -19,8 +19,8 @@ object SimilarityQueries {
   private val NumTables = 8
   private val NumPlanes = 3
   private val Seed = 42
-  private val KmK = 16
-  private val KmIters = 2
+  private[queries] val KmK = 16
+  private[queries] val KmIters = 2
   private val PqM = 32
   private val PqSubDim = 2
   private val PqK = 16
@@ -419,7 +419,7 @@ object SimilarityQueries {
       s"$x[j+1]::DOUBLE * $y[j+1]::DOUBLE), (p, q) -> p + q)"
 
   /** Sequential-fold cosine, identical to VectorOps.cosine. */
-  private def duckCos(a: String, b: String, dim: Int = Dim): String = {
+  private[queries] def duckCos(a: String, b: String, dim: Int = Dim): String = {
     def d(x: String, y: String) = duckDot(x, y, dim)
     s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
   }
@@ -445,7 +445,7 @@ object SimilarityQueries {
     * cosine (ties -> lower cid, matching Spark's struct sort) and rebuilds
     * centroids from the same exact floor(x * 2^20) integer sums
     * Similarity.trainKMeans accumulates, rounded once to FLOAT. */
-  private def duckKMeansCtes(k: Int, iters: Int, rel: String = "corp",
+  private[queries] def duckKMeansCtes(k: Int, iters: Int, rel: String = "corp",
       dim: Int = Dim, tag: String = "", l2: Boolean = false): String = {
     val init =
       s"cent0$tag AS (SELECT id AS cid, v AS cv FROM $rel ORDER BY id LIMIT $k)"

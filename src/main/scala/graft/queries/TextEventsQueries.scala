@@ -83,6 +83,51 @@ object TextEventsQueries {
         Seq(graft.operators.Retrieval.asRankList(sparse, "id", "score"),
           dense), 60, 20)
     },
+    // STREAMING hybrid retrieval — the RAG serving path fed entirely
+    // from FOLDED state: the sparse half probes the accumulated BM25
+    // postings fold (stream_bm25_index's staging, verbatim) and the
+    // dense half probes the accumulated IVF list fold
+    // (stream_ivf_index's staging, verbatim; query = embedding 7,
+    // nprobe 3, exact re-rank top-50), fused by RRF (k0=60, top-20).
+    // Both folds equal their batch twins bit-for-bit (their own gates'
+    // contract), so the oracle replays batch BM25 + trained IVF probe +
+    // the 1/(60+rank) sums — a hash gate across two live streams.
+    "stream_hybrid_rrf" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = d.where(col("doc_id") < 100)
+      val days = Seq(
+        d.where(col("doc_id") >= 100 && col("doc_id") < 300),
+        d.where(col("doc_id") >= 300))
+      val logDir = Staging.batchLog("sbm25", dir, "day", days)
+      val postings = graft.streaming.RetrievalStream.incrementalPostings(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_shyb_bm")}/state", "doc_id", "text")
+      val sparse = TextAnalysis.bm25FromPostings(postings,
+        Seq("spark", "window", "customer"), 50)
+        .select(col("doc_id").as("id"), col("score"))
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val ehist = corpus.where(col("id") < 200)
+      val edays = Seq(
+        corpus.where(col("id") >= 200 && col("id") < 350),
+        corpus.where(col("id") >= 350))
+      val elogDir = Staging.batchLog("sivf", dir, "day", edays)
+      val centroids = graft.operators.Similarity.trainKMeans(
+        ehist.where(col("id") % 4 === 0), "id", "vec",
+        SimilarityQueries.KmK, 64, SimilarityQueries.KmIters)
+      val lists = graft.streaming.EmbeddingIndexStream.incrementalIvf(
+        s, ehist, elogDir, edays.head.schema,
+        s"${Staging.freshStateRoot("graft_shyb_ivf")}/state", "id", "vec",
+        centroids)
+      val q = e.where(col("vec_id") === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val dense = graft.operators.Similarity.probeIndex(lists, q, 50,
+        centroids, 3).select(col("id"), col("rank").as("rnk"))
+      graft.operators.Retrieval.rrfFuse(
+        Seq(graft.operators.Retrieval.asRankList(sparse, "id", "score"),
+          dense), 60, 20)
+    },
     // RAG retrieval deployed END-TO-END: BM25 top-50 (sparse) + brute
     // cosine top-50 (dense, query = embedding 7) -> RRF fusion (k0=60,
     // top-20) -> MMR diversified re-rank (lambda 0.7, 8 picks, rel =
@@ -1205,6 +1250,64 @@ object TextEventsQueries {
          |  SELECT vec_id AS id,
          |    ROW_NUMBER() OVER (ORDER BY $cos DESC, vec_id) AS rnk
          |  FROM embeddings, q) dn0 WHERE rnk <= 50),
+         |u AS (SELECT id, 1.0 / (60 + rnk) AS contrib FROM sp
+         |  UNION ALL SELECT id, 1.0 / (60 + rnk) FROM dn),
+         |fz AS (SELECT id, SUM(contrib) AS rrf, COUNT(*) AS n_lists
+         |  FROM u GROUP BY id),
+         |r AS (SELECT id, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rnk,
+         |    rrf, n_lists FROM fz)
+         |SELECT id, CAST(rnk AS BIGINT) AS rnk, round(rrf, 6) AS rrf,
+         |  CAST(n_lists AS BIGINT) AS n_lists
+         |FROM r WHERE rnk <= 20""".stripMargin
+    },
+    // Streaming hybrid: both folds equal their batch twins bit-for-bit,
+    // so the oracle replays batch BM25 top-50 + the trained-IVF probe
+    // (k-means unrolled on the HISTORY 1-in-4 sample, nprobe-1 lists
+    // over the full corpus, qid 7's 3 nearest lists, exact cosine
+    // re-rank top-50) + the 1/(60+rank) fused sums.
+    "stream_hybrid_rrf" -> {
+      val terms = Seq("spark", "window", "customer")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(", ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1) * tf$i * 2.2" +
+          s" / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+      import SimilarityQueries.{duckCos, duckKMeansCtes, KmK, KmIters}
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks)::DOUBLE AS dl, $tfs FROM t),
+         |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl, $dfs FROM f),
+         |sc AS (SELECT doc_id, round($score, 6) AS score FROM f, st),
+         |sp AS (SELECT doc_id AS id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, score FROM sc WHERE score > 0
+         |        ORDER BY score DESC, doc_id LIMIT 50) sp0),
+         |corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |train AS (SELECT id, v FROM corp WHERE id < 200 AND id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |lists AS (SELECT id, cid FROM (
+         |  SELECT corp.id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY corp.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
+         |  FROM corp, cent) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id = 7),
+         |probes AS (SELECT cid FROM (
+         |  SELECT cent.cid,
+         |    ROW_NUMBER() OVER (ORDER BY ${duckCos("qv", "cv")} DESC, cid)
+         |      AS rn
+         |  FROM q, cent) t WHERE rn <= 3),
+         |cand AS (SELECT DISTINCT id FROM probes JOIN lists USING (cid)),
+         |dsc AS (SELECT cand.id, ${duckCos("qv", "c.v")} AS score
+         |  FROM cand JOIN corp c ON cand.id = c.id, q),
+         |dn AS (SELECT id, rnk FROM (
+         |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk
+         |  FROM dsc) t WHERE rnk <= 50),
          |u AS (SELECT id, 1.0 / (60 + rnk) AS contrib FROM sp
          |  UNION ALL SELECT id, 1.0 / (60 + rnk) FROM dn),
          |fz AS (SELECT id, SUM(contrib) AS rrf, COUNT(*) AS n_lists

@@ -19,8 +19,9 @@ class PlanAuditSpec extends GraftSuite {
     // with a 1-row total and a handful of q literals — never data-scale.
     "agg_quantile_sketch",
     // BM25 broadcasts its 1-row (n, avgdl, df...) stats to every doc row
-    // (same shape whether scoring the text scan or the folded postings).
-    "text_bm25_topk", "stream_bm25_index",
+    // (same shape whether scoring the text scan or the folded postings;
+    // the streaming hybrid's sparse half is the same scorer).
+    "text_bm25_topk", "stream_bm25_index", "stream_hybrid_rrf",
     // The corpus-derived doc-frequency cap is a 1-row broadcast scalar
     // joined to the gram stats (constant-time at any corpus size).
     "dedup_ngram_pairs",
