@@ -142,7 +142,7 @@ object QueryFuzz {
     "global_agg", "string_funcs", "event_time", "grouping_sets",
     "setop_all", "range_frame", "lateral_fanout", "decimal_arith",
     "agg_filter", "full_outer", "cte_reuse", "limit_offset",
-    "null_order")
+    "null_order", "mod_floor_div")
 
   case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 28)
 
@@ -622,7 +622,7 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}" +
           s"\nORDER BY $order LIMIT $lim OFFSET $off\n) pg",
           ps.map { case (c, a) => (a, c.t) })
-      case _ => // explicit NULLS FIRST/LAST ordering under LIMIT: the
+      case 23 => // explicit NULLS FIRST/LAST ordering under LIMIT: the
         // engines' DEFAULT null placement genuinely differs (Spark sorts
         // nulls first ascending, DuckDB last), so unannotated ORDER BY
         // over a nullable key is a portability trap — this shape makes
@@ -642,6 +642,28 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}" +
           s"\nORDER BY c3 $dir $place, ${totalOrder(t)} LIMIT $lim\n) pg",
           ps.map { case (c, a) => (a, c.t) } :+ (("c3", TLong)))
+      case _ => // negative-operand integer arithmetic: `%` truncates
+        // toward zero (sign of the DIVIDEND) on both engines — but the
+        // floor-division and non-negative-modulo the bucket functions
+        // need have NO shared operator spelling (Spark `DIV` vs DuckDB
+        // `//`), so this shape pins the portable forms every graft
+        // bucket rides: the pmod identity ((a % m + m) % m) and
+        // CAST(FLOOR(a / CAST(m AS DOUBLE)) AS BIGINT). Negatives are
+        // manufactured by centering the key; a wrong sign convention
+        // or a truncate-vs-floor slip flips the digest.
+        val t = r.choose(allTables)
+        val m = 2 + r.nextInt(7)
+        val shift = 10 + r.nextInt(90)
+        val ps = proj(t, r, 1)
+        val a = s"(${t.key} - $shift)"
+        (s"SELECT ${ps.map { case (c, al) => s"${c.name} AS $al" }
+            .mkString(", ")}," +
+          s"\n  CAST($a % $m AS BIGINT) AS c2," +
+          s"\n  CAST(($a % $m + $m) % $m AS BIGINT) AS c3," +
+          s"\n  CAST(FLOOR($a / CAST($m AS DOUBLE)) AS BIGINT) AS c4" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
+          ps.map { case (c, al) => (al, c.t) } ++
+            Seq(("c2", TLong), ("c3", TLong), ("c4", TLong)))
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

@@ -19,9 +19,9 @@ class QueryFuzzSpec extends GraftSuite {
     assert(a != c, "different seeds must generate different batteries")
   }
 
-  test("default battery covers all twenty-four grammar shapes") {
+  test("default battery covers all twenty-five grammar shapes") {
     val shapes = QueryFuzz.generate(FuzzConfig(nQueries = 28)).map(_.shape)
-    assert(shapes.distinct.size == 24, s"expected 24 shapes, got $shapes")
+    assert(shapes.distinct.size == 25, s"expected 25 shapes, got $shapes")
     assert(shapes.size == 28)
   }
 
