@@ -245,6 +245,172 @@ object IvfOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Two-level (coarse-then-fine) top-`nprobe` probe — the per-row cost
+    * fix for the auto-k dial: with k ~ sqrt(n) fine centroids the flat
+    * scan is O(k) dots per row, so assignment totals O(n * sqrt(n)).
+    * Here the row scores only the ~sqrt(k) COARSE super-centroids,
+    * descends into its `wprobe` best groups, and scores just those
+    * groups' fine members: per-row work is O(sqrt(k) * (1 + wprobe)) —
+    * flat in k for a fixed wprobe. With wprobe = #groups every fine
+    * centroid is scored and the selection rule below makes the result
+    * BIT-IDENTICAL to [[nearestCentroids]] (the gate/spec contract);
+    * smaller wprobe is the standard IVF-style approximation dial.
+    *
+    * Orderings mirror [[nearestCentroids]] exactly: all dots are the
+    * FloatVecDot sequential double fold over min(|v|, dim); coarse
+    * groups are picked by (neg cosine, group index) with the same
+    * nan-safe compare; the fine winner set is picked by (neg cosine,
+    * cid) GLOBALLY across every scored candidate — scan order cannot
+    * matter, which is exactly why wprobe = #groups degenerates to the
+    * flat result. Same named zero-norm fail-fast. Arrays are flattened
+    * group-major: group g owns fine entries [offsets(g), offsets(g+1)). */
+  def nearestCentroidsHier(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      nprobe: Int, wprobe: Int, dim: Int,
+      coarseNorms: Array[Double], coarseCents: Array[Float],
+      offsets: Array[Int], cids: Array[Long], norms: Array[Double],
+      cents: Array[Float]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val g = coarseNorms.length
+    var s = 0.0
+    var i = 0
+    val vn = v.numElements()
+    while (i < vn) {
+      val f = v.getFloat(i).toDouble
+      s += f * f
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    if (!(nrm > 0.0)) throw new IllegalArgumentException(
+      "nearest_centroids: zero-norm (or NaN) vector — cosine assignment " +
+        "is undefined; drop or re-embed the row upstream")
+    val n = math.min(vn, dim)
+    // Stage 1: coarse scores, top-wprobe groups by (neg, group index).
+    val cnegs = new Array[Double](g)
+    var e = 0
+    while (e < g) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += v.getFloat(j).toDouble * coarseCents(e * dim + j).toDouble
+        j += 1
+      }
+      cnegs(e) = 0.0 - acc / (nrm * coarseNorms(e))
+      e += 1
+    }
+    val ctaken = new Array[Boolean](g)
+    val picked = new Array[Int](math.min(wprobe, g))
+    var slot = 0
+    while (slot < picked.length) {
+      var best = -1
+      var c = 0
+      e = 0
+      while (e < g) {
+        if (!ctaken(e)) {
+          if (best < 0) best = e
+          else {
+            c = if (cnegs(e) == cnegs(best)) 0
+              else java.lang.Double.compare(cnegs(e), cnegs(best))
+            if (c < 0) best = e
+          }
+        }
+        e += 1
+      }
+      ctaken(best) = true
+      picked(slot) = best
+      slot += 1
+    }
+    // Stage 2: score the picked groups' fine members; select top-nprobe
+    // by the SAME (neg, cid) rule as the flat form.
+    var ncand = 0
+    var p = 0
+    while (p < picked.length) {
+      ncand += offsets(picked(p) + 1) - offsets(picked(p))
+      p += 1
+    }
+    val candIdx = new Array[Int](ncand)
+    val fnegs = new Array[Double](ncand)
+    var ci = 0
+    p = 0
+    while (p < picked.length) {
+      e = offsets(picked(p))
+      while (e < offsets(picked(p) + 1)) {
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          acc += v.getFloat(j).toDouble * cents(e * dim + j).toDouble
+          j += 1
+        }
+        candIdx(ci) = e
+        fnegs(ci) = 0.0 - acc / (nrm * norms(e))
+        ci += 1
+        e += 1
+      }
+      p += 1
+    }
+    val taken = new Array[Boolean](ncand)
+    val out = new Array[Long](math.min(nprobe, ncand))
+    slot = 0
+    while (slot < out.length) {
+      var best = -1
+      var c = 0
+      ci = 0
+      while (ci < ncand) {
+        if (!taken(ci)) {
+          if (best < 0) best = ci
+          else {
+            c = if (fnegs(ci) == fnegs(best)) 0
+              else java.lang.Double.compare(fnegs(ci), fnegs(best))
+            if (c < 0 || (c == 0 && cids(candIdx(ci)) < cids(candIdx(best))))
+              best = ci
+          }
+        }
+        ci += 1
+      }
+      taken(best) = true
+      out(slot) = cids(candIdx(best))
+      slot += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
+ * `nearest_centroids_hier(vec)` — [[IvfOps.nearestCentroidsHier]] as one
+ * narrow codegen call (the NearestCentroids shape, plus the coarse
+ * stage's arrays riding along as reference objects). Generated code is
+ * one static call, so it stays inside whole-stage codegen at any k.
+ */
+case class NearestCentroidsHier(child: Expression, nprobe: Int, wprobe: Int,
+    dim: Int, coarseNorms: Array[Double], coarseCents: Array[Float],
+    offsets: Array[Int], cids: Array[Long], norms: Array[Double],
+    cents: Array[Float])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids_hier"
+
+  override protected def nullSafeEval(a: Any): Any =
+    IvfOps.nearestCentroidsHier(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nprobe, wprobe, dim, coarseNorms, coarseCents, offsets, cids, norms,
+      cents)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cnRef = ctx.addReferenceObj("hierCoarseNorms", coarseNorms, "double[]")
+    val ccRef = ctx.addReferenceObj("hierCoarseCents", coarseCents, "float[]")
+    val offRef = ctx.addReferenceObj("hierOffsets", offsets, "int[]")
+    val cidRef = ctx.addReferenceObj("hierCids", cids, "long[]")
+    val nrmRef = ctx.addReferenceObj("hierNorms", norms, "double[]")
+    val cenRef = ctx.addReferenceObj("hierCents", cents, "float[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.IvfOps.nearestCentroidsHier(" +
+        s"$c, $nprobe, $wprobe, $dim, $cnRef, $ccRef, $offRef, $cidRef, " +
+        s"$nrmRef, $cenRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /**

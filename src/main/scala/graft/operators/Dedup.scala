@@ -726,9 +726,21 @@ object Dedup {
     * [[DataSelection.dsirScores]]). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])], threshold: Double,
-      keepFarthest: Boolean = false): DataFrame = {
+      keepFarthest: Boolean = false,
+      hierWprobe: Option[Int] = None): DataFrame = {
     require(centroids.nonEmpty, "semanticDedup: need trained centroids")
-    val asg0 = Similarity.ivfAssignments(emb, idCol, vecCol, centroids)
+    // hierWprobe = Some(w): assignment rides the TWO-LEVEL index
+    // (Similarity.ivfAssignmentsHier — O(sqrt(k)*(1+w)) dots per row
+    // instead of O(k)), the per-row cost fix once the auto dial's
+    // k ~ sqrt(n) grows with the corpus. Approximate at w < group
+    // count (boundary rows may land one cluster over — SemDeDup's
+    // cluster restriction is itself an approximation); the hash gates
+    // stay on the flat path.
+    val asg0 = hierWprobe match {
+      case Some(w) =>
+        Similarity.ivfAssignmentsHier(emb, idCol, vecCol, centroids, w)
+      case None => Similarity.ivfAssignments(emb, idCol, vecCol, centroids)
+    }
     // Priority struct: ascending order = keep-first. Struct comparison
     // gives the tie-break for free (equal first field -> lower id).
     // Persisted: the assignment (k codegen'd dots + a k-struct in-row
@@ -783,13 +795,25 @@ object Dedup {
     * within-cluster prune sub-quadratic. */
   def semanticDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, kmIters: Int, trainMod: Int = 4,
-      keepFarthest: Boolean = false): DataFrame = {
+      keepFarthest: Boolean = false, nOpt: Option[Long] = None,
+      hierFromK: Int = 128, hierWprobe: Int = 8): DataFrame = {
     require(trainMod >= 1, "semanticDedupAuto: trainMod >= 1")
-    val k = semanticKFor(emb.count())
+    require(hierFromK >= 2 && hierWprobe >= 1,
+      "semanticDedupAuto: hierFromK >= 2, hierWprobe >= 1")
+    // nOpt: callers that already know the corpus count (a catalog stat,
+    // a prior aggregate) pass it to skip the dial's count() scan — at
+    // corpus scale the unpersisted lineage would otherwise be evaluated
+    // an extra full time just to pick k.
+    val k = semanticKFor(nOpt.getOrElse(emb.count()))
     val centroids = Similarity.trainKMeans(
       emb.where(col(idCol) % trainMod === 0), idCol, vecCol, k, dim,
       kmIters)
-    semanticDedup(emb, idCol, vecCol, centroids, threshold, keepFarthest)
+    // Past hierFromK centroids the flat per-row assignment scan (O(k)
+    // dots) dominates — route through the two-level index so per-row
+    // work stays O(sqrt(k)). The gate fixture's k = 16 stays flat, so
+    // the hash oracle replays unchanged.
+    semanticDedup(emb, idCol, vecCol, centroids, threshold, keepFarthest,
+      hierWprobe = if (k >= hierFromK) Some(hierWprobe) else None)
   }
 
   /** All-pairs embedding near-duplicates (cosine >= threshold). Baseline

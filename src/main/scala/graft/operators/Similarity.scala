@@ -514,6 +514,160 @@ object Similarity {
       centroids: Seq[(Long, Array[Float])]): Column =
     element_at(probeCids(vec, centroids, 1), 1)
 
+  // ---- Two-level (coarse-then-fine) centroid assignment --------------------
+
+  /** Coarse group count for a k-entry quantizer: ceil(sqrt(k)), so with
+    * the auto dial's k ~ sqrt(n) the per-row assignment cost
+    * O(sqrt(k) * (1 + wprobe)) is ~n^(1/4) — effectively flat where the
+    * flat scan's O(k) grows with the corpus. */
+  def hierGroupsFor(k: Int): Int = {
+    require(k >= 1, s"hierGroupsFor: k >= 1, got $k")
+    math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+  }
+
+  /** Driver-side Lloyd over an in-memory vector list — the SUPER-centroid
+    * trainer for the two-level index ([[probeCidsHier]]): the input is
+    * the k trained centroids themselves (already a driver literal), so
+    * clustering them is pure local arithmetic mirroring [[trainKMeans]]'s
+    * determinism contract exactly: k lowest-id seeding, highest-cosine
+    * assignment with the [[graft.functions.IvfOps.nearestCentroids]]
+    * nan-safe (neg, cid) tie rule, exact floor(x * 2^20) integer mean
+    * sums rounded once to float, fixed `iters` rounds, empty clusters
+    * dropped, output sorted by cid. */
+  private[graft] def trainKMeansLocal(vecs: Seq[(Long, Array[Float])],
+      c: Int, iters: Int): Seq[(Long, Array[Float])] = {
+    require(vecs.nonEmpty && c > 0 && iters >= 0,
+      "trainKMeansLocal: nonempty input, c > 0, iters >= 0")
+    val dim = vecs.head._2.length
+    val sorted = vecs.sortBy(_._1)
+    var cents: Seq[(Long, Array[Float])] =
+      sorted.take(c).map { case (id, v) => (id, v.clone()) }
+    for (_ <- 0 until iters) {
+      val cn = cents.map(e => normOf(e._2)).toArray
+      val sums = scala.collection.mutable.LinkedHashMap
+        .empty[Long, (Array[Long], Array[Long])] // cid -> (dimSums, n-box)
+      sorted.foreach { case (_, v) =>
+        val a = assignLocal(v, cents, cn)
+        val (sm, nn) = sums.getOrElseUpdate(cents(a)._1,
+          (new Array[Long](dim), new Array[Long](1)))
+        var j = 0
+        while (j < dim) {
+          sm(j) += math.floor(v(j).toDouble * KMeansScale).toLong
+          j += 1
+        }
+        nn(0) += 1L
+      }
+      cents = sums.toSeq.map { case (cid, (sm, nn)) =>
+        (cid, Array.tabulate(dim)(j =>
+          (sm(j) / (KMeansScale * nn(0))).toFloat))
+      }.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Index of `v`'s assigned centroid under the exact
+    * [[graft.functions.IvfOps.nearestCentroids]] rule (nan-safe compare,
+    * ties to the lower cid), computed driver-side. */
+  private def assignLocal(v: Array[Float], cents: Seq[(Long, Array[Float])],
+      cn: Array[Double]): Int = {
+    val nrm = normOf(v)
+    require(nrm > 0.0, "hier index: zero-norm (or NaN) centroid — cosine " +
+      "grouping is undefined; the quantizer must not contain zero vectors")
+    var best = -1
+    var bestNeg = 0.0
+    var e = 0
+    while (e < cents.length) {
+      var acc = 0.0
+      val cv = cents(e)._2
+      val n = math.min(v.length, cv.length)
+      var j = 0
+      while (j < n) { acc += v(j).toDouble * cv(j).toDouble; j += 1 }
+      val neg = 0.0 - acc / (nrm * cn(e))
+      if (best < 0) { best = e; bestNeg = neg }
+      else {
+        val c = if (neg == bestNeg) 0 else java.lang.Double.compare(neg, bestNeg)
+        if (c < 0 || (c == 0 && cents(e)._1 < cents(best)._1)) {
+          best = e; bestNeg = neg
+        }
+      }
+      e += 1
+    }
+    best
+  }
+
+  /** The two-level index of a trained quantizer: ceil(sqrt(k)) coarse
+    * super-centroids Lloyd-trained over the k centroid VECTORS (all
+    * driver-side — the centroids are already plan literals), each fine
+    * centroid grouped under its nearest coarse entry (same nan-safe
+    * tie rule), empty groups dropped, groups ordered by coarse cid and
+    * members by cid. Deterministic end to end, so the same quantizer
+    * always yields the same index. */
+  private[graft] def hierIndexOf(centroids: Seq[(Long, Array[Float])],
+      iters: Int = 2)
+      : (Seq[Array[Float]], IndexedSeq[Seq[(Long, Array[Float])]]) = {
+    require(centroids.nonEmpty, "hierIndexOf: empty centroids")
+    val coarse = trainKMeansLocal(centroids, hierGroupsFor(centroids.length),
+      iters)
+    val cn = coarse.map(e => normOf(e._2)).toArray
+    val byGroup = centroids.groupBy(f => assignLocal(f._2, coarse, cn))
+    val groupIdx = byGroup.keys.toIndexedSeq.sortBy(coarse(_)._1)
+    (groupIdx.map(coarse(_)._2),
+      groupIdx.map(g => byGroup(g).sortBy(_._1)))
+  }
+
+  /** Top-`nprobe` probe cids through the TWO-LEVEL index — the
+    * [[probeCids]] form whose per-row cost is O(sqrt(k) * (1 + wprobe))
+    * instead of O(k): score the ~sqrt(k) coarse super-centroids, descend
+    * into the `wprobe` best groups, score only their fine members. With
+    * `wprobe` >= the group count every fine centroid is scored and the
+    * result is BIT-IDENTICAL to [[probeCids]] (the global (neg, cid)
+    * selection rule — HierCentroidsSpec holds it); smaller wprobe is the
+    * standard IVF approximation dial (spec'd for agreement on clustered
+    * corpora, where the auto-k family actually operates). */
+  private[graft] def probeCidsHier(vec: Column,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int,
+      wprobe: Int): Column = {
+    require(centroids.nonEmpty, "probeCidsHier: empty centroids")
+    require(wprobe >= 1, s"probeCidsHier: wprobe >= 1, got $wprobe")
+    val dim = centroids.head._2.length
+    require(centroids.forall(_._2.length == dim),
+      "probeCidsHier: centroids must share one dimension")
+    val (coarseVecs, groups) = hierIndexOf(centroids)
+    val coarseNorms = coarseVecs.map(normOf).toArray
+    require(coarseNorms.forall(_ > 0.0),
+      "probeCidsHier: zero-norm super-centroid — cosine grouping is " +
+        "undefined; the quantizer must not contain zero vectors")
+    val flat = groups.flatten
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.NearestCentroidsHier(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(vec),
+        nprobe, math.min(wprobe, groups.length), dim,
+        coarseNorms, coarseVecs.toArray.flatten,
+        groups.scanLeft(0)(_ + _.length).toArray,
+        flat.map(_._1).toArray,
+        flat.map(e => normOf(e._2)).toArray,
+        flat.toArray.flatMap(_._2)))
+  }
+
+  /** [[ivfProbes]] through the two-level index. */
+  def ivfProbesHier(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int,
+      wprobe: Int): DataFrame =
+    vecs.select(col(idCol),
+      explode(probeCidsHier(col(vecCol), centroids, nprobe, wprobe))
+        .as("cid"))
+
+  /** [[ivfAssignments]] through the two-level index — the assignment
+    * form the auto-k SemDeDup path uses once its k outgrows the flat
+    * scan ([[graft.operators.Dedup.semanticDedupAuto]]'s `hierFromK`
+    * dial). */
+  def ivfAssignmentsHier(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])], wprobe: Int): DataFrame =
+    vecs.select(
+      element_at(probeCidsHier(col(vecCol), centroids, 1, wprobe), 1)
+        .as("cid"),
+      col(idCol).as("id"), col(vecCol).as("vec"))
+
   /** Sequential-fold squared norm of a centroid (no sqrt) — same fold
     * order as the DuckDB oracle's list_reduce, so L2 distances stay
     * bit-comparable across engines. */

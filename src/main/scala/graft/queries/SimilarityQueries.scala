@@ -176,6 +176,22 @@ object SimilarityQueries {
       Similarity.ivfTopK(corpus, qs, 5, centroids, 3)
         .withColumnRenamed("rank", "rnk")
     },
+    // TWO-LEVEL (coarse-then-fine) centroid probe at wprobe = all
+    // groups: the grouped two-stage selection keeps the flat form's
+    // global (neg cosine, cid) rule, so probing every group reproduces
+    // the flat probe BIT-FOR-BIT at ANY fixture — the oracle is the
+    // flat replay verbatim. The scale half of the contract (per-row
+    // work O(sqrt(k) * (1 + wprobe)) once the auto dial grows k with
+    // sqrt(n)) is HierCentroidsSpec + the sf10 assignment evidence.
+    "sim_ivf_hier_probes" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val centroids = Similarity.trainKMeans(
+        corpus.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
+      Similarity.ivfProbesHier(corpus, "id", "vec", centroids, IvfNprobe,
+        Similarity.hierGroupsFor(KmK))
+    },
     // SemDeDup (cluster-then-prune semantic dedup): the corpus is the 500
     // fixture embeddings plus 20 PLANTED paraphrase copies (every 25th
     // vector re-scaled in double, rounded once to float, re-keyed +1000 —
@@ -794,6 +810,20 @@ object SimilarityQueries {
          |          ORDER BY score DESC, id) AS rn FROM sc)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
          |FROM r WHERE rn <= 5""".stripMargin,
+    // Two-level probe at wprobe = all groups == the FLAT probe (the
+    // global (neg, cid) selection rule — see the gate comment), so the
+    // oracle replays the flat training + per-vector top-3 assignment.
+    "sim_ivf_hier_probes" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters)
+         |SELECT id, cid FROM (
+         |  SELECT corp.id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY corp.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
+         |  FROM corp, cent) t WHERE rn <= $IvfNprobe""".stripMargin,
     "stream_ivf_index" ->
       s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
          |  FROM embeddings WHERE vec_id >= 20),

@@ -146,5 +146,15 @@ class CodegenAuditSpec extends GraftSuite {
       loop.queryExecution.executedPlan, hugeLimit)
     assert(n2 > 0 && f2.isEmpty,
       s"loop assignment must stay inside codegen at k=300:\n${f2.mkString("\n")}")
+    // The two-level form rides the same one-static-call pattern — it
+    // must also stay in codegen at k=300 (its r14 reason to exist is
+    // exactly this k regime).
+    val hier = Similarity.ivfProbesHier(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "id", "vec", cents, 1, 4)
+    val (n3, f3) = audit("nearest_centroids_hier_loop",
+      hier.queryExecution.executedPlan, hugeLimit)
+    assert(n3 > 0 && f3.isEmpty,
+      s"hier assignment must stay inside codegen at k=300:\n${f3.mkString("\n")}")
   }
 }
