@@ -131,7 +131,10 @@ object DataSelection {
     scores
       .withColumn("rnk", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(wAll))
-      .where(col("rnk") <= ceil(lit(frac) * col("__n")).cast("long"))
+      // ceil(frac * n) in exact integer arithmetic (Sketches.ceilRankExact)
+      // — the IEEE product can round up past an integral frac*n, shifting
+      // the cut one row off the oracle's exact DECIMAL ceil.
+      .where(col("rnk") <= Sketches.ceilRankExact(frac, col("__n")))
       .select(col("doc_id"), col("rnk"), col("score"))
   }
 
@@ -165,7 +168,13 @@ object DataSelection {
     * pattern) and rides the scored scan as a codegen'd filter — no
     * window, no single-partition exchange, no global sort. The scores
     * are persisted (they feed the sketch job and the returned filter);
-    * the featurization cache is released once the cut is computed. */
+    * the featurization cache is released once the cut is computed.
+    *
+    * CACHE CONTRACT (same as [[dsirScores]]): the returned plan reads
+    * the persisted scores, so that cache cannot be released here; in a
+    * long-lived session the caller owns it — materialize the result
+    * (write/collect), then `spark.catalog.clearCache()`. The batch gates
+    * run one call per session, where eviction handles it. */
   def dsirSelectByThreshold(raw: DataFrame, target: DataFrame,
       idCol: String, textCol: String, frac: Double, buckets: Int = 1024,
       widthMicros: Long = 1000L): DataFrame = {

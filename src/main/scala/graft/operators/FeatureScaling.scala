@@ -37,8 +37,9 @@ object FeatureScaling {
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(
         Window.partitionBy(grpCols.map(col): _*)))
+    // Exact-integer rank (Sketches.ceilRankExact) — see histQuantiles.
     val picks = qs.zipWithIndex.map { case (q, i) =>
-      max(when(col("__rn") === ceil(lit(q) * col("__n")),
+      max(when(col("__rn") === Sketches.ceilRankExact(q, col("__n")),
         col(valueCol))).as(s"__q$i")
     }
     ranked.groupBy(grpCols.map(col): _*).agg(picks.head, picks.tail: _*)

@@ -59,6 +59,48 @@ object Sketches {
 
   // ---- Mergeable quantile sketch ------------------------------------------
 
+  /** ceil(q * n) as EXACT integer arithmetic on q's decimal
+    * representation: q maps through BigDecimal.valueOf (the shortest
+    * decimal that round-trips the double — "0.2" stays 1/5, never the
+    * binary 0.200000...0111) to num/den, and the rank is
+    * (num*n + den - 1) div den in decimal(38,0) — overflow-proof at any
+    * corpus count. The IEEE form ceil(q_double * n) is one too high
+    * whenever q*n is an exact integer whose double product rounds up
+    * (e.g. 0.8 * n with n divisible by 5 can cross at large n), which
+    * silently shifts every nearest-rank cut off the DuckDB oracle's
+    * exact DECIMAL ceil; this form equals the decimal ceil at EVERY n.
+    * Non-terminating ratios (a caller passing 1.0/3) use the 17-digit
+    * round-trip decimal — deterministic and engine-replayable, just
+    * spell the intended rational in decimal. */
+  def ceilRankExact(q: Double, n: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val (num, den) = ratOf(q)
+    ceilRankCols(lit(num), lit(den), n)
+  }
+
+  /** q's exact decimal rational (num, den), reduced. */
+  private[operators] def ratOf(q: Double): (Long, Long) = {
+    require(q > 0.0 && q <= 1.0 && !q.isNaN,
+      s"ceilRankExact: q in (0, 1], got $q")
+    val bd = java.math.BigDecimal.valueOf(q).stripTrailingZeros()
+    val scale = math.max(0, bd.scale())
+    val num0 = bd.scaleByPowerOfTen(scale).longValueExact()
+    val den0 = java.math.BigInteger.TEN.pow(scale).longValueExact()
+    val g = java.math.BigInteger.valueOf(num0)
+      .gcd(java.math.BigInteger.valueOf(den0)).longValueExact()
+    (num0 / g, den0 / g)
+  }
+
+  /** ceil(num * n / den) in decimal(38,0) integer arithmetic (column
+    * operands — [[histQuantiles]] carries (num, den) as rows). */
+  private def ceilRankCols(num: org.apache.spark.sql.Column,
+      den: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val dec = "decimal(38,0)"
+    val a = (num.cast(dec) * n.cast(dec) + (den.cast(dec) - lit(1))).cast(dec)
+    ((a - pmod(a, den.cast(dec))) / den.cast(dec)).cast("long")
+  }
+
   /**
    * Fixed-width bucketed-histogram quantile sketch over an integer
    * measure (e.g. money as cents, refunds included): one
@@ -145,10 +187,15 @@ object Sketches {
     val cum = sketch
       .withColumn("cum", sum("cnt").over(w))
       .crossJoin(sketch.agg(sum("cnt").as("n")))
+    // Rank threshold in EXACT integer arithmetic ([[ceilRankExact]]):
+    // the IEEE ceil(q_double * n) can land one rank high exactly when
+    // q*n is integral — the cut-bucket shift the DuckDB oracle's
+    // DECIMAL ceil never makes.
     val qdf = sketch.sparkSession.createDataFrame(
-      qs.map(Tuple1.apply)).toDF("q")
+      qs.map { q => val (nu, de) = ratOf(q); (q, nu, de) })
+      .toDF("q", "__qn", "__qd")
     qdf.crossJoin(cum)
-      .where(col("cum") >= ceil(col("q") * col("n")))
+      .where(col("cum") >= ceilRankCols(col("__qn"), col("__qd"), col("n")))
       .groupBy("q")
       .agg(((min(col("bucket")) + 1) * widthCents).as("est_cents"),
         max(col("n")).as("n"))
@@ -229,7 +276,7 @@ object Sketches {
       .select(explode(col("cands")).as("item"), col("__n"))
     src.join(broadcast(cands), "item")
       .groupBy("item", "__n").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= ceil(lit(minFraction) * col("__n")).cast("long"))
+      .where(col("cnt") >= ceilRankExact(minFraction, col("__n")))
       .select("item", "cnt")
   }
 

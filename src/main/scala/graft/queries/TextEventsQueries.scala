@@ -1129,7 +1129,11 @@ object TextEventsQueries {
     "text_ngram_drift" -> duckDriftSql,
     "stream_ngram_drift" -> duckDriftSql,
     // DSIR selection: the full scoring replay ranked and cut at the top
-    // 20% (ceil in DOUBLE on both engines — the same IEEE product).
+    // 20%. DuckDB's ceil(0.2 * nn) is exact DECIMAL arithmetic; the
+    // Spark side computes the same rank in exact integer arithmetic
+    // (Sketches.ceilRankExact), so the cut agrees at EVERY corpus count
+    // — including the n % 5 == 0 counts where an IEEE 0.2 * n product
+    // can round past the integer.
     "pipeline_dsir_select" ->
       s"""WITH base AS (
          |$duckDsirSql

@@ -118,6 +118,31 @@ class DataSelectionSpec extends GraftSuite {
     }
   }
 
+  test("rank cuts are EXACT integer arithmetic where frac*n is integral " +
+    "(the IEEE ceil trap)") {
+    // frac = 0.2 over n = 5 docs: frac*n = 1 exactly. An IEEE
+    // ceil(0.2_double * 5) that rounded the product up would keep 2
+    // docs; the exact-decimal contract (Sketches.ceilRankExact — what
+    // the DuckDB oracle's DECIMAL ceil computes) keeps exactly 1.
+    val target = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "gamma delta"),
+      (4L, "epsilon zeta"), (5L, "eta theta")).toDF("doc_id", "text")
+    val out = DataSelection.dsirSelect(raw, target, "doc_id", "text",
+      0.2, 32).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L), s"ceil(0.2*5) must keep exactly 1 doc: " +
+      s"got ${out.toSeq}")
+    // The sketch-threshold twin makes the same exact (1-frac) rank cut:
+    // with 5 well-separated scores and frac 0.2, cum >= ceil(0.8*5) = 4
+    // lands in doc 2's bucket, so exactly doc 1 clears the cut's upper
+    // edge ... unless the rank had rounded to 5. One-bucket tolerance
+    // cannot blur this: widthMicros 1 makes every bucket a point.
+    val thr = DataSelection.dsirSelectByThreshold(raw, target, "doc_id",
+      "text", 0.2, 32, 1L).collect().map(_.getLong(0))
+    assert(thr.toSeq == Seq(1L),
+      s"threshold cut must keep exactly doc 1: got ${thr.toSeq}")
+  }
+
   test("buckets must be positive") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
