@@ -88,19 +88,26 @@ object Bench {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.length / 2)
     }
-    // Calibration probe: one FIXED, trivial, code-stable gate timed first
-    // (median of 3), emitted as calib_s. Environment drift (host
-    // contention swung totals 1.2-1.5x in r8/r11/r12 with zero code
-    // change) becomes a computed scalar — divide two rounds' totals by
-    // their calib_s before comparing — instead of a judged signature.
-    val calibS: Option[Double] = SparkEntry.queries
-      .get("gen_date_uniform_props").map { fn =>
-        median((1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        })
-      }
+    // Calibration probe: a DEDICATED fixed workload that is NOT a board
+    // gate (an r13 probe reused gen_date_uniform_props, which both
+    // pre-warmed that gate's timed number and charged probe overhead to
+    // single-gate runs), timed as median-of-3 at board START (calib_s)
+    // and again at board END (calib_end_s). Environment drift becomes a
+    // computed scalar instead of a judged signature — and the END probe
+    // closes the r13 blind spot: a start-only probe cannot see
+    // contention that arrives MID-run (the sf3 session read identical
+    // calib_s in a 2x-total run; SCALE_overrides_r13 adjudication #1).
+    // Fixture-independent (pure range -> hash -> shuffle -> agg) so the
+    // scalar is comparable across SF dirs too.
+    def calibProbe(): Double =
+      median((1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(8000000L)
+          .selectExpr("sum(hash(id) % 1001) s", "count(distinct id % 97) c")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      })
+    val calibS = calibProbe()
     val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq
       .filter(q => selected(q._1)).map {
       case (name, fn) =>
@@ -128,8 +135,10 @@ object Bench {
     val load = f"""{"loadavg_1m":${os.getSystemLoadAverage}%.2f,""" +
       s""""available_processors":${os.getAvailableProcessors},""" +
       s""""jvm_max_mem_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)}}"""
-    val calib = calibS.map(c => f"$c%.4f").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"queries":$qs,"runs":$raw,"n_runs":$nRuns,"sf":"$sfDir","load":$load}""")
+    // End-of-board probe: calib_end_s >> calib_s flags contention that
+    // arrived while the board ran (invisible to the start probe).
+    val calibEnd = calibProbe()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":${f"$calibS%.4f"},"calib_end_s":${f"$calibEnd%.4f"},"queries":$qs,"runs":$raw,"n_runs":$nRuns,"sf":"$sfDir","load":$load}""")
     spark.stop()
   }
 }
