@@ -64,6 +64,37 @@ object Retrieval {
         col("n_lists"))
   }
 
+  /** [[rrfFuse]] batched by query — the production serving shape: every
+    * input list carries (qid, id, rnk) rows for MANY queries at once
+    * (e.g. [[Similarity.ivfTopK]]'s per-query output joined with a
+    * shared sparse list), and fusion groups by (qid, id) so one pass
+    * fuses the whole query batch. Output: (qid, id, rnk, rrf, n_lists).
+    *
+    * Same determinism contract as [[rrfFuse]] (at most one contribution
+    * per list per (qid, id); the two-list hybrid sum is a single IEEE
+    * addition; ties break on id); the rank window partitions by qid, so
+    * no list is ever funneled through one task. Scale: everything here
+    * runs over O(queries * lists * k) rows — corpus-independent. */
+  def rrfFuseByQuery(rankLists: Seq[DataFrame], k0: Int = 60,
+      k: Int = 20): DataFrame = {
+    require(rankLists.nonEmpty, "rrfFuseByQuery: need at least one list")
+    require(k0 > 0 && k > 0, "rrfFuseByQuery: k0 > 0 and k > 0")
+    val contribs = rankLists.map(_.select(col("qid"), col("id"),
+      (lit(1.0) / (col("rnk").cast("double") + lit(k0.toDouble)))
+        .as("contrib")))
+    val fused = contribs.reduce(_ unionAll _)
+      .groupBy("qid", "id")
+      .agg(sum(col("contrib")).as("rrf"),
+        count(lit(1)).cast("long").as("n_lists"))
+    fused
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rrf").desc, col("id")))
+        .cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("rnk"),
+        round(col("rrf"), 6).as("rrf"), col("n_lists"))
+  }
+
   /** Quantized nDCG gain term: floor(1e6 / log2(rank + 1)) — fixed-point
     * so per-query DCG sums are exact integers (order-independent across
     * engines and partitionings; the lmPerplexity pattern). log2 spelled

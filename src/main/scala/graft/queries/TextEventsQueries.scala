@@ -159,6 +159,43 @@ object TextEventsQueries {
       graft.operators.Retrieval.rankingMetrics(
         picks.select(lit(7L).as("qid"), col("id"), col("rnk")), truth, 8)
     },
+    // The SCALE-path RAG chain, multi-query: the dense half is the IVF
+    // INDEX (trained quantizer, nprobe 3) instead of brute force, over
+    // EIGHT queries — so composition recall is an oracle-checked number
+    // that CAN degrade (pipeline_rag_retrieval's brute dense half cannot
+    // miss, and its single query makes the per-query metric mean
+    // trivial). Chain: shared BM25 top-50 (sparse) + per-query ivfTopK
+    // top-50 (dense) -> per-query RRF fusion (k0=60, top-20) -> ranking
+    // metrics @8 against per-query brute-force truth over the SAME
+    // corpus. One oracle replays training, probes, re-rank, fusion and
+    // metrics end to end. Output: one metrics row per query.
+    "pipeline_rag_retrieval_ivf" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centroids = graft.operators.Similarity.trainKMeans(
+        corpus.where(col("id") % 4 === 0), "id", "vec",
+        SimilarityQueries.KmK, 64, SimilarityQueries.KmIters)
+      val dense = graft.operators.Similarity.ivfTopK(corpus, qs, 50,
+        centroids, 3).select(col("qid"), col("id"), col("rank").as("rnk"))
+      val sparse = TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window", "customer"), 50)
+        .select(col("doc_id").as("id"), col("score"))
+      // The keyword query is shared: every dense query fuses with the
+      // same sparse list (the serving shape when one text query fans
+      // out to several query embeddings).
+      val sparseQ = qs.select(col("qid"))
+        .crossJoin(broadcast(graft.operators.Retrieval.asRankList(
+          sparse, "id", "score")))
+      val fused = graft.operators.Retrieval.rrfFuseByQuery(
+        Seq(sparseQ, dense), 60, 20)
+      val truth = graft.operators.Similarity.bruteForceTopK(corpus, qs, 8)
+        .select(col("qid"), col("id"))
+      graft.operators.Retrieval.rankingMetrics(
+        fused.select(col("qid"), col("id"), col("rnk")), truth, 8)
+    },
     // Overlapping token-window chunking (RAG/training prep): 20-token
     // windows, stride 10 (50% overlap), full-coverage tiling.
     "text_chunking" -> { (s, dir) =>
@@ -1408,6 +1445,93 @@ object TextEventsQueries {
          |  FROM nr, pq)
          |SELECT CAST(7 AS BIGINT) AS qid, n_rel, hits,
          |  CAST(first_rnk AS BIGINT) AS first_rnk,
+         |  round(COALESCE(1.0 / first_rnk, 0.0), 6) AS rr,
+         |  round(hits::DOUBLE / 8.0, 6) AS prec,
+         |  round(hits::DOUBLE / n_rel::DOUBLE, 6) AS recall,
+         |  round(dcg::DOUBLE / idcg::DOUBLE, 6) AS ndcg
+         |FROM fin""".stripMargin
+    },
+    // IVF-dense multi-query RAG chain: replay the BM25 top-50, the
+    // k-means training (unrolled Lloyd on the 1-in-4 corpus sample), the
+    // nprobe-1 lists, each query's 3 probes + exact re-rank top-50, the
+    // per-query RRF sums, and the fixed-point ranking metrics against
+    // per-query brute-force truth. The dense half is the INDEX, so the
+    // recall column is a composition number that can genuinely degrade.
+    "pipeline_rag_retrieval_ivf" -> {
+      val terms = Seq("spark", "window", "customer")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(", ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1) * tf$i * 2.2" +
+          s" / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+      import SimilarityQueries.{duckCos, duckKMeansCtes, KmK, KmIters}
+      def gain(x: String) =
+        s"CAST(floor(1000000.0 / (ln(($x + 1)::DOUBLE) / ln(2.0))) AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks)::DOUBLE AS dl, $tfs FROM t),
+         |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl, $dfs FROM f),
+         |sc AS (SELECT doc_id, round($score, 6) AS score FROM f, st),
+         |sp AS (SELECT doc_id AS id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, score FROM sc WHERE score > 0
+         |        ORDER BY score DESC, doc_id LIMIT 50) sp0),
+         |corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |lists AS (SELECT id, cid FROM (
+         |  SELECT corp.id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY corp.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
+         |  FROM corp, cent) t1 WHERE rn = 1),
+         |probes AS (SELECT qid, cid FROM (
+         |  SELECT qs.qid, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t2 WHERE rn <= 3),
+         |cand AS (SELECT DISTINCT qid, id FROM probes JOIN lists USING (cid)),
+         |dsc AS (SELECT cand.qid, cand.id, ${duckCos("q.qv", "c.v")} AS score
+         |  FROM cand JOIN corp c ON cand.id = c.id
+         |            JOIN qs q ON cand.qid = q.qid),
+         |dn AS (SELECT qid, id, rnk FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) AS rnk FROM dsc) t3 WHERE rnk <= 50),
+         |u AS (SELECT qs.qid, sp.id, 1.0 / (60 + sp.rnk) AS contrib
+         |  FROM qs, sp
+         |  UNION ALL SELECT qid, id, 1.0 / (60 + rnk) FROM dn),
+         |fz AS (SELECT qid, id, SUM(contrib) AS rrf FROM u GROUP BY qid, id),
+         |fr AS (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, id) AS rnk FROM fz),
+         |res AS (SELECT qid, id, rnk FROM fr WHERE rnk <= 8),
+         |tall AS (SELECT q.qid, c.id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY ${duckCos("q.qv", "c.v")} DESC, c.id) AS rnk
+         |  FROM qs q, corp c),
+         |tru AS (SELECT qid, id FROM tall WHERE rnk <= 8),
+         |j AS (SELECT res.qid, res.rnk,
+         |    CASE WHEN tru.id IS NOT NULL THEN 1 ELSE 0 END AS relv
+         |  FROM res LEFT JOIN tru
+         |    ON res.qid = tru.qid AND res.id = tru.id),
+         |pq AS (SELECT qid, CAST(SUM(relv) AS BIGINT) AS hits,
+         |    MIN(CASE WHEN relv = 1 THEN rnk END) AS first_rnk,
+         |    CAST(SUM(CASE WHEN relv = 1 THEN ${gain("rnk")}
+         |      ELSE 0 END) AS BIGINT) AS dcg
+         |  FROM j GROUP BY qid),
+         |nr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |  FROM tru GROUP BY qid),
+         |fin AS (SELECT nr.qid, nr.n_rel, COALESCE(pq.hits, 0) AS hits,
+         |    pq.first_rnk, COALESCE(pq.dcg, 0) AS dcg,
+         |    list_reduce(list_transform(range(1, least(nr.n_rel, 8) + 1),
+         |      i -> ${gain("i")}), (a, b) -> a + b) AS idcg
+         |  FROM nr LEFT JOIN pq ON nr.qid = pq.qid)
+         |SELECT qid, n_rel, hits, CAST(first_rnk AS BIGINT) AS first_rnk,
          |  round(COALESCE(1.0 / first_rnk, 0.0), 6) AS rr,
          |  round(hits::DOUBLE / 8.0, 6) AS prec,
          |  round(hits::DOUBLE / n_rel::DOUBLE, 6) AS recall,

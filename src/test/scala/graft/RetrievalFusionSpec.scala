@@ -59,6 +59,68 @@ class RetrievalFusionSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       Retrieval.rrfFuse(Seq(ranks(1L -> 1)), k0 = 0)
     }
+    intercept[IllegalArgumentException] { Retrieval.rrfFuseByQuery(Nil) }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuseByQuery(
+        Seq(Seq((1L, 2L, 1)).toDF("qid", "id", "rnk")), k = 0)
+    }
+  }
+
+  // ---- query-batched fusion -------------------------------------------------
+
+  test("rrfFuseByQuery slices == rrfFuse run per query") {
+    // Two queries with interleaved ids, shared sparse list for q0 only:
+    // the batched fusion's per-qid slice must equal the single-query
+    // operator fed the same lists.
+    val listA = Seq((0L, 10L, 1), (0L, 20L, 2), (1L, 20L, 1), (1L, 40L, 2))
+      .toDF("qid", "id", "rnk")
+    val listB = Seq((0L, 20L, 1), (0L, 30L, 2), (1L, 10L, 1))
+      .toDF("qid", "id", "rnk")
+    val batched = Retrieval.rrfFuseByQuery(Seq(listA, listB), 60, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val single = Seq(0L, 1L).flatMap { q =>
+      Retrieval.rrfFuse(Seq(
+          listA.where($"qid" === q).select("id", "rnk"),
+          listB.where($"qid" === q).select("id", "rnk")), 60, 10)
+        .collect()
+        .map(r => (q, r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3)))
+    }.toSet
+    assert(batched == single, s"batched=$batched\nsingle=$single")
+  }
+
+  test("the IVF RAG chain's dense coverage is a number that CAN degrade: " +
+    "monotone in nprobe, floor pinned at the gate's config") {
+    // The pipeline_rag_retrieval_ivf contract: the dense half is the
+    // INDEX, so chain recall genuinely responds to the index dial.
+    // Everything is deterministic (seeded fixture, deterministic Lloyd),
+    // so the coverage values are constants of the build.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"${SparkTestBase.sf001}/embeddings.parquet")
+    val corpus = e.where(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = Similarity.trainKMeans(
+      corpus.where(col("id") % 4 === 0), "id", "vec", 16, 64, 2)
+    val truth = Similarity.bruteForceTopK(corpus, qs, 8)
+      .select("qid", "id").cache()
+    val nT = truth.count()
+    val cov = Seq(1, 2, 3).map { np =>
+      Similarity.ivfTopK(corpus, qs, 50, cents, np).select("qid", "id")
+        .intersect(truth).count().toDouble / nT
+    }
+    assert(cov(0) < cov(1) && cov(1) < cov(2),
+      s"coverage must respond to nprobe: $cov")
+    // The gate's nprobe=3 config: 27/64 on this near-uniform fixture
+    // (structureless vectors are the HARD case for IVF — the clustered
+    // twin sim_ann_synthetic holds 0.99+ where cluster structure
+    // exists). A regression in probe/list assignment shows up here.
+    assert(cov(2) >= 0.40, s"nprobe=3 coverage ${cov(2)} < 0.40")
+    truth.unpersist()
   }
 
   // ---- ranking metrics ------------------------------------------------------
