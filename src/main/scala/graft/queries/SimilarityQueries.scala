@@ -292,6 +292,56 @@ object SimilarityQueries {
       Similarity.probeIndex(lists, qs, 5, centroids, 3)
         .withColumnRenamed("rank", "rnk")
     },
+    // QUANTIZER DRIFT + SCHEDULED REBUILD: history is one planted
+    // clustered distribution; the folded stream arrives from a DIFFERENT
+    // one (new seed => new cluster positions — the embedding-model-drift
+    // shape). The stale history-trained quantizer cannot resolve the new
+    // clusters, so nprobe=1 probe recall of drifted queries decays
+    // (~370/640 of truth); EmbeddingIndexStream.rebuildIvf retrains from
+    // the accumulated index rows (k grown 8 -> 16 with the corpus),
+    // re-keys the lists, and recall recovers (583-623/640). The
+    // generator family is PARTITION-SEEDED by the reference contract
+    // (volatile, like randgen itself), so exact counts shift with task
+    // layout — the gate pins n_truth and wide-margin booleans instead,
+    // the sim_ann_synthetic convention (measured spread across local[4]
+    // and local[8] layouts: stale 367, rebuilt 583/623 — the asserted
+    // margins sit >4 sigma from both).
+    "stream_ivf_rebuild" -> { (s, dir) =>
+      import s.implicits._
+      val dim = 32
+      val hist = graft.operators.SyntheticEmbeddings
+        .clustered(s, 2048L, 8, dim, 1205L, 0.5)
+        .select(col("id"), col("embedding").as("vec"))
+      val driftAll = graft.operators.SyntheticEmbeddings
+        .clustered(s, 2112L, 8, dim, 7702L, 0.5)
+      val driftFold = driftAll.where(col("id") < 2048)
+        .select((col("id") + 10000L).as("id"), col("embedding").as("vec"))
+      val queries = driftAll.where(col("id") >= 2048)
+        .select(col("id").as("qid"), col("embedding").as("qvec"))
+      val days = Seq(driftFold.where(col("id") < 11000),
+        driftFold.where(col("id") >= 11000))
+      val logDir = Staging.batchLog("sivfreb", dir, "day", days)
+      val stale = Similarity.trainKMeans(
+        hist.where(col("id") % 4 === 0), "id", "vec", 8, dim, KmIters)
+      val lists = graft.streaming.EmbeddingIndexStream.incrementalIvf(
+        s, hist, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sivfreb")}/state", "id", "vec",
+        stale).cache()
+      val truth = Similarity.bruteForceTopK(
+          lists.select(col("id"), col("vec")), queries, 10)
+        .select("qid", "id").cache()
+      val nTruth = truth.count()
+      val hitsStale = Similarity.probeIndex(lists, queries, 10, stale, 1)
+        .select("qid", "id").intersect(truth).count()
+      val (reb, rebLists) = graft.streaming.EmbeddingIndexStream
+        .rebuildIvf(lists, "id", "vec", 16, dim, KmIters)
+      val hitsReb = Similarity.probeIndex(rebLists, queries, 10, reb, 1)
+        .select("qid", "id").intersect(truth).count()
+      Seq((nTruth, hitsStale <= 480L, hitsReb >= 540L,
+          hitsReb >= hitsStale + 60L))
+        .toDF("n_truth", "stale_degraded", "rebuilt_recovers",
+          "margin_ok")
+    },
     // Product quantization + asymmetric-distance top-k: 32 codebooks of
     // 16 entries trained per 2-dim subspace (deterministic Lloyd with
     // MINIMUM-L2 assignment — the PQ objective — on the same 1-in-4
@@ -782,6 +832,14 @@ object SimilarityQueries {
          |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45""".stripMargin,
     "sim_ann_synthetic" ->
       "SELECT CAST(640 AS BIGINT) AS n_truth, TRUE AS recall_ok",
+    // 64 drifted queries x top-10 truth = 640; the recall booleans are
+    // wide-margin (>4 sigma from the measured values under both task
+    // layouts) because the generator is partition-seeded by contract —
+    // see the gate comment.
+    "stream_ivf_rebuild" ->
+      """SELECT CAST(640 AS BIGINT) AS n_truth,
+        |  TRUE AS stale_degraded, TRUE AS rebuilt_recovers,
+        |  TRUE AS margin_ok""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
          |  FROM embeddings WHERE vec_id >= 20),

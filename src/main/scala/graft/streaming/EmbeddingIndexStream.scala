@@ -75,6 +75,39 @@ object EmbeddingIndexStream {
   }
 
   /**
+   * The SCHEDULED REBUILD the incremental fold's header promises: once
+   * the ingested distribution has drifted from the history the coarse
+   * quantizer was trained on, probe recall decays — the new mass lives
+   * in lists whose centroids no longer resolve it. This retrains the
+   * quantizer FROM the accumulated index rows themselves ((cid, id, vec)
+   * — the vectors are already there; the corpus is never re-read) on the
+   * deterministic 1-in-`trainMod` id sample, re-keys every list row to
+   * the new quantizer in one narrow assignment pass, and returns
+   * (newCentroids, newLists).
+   *
+   * Deployment shape: run it as a scheduled job against lists v{n},
+   * write the re-keyed lists as v{n+1} under the same
+   * [[ChangelogStream]] overwrite+vacuum discipline, and swap the
+   * serving centroids with the version flip — probes are a (centroids,
+   * lists) PAIR, so the flip is atomic at the version boundary. Grow `k`
+   * with the accumulated count (the [[graft.operators.Dedup.semanticKFor]]
+   * dial) so list occupancy stays flat as the index accumulates.
+   *
+   * Deterministic end to end ([[Similarity.trainKMeans]]'s contract), so
+   * the rebuilt index is engine-replayable like the original.
+   */
+  def rebuildIvf(lists: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int, iters: Int, trainMod: Int = 4)
+      : (Seq[(Long, Array[Float])], DataFrame) = {
+    require(k > 0 && trainMod >= 1, "rebuildIvf: k > 0, trainMod >= 1")
+    import org.apache.spark.sql.functions.col
+    val rows = lists.select(col(idCol), col(vecCol))
+    val cents = Similarity.trainKMeans(
+      rows.where(col(idCol) % trainMod === 0), idCol, vecCol, k, dim, iters)
+    (cents, Similarity.ivfAssignments(rows, idCol, vecCol, cents))
+  }
+
+  /**
    * The IVF x PQ twin of [[incrementalIvf]]: the folded state is
    * [[Similarity.ivfPqAssignments]] rows (cid, id, m, code) — each
    * ingested vector is coarse-assigned AND PQ-encoded once, on arrival,

@@ -117,4 +117,36 @@ class EmbeddingIndexStreamSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaStream == viaBatch)
   }
+
+  test("rebuildIvf: preserves every row, re-keys to the new quantizer, " +
+    "and is deterministic") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.where(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val stale = Similarity.trainKMeans(
+      corpus.where(col("id") % 4 === 0), "id", "vec", 4, 64, 2)
+    val lists = Similarity.ivfAssignments(corpus, "id", "vec", stale)
+    val (cents, rebuilt) = EmbeddingIndexStream.rebuildIvf(
+      lists, "id", "vec", 16, 64, 2)
+    assert(cents.size > 4, s"k=16 rebuild must widen the quantizer: " +
+      s"${cents.size}")
+    // Row preservation: same id set, vectors untouched.
+    val before = lists.select("id").collect().map(_.getLong(0)).toSet
+    val after = rebuilt.select("id").collect().map(_.getLong(0)).toSet
+    assert(before == after)
+    // Re-key: every row's cid is the nearest NEW centroid — the rebuilt
+    // lists equal a fresh assignment of the carried vectors.
+    val fresh = Similarity.ivfAssignments(
+      lists.select(col("id"), col("vec")), "id", "vec", cents)
+    assert(rebuilt.exceptAll(fresh).count() == 0 &&
+      fresh.exceptAll(rebuilt).count() == 0)
+    // Determinism over the same materialized rows.
+    val (cents2, _) = EmbeddingIndexStream.rebuildIvf(
+      lists, "id", "vec", 16, 64, 2)
+    assert(cents.map { case (c, v) => (c, v.toSeq) } ==
+      cents2.map { case (c, v) => (c, v.toSeq) })
+    intercept[IllegalArgumentException] {
+      EmbeddingIndexStream.rebuildIvf(lists, "id", "vec", 0, 64, 2)
+    }
+  }
 }
