@@ -145,6 +145,23 @@ object DataSelection {
   private def floorDivCol(a: Column, b: Column): Column =
     ((a - pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
 
+  /** The integer mean log-ratio (micros) a threshold selection cuts on —
+    * appended to [[dsirScores]]-shaped rows as `__v`. Exact floor
+    * division, so the streaming fold and the batch pass agree bit-for-bit. */
+  private[graft] def withMeanMicros(scores: DataFrame): DataFrame =
+    scores.withColumn("__v", floorDivCol(col("lr_sum_scaled"), col("n_feats")))
+
+  /** The (1 - frac) sketch cut (micros) — ONE driver-collected value
+    * from a [[Sketches.histBuild]] sketch over `__v`; exact-integer rank
+    * arithmetic ([[Sketches.ceilRankExact]]). */
+  private[graft] def thresholdCutOf(sketch: DataFrame, frac: Double,
+      widthMicros: Long): Long = {
+    val cut = Sketches.histQuantiles(sketch, Seq(1.0 - frac), widthMicros)
+      .select(col("est_cents")).collect()
+    require(cut.nonEmpty, "dsir threshold: empty corpus")
+    cut.head.getLong(0)
+  }
+
   /** The selection tail, SKETCH-THRESHOLD form — the 100 TB path: keep
     * every document whose integer mean log-ratio (micros,
     * floorDiv(lr_sum_scaled, n_feats)) clears the (1 - frac) quantile
@@ -183,15 +200,12 @@ object DataSelection {
     require(widthMicros > 0, "dsirSelectByThreshold: widthMicros > 0")
     val (scores0, rawFeats) =
       dsirScoresAndFeats(raw, target, idCol, textCol, buckets)
-    val scores = scores0
-      .withColumn("__v", floorDivCol(col("lr_sum_scaled"), col("n_feats")))
+    val scores = withMeanMicros(scores0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketch = Sketches.histBuild(scores, col("__v"), widthMicros)
-    val cut = Sketches.histQuantiles(sketch, Seq(1.0 - frac), widthMicros)
-      .select(col("est_cents")).collect()
-    require(cut.nonEmpty, "dsirSelectByThreshold: empty raw corpus")
+    val cut = thresholdCutOf(sketch, frac, widthMicros)
     rawFeats.unpersist(false) // scores are materialized; drop the big cache
-    scores.where(col("__v") >= lit(cut.head.getLong(0)))
+    scores.where(col("__v") >= lit(cut))
       .select(col("doc_id"), col("score"))
   }
 

@@ -585,6 +585,30 @@ object TextEventsQueries {
         d, d.where(col("doc_id") % 10 === 0), "doc_id", "text", 0.2, 1024,
         1000L)
     },
+    // STREAMING threshold selection — DSIR deployed continuously:
+    // documents arrive in batches, each batch is scored ON ARRIVAL
+    // against STATIC models (target = the curated sample's LM; proposal
+    // = the history slice's LM, fixed like the IVF quantizer), and both
+    // the scored rows AND the histogram sketch FOLD per batch; the top-
+    // 20% cut is read from the folded sketch. Static models make
+    // per-batch scores final and the sketch merge is lossless count
+    // addition, so the kept set equals the one-pass batch computation
+    // bit-for-bit — the stream_ngram_drift verbatim-oracle contract.
+    "stream_dsir_threshold" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = d.where(col("doc_id") < 100)
+      val days = Seq(
+        d.where(col("doc_id") >= 100 && col("doc_id") < 300),
+        d.where(col("doc_id") >= 300))
+      val logDir = Staging.batchLog("sdsel", dir, "day", days)
+      val ds = graft.operators.DataSelection
+      graft.streaming.RetrievalStream.incrementalDsirThreshold(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sdsel")}/state", "doc_id", "text",
+        0.2, 1024, 1000L,
+        ds.bucketCounts(d.where(col("doc_id") % 10 === 0), "text", 1024),
+        ds.bucketCounts(history, "text", 1024))
+    },
     // Collocation PMI over forward word pairs (gap 1-2): the phrase
     // signal a tokenizer/vocab builder reads; one ln() on exact integer
     // products, floor-quantized — fully hash-gated.
@@ -1074,29 +1098,38 @@ object TextEventsQueries {
 
   /** Shared DSIR replay (batch gate + streaming-fold gate): bucket
     * hash, both count LMs, quantized ratios, exact sums. */
-  private val duckDsirSql: String = {
+  /** The hashed-feature CTE body shared by every DSIR oracle. */
+  private def duckDsirFeats(rel: String, withId: Boolean): String = {
       val B = 1024
-      def feats(rel: String, withId: Boolean) = {
-        val idSel = if (withId) "doc_id, " else ""
-        val idT = if (withId) "t.doc_id, " else ""
-        s"""SELECT $idSel(('0x' || substr(md5(f), 1, 15))::BIGINT % $B) AS b
-           |FROM (
-           |  SELECT ${idSel}unnest(string_split(text, ' ')) AS f FROM $rel
-           |  UNION ALL
-           |  SELECT ${idT}t.tk[u.i+1] || ' ' || t.tk[u.i+2] AS f
-           |  FROM (SELECT ${idSel}string_split(text, ' ') AS tk FROM $rel) t
-           |    CROSS JOIN unnest(range(0,
-           |      (SELECT MAX(len(tk)) - 1 FROM
-           |        (SELECT string_split(text, ' ') AS tk FROM $rel) mt))) u(i)
-           |  WHERE u.i <= len(t.tk) - 2
-           |) z""".stripMargin
-      }
+      val idSel = if (withId) "doc_id, " else ""
+      val idT = if (withId) "t.doc_id, " else ""
+      s"""SELECT $idSel(('0x' || substr(md5(f), 1, 15))::BIGINT % $B) AS b
+         |FROM (
+         |  SELECT ${idSel}unnest(string_split(text, ' ')) AS f FROM $rel
+         |  UNION ALL
+         |  SELECT ${idT}t.tk[u.i+1] || ' ' || t.tk[u.i+2] AS f
+         |  FROM (SELECT ${idSel}string_split(text, ' ') AS tk FROM $rel) t
+         |    CROSS JOIN unnest(range(0,
+         |      (SELECT MAX(len(tk)) - 1 FROM
+         |        (SELECT string_split(text, ' ') AS tk FROM $rel) mt))) u(i)
+         |  WHERE u.i <= len(t.tk) - 2
+         |) z""".stripMargin
+  }
+
+  /** DSIR scoring replay over ALL documents, with the raw (proposal)
+    * model counted from `rawModelCte` — "rf" scores everything either
+    * way; the batch gates use the full corpus as its own proposal
+    * ([[duckDsirSql]]), the streaming threshold gate a STATIC
+    * history-sample proposal. */
+  private def duckDsirSqlFor(rawModelCte: String): String = {
+      val B = 1024
+      def feats(rel: String, withId: Boolean) = duckDsirFeats(rel, withId)
       s"""WITH tgrel AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
          |tf AS (${feats("tgrel", withId = false)}),
          |tc AS (SELECT b, COUNT(*) AS tc FROM tf GROUP BY 1),
          |nt AS (SELECT COALESCE(SUM(tc), 0) AS n_t FROM tc),
          |rf AS (${feats("documents", withId = true)}),
-         |rc AS (SELECT b, COUNT(*) AS rc FROM rf GROUP BY 1),
+         |$rawModelCte,
          |nr AS (SELECT COALESCE(SUM(rc), 0) AS n_r FROM rc),
          |lr AS (SELECT u.b, CAST(floor(
          |    (ln((COALESCE(tc, 0) + 1)::DOUBLE / (n_t + $B)::DOUBLE)
@@ -1112,6 +1145,17 @@ object TextEventsQueries {
          |    AS score
          |FROM sc""".stripMargin
   }
+
+  /** The batch DSIR replay (the full corpus is its own proposal model). */
+  private val duckDsirSql: String = duckDsirSqlFor(
+    "rc AS (SELECT b, COUNT(*) AS rc FROM rf GROUP BY 1)")
+
+  /** The streaming-threshold replay's scoring base: STATIC proposal
+    * model from the history slice (doc_id < 100), scoring everything. */
+  private val duckDsirStreamSql: String = duckDsirSqlFor(
+    s"""histrel AS (SELECT text FROM documents WHERE doc_id < 100),
+       |hf AS (${duckDsirFeats("histrel", withId = false)}),
+       |rc AS (SELECT b, COUNT(*) AS rc FROM hf GROUP BY 1)""".stripMargin)
 
   /** Text-drift oracle: replay the two halves' bucket LMs and the
     * 1e-9-quantized per-bucket KL/JS terms. */
@@ -1186,6 +1230,25 @@ object TextEventsQueries {
     "pipeline_dsir_threshold" ->
       s"""WITH base AS (
          |$duckDsirSql
+         |), v AS (SELECT doc_id, score,
+         |    (lr_sum_scaled - ((lr_sum_scaled % n_feats + n_feats)
+         |       % n_feats)) // n_feats AS v
+         |  FROM base),
+         |b AS (SELECT (v - ((v % 1000 + 1000) % 1000)) // 1000 AS bucket,
+         |             COUNT(*) AS cnt FROM v GROUP BY 1),
+         |cum AS (SELECT bucket, cnt, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+         |             SUM(cnt) OVER () AS n FROM b),
+         |cut AS (SELECT CAST((MIN(bucket) + 1) * 1000 AS BIGINT) AS cut
+         |  FROM cum WHERE cum >= ceil(0.8 * n))
+         |SELECT doc_id, score FROM v, cut WHERE v.v >= cut.cut""".stripMargin,
+    // Streaming threshold selection: folded scores == batch scoring
+    // against the same STATIC models (per-doc, broadcast lr table) and
+    // the folded sketch == one histBuild (lossless count merge), so the
+    // oracle is the batch replay with the history-slice proposal model —
+    // same sketch/cut/filter tail as pipeline_dsir_threshold.
+    "stream_dsir_threshold" ->
+      s"""WITH base AS (
+         |$duckDsirStreamSql
          |), v AS (SELECT doc_id, score,
          |    (lr_sum_scaled - ((lr_sum_scaled % n_feats + n_feats)
          |       % n_feats)) // n_feats AS v

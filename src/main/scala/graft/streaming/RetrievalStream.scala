@@ -50,4 +50,81 @@ object RetrievalStream {
       batch => graft.operators.DataSelection.bucketCounts(batch, textCol,
         buckets),
       (prev, rows) => graft.operators.DataSelection.mergeCounts(prev, rows))
+
+  /** STREAMING threshold selection — DSIR deployed as continuous
+    * selection: documents are scored ON ARRIVAL against STATIC reference
+    * models (`targetCounts` = the curated target's bucket LM,
+    * `rawCounts` = the proposal model from the history sample — fixed,
+    * like the IVF quantizer: importance weights against a fixed
+    * proposal, the deployed simplification that makes per-batch scores
+    * FINAL), and TWO states fold per batch under the changelog
+    * versioning discipline:
+    *
+    *  - `dsel_v{n}`: the accumulated scored rows (doc_id, n_feats,
+    *    lr_sum_scaled, score, __v) — an append, docs are unique across
+    *    batches (the postings-fold shape);
+    *  - `dhist_v{n}`: the mergeable histogram sketch of `__v` — merged
+    *    by bucket-count addition, so the folded sketch EQUALS one
+    *    histBuild over everything ingested, losslessly.
+    *
+    * The (1 - frac) cut is then read from FOLDED state — one collected
+    * value — and filters the folded scores: because scoring is per-doc
+    * against static models and the sketch merge is exact, the result is
+    * BIT-IDENTICAL to [[graft.operators.DataSelection.dsirScoresFromCounts]]
+    * + sketch + cut over the full corpus in one batch pass (the
+    * stream_ngram_drift verbatim-oracle contract). Returns the kept
+    * (doc_id, score) rows.
+    *
+    * Scale: per-batch cost is one narrow featurize + broadcast-join
+    * score + a bucket-bounded sketch merge; no global sort, no window —
+    * the deployed shape of "keep the top slice, continuously". */
+  def incrementalDsirThreshold(spark: SparkSession, history: DataFrame,
+      docDir: String, schema: StructType, stateDir: String,
+      idCol: String, textCol: String, frac: Double, buckets: Int,
+      widthMicros: Long, targetCounts: DataFrame, rawCounts: DataFrame,
+      retainVersions: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(retainVersions >= 2,
+      "incrementalDsirThreshold: retainVersions >= 2")
+    require(frac > 0.0 && frac < 1.0,
+      "incrementalDsirThreshold: frac in (0, 1)")
+    val ds = graft.operators.DataSelection
+    val sk = graft.operators.Sketches
+    // Materialize the static models once — the deployed artifact shape
+    // (and each micro-batch re-reads a tiny parquet instead of
+    // re-deriving the model lineage per batch).
+    targetCounts.write.mode("overwrite").parquet(s"$stateDir/model_target")
+    rawCounts.write.mode("overwrite").parquet(s"$stateDir/model_raw")
+    val tc = spark.read.parquet(s"$stateDir/model_target")
+    val rc = spark.read.parquet(s"$stateDir/model_raw")
+    def score(df: DataFrame): DataFrame =
+      ds.withMeanMicros(ds.dsirScoresFromCounts(
+        df, idCol, textCol, buckets, tc, rc))
+    val seed = score(history)
+    seed.write.mode("overwrite").parquet(s"$stateDir/dsel_v0")
+    sk.histBuild(spark.read.parquet(s"$stateDir/dsel_v0"), col("__v"),
+        widthMicros)
+      .write.mode("overwrite").parquet(s"$stateDir/dhist_v0")
+    @volatile var last = 0L
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docDir)
+    EventStream.runForeachBatch(spark, stream, (batch, id) => {
+      val s = score(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      spark.read.parquet(s"$stateDir/dsel_v$id").unionByName(s)
+        .write.mode("overwrite").parquet(s"$stateDir/dsel_v${id + 1}")
+      sk.histMerge(spark.read.parquet(s"$stateDir/dhist_v$id")
+          .unionByName(sk.histBuild(s, col("__v"), widthMicros)))
+        .write.mode("overwrite").parquet(s"$stateDir/dhist_v${id + 1}")
+      s.unpersist(false)
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "dsel_v")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "dhist_v")
+      last = id + 1
+    })
+    val scores = spark.read.parquet(s"$stateDir/dsel_v$last")
+    val cut = ds.thresholdCutOf(
+      spark.read.parquet(s"$stateDir/dhist_v$last"), frac, widthMicros)
+    scores.where(col("__v") >= org.apache.spark.sql.functions.lit(cut))
+      .select(col("doc_id"), col("score"))
+  }
 }
