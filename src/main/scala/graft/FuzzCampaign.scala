@@ -23,7 +23,7 @@ object FuzzCampaign {
     val (sfDir, outDir) = (args(0), args(1))
     val seedStart = args(2).toLong
     val seedCount = args(3).toInt
-    val nQueries = if (args.length > 4) args(4).toInt else 28
+    val nQueries = if (args.length > 4) args(4).toInt else 30
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))

@@ -142,9 +142,9 @@ object QueryFuzz {
     "global_agg", "string_funcs", "event_time", "grouping_sets",
     "setop_all", "range_frame", "lateral_fanout", "decimal_arith",
     "agg_filter", "full_outer", "cte_reuse", "limit_offset",
-    "null_order", "mod_floor_div")
+    "null_order", "mod_floor_div", "ts_interval")
 
-  case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 28)
+  case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 30)
 
   case class Generated(id: Int, shape: String, innerSql: String,
       wrappedSql: String)
@@ -642,7 +642,7 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}" +
           s"\nORDER BY c3 $dir $place, ${totalOrder(t)} LIMIT $lim\n) pg",
           ps.map { case (c, a) => (a, c.t) } :+ (("c3", TLong)))
-      case _ => // negative-operand integer arithmetic: `%` truncates
+      case 24 => // negative-operand integer arithmetic: `%` truncates
         // toward zero (sign of the DIVIDEND) on both engines — but the
         // floor-division and non-negative-modulo the bucket functions
         // need have NO shared operator spelling (Spark `DIV` vs DuckDB
@@ -664,6 +664,37 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
           ps.map { case (c, al) => (al, c.t) } ++
             Seq(("c2", TLong), ("c3", TLong), ("c4", TLong)))
+      case _ => // timestamp/interval arithmetic: date_trunc boundaries,
+        // month arithmetic with the END-OF-MONTH CLAMP (Jan 31 + 1
+        // month = Feb 28/29 on BOTH engines — verified, and exactly the
+        // convention every calendar rollup rides), day-interval shifts,
+        // all under a paginated ORDER BY on the SHIFTED value so the
+        // arithmetic decides which rows reach the digest. Portable
+        // spellings pinned: CAST(date_trunc(u, ts) AS DATE) (Spark
+        // returns TIMESTAMP, DuckDB DATE — the cast unifies the type),
+        // INTERVAL 'n' MONTH/DAY literals, ISO-Monday
+        // date_trunc('week'). Engine-divergent dow/week NUMBERING is
+        // deliberately excluded — those have no portable spelling.
+        val withTs = allTables.filter(_.cols.exists(_.t == TTs))
+        val t = r.choose(withTs)
+        val tsc = r.choose(t.cols.filter(_.t == TTs)).name
+        val unit = r.choose(Seq("year", "quarter", "month", "week"))
+        val months = 1 + r.nextInt(11)
+        val days = 1 + r.nextInt(90)
+        val dir = r.choose(Seq("ASC", "DESC"))
+        val lim = 10 + r.nextInt(30)
+        val ps = proj(t, r, 1)
+        (s"SELECT ${ps.map { case (_, a) => a }.mkString(", ")}, " +
+          "c2, c3, c4 FROM (" +
+          s"\nSELECT ${ps.map { case (c, a) => s"${c.name} AS $a" }
+            .mkString(", ")}," +
+          s"\n  CAST(date_trunc('$unit', $tsc) AS DATE) AS c2," +
+          s"\n  CAST($tsc + INTERVAL '$months' MONTH AS DATE) AS c3," +
+          s"\n  CAST($tsc - INTERVAL '$days' DAY AS DATE) AS c4" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}" +
+          s"\nORDER BY c3 $dir, ${totalOrder(t)} LIMIT $lim\n) pg",
+          ps.map { case (c, a) => (a, c.t) } ++
+            Seq(("c2", TTs), ("c3", TTs), ("c4", TTs)))
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

@@ -7,7 +7,7 @@ import graft.fuzz.QueryFuzz
 /**
  * Differential query-fuzz gate (SURVEY.md §2.5): the engine's own
  * randgen heritage applied to itself. A fixed-seed
- * [[graft.fuzz.QueryFuzz]] battery — twenty-five grammar shapes
+ * [[graft.fuzz.QueryFuzz]] battery — twenty-six grammar shapes
  * (scan+filter, FK join, group-agg, CASE bucketing, UNION ALL,
  * IN-subquery, 3-way chain join, scalar subquery, LEFT join, window
  * rank, correlated EXISTS, global multi-aggregate, string functions,
@@ -28,7 +28,7 @@ import graft.fuzz.QueryFuzz
  */
 object FuzzQueries {
 
-  private val cfg = QueryFuzz.FuzzConfig(seed = 0x5EED5EEDL, nQueries = 28)
+  private val cfg = QueryFuzz.FuzzConfig(seed = 0x5EED5EEDL, nQueries = 30)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzz_sql_differential" -> { (s, dir) => QueryFuzz.run(s, dir, cfg) }

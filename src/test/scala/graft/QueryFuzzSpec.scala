@@ -19,27 +19,27 @@ class QueryFuzzSpec extends GraftSuite {
     assert(a != c, "different seeds must generate different batteries")
   }
 
-  test("default battery covers all twenty-five grammar shapes") {
-    val shapes = QueryFuzz.generate(FuzzConfig(nQueries = 28)).map(_.shape)
-    assert(shapes.distinct.size == 25, s"expected 25 shapes, got $shapes")
-    assert(shapes.size == 28)
+  test("default battery covers all twenty-six grammar shapes") {
+    val shapes = QueryFuzz.generate(FuzzConfig(nQueries = 30)).map(_.shape)
+    assert(shapes.distinct.size == 26, s"expected 26 shapes, got $shapes")
+    assert(shapes.size == 30)
   }
 
   test("battery executes on Spark: one row per query, qids dense") {
     val rows = QueryFuzz.run(spark, SparkTestBase.sf0001,
-      FuzzConfig(seed = 0x5EED5EEDL, nQueries = 28)).collect()
-    assert(rows.length == 28)
-    assert(rows.map(_.getLong(0)).toSeq == (0L until 28L),
+      FuzzConfig(seed = 0x5EED5EEDL, nQueries = 30)).collect()
+    assert(rows.length == 30)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 30L),
       "qid column must be dense and ordered")
     // Digests are COALESCE'd: empty results are 0, never null.
     assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
 
   test("a fresh seed battery still parses and plans on Spark") {
-    // Planning (not executing) 28 unseen queries guards the grammar
+    // Planning (not executing) 30 unseen queries guards the grammar
     // against emitting Spark-invalid SQL for seeds beyond the gate's.
     Tables.registerAll(spark, SparkTestBase.sf0001)
-    QueryFuzz.generate(FuzzConfig(seed = 987654321L, nQueries = 28))
+    QueryFuzz.generate(FuzzConfig(seed = 987654321L, nQueries = 30))
       .foreach { g =>
         val plan = spark.sql(g.wrappedSql).queryExecution.executedPlan
         assert(plan != null, s"q${g.id} (${g.shape}) failed to plan")
