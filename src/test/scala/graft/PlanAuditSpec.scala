@@ -53,6 +53,10 @@ class PlanAuditSpec extends GraftSuite {
     // fusion/re-rank tails are list-bounded either way. The rag
     // pipeline composes the same dense half (and its brute truth).
     "text_hybrid_rrf", "sim_mmr_rerank", "pipeline_rag_retrieval",
+    // The shared sparse list (50 rows, broadcast) tiles across the 8
+    // query ids before per-query fusion — list-bounded at any corpus;
+    // the brute TRUTH half broadcasts the 8 query rows like the others.
+    "pipeline_rag_retrieval_ivf",
     // Ground truth is the brute baseline BY DESIGN (the metric gate
     // exists to score the LSH index against exact top-k); the broadcast
     // side is the 10-row query set.
