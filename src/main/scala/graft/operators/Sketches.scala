@@ -75,7 +75,22 @@ object Sketches {
   def ceilRankExact(q: Double, n: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val (num, den) = ratOf(q)
-    ceilRankCols(lit(num), lit(den), n)
+    // Fast path for every humanly-written q (den <= 1e6 covers 6-decimal
+    // fractions): pure BIGINT arithmetic — ceil(num*n/den) =
+    // (num*n + den - 1) div den, non-negative operands so truncating
+    // integral division IS floor, and the num*n product is exact or
+    // fails LOUDLY under ANSI long-overflow (headroom: n up to
+    // 9.2e18/num rows). The per-row decimal form this replaces measured
+    // 2.5x on the window-heavy winsorize gate. Pathological round-trip
+    // ratios (a caller passing 1.0/3) take the decimal(38,0) path.
+    if (den <= 1000000L) {
+      org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+            lit(num) * n + lit(den - 1L)),
+          org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+            lit(den))))
+    } else ceilRankCols(lit(num), lit(den), n)
   }
 
   /** q's exact decimal rational (num, den), reduced. */
