@@ -126,5 +126,38 @@ class SemanticDedupSpec extends GraftSuite {
     val fixed = Dedup.semanticDedup(emb, "id", "vec", trained, 0.99)
       .collect().map(_.toSeq).toSet
     assert(auto == fixed, "auto-k wrapper must be the fixed path verbatim")
+    // nOpt short-circuits the dial's count scan but must resolve the
+    // same k (and therefore the same board).
+    val autoN = Dedup.semanticDedupAuto(emb, "id", "vec", 0.99, 4, 2,
+        nOpt = Some(32L))
+      .collect().map(_.toSeq).toSet
+    assert(autoN == fixed, "precomputed-count dial must match")
+  }
+
+  test("hier assignment wiring: semanticDedup through the two-level " +
+    "index at wprobe = all groups equals the flat path bit-for-bit") {
+    // 40 vectors, k = 10 trained centroids -> ceil(sqrt(10)) = 4 coarse
+    // groups; probing all of them makes the two-level assignment
+    // IDENTICAL to flat (HierCentroidsSpec's contract), so the whole
+    // dedup board must match row-for-row. This pins semanticDedup's
+    // hierWprobe wiring (not just the expression) — the path
+    // semanticDedupAuto takes once k >= hierFromK at corpus scale.
+    val rnd = new scala.util.Random(19)
+    val emb = df((0L until 40L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f)): _*)
+    val trained = graft.operators.Similarity.trainKMeans(
+      emb.where($"id" % 2 === 0), "id", "vec", 10, 8, 2)
+    val flat = Dedup.semanticDedup(emb, "id", "vec", trained, 0.8)
+      .collect().map(_.toSeq).toSet
+    val hier = Dedup.semanticDedup(emb, "id", "vec", trained, 0.8,
+        hierWprobe = Some(4))
+      .collect().map(_.toSeq).toSet
+    assert(hier == flat, "wprobe=all-groups hier board must equal flat")
+    // And the auto wrapper actually routes hier once k >= hierFromK:
+    // force hierFromK below the resolved k and require the run to
+    // still produce a valid board (every row present exactly once).
+    val routed = Dedup.semanticDedupAuto(emb, "id", "vec", 0.8, 8, 2,
+      nOpt = Some(200L), hierFromK = 2, hierWprobe = 4)
+    assert(routed.select("id").distinct().count() == 40L)
   }
 }
