@@ -142,7 +142,7 @@ object QueryFuzz {
     "global_agg", "string_funcs", "event_time", "grouping_sets",
     "setop_all", "range_frame", "lateral_fanout", "decimal_arith",
     "agg_filter", "full_outer", "cte_reuse", "limit_offset",
-    "null_order", "mod_floor_div", "ts_interval")
+    "null_order", "mod_floor_div", "ts_interval", "anti_null")
 
   case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 30)
 
@@ -276,7 +276,7 @@ object QueryFuzz {
     picked.toSeq.zipWithIndex.map { case (c, i) => (c, s"c${i + 1}") }
   }
 
-  // ---- the nineteen shapes ----
+  // ---- the grammar shapes (one case per shapeNames entry) ----
 
   private def genOne(id: Int, r: Rng): Generated = {
     val shape = id % shapeNames.size
@@ -664,7 +664,7 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
           ps.map { case (c, al) => (al, c.t) } ++
             Seq(("c2", TLong), ("c3", TLong), ("c4", TLong)))
-      case _ => // timestamp/interval arithmetic: date_trunc boundaries,
+      case 25 => // timestamp/interval arithmetic: date_trunc boundaries,
         // month arithmetic with the END-OF-MONTH CLAMP (Jan 31 + 1
         // month = Feb 28/29 on BOTH engines — verified, and exactly the
         // convention every calendar rollup rides), day-interval shifts,
@@ -695,6 +695,37 @@ object QueryFuzz {
           s"\nORDER BY c3 $dir, ${totalOrder(t)} LIMIT $lim\n) pg",
           ps.map { case (c, a) => (a, c.t) } ++
             Seq(("c2", TTs), ("c3", TTs), ("c4", TTs)))
+      case _ => // NOT IN / NOT EXISTS anti-join under three-valued logic:
+        // the classic trap. Three sub-forms: (a) correlated NOT EXISTS —
+        // the PORTABLE anti-join spelling; (b) NOT IN over a non-null
+        // key subquery — safe because FK keys are never null, equals the
+        // anti join on both engines; (c) NOT IN over a subquery that
+        // MANUFACTURES nulls (CASE WHEN pred THEN key ELSE NULL END) —
+        // one NULL in the list makes `x NOT IN (...)` UNKNOWN for every
+        // non-matching x, so the whole result EMPTIES on any
+        // standard-3VL engine the moment some parent row fails pred.
+        // Both engines implement the standard; an engine (or a user
+        // rewrite to an anti join) that drops the null poisoning flips
+        // n_rows from 0 loudly. Digest-visible either way: (b) vs (c)
+        // differ exactly when the manufactured null appears.
+        val e = r.choose(edges)
+        val ps = proj(e.child, r, 3)
+        val sel = s"SELECT ${ps.map { case (c, a) => s"${c.name} AS $a" }
+          .mkString(", ")}\nFROM ${e.child.name}\nWHERE "
+        val body = r.nextInt(3) match {
+          case 0 => // portable anti join: correlated NOT EXISTS
+            s"NOT EXISTS (SELECT 1 FROM ${e.parent.name}" +
+              s"\n  WHERE ${e.parentKey} = ${e.childKey} AND " +
+              s"(${pred(e.parent, r)}))" +
+              s"\n  AND (${pred(e.child, r)})"
+          case 1 => // NOT IN over a never-null key list
+            s"${e.childKey} NOT IN (SELECT ${e.parentKey} " +
+              s"FROM ${e.parent.name} WHERE ${pred(e.parent, r)})"
+          case _ => // NOT IN with a manufactured NULL in the list
+            s"${e.childKey} NOT IN (SELECT CASE WHEN (${pred(e.parent, r)})" +
+              s" THEN ${e.parentKey} ELSE NULL END FROM ${e.parent.name})"
+        }
+        (sel + body, ps.map { case (c, a) => (a, c.t) })
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

@@ -99,6 +99,13 @@ object Sketches {
       s"ceilRankExact: q in (0, 1], got $q")
     val bd = java.math.BigDecimal.valueOf(q).stripTrailingZeros()
     val scale = math.max(0, bd.scale())
+    // Named fail-fast instead of longValueExact's raw ArithmeticException:
+    // den = 10^scale must fit a Long (scale <= 18). Every humanly-written
+    // quantile is far inside; a q like 1e-20 has no usable nearest-rank
+    // cut anyway (rank 1 at any real n).
+    require(scale <= 18,
+      s"ceilRankExact: q = $q needs 10^$scale as an exact denominator, " +
+        "which exceeds Long range — quantiles must have <= 18 decimal digits")
     val num0 = bd.scaleByPowerOfTen(scale).longValueExact()
     val den0 = java.math.BigInteger.TEN.pow(scale).longValueExact()
     val g = java.math.BigInteger.valueOf(num0)

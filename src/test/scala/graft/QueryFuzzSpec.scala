@@ -19,9 +19,9 @@ class QueryFuzzSpec extends GraftSuite {
     assert(a != c, "different seeds must generate different batteries")
   }
 
-  test("default battery covers all twenty-six grammar shapes") {
+  test("default battery covers all twenty-seven grammar shapes") {
     val shapes = QueryFuzz.generate(FuzzConfig(nQueries = 30)).map(_.shape)
-    assert(shapes.distinct.size == 26, s"expected 26 shapes, got $shapes")
+    assert(shapes.distinct.size == 27, s"expected 27 shapes, got $shapes")
     assert(shapes.size == 30)
   }
 
