@@ -527,6 +527,126 @@ case class PqLut(child: Expression, subDim: Int, offsets: Array[Int],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Driver-built array payloads for the broadcast-backed quantizer
+  * expressions: one torrent-distributed copy per executor instead of a
+  * plan-embedded literal re-shipped inside every task closure. At the
+  * auto dial's k ~ 22,000 x dim 64 the centroid floats alone are
+  * ~5.6 MB — the exact plan-size hazard [[BloomMightContainLongBcast]]
+  * already solved for big Bloom filters; these are its quantizer twins. */
+case class CentroidArrays(cids: Array[Long], norms: Array[Double],
+    cents: Array[Float]) extends Serializable
+
+case class HierArrays(coarseNorms: Array[Double], coarseCents: Array[Float],
+    offsets: Array[Int], cids: Array[Long], norms: Array[Double],
+    cents: Array[Float]) extends Serializable
+
+case class PqArrays(offsets: Array[Int], cids: Array[Long],
+    norms2: Array[Double], cents: Array[Float]) extends Serializable
+
+/**
+ * Broadcast-backed twin of [[NearestCentroids]]: same
+ * [[IvfOps.nearestCentroids]] loop bit-for-bit, but the quantizer arrays
+ * ride a Spark broadcast (resolved ONCE per operator instance via
+ * codegen mutable state) instead of the serialized plan.
+ * [[graft.operators.Similarity]] switches to this form automatically
+ * past `spark.graft.quantizer.bcastFromBytes` of array payload.
+ */
+case class NearestCentroidsBcast(child: Expression, nprobe: Int, dim: Int,
+    bc: org.apache.spark.broadcast.Broadcast[CentroidArrays])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids_bcast"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val q = bc.value
+    IvfOps.nearestCentroids(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nprobe, dim, q.cids, q.norms, q.cents)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("ivfBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val q = ctx.addMutableState("graft.functions.CentroidArrays", "ivfQ",
+      v => s"$v = (graft.functions.CentroidArrays) " +
+        s"((org.apache.spark.broadcast.Broadcast) $bcRef).value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.IvfOps.nearestCentroids(" +
+        s"$c, $nprobe, $dim, $q.cids(), $q.norms(), $q.cents());")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Broadcast-backed twin of [[NearestCentroidsHier]] — same loop, arrays
+  * from a broadcast resolved once per operator instance. */
+case class NearestCentroidsHierBcast(child: Expression, nprobe: Int,
+    wprobe: Int, dim: Int,
+    bc: org.apache.spark.broadcast.Broadcast[HierArrays])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids_hier_bcast"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val q = bc.value
+    IvfOps.nearestCentroidsHier(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nprobe, wprobe, dim, q.coarseNorms, q.coarseCents, q.offsets, q.cids,
+      q.norms, q.cents)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("hierBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val q = ctx.addMutableState("graft.functions.HierArrays", "hierQ",
+      v => s"$v = (graft.functions.HierArrays) " +
+        s"((org.apache.spark.broadcast.Broadcast) $bcRef).value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.IvfOps.nearestCentroidsHier(" +
+        s"$c, $nprobe, $wprobe, $dim, $q.coarseNorms(), $q.coarseCents(), " +
+        s"$q.offsets(), $q.cids(), $q.norms(), $q.cents());")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Broadcast-backed twin of [[PqEncode]] — same loop, codebooks from a
+  * broadcast resolved once per operator instance. */
+case class PqEncodeBcast(child: Expression, subDim: Int,
+    bc: org.apache.spark.broadcast.Broadcast[PqArrays])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode_bcast"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val q = bc.value
+    PqOps.pqEncode(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      subDim, q.offsets, q.cids, q.norms2, q.cents)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pqBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val q = ctx.addMutableState("graft.functions.PqArrays", "pqQ",
+      v => s"$v = (graft.functions.PqArrays) " +
+        s"((org.apache.spark.broadcast.Broadcast) $bcRef).value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqOps.pqEncode(" +
+        s"$c, $subDim, $q.offsets(), $q.cids(), $q.norms2(), $q.cents());")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object SrpOps {
   /** All `numTables` SRP bucket codes of one vector in one loop:
     * projection = sequential-fold double dot of the vector against the

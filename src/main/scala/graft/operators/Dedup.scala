@@ -805,15 +805,21 @@ object Dedup {
     // corpus scale the unpersisted lineage would otherwise be evaluated
     // an extra full time just to pick k.
     val k = semanticKFor(nOpt.getOrElse(emb.count()))
+    // Past hierFromK centroids the flat per-row assignment scan (O(k)
+    // dots) dominates BOTH the Lloyd training rounds and the final
+    // assignment — route each through the two-level index so per-row
+    // work stays O(sqrt(k)). The gate fixture's k = 16 stays flat, so
+    // the hash oracle replays unchanged. EXACT-MODE ESCAPE HATCH:
+    // hierFromK = Int.MaxValue keeps every path on the flat
+    // bit-exact-replayable scan at any k (the approximate regime is
+    // additionally pinned on a fixed fixture in SemanticDedupSpec, not
+    // just by the >= 0.95 agreement floor).
+    val w = if (k >= hierFromK) Some(hierWprobe) else None
     val centroids = Similarity.trainKMeans(
       emb.where(col(idCol) % trainMod === 0), idCol, vecCol, k, dim,
-      kmIters)
-    // Past hierFromK centroids the flat per-row assignment scan (O(k)
-    // dots) dominates — route through the two-level index so per-row
-    // work stays O(sqrt(k)). The gate fixture's k = 16 stays flat, so
-    // the hash oracle replays unchanged.
+      kmIters, hierWprobe = w)
     semanticDedup(emb, idCol, vecCol, centroids, threshold, keepFarthest,
-      hierWprobe = if (k >= hierFromK) Some(hierWprobe) else None)
+      hierWprobe = w)
   }
 
   /** All-pairs embedding near-duplicates (cosine >= threshold). Baseline

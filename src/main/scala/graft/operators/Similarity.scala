@@ -494,18 +494,47 @@ object Similarity {
     * round) to interpreted evaluation. Bit-identical to
     * [[probeCidsDeclarative]]: same folds, same nan-safe (neg, cid)
     * order (spec-pinned on random vectors, ties, and a zero vector). */
+  /** Past this many bytes of quantizer array payload the probe/encode
+    * expressions switch from plan-embedded reference objects (one copy
+    * serialized into EVERY task closure, re-shipped per stage) to a
+    * Spark broadcast (one torrent-distributed copy per executor) — the
+    * [[graft.functions.BloomMightContainLongBcast]] discipline applied
+    * to centroid/codebook arrays. At the auto dial's k ~ 22,000 x
+    * dim 64 the floats alone are ~5.6 MB; the 4 MB default catches
+    * that while keeping gate-scale quantizers (a few KB) plan-local.
+    * Conf `spark.graft.quantizer.bcastFromBytes` overrides (specs pin
+    * bit-identity and the switch itself by forcing it low). */
+  private[graft] val QuantizerBcastDefaultBytes: Long = 4L << 20
+
+  private def quantizerBcastFromBytes: Long =
+    org.apache.spark.sql.internal.SQLConf.get.getConfString(
+      "spark.graft.quantizer.bcastFromBytes",
+      QuantizerBcastDefaultBytes.toString).toLong
+
+  private def quantizerBytes(nFloats: Int, nDoubles: Int, nLongs: Int,
+      nInts: Int): Long =
+    4L * nFloats + 8L * nDoubles + 8L * nLongs + 4L * nInts
+
   private[graft] def probeCids(vec: Column,
       centroids: Seq[(Long, Array[Float])], nprobe: Int): Column = {
     require(centroids.nonEmpty, "probeCids: empty centroids")
     val dim = centroids.head._2.length
     require(centroids.forall(_._2.length == dim),
       "probeCids: centroids must share one dimension")
-    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
-      graft.functions.NearestCentroids(
-        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(vec),
-        nprobe, dim, centroids.map(_._1).toArray,
-        centroids.map(c => normOf(c._2)).toArray,
-        centroids.toArray.flatMap(_._2)))
+    val cids = centroids.map(_._1).toArray
+    val norms = centroids.map(c => normOf(c._2)).toArray
+    val cents = centroids.toArray.flatMap(_._2)
+    val ve = org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(vec)
+    val expr =
+      if (quantizerBytes(cents.length, norms.length, cids.length, 0) >=
+          quantizerBcastFromBytes) {
+        val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+          .broadcast(graft.functions.CentroidArrays(cids, norms, cents))
+        graft.functions.NearestCentroidsBcast(ve, nprobe, dim, bc)
+      } else {
+        graft.functions.NearestCentroids(ve, nprobe, dim, cids, norms, cents)
+      }
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(expr)
   }
 
   /** Nearest codebook entry (highest cosine, ties -> lower cid) for an
@@ -638,15 +667,26 @@ object Similarity {
       "probeCidsHier: zero-norm super-centroid — cosine grouping is " +
         "undefined; the quantizer must not contain zero vectors")
     val flat = groups.flatten
-    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
-      graft.functions.NearestCentroidsHier(
-        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(vec),
-        nprobe, math.min(wprobe, groups.length), dim,
-        coarseNorms, coarseVecs.toArray.flatten,
-        groups.scanLeft(0)(_ + _.length).toArray,
-        flat.map(_._1).toArray,
-        flat.map(e => normOf(e._2)).toArray,
-        flat.toArray.flatMap(_._2)))
+    val coarseCents = coarseVecs.toArray.flatten
+    val offsets = groups.scanLeft(0)(_ + _.length).toArray
+    val cids = flat.map(_._1).toArray
+    val norms = flat.map(e => normOf(e._2)).toArray
+    val cents = flat.toArray.flatMap(_._2)
+    val w = math.min(wprobe, groups.length)
+    val ve = org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(vec)
+    val expr =
+      if (quantizerBytes(coarseCents.length + cents.length,
+          coarseNorms.length + norms.length, cids.length, offsets.length) >=
+          quantizerBcastFromBytes) {
+        val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+          .broadcast(graft.functions.HierArrays(coarseNorms, coarseCents,
+            offsets, cids, norms, cents))
+        graft.functions.NearestCentroidsHierBcast(ve, nprobe, w, dim, bc)
+      } else {
+        graft.functions.NearestCentroidsHier(ve, nprobe, w, dim,
+          coarseNorms, coarseCents, offsets, cids, norms, cents)
+      }
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(expr)
   }
 
   /** [[ivfProbes]] through the two-level index. */
@@ -692,10 +732,17 @@ object Similarity {
     val cids = codebooks.flatMap(_.map(_._1)).toArray
     val norms2 = codebooks.flatMap(_.map(e => sqNormOf(e._2))).toArray
     val cents = codebooks.toArray.flatMap(_.flatMap(_._2))
-    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
-      graft.functions.PqEncode(
-        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(vec),
-        subDim, offsets, cids, norms2, cents))
+    val ve = org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(vec)
+    val expr =
+      if (quantizerBytes(cents.length, norms2.length, cids.length,
+          offsets.length) >= quantizerBcastFromBytes) {
+        val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+          .broadcast(graft.functions.PqArrays(offsets, cids, norms2, cents))
+        graft.functions.PqEncodeBcast(ve, subDim, bc)
+      } else {
+        graft.functions.PqEncode(ve, subDim, offsets, cids, norms2, cents)
+      }
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(expr)
   }
 
   /** IVF probe assignment: each vector's `nprobe` highest-cosine coarse
@@ -738,9 +785,23 @@ object Similarity {
    * (`vecs.where(pmod(xxhash64(id), N) === 0)`) — Lloyd on a sample is
    * the standard IVF recipe; the full corpus is only ever touched by the
    * final nprobe=1 list assignment.
+   *
+   * `hierWprobe = Some(w)`: each round's assignment rides the TWO-LEVEL
+   * index of the CURRENT centroids ([[probeCidsHier]] — the hier index
+   * is rebuilt per round, driver-side O(k*sqrt(k)) over the k centroid
+   * literals), so the per-row scan is O(sqrt(k)*(1+w)) dots instead of
+   * O(k) — with the auto dial's k ~ sqrt(n) that cuts a Lloyd round
+   * from O(sample*sqrt(n)) to ~O(sample*n^(1/4)). With w >= the group
+   * count the round is BIT-IDENTICAL to the flat scan (the global
+   * (neg, cid) selection rule — HierCentroidsSpec pins trained
+   * equality), so oracle-replayed gates stay on None/flat semantics
+   * for free; a smaller w is the documented at-scale dial (Lloyd is a
+   * heuristic — an occasionally-one-group-over assignment perturbs the
+   * means it was already approximating).
    */
   def trainKMeans(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, iters: Int): Seq[(Long, Array[Float])] = {
+      k: Int, dim: Int, iters: Int,
+      hierWprobe: Option[Int] = None): Seq[(Long, Array[Float])] = {
     require(k > 0 && iters >= 0, "trainKMeans: k > 0, iters >= 0")
     var cents: Seq[(Long, Array[Float])] =
       vecs.orderBy(col(idCol)).limit(k)
@@ -750,7 +811,11 @@ object Similarity {
       sum(floor(element_at(col(vecCol), j + 1).cast("double") *
         KMeansScale).cast("long")).as(s"s$j"))
     for (_ <- 0 until iters) {
-      val nearest = nearestCid(col(vecCol), cents)
+      val nearest = hierWprobe match {
+        case Some(w) =>
+          element_at(probeCidsHier(col(vecCol), cents, 1, w), 1)
+        case None => nearestCid(col(vecCol), cents)
+      }
       val rows = vecs.select(nearest.as("cid"), col(vecCol))
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), sums: _*)
@@ -767,11 +832,20 @@ object Similarity {
   /** nprobe=1 inverted-list assignment CARRYING the vector — the
     * materialized-index row shape (cid, id, vec) a persisted IVF index
     * stores, so probes re-rank straight from the index without joining
-    * back to the corpus. One narrow projection, no shuffle. */
+    * back to the corpus. One narrow projection, no shuffle.
+    * `hierWprobe = Some(w)` routes through the two-level index
+    * ([[ivfAssignmentsHier]] — O(sqrt(k)*(1+w)) dots per row instead of
+    * O(k); bit-identical at w >= the group count, the at-scale
+    * approximation dial below it). */
   def ivfAssignments(vecs: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Long, Array[Float])]): DataFrame =
-    vecs.select(nearestCid(col(vecCol), centroids).as("cid"),
-      col(idCol).as("id"), col(vecCol).as("vec"))
+      centroids: Seq[(Long, Array[Float])],
+      hierWprobe: Option[Int] = None): DataFrame =
+    hierWprobe match {
+      case Some(w) => ivfAssignmentsHier(vecs, idCol, vecCol, centroids, w)
+      case None =>
+        vecs.select(nearestCid(col(vecCol), centroids).as("cid"),
+          col(idCol).as("id"), col(vecCol).as("vec"))
+    }
 
   /** Query top-k against a MATERIALIZED inverted-list table
     * ([[ivfAssignments]] rows, e.g. the accumulated state of
@@ -1037,12 +1111,23 @@ object Similarity {
    */
   def ivfPqAssignments(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])],
-      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int): DataFrame =
-    vecs.select(nearestCid(col(vecCol), centroids).as("cid"),
-        col(idCol).as("id"),
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
+      hierWprobe: Option[Int] = None): DataFrame = {
+    // hierWprobe = Some(w): the coarse-list pick rides the two-level
+    // index (O(sqrt(k)*(1+w)) dots per row vs O(k)) — at the auto dial's
+    // k ~ 22,000 for 1e9 docs the flat scan was the encode path's
+    // dominant per-row cost, NOT the PQ codes (m fixed-size codebooks).
+    // Bit-identical at w >= the group count (HierCentroidsSpec's rule).
+    val cid = hierWprobe match {
+      case Some(w) =>
+        element_at(probeCidsHier(col(vecCol), centroids, 1, w), 1)
+      case None => nearestCid(col(vecCol), centroids)
+    }
+    vecs.select(cid.as("cid"), col(idCol).as("id"),
         posexplode(pqEncodeCol(col(vecCol), codebooks, subDim)))
       .select(col("cid"), col("id"), col("pos").cast("long").as("m"),
         col("col").as("code"))
+  }
 
   /** Probe-side candidate codes: queries pick their `nprobe` nearest
     * coarse lists, the list equi-join yields (qid, id, m, cid) code rows

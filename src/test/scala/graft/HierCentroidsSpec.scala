@@ -129,4 +129,52 @@ class HierCentroidsSpec extends GraftSuite {
       Similarity.probeCidsHier(col("v"), Seq(0L -> Array(1f, 0f)), 1, 0)
     }
   }
+
+  test("trainKMeans through the two-level index at wprobe = all groups " +
+    "equals flat training bit-for-bit") {
+    // The Lloyd loop's per-round assignment is the last O(k)-per-row
+    // call site the two-level index needed to cover. With wprobe =
+    // Int.MaxValue every round scores all fine centroids under the same
+    // global (neg, cid) rule, so the trained quantizer — ids AND every
+    // float of every mean — must equal the flat run's exactly, round for
+    // round. (A dropped-empty-cluster divergence in ANY round would
+    // cascade into different centroid ids, so equality here pins the
+    // whole iteration history, not just the final means.)
+    val dim = 16
+    val vecs = TableGen.table(spark, 400L, 33L,
+        "id" -> Gen.SeqId, "v" -> Gen.ArrayUnitVector(dim))
+      .select(col("id"), col("v").cast("array<float>").as("vec"))
+    val flat = Similarity.trainKMeans(vecs, "id", "vec", 24, dim, 3)
+    val hier = Similarity.trainKMeans(vecs, "id", "vec", 24, dim, 3,
+      hierWprobe = Some(Int.MaxValue))
+    assert(flat.map(_._1) == hier.map(_._1),
+      s"cid sets diverged: ${flat.map(_._1)} vs ${hier.map(_._1)}")
+    assert(flat.zip(hier).forall { case ((_, a), (_, b)) =>
+      a.sameElements(b)
+    }, "trained centroid means must be bit-identical at wprobe=all")
+  }
+
+  test("ivfAssignments and ivfPqAssignments hier dials at wprobe = all " +
+    "groups equal their flat paths row-for-row") {
+    val dim = 16
+    val vecs = TableGen.table(spark, 300L, 44L,
+        "id" -> Gen.SeqId, "v" -> Gen.ArrayUnitVector(dim))
+      .select(col("id"), col("v").cast("array<float>").as("vec"))
+    val cents = Similarity.trainKMeans(vecs, "id", "vec", 20, dim, 2)
+    val books = Similarity.trainPQ(vecs, "id", "vec", 4, 4, 8, 2)
+    val flatIvf = Similarity.ivfAssignments(vecs, "id", "vec", cents)
+      .select("cid", "id").collect().map(_.toSeq).toSet
+    val hierIvf = Similarity.ivfAssignments(vecs, "id", "vec", cents,
+        hierWprobe = Some(Int.MaxValue))
+      .select("cid", "id").collect().map(_.toSeq).toSet
+    assert(hierIvf == flatIvf, "ivfAssignments hier dial must be " +
+      "bit-identical at wprobe=all")
+    val flatPq = Similarity.ivfPqAssignments(vecs, "id", "vec", cents,
+      books, 4).collect().map(_.toSeq).toSet
+    val hierPq = Similarity.ivfPqAssignments(vecs, "id", "vec", cents,
+        books, 4, hierWprobe = Some(Int.MaxValue))
+      .collect().map(_.toSeq).toSet
+    assert(hierPq == flatPq, "ivfPqAssignments hier dial must be " +
+      "bit-identical at wprobe=all")
+  }
 }

@@ -160,4 +160,29 @@ class SemanticDedupSpec extends GraftSuite {
       nOpt = Some(200L), hierFromK = 2, hierWprobe = 4)
     assert(routed.select("id").distinct().count() == 40L)
   }
+
+  test("approximate hier regime is PINNED on a fixed fixture, not just " +
+    "the >= 0.95 agreement floor") {
+    // hierWprobe = 2 against ~6 coarse groups — a REAL restriction (the
+    // regime semanticDedupAuto enters past hierFromK, where results may
+    // leave the flat bit-exact path). The fixture is a driver-seeded
+    // Random (not the partition-seeded generator), training and
+    // assignment are deterministic, so the approximate board is a fixed
+    // function of the code: any drift in the two-level grouping, the
+    // coarse selection rule, or the hier-routed training path moves
+    // this checksum loudly. Exact-mode escape hatch stays available
+    // (hierFromK = Int.MaxValue keeps every path flat).
+    val rnd = new scala.util.Random(77)
+    val emb = df((0L until 120L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f)): _*)
+    val board = Dedup.semanticDedupAuto(emb, "id", "vec", 0.8, 8, 2,
+        nOpt = Some(2048L), hierFromK = 2, hierWprobe = 2)
+      .orderBy("id").collect()
+    assert(board.length == 120)
+    val checksum = board.map(r => r.getLong(0) * 31L + r.getLong(1) * 7L +
+      (if (r.getBoolean(2)) 3L else 0L) +
+      (if (r.isNullAt(3)) -1L else r.getLong(3))).sum
+    assert(checksum == 275457L,
+      s"approximate-path board checksum drifted: got $checksum")
+  }
 }
