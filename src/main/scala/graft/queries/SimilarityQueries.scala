@@ -342,6 +342,56 @@ object SimilarityQueries {
         .toDF("n_truth", "stale_degraded", "rebuilt_recovers",
           "margin_ok")
     },
+    // SCHEDULED REBUILD WIRED INTO THE FOLD (rebuildEvery=2 over four
+    // batches): same planted drift as stream_ivf_rebuild, but the
+    // retrain + re-key fires DURING the stream — after batches 2 and 4,
+    // with the atomic (centroids, lists) version flip, so batches 3-4
+    // assign against the batch-2 REBUILT quantizer mid-stream. The
+    // baseline twin is the one-pass stale assignment (batch-independent
+    // == the never-rebuilt fold, the stream_ivfpq_index identity). Same
+    // boolean-witness convention and margins as stream_ivf_rebuild
+    // (partition-seeded generator => wide-margin booleans, n_truth
+    // pinned).
+    "stream_ivf_rebuild_inline" -> { (s, dir) =>
+      import s.implicits._
+      val dim = 32
+      val hist = graft.operators.SyntheticEmbeddings
+        .clustered(s, 2048L, 8, dim, 1205L, 0.5)
+        .select(col("id"), col("embedding").as("vec"))
+      val driftAll = graft.operators.SyntheticEmbeddings
+        .clustered(s, 2112L, 8, dim, 7702L, 0.5)
+      val driftFold = driftAll.where(col("id") < 2048)
+        .select((col("id") + 10000L).as("id"), col("embedding").as("vec"))
+      val queries = driftAll.where(col("id") >= 2048)
+        .select(col("id").as("qid"), col("embedding").as("qvec"))
+      val days = Seq(
+        driftFold.where(col("id") < 10512),
+        driftFold.where(col("id") >= 10512 && col("id") < 11024),
+        driftFold.where(col("id") >= 11024 && col("id") < 11536),
+        driftFold.where(col("id") >= 11536))
+      val logDir = Staging.batchLog("sivfrebi", dir, "day", days)
+      val stale = Similarity.trainKMeans(
+        hist.where(col("id") % 4 === 0), "id", "vec", 8, dim, KmIters)
+      val (reb, rebLists) = graft.streaming.EmbeddingIndexStream
+        .incrementalIvfWithRebuild(s, hist, logDir, days.head.schema,
+          s"${Staging.freshStateRoot("graft_sivfrebi")}/state", "id", "vec",
+          stale, rebuildEvery = 2, rebuildK = _ => 16, dim = dim,
+          iters = KmIters)
+      val rebCached = rebLists.cache()
+      val staleLists = Similarity.ivfAssignments(
+        hist.unionByName(driftFold), "id", "vec", stale).cache()
+      val truth = Similarity.bruteForceTopK(
+          rebCached.select(col("id"), col("vec")), queries, 10)
+        .select("qid", "id").cache()
+      val nTruth = truth.count()
+      val hitsStale = Similarity.probeIndex(staleLists, queries, 10, stale, 1)
+        .select("qid", "id").intersect(truth).count()
+      val hitsReb = Similarity.probeIndex(rebCached, queries, 10, reb, 1)
+        .select("qid", "id").intersect(truth).count()
+      Seq((nTruth, hitsStale <= 480L, hitsReb >= 540L,
+          hitsReb >= hitsStale + 60L))
+        .toDF("n_truth", "stale_degraded", "rebuilt_recovers", "margin_ok")
+    },
     // Product quantization + asymmetric-distance top-k: 32 codebooks of
     // 16 entries trained per 2-dim subspace (deterministic Lloyd with
     // MINIMUM-L2 assignment — the PQ objective — on the same 1-in-4
@@ -837,6 +887,11 @@ object SimilarityQueries {
     // layouts) because the generator is partition-seeded by contract —
     // see the gate comment.
     "stream_ivf_rebuild" ->
+      """SELECT CAST(640 AS BIGINT) AS n_truth,
+        |  TRUE AS stale_degraded, TRUE AS rebuilt_recovers,
+        |  TRUE AS margin_ok""".stripMargin,
+    // Same drift fixture and margins; the rebuild fires mid-fold.
+    "stream_ivf_rebuild_inline" ->
       """SELECT CAST(640 AS BIGINT) AS n_truth,
         |  TRUE AS stale_degraded, TRUE AS rebuilt_recovers,
         |  TRUE AS margin_ok""".stripMargin,

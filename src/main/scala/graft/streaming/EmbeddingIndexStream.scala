@@ -108,6 +108,78 @@ object EmbeddingIndexStream {
   }
 
   /**
+   * [[incrementalIvf]] with the SCHEDULED REBUILD WIRED INTO the fold
+   * (the `refreshEvery` pattern [[GraphStream.incrementalPagerank]]
+   * established): every `rebuildEvery`-th batch, after folding its own
+   * assignments, retrains the quantizer from the accumulated index rows
+   * ([[rebuildIvf]] — k grown with the accumulated count via `rebuildK`)
+   * and re-keys every list row, so probe recall tracks distribution
+   * drift WITHOUT a separate maintenance job.
+   *
+   * Atomic version flip, replay-idempotent: probes need a MATCHED
+   * (centroids, lists) pair, so centroids persist per version alongside
+   * the lists (`cents_v{b}` next to `lists_v{b}`). Batch b reads BOTH at
+   * v{b} and overwrites BOTH at v{b+1} — a replayed batch re-reads its
+   * untouched input version and lands bit-identically, rebuild included
+   * ([[graft.operators.Similarity.trainKMeans]] is deterministic).
+   * Rebuild batches stage the appended rows under `pre_v{b+1}` first
+   * (training re-reads them iters+1 times; re-keying must not read the
+   * version it is overwriting). Non-rebuild batches cost exactly what
+   * [[incrementalIvf]]'s do plus a metadata-sized centroid copy.
+   *
+   * Returns the final (centroids, lists) pair.
+   */
+  def incrementalIvfWithRebuild(spark: SparkSession, history: DataFrame,
+      vecDir: String, schema: StructType, stateDir: String,
+      idCol: String, vecCol: String,
+      centroids0: Seq[(Long, Array[Float])], rebuildEvery: Int,
+      rebuildK: Long => Int, dim: Int, iters: Int, trainMod: Int = 4,
+      retainVersions: Int = 3): (Seq[(Long, Array[Float])], DataFrame) = {
+    require(retainVersions >= 2,
+      "incrementalIvfWithRebuild: retainVersions >= 2")
+    require(rebuildEvery >= 1, "incrementalIvfWithRebuild: rebuildEvery >= 1")
+    require(centroids0.nonEmpty,
+      "incrementalIvfWithRebuild: empty initial quantizer")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def writeCents(cents: Seq[(Long, Array[Float])], path: String): Unit =
+      cents.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    def readCents(path: String): Seq[(Long, Array[Float])] =
+      spark.read.parquet(path).orderBy(col("cid")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    Similarity.ivfAssignments(history, idCol, vecCol, centroids0)
+      .write.mode("overwrite").parquet(s"$stateDir/lists_v0")
+    writeCents(centroids0, s"$stateDir/cents_v0")
+    @volatile var last = 0L
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vecDir)
+    EventStream.runForeachBatch(spark, stream, (batch, id) => {
+      val cents = readCents(s"$stateDir/cents_v$id")
+      val prev = spark.read.parquet(s"$stateDir/lists_v$id")
+      val appended = prev.unionByName(
+        Similarity.ivfAssignments(batch, idCol, vecCol, cents))
+      if ((id + 1) % rebuildEvery == 0) {
+        appended.write.mode("overwrite").parquet(s"$stateDir/pre_v${id + 1}")
+        val acc = spark.read.parquet(s"$stateDir/pre_v${id + 1}")
+        val (nc, nl) = rebuildIvf(acc, "id", "vec", rebuildK(acc.count()),
+          dim, iters, trainMod)
+        nl.write.mode("overwrite").parquet(s"$stateDir/lists_v${id + 1}")
+        writeCents(nc, s"$stateDir/cents_v${id + 1}")
+      } else {
+        appended.write.mode("overwrite").parquet(s"$stateDir/lists_v${id + 1}")
+        writeCents(cents, s"$stateDir/cents_v${id + 1}")
+      }
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "lists_v")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "cents_v")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pre_v")
+      last = id + 1
+    })
+    (readCents(s"$stateDir/cents_v$last"),
+      spark.read.parquet(s"$stateDir/lists_v$last"))
+  }
+
+  /**
    * The IVF x PQ twin of [[incrementalIvf]]: the folded state is
    * [[Similarity.ivfPqAssignments]] rows (cid, id, m, code) — each
    * ingested vector is coarse-assigned AND PQ-encoded once, on arrival,

@@ -16,6 +16,26 @@ class EmbeddingIndexStreamSpec extends GraftSuite {
 
   private val dir = SparkTestBase.sf001
 
+  /** Stage `days` as one-file-per-batch parquet under root/days with
+    * ascending mtimes (maxFilesPerTrigger=1 replays them in order). */
+  private def stageDays(root: java.nio.file.Path,
+      days: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val logDir = root.resolve("days")
+    java.nio.file.Files.createDirectories(logDir)
+    days.zipWithIndex.foreach { case (slice, i) =>
+      val stage = root.resolve(s"stage$i").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = logDir.resolve(f"day$i%03d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + i * 60000L))
+    }
+    logDir.toString
+  }
+
   test("accumulated lists == batch assignment; probe == batch ivfTopK; retention") {
     val e = Tables.load(spark, dir, "embeddings")
     val corpus = e.where(col("vec_id") >= 20)
@@ -147,6 +167,61 @@ class EmbeddingIndexStreamSpec extends GraftSuite {
       cents2.map { case (c, v) => (c, v.toSeq) })
     intercept[IllegalArgumentException] {
       EmbeddingIndexStream.rebuildIvf(lists, "id", "vec", 0, 64, 2)
+    }
+  }
+
+  test("incrementalIvfWithRebuild: retrain + re-key fires MID-FOLD at the " +
+    "cadence boundary with an atomic version flip; replay is identical") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val corpus = e.where(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val history = corpus.where(col("id") < 200)
+    val days = Seq(
+      corpus.where(col("id") >= 200 && col("id") < 300),
+      corpus.where(col("id") >= 300 && col("id") < 400),
+      corpus.where(col("id") >= 400))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfrebspec")
+    val logDir = stageDays(root, days)
+    val stale = Similarity.trainKMeans(
+      history.where(col("id") % 4 === 0), "id", "vec", 4, 64, 2)
+    val (cents, lists) = EmbeddingIndexStream.incrementalIvfWithRebuild(
+      spark, history, logDir, days.head.schema,
+      root.resolve("state").toString, "id", "vec", stale,
+      rebuildEvery = 2, rebuildK = _ => 16, dim = 64, iters = 2)
+    // The rebuild fired at the batch-2 boundary, on what had accumulated
+    // BY THEN (history + days 0-1, not day 2): the served quantizer must
+    // equal rebuildIvf over exactly that anchor.
+    val anchor = Similarity.ivfAssignments(
+      history.unionByName(days(0)).unionByName(days(1)), "id", "vec", stale)
+    val (centsRef, _) = EmbeddingIndexStream.rebuildIvf(
+      anchor, "id", "vec", 16, 64, 2)
+    assert(cents.map { case (c, v) => (c, v.toSeq) } ==
+      centsRef.map { case (c, v) => (c, v.toSeq) },
+      "served centroids must be the batch-2-boundary retrain")
+    assert(cents.size > 4, "rebuild must have widened the stale k=4")
+    // Atomic pair: day 2 folded AGAINST the rebuilt quantizer, so the
+    // final lists equal a fresh full-corpus assignment under `cents` —
+    // every row re-keyed, none still on a stale cid.
+    val fresh = Similarity.ivfAssignments(corpus, "id", "vec", cents)
+      .select("cid", "id").as[(Long, Long)].collect().toSet
+    val folded = lists.select("cid", "id").as[(Long, Long)].collect().toSet
+    assert(folded == fresh)
+    // Replay determinism: the whole fold re-run into a fresh state dir
+    // (the restarted-query shape — every batch re-reads its untouched
+    // input version) lands bit-identically, rebuild included.
+    val root2 = java.nio.file.Files.createTempDirectory("graft_ivfrebspec2")
+    val (cents2, lists2) = EmbeddingIndexStream.incrementalIvfWithRebuild(
+      spark, history, logDir, days.head.schema,
+      root2.resolve("state").toString, "id", "vec", stale,
+      rebuildEvery = 2, rebuildK = _ => 16, dim = 64, iters = 2)
+    assert(cents.map { case (c, v) => (c, v.toSeq) } ==
+      cents2.map { case (c, v) => (c, v.toSeq) })
+    assert(lists2.select("cid", "id").as[(Long, Long)].collect().toSet ==
+      folded)
+    intercept[IllegalArgumentException] {
+      EmbeddingIndexStream.incrementalIvfWithRebuild(spark, history, logDir,
+        days.head.schema, root.resolve("bad").toString, "id", "vec", stale,
+        rebuildEvery = 0, rebuildK = _ => 16, dim = 64, iters = 2)
     }
   }
 }
