@@ -74,12 +74,34 @@ object Retrieval {
     * per list per (qid, id); the two-list hybrid sum is a single IEEE
     * addition; ties break on id); the rank window partitions by qid, so
     * no list is ever funneled through one task. Scale: everything here
-    * runs over O(queries * lists * k) rows — corpus-independent. */
+    * runs over O(queries * lists * k) rows — corpus-independent.
+    *
+    * INPUT CONTRACT: each list must carry AT MOST ONE row per (qid, id)
+    * — a non-deduped list silently inflates both `rrf` and `n_lists`.
+    * The graft retrieval producers (ivfTopK / bm25TopK / asRankList
+    * crossJoins) all satisfy it by construction; for third-party lists
+    * set `spark.graft.fuse.checkUnique=true` and every duplicate fails
+    * LOUDLY (a per-list (qid, id) count assertion — one extra bounded
+    * window pass per list, debug-only so production plans stay
+    * two-stage). */
   def rrfFuseByQuery(rankLists: Seq[DataFrame], k0: Int = 60,
       k: Int = 20): DataFrame = {
     require(rankLists.nonEmpty, "rrfFuseByQuery: need at least one list")
     require(k0 > 0 && k > 0, "rrfFuseByQuery: k0 > 0 and k > 0")
-    val contribs = rankLists.map(_.select(col("qid"), col("id"),
+    val checkUnique = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.fuse.checkUnique", "false").toBoolean
+    val checked =
+      if (!checkUnique) rankLists
+      else rankLists.zipWithIndex.map { case (l, i) =>
+        l.withColumn("__cnt",
+            count(lit(1)).over(Window.partitionBy("qid", "id")))
+          .where(assert_true(col("__cnt") === 1,
+            lit(s"rrfFuseByQuery: list #$i has duplicate (qid, id) rows — " +
+              "each list may contribute at most once per (qid, id); " +
+              "dedupe it upstream")).isNull)
+          .drop("__cnt")
+      }
+    val contribs = checked.map(_.select(col("qid"), col("id"),
       (lit(1.0) / (col("rnk").cast("double") + lit(k0.toDouble)))
         .as("contrib")))
     val fused = contribs.reduce(_ unionAll _)
@@ -184,21 +206,30 @@ object Retrieval {
     require(rows.length <= MmrMaxCandidates,
       s"mmrRerank: ${rows.length} candidates exceed $MmrMaxCandidates — " +
         "MMR re-ranks a bounded retrieval list, not a corpus")
+    val cand = rows.map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getDouble(2))).toSeq
+    mmrGreedy(cand, k, lambda, "mmrRerank").toDF("id", "rnk", "mmr")
+  }
+
+  /** The sequential greedy core both MMR forms share — one candidate
+    * list in, the (id, rnk, mmr) selection out. Bit-for-bit the same
+    * math for [[mmrRerank]] and each of [[mmrRerankByQuery]]'s per-qid
+    * slices (the rrfFuseByQuery equality-spec pattern). */
+  private def mmrGreedy(cand: Seq[(Long, Array[Float], Double)], k: Int,
+      lambda: Double, caller: String): Seq[(Long, Long, Double)] = {
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0
       var i = 0
       while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
       acc
     }
-    val cand = rows.map(r => (r.getLong(0),
-      r.getSeq[Float](1).toArray, r.getDouble(2)))
     val nrm = cand.map { case (_, v, _) => math.sqrt(dot(v, v)) }
     // Fail-fast like the siblings: a zero-norm (or NaN) vector makes its
     // cosine 0/0 = NaN, whose objective silently never wins the argmax —
     // and if all remaining candidates are NaN the argmax has no winner.
     val badNorm = cand.indices.filter(i => !(nrm(i) > 0.0))
     require(badNorm.isEmpty,
-      s"mmrRerank: ${badNorm.size} candidate vector(s) with zero/NaN norm " +
+      s"$caller: ${badNorm.size} candidate vector(s) with zero/NaN norm " +
         s"(ids ${badNorm.take(5).map(cand(_)._1).mkString(", ")}) — " +
         "cosine redundancy is undefined; drop or re-embed them upstream")
     // Candidates sorted by id so every argmax sweep visits ids in the
@@ -230,6 +261,46 @@ object Retrieval {
         BigDecimal(bestObj).setScale(6, BigDecimal.RoundingMode.HALF_UP)
           .toDouble))
     }
-    out.toSeq.toDF("id", "rnk", "mmr")
+    out.toSeq
+  }
+
+  /** [[mmrRerank]] batched by query — the serving shape the multi-query
+    * RAG chain needs: `candidates` carries (qidCol, idCol, vecCol,
+    * relCol) rows for MANY queries at once (each query's k-bounded
+    * retrieval list), and the greedy selection runs independently per
+    * qid. Output: (qid, id, rnk, mmr), rnk = selection order within the
+    * query. Each per-qid slice is BIT-IDENTICAL to a single-query
+    * [[mmrRerank]] over that slice ([[mmrGreedy]] is the shared core;
+    * RetrievalFusionSpec pins the equality).
+    *
+    * Scale: same bounded-driver contract as [[mmrRerank]] — the greedy
+    * chain is inherently sequential per query, so the TOTAL collected
+    * batch is capped at [[MmrMaxCandidates]] rows (queries x per-query
+    * list, corpus-independent); a bigger serving batch splits into
+    * several calls upstream. Selection is O(k * n_q) per query over the
+    * collected slices. */
+  def mmrRerankByQuery(candidates: DataFrame, qidCol: String, idCol: String,
+      vecCol: String, relCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k > 0, "mmrRerankByQuery: k > 0")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      "mmrRerankByQuery: lambda in [0, 1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(qidCol).cast("long"), col(idCol).cast("long"), col(vecCol),
+        col(relCol).cast("double"))
+      .collect()
+    require(rows.length <= MmrMaxCandidates,
+      s"mmrRerankByQuery: ${rows.length} candidates exceed " +
+        s"$MmrMaxCandidates — MMR re-ranks bounded retrieval lists, " +
+        "not a corpus; split larger query batches upstream")
+    rows.map(r => (r.getLong(0),
+        (r.getLong(1), r.getSeq[Float](2).toArray, r.getDouble(3))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (qid, slice) =>
+        mmrGreedy(slice.map(_._2).toSeq, k, lambda, "mmrRerankByQuery")
+          .map { case (id, rnk, mmr) => (qid, id, rnk, mmr) }
+      }
+      .toDF("qid", "id", "rnk", "mmr")
   }
 }

@@ -196,6 +196,39 @@ object TextEventsQueries {
       graft.operators.Retrieval.rankingMetrics(
         fused.select(col("qid"), col("id"), col("rnk")), truth, 8)
     },
+    // The FULL production serving chain, multi-query, MMR included:
+    // pipeline_rag_retrieval_ivf's IVF-dense + shared-BM25 + per-query
+    // RRF stages (4 queries here — the greedy oracle unrolls per qid),
+    // then the query-batched MMR diversified re-rank (lambda 0.7,
+    // 6 picks per query, rel = the fused RRF score, vectors re-joined
+    // from the embeddings table). One oracle replays training, probes,
+    // fusion, and all four greedy argmax chains end to end. Output:
+    // (qid, id, rnk, mmr) — selection order per query.
+    "pipeline_rag_retrieval_mmr" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centroids = graft.operators.Similarity.trainKMeans(
+        corpus.where(col("id") % 4 === 0), "id", "vec",
+        SimilarityQueries.KmK, 64, SimilarityQueries.KmIters)
+      val dense = graft.operators.Similarity.ivfTopK(corpus, qs, 50,
+        centroids, 3).select(col("qid"), col("id"), col("rank").as("rnk"))
+      val sparse = TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window", "customer"), 50)
+        .select(col("doc_id").as("id"), col("score"))
+      val sparseQ = qs.select(col("qid"))
+        .crossJoin(broadcast(graft.operators.Retrieval.asRankList(
+          sparse, "id", "score")))
+      val fused = graft.operators.Retrieval.rrfFuseByQuery(
+        Seq(sparseQ, dense), 60, 20)
+      val cand = fused.select(col("qid"), col("id"), col("rrf").as("rel"))
+        .join(e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          "id")
+      graft.operators.Retrieval.mmrRerankByQuery(
+        cand, "qid", "id", "vec", "rel", 6, 0.7)
+    },
     // Overlapping token-window chunking (RAG/training prep): 20-token
     // windows, stride 10 (50% overlap), full-coverage tiling.
     "text_chunking" -> { (s, dir) =>
@@ -1600,6 +1633,99 @@ object TextEventsQueries {
          |  round(hits::DOUBLE / n_rel::DOUBLE, 6) AS recall,
          |  round(dcg::DOUBLE / idcg::DOUBLE, 6) AS ndcg
          |FROM fin""".stripMargin
+    },
+    // Full chain + query-batched MMR: the ivf-chain replay (BM25,
+    // unrolled Lloyd, lists, probes, exact re-rank, per-query RRF) down
+    // to the fused top-20, then FOUR unrolled greedy argmax chains (one
+    // per qid, 6 picks each) with the exact IEEE lambda literals the
+    // single-query MMR oracle established.
+    "pipeline_rag_retrieval_mmr" -> {
+      val terms = Seq("spark", "window", "customer")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(", ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1) * tf$i * 2.2" +
+          s" / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+      import SimilarityQueries.{duckCos, duckKMeansCtes, KmK, KmIters}
+      val lam = "0.7"
+      val oneMinus = (1.0 - 0.7).toString
+      val mmrK = 6
+      val qids = 0 until 4
+      val perQid = qids.map { q =>
+        val steps = (1 to mmrK).map { i =>
+          if (i == 1)
+            s"q${q}p1 AS (SELECT id, v, $lam * rel AS obj FROM cand$q" +
+              s" ORDER BY obj DESC, id LIMIT 1)"
+          else {
+            val prev = (1 until i).map(j => s"q${q}p$j").mkString(", ")
+            val notIn = (1 until i).map(j => s"c.id <> q${q}p$j.id")
+              .mkString(" AND ")
+            val sims = (1 until i).map(j => duckCos("c.v", s"q${q}p$j.v"))
+              .mkString(", ")
+            val pen = if (i == 2) sims else s"GREATEST($sims)"
+            s"""q${q}p$i AS (SELECT id, v, obj FROM (
+               |  SELECT c.id, c.v AS v,
+               |    $lam * c.rel - $oneMinus * ($pen) AS obj
+               |  FROM cand$q c, $prev WHERE $notIn) x$q$i
+               |  ORDER BY obj DESC, id LIMIT 1)""".stripMargin
+          }
+        }.mkString(",\n")
+        val cte = s"cand$q AS (SELECT id, v, rel FROM cand WHERE qid = $q),\n" +
+          steps
+        val pages = (1 to mmrK).map(i =>
+          s"SELECT CAST($q AS BIGINT) AS qid, id, CAST($i AS BIGINT) AS rnk," +
+            s" round(obj, 6) AS mmr FROM q${q}p$i")
+          .mkString("\nUNION ALL\n")
+        (cte, pages)
+      }
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks)::DOUBLE AS dl, $tfs FROM t),
+         |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl, $dfs FROM f),
+         |sc AS (SELECT doc_id, round($score, 6) AS score FROM f, st),
+         |sp AS (SELECT doc_id AS id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, score FROM sc WHERE score > 0
+         |        ORDER BY score DESC, doc_id LIMIT 50) sp0),
+         |corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 4),
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |lists AS (SELECT id, cid FROM (
+         |  SELECT corp.id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY corp.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
+         |  FROM corp, cent) t1 WHERE rn = 1),
+         |probes AS (SELECT qid, cid FROM (
+         |  SELECT qs.qid, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t2 WHERE rn <= 3),
+         |dcand AS (SELECT DISTINCT qid, id FROM probes JOIN lists USING (cid)),
+         |dsc AS (SELECT dcand.qid, dcand.id, ${duckCos("q.qv", "c.v")} AS score
+         |  FROM dcand JOIN corp c ON dcand.id = c.id
+         |             JOIN qs q ON dcand.qid = q.qid),
+         |dn AS (SELECT qid, id, rnk FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) AS rnk FROM dsc) t3 WHERE rnk <= 50),
+         |u AS (SELECT qs.qid, sp.id, 1.0 / (60 + sp.rnk) AS contrib
+         |  FROM qs, sp
+         |  UNION ALL SELECT qid, id, 1.0 / (60 + rnk) FROM dn),
+         |fz AS (SELECT qid, id, SUM(contrib) AS rrf FROM u GROUP BY qid, id),
+         |fr AS (SELECT qid, id, rrf, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, id) AS rnk FROM fz),
+         |cand AS (SELECT fr.qid, fr.id, round(fr.rrf, 6) AS rel,
+         |    e.embedding AS v
+         |  FROM fr JOIN embeddings e ON fr.id = e.vec_id
+         |  WHERE fr.rnk <= 20),
+         |${perQid.map(_._1).mkString(",\n")}
+         |${perQid.map(_._2).mkString("\nUNION ALL\n")}""".stripMargin
     },
     "text_chunking" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -250,4 +250,65 @@ class RetrievalFusionSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("7"), s"must name the offender: $e")
   }
+
+  test("mmrRerankByQuery slices == single-query mmrRerank bit-for-bit") {
+    // Two queries with DIFFERENT candidate lists (overlapping ids, so a
+    // cross-qid leak would be visible); the batched form's per-qid
+    // slices must equal the single-query greedy over each slice exactly
+    // — rnk, id, and every rounded objective digit.
+    val rnd = new scala.util.Random(5)
+    val slices = Map(
+      3L -> (0 until 12).map(i =>
+        (i.toLong, Array.fill(6)(rnd.nextFloat() * 2f - 1f),
+          rnd.nextDouble())),
+      9L -> (6 until 20).map(i =>
+        (i.toLong, Array.fill(6)(rnd.nextFloat() * 2f - 1f),
+          rnd.nextDouble())))
+    val batched = slices.toSeq.flatMap { case (qid, rows) =>
+      rows.map { case (id, v, rel) => (qid, id, v, rel) }
+    }.toDF("qid", "id", "vec", "rel")
+    val got = Retrieval.mmrRerankByQuery(batched, "qid", "id", "vec",
+        "rel", 5, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = slices.toSeq.flatMap { case (qid, rows) =>
+      Retrieval.mmrRerank(cands(rows: _*), "id", "vec", "rel", 5, 0.7)
+        .collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(got == want, s"per-qid slices diverged:\n got=$got\nwant=$want")
+  }
+
+  test("mmrRerankByQuery: total candidate cap and lambda validation") {
+    val one = Seq((1L, 2L, Array(1f, 0f), 0.5)).toDF("qid", "id", "vec", "rel")
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerankByQuery(one, "qid", "id", "vec", "rel", 0, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerankByQuery(one, "qid", "id", "vec", "rel", 2, 1.5)
+    }
+  }
+
+  test("rrfFuseByQuery: a duplicated (qid, id) row within one list fails " +
+    "loudly under the debug conf, passes silently without it") {
+    val dup = Seq((1L, 5L, 1), (1L, 5L, 2), (1L, 6L, 3))
+      .toDF("qid", "id", "rnk")
+    val clean = Seq((1L, 5L, 1), (1L, 6L, 2)).toDF("qid", "id", "rnk")
+    // Default (no conf): documented convention, no check — the dup list
+    // fuses (inflated, which is exactly why the conf exists).
+    assert(Retrieval.rrfFuseByQuery(Seq(dup), k = 5).count() == 2)
+    spark.conf.set("spark.graft.fuse.checkUnique", "true")
+    try {
+      val e = intercept[Exception] {
+        Retrieval.rrfFuseByQuery(Seq(dup), k = 5).collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => String.valueOf(c.getMessage)
+        .contains("duplicate (qid, id)")),
+        s"must fail with the named duplicate error, got: $e")
+      // A contract-satisfying list still fuses under the check.
+      assert(Retrieval.rrfFuseByQuery(Seq(clean), k = 5).count() == 2)
+    } finally spark.conf.unset("spark.graft.fuse.checkUnique")
+  }
 }
