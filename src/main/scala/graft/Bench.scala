@@ -14,16 +14,20 @@ object Bench {
     * DERIVED by convention (every `stream_*` gate stages micro-batch
     * logs via Staging.batchLog — a new stream gate can no longer
     * silently regress into staged-cost timing by missing a hand-kept
-    * list), plus explicit extras (merge_changelog stages a changelog;
-    * graph_degrees is the cheapest gate that fills the session edge
-    * memo nine graph gates share, so the memo fill is charged here
-    * instead of making graph timings depend on harness run order).
-    * Returns (present, missing): only extras can be missing — report
-    * them loudly, a silent drop is exactly the failure mode this set
-    * exists to prevent. */
+    * list; every `mm_*` gate decodes through ImageIO/javax codecs whose
+    * first-touch plugin discovery and JIT warm-up made the decode family
+    * the board's highest same-code CoV — jpeg read 1.06-2.56 s across
+    * the three r13 boards on untouched code), plus explicit extras
+    * (merge_changelog stages a changelog; graph_degrees is the cheapest
+    * gate that fills the session edge memo nine graph gates share, so
+    * the memo fill is charged here instead of making graph timings
+    * depend on harness run order). Returns (present, missing): only
+    * extras can be missing — report them loudly, a silent drop is
+    * exactly the failure mode this set exists to prevent. */
   def stagedGateNames(all: Set[String]): (Seq[String], Seq[String]) = {
     val extras = Seq("merge_changelog", "graph_degrees")
-    val derived = all.toSeq.sorted.filter(_.startsWith("stream_"))
+    val derived = all.toSeq.sorted.filter(n =>
+      n.startsWith("stream_") || n.startsWith("mm_"))
     (derived ++ extras.filter(all), extras.filterNot(all))
   }
 

@@ -7,7 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * this pins the derivation and the missing-extra warning path. */
 class BenchStagingSpec extends AnyFunSuite {
 
-  test("stagedGateNames: stream_ gates derived, extras kept, missing reported") {
+  test("stagedGateNames: stream_/mm_ gates derived, extras kept, missing " +
+    "reported") {
+    val mm = Bench.stagedGateNames(Set("mm_decode_jpeg", "rel_q1"))
+    assert(mm._1 == Seq("mm_decode_jpeg"),
+      "mm_ gates must be warmup-derived (decode-codec first-touch cost)")
     val all = Set("stream_b", "stream_a", "rel_q1", "merge_changelog",
       "graph_degrees")
     val (present, missing) = Bench.stagedGateNames(all)
