@@ -61,6 +61,95 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `int_vec_dot_long(a, b)` — exact BIGINT dot product of two `array<int>`
+  * code columns (the SQ8 scoring hot loop). Pure integer arithmetic, so the
+  * result is order-independent and trivially engine-replayable: int8-range
+  * codes (|q| <= 127) cannot overflow a Long below ~5.7e14 dimensions.
+  * Length mismatch folds over the shorter prefix, like FloatVecDot. */
+case class IntVecDotLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_vec_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `float_vec_dot_prefix(a, b, p)` — FloatVecDot folded over only the first
+  * `p` elements: the Matryoshka coarse pass. Identical arithmetic contract
+  * (sequential ascending double fold), so `p >= dim` degenerates to
+  * FloatVecDot bit-for-bit; the at-scale point is that a column store scans
+  * a p-wide prefix column instead of the full vector (dim/p less IO). */
+case class FloatVecDotPrefix(left: Expression, right: Expression, p: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(p > 0, s"float_vec_dot_prefix: p must be positive, got $p")
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_dot_prefix"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(p, math.min(x.numElements(), y.numElements()))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($p, Math.min($a.numElements(), $b.numElements()));
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object FloatVecOps {
   /** Symmetric int8 scalar quantization, q_i = floor(x_i * 127 / max|x| +
     * 0.5) — one pass for the max, one for the elements (the HOF form

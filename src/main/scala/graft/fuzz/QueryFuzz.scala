@@ -142,7 +142,7 @@ object QueryFuzz {
     "global_agg", "string_funcs", "event_time", "grouping_sets",
     "setop_all", "range_frame", "lateral_fanout", "decimal_arith",
     "agg_filter", "full_outer", "cte_reuse", "limit_offset",
-    "null_order", "mod_floor_div", "ts_interval", "anti_null")
+    "null_order", "mod_floor_div", "ts_interval", "anti_null", "try_cast")
 
   case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 30)
 
@@ -695,7 +695,7 @@ object QueryFuzz {
           s"\nORDER BY c3 $dir, ${totalOrder(t)} LIMIT $lim\n) pg",
           ps.map { case (c, a) => (a, c.t) } ++
             Seq(("c2", TTs), ("c3", TTs), ("c4", TTs)))
-      case _ => // NOT IN / NOT EXISTS anti-join under three-valued logic:
+      case 26 => // NOT IN / NOT EXISTS anti-join under three-valued logic:
         // the classic trap. Three sub-forms: (a) correlated NOT EXISTS —
         // the PORTABLE anti-join spelling; (b) NOT IN over a non-null
         // key subquery — safe because FK keys are never null, equals the
@@ -726,6 +726,38 @@ object QueryFuzz {
               s" THEN ${e.parentKey} ELSE NULL END FROM ${e.parent.name})"
         }
         (sel + body, ps.map { case (c, a) => (a, c.t) })
+      case _ => // TRY_CAST boundary semantics: the portable "cast or NULL"
+        // (same spelling, both engines). Probes pinned — verified on both
+        // engines this round: garbage-prefixed and empty strings -> NULL;
+        // space-padded integral text parses (both trim); BIGINT->INTEGER
+        // downcast overflow -> NULL (never a silent wrap); out-of-calendar
+        // month/day text -> NULL (month 0/13+, Feb 30); non-zero-padded
+        // date text ('2024-2-5') parses. DELIBERATELY EXCLUDED — no shared
+        // semantics, the same rule as shapes 25/26's exclusions:
+        // fractional or scientific TEXT -> integral (Spark NULL under ANSI
+        // string rules, DuckDB parses and ROUNDS '4.5' -> 5, '1e3' ->
+        // 1000) and numeric DOUBLE -> integral (Spark truncates 4.99 -> 4,
+        // DuckDB rounds to 5); the portable spelling for those stays
+        // CAST(FLOOR(x) AS BIGINT), shape 24's convention.
+        val t = r.choose(allTables)
+        val ps = proj(t, r, 1)
+        val m = 3 + r.nextInt(4)
+        val bad = r.nextInt(m)
+        val mult = 300000007L + 2L * r.nextInt(5)
+        val mm = 14 + r.nextInt(9) // month in 0..mm-1: both arms populated
+        (s"SELECT ${ps.map { case (c, a) => s"${c.name} AS $a" }
+            .mkString(", ")}," +
+          s"\n  TRY_CAST(CASE WHEN ${t.key} % $m = $bad" +
+          s" THEN CONCAT('x', CAST(${t.key} AS STRING))" +
+          s" ELSE CONCAT(' ', CAST(${t.key} AS STRING), ' ') END" +
+          s" AS BIGINT) AS c2," +
+          s"\n  CAST(TRY_CAST(CAST(${t.key} % 37 AS BIGINT) * $mult" +
+          s" AS INTEGER) AS BIGINT) AS c3," +
+          s"\n  TRY_CAST(CONCAT('2024-', CAST(${t.key} % $mm AS STRING)," +
+          s" '-', CAST(1 + ${t.key} % 31 AS STRING)) AS DATE) AS c4" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
+          ps.map { case (c, a) => (a, c.t) } ++
+            Seq(("c2", TLong), ("c3", TLong), ("c4", TTs)))
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

@@ -51,6 +51,63 @@ object Decontaminate {
   }
 
   /**
+   * [[ngramOverlap]] with a Bloom prefilter on the corpus gram stream —
+   * bit-identical results (a Bloom filter has NO false negatives; its
+   * false positives are eliminated by the exact semi-join that follows),
+   * cheaper at scale: the broadcast eval-GRAM-STRING table can reach
+   * hundreds of MB once benchmarks accumulate (millions of distinct
+   * grams × ~40-byte strings), while the Bloom over their xxhash64 codes
+   * is `-n·ln(fpp)/ln²2` BITS (~1.2 MB per million grams at 1%), and the
+   * probe drops non-candidate grams BEFORE they reach the semi-join's
+   * hash table — the same discipline as Joins.bloomPrefilteredJoin and
+   * the broadcast-quantizer switch (third applied instance). The filter
+   * ships plan-embedded below `bcastThresholdBytes`, as a torrent
+   * broadcast above it.
+   *
+   * `expectedGrams` sizes the filter — overshooting costs bits, not
+   * correctness; undershooting only raises the false-positive rate (more
+   * rows reach the exact join). At 100 TB pair this with an eval-gram
+   * count you already track; the gate sizes from the fixture.
+   */
+  def ngramOverlapBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, num: Int = 1, den: Int = 5,
+      expectedGrams: Long = 1L << 20, fpp: Double = 0.01,
+      bcastThresholdBytes: Long = 4L << 20): DataFrame = {
+    require(den > 0 && num >= 0, s"threshold $num/$den must be non-negative")
+    require(expectedGrams > 0 && fpp > 0 && fpp < 1,
+      s"bad bloom sizing: grams=$expectedGrams fpp=$fpp")
+    val evalGrams = evalSet
+      .select(explode(wordShingles(col(textCol), k)).as("gram"))
+      .distinct()
+    val bf = evalGrams.withColumn("h", xxhash64(col("gram")))
+      .stat.bloomFilter("h", expectedGrams, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val bytes = out.toByteArray
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val keyExpr = GraftSqlBridge.expression(xxhash64(col("gram")))
+    val probe = GraftSqlBridge.column(
+      if (bytes.length <= bcastThresholdBytes)
+        graft.functions.BloomMightContainLong(keyExpr, bytes)
+      else
+        graft.functions.BloomMightContainLongBcast(keyExpr,
+          corpus.sparkSession.sparkContext.broadcast(bytes)))
+    val withGrams = corpus.select(col(idCol).as("doc_id"),
+      wordShingles(col(textCol), k).as("grams"))
+    val shared = withGrams
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .where(probe)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    withGrams
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("contaminated",
+        col("n_shared") * den >= col("n_grams") * num)
+  }
+
+  /**
    * Semantic (embedding-level) decontamination: [[ngramOverlap]] catches
    * verbatim leakage only — paraphrased eval material needs an
    * eval-vs-corpus join in embedding space. Candidates come from an

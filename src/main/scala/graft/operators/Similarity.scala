@@ -313,6 +313,89 @@ object Similarity {
     rankTopKPerQuery(scored, k, "score")
   }
 
+  /**
+   * SQ8 (symmetric int8 scalar-quantized) top-k: the serving path where
+   * the corpus rides as 1-byte-per-dim codes and the raw floats are only
+   * touched by a final exact re-rank of a `refine`-sized shortlist.
+   *
+   * Scoring: per-vector symmetric quantization q_i = floor(x_i·127/max|x|
+   * + 0.5) ([[VectorOps.quantizeInt8]] — the established engine-replayable
+   * contract), so dot(x, y) ≈ (maxx/127)·(maxy/127)·Σ qx_i·qy_i. The Σ is
+   * EXACT BIGINT arithmetic ([[VectorOps.dotInt]] — order-independent, no
+   * IEEE contract at all); the two scalar factors multiply in a fixed
+   * order ((cmax/127)·(qmax/127), then ·dot), so the estimate replays
+   * bit-for-bit on the oracle. Shortlist rank: (est DESC, id) — the
+   * IvfPqRefine convention; final rank: exact cosine over shortlist rows
+   * only.
+   *
+   * Scale shape: corpus codes are computed in one narrow codegen scan
+   * (and in a real deployment live in their own 4×-smaller column — at
+   * int8 the scan is dim bytes/row vs dim·4); queries broadcast; the
+   * integer-dot hot loop is one codegen multiply-add per element with no
+   * division or sqrt; only `refine` rows per query ever touch the float
+   * vectors again. Composes with the IVF lists exactly like PQ (store
+   * codes in the list payload) when a coarse index is wanted too.
+   */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      refine: Int): DataFrame = {
+    require(k > 0 && refine >= k,
+      s"sq8TopK: need refine >= k > 0, got k=$k refine=$refine")
+    val c = corpus.select(col("id"), col("vec"),
+      VectorOps.quantizeInt8(col("vec")).as("ccode"),
+      VectorOps.maxAbs(col("vec")).as("cmax"))
+    val q = queries.select(col("qid"), col("qvec"),
+      VectorOps.quantizeInt8(col("qvec")).as("qcode"),
+      VectorOps.maxAbs(col("qvec")).as("qmax"))
+    val est = (col("cmax") / lit(127.0)) * (col("qmax") / lit(127.0)) *
+      VectorOps.dotInt(col("ccode"), col("qcode")).cast("double")
+    val shortlist = TopK.perKey(
+      c.crossJoin(broadcast(q)).withColumn("est", est)
+        .select(col("qid"), col("id"), col("est")),
+      Seq(col("qid")), Seq(col("est").desc, col("id")), refine)
+      .select("qid", "id")
+    val scored = shortlist
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    rankTopKPerQuery(scored, k, "score")
+  }
+
+  /**
+   * Matryoshka (prefix-dimension) top-k: coarse-rank on the FIRST `pdim`
+   * dimensions' cosine, exact full-dim re-rank of the top-`refine`
+   * shortlist. The serving pattern for matryoshka-trained embeddings,
+   * where prefixes are themselves valid low-dim embeddings; at rest the
+   * prefix lives as its own narrow column, so the coarse scan reads
+   * dim/pdim less data — the IO cut is the whole point at 100 TB.
+   *
+   * Arithmetic contract: the prefix dot is FloatVecDot's sequential
+   * double fold truncated at `pdim` ([[VectorOps.dotPrefix]]), so the
+   * DuckDB replay is duckDot over list_slice; shortlist rank breaks ties
+   * (coarse DESC, id); final rank is exact full cosine.
+   */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, pdim: Int,
+      k: Int, refine: Int): DataFrame = {
+    require(pdim > 0 && k > 0 && refine >= k,
+      s"matryoshkaTopK: need pdim > 0, refine >= k > 0, " +
+        s"got pdim=$pdim k=$k refine=$refine")
+    val coarse = corpus.select(col("id"), col("vec"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+      .withColumn("est", VectorOps.cosinePrefix(col("qvec"), col("vec"), pdim))
+      .select(col("qid"), col("id"), col("est"))
+    val shortlist = TopK.perKey(coarse, Seq(col("qid")),
+        Seq(col("est").desc, col("id")), refine)
+      .select("qid", "id")
+    val scored = shortlist
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    rankTopKPerQuery(scored, k, "score")
+  }
+
   /** Corpus-scale embedding near-duplicate pairs: SRP-LSH bucket
     * candidates, exact cosine >= threshold refilter. The scale path that
     * replaces Dedup.embeddingNearDuplicates' O(n^2) all-pairs baseline;

@@ -26,6 +26,37 @@ object VectorOps {
 
   def norm(x: Column): Column = sqrt(dot(x, x))
 
+  /** Exact BIGINT dot product of two `array<int>` SQ8 code columns —
+    * native codegen expression (graft.functions.IntVecDotLong). Integer
+    * arithmetic end-to-end: order-independent, bit-replayable on any
+    * engine, no IEEE contract needed. */
+  def dotInt(x: Column, y: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.IntVecDotLong(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(x),
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(y)))
+
+  /** FloatVecDot folded over only the first `p` elements (the Matryoshka
+    * coarse pass); same sequential-double-fold contract, so the DuckDB
+    * replay is duckDot over list_slice(v, 1, p). */
+  def dotPrefix(x: Column, y: Column, p: Int): Column =
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.FloatVecDotPrefix(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(x),
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(y), p))
+
+  /** Prefix-cosine over the first `p` dims. */
+  def cosinePrefix(a: Column, b: Column, p: Int): Column =
+    dotPrefix(a, b, p) /
+      (sqrt(dotPrefix(a, a, p)) * sqrt(dotPrefix(b, b, p)))
+
+  /** max|x_i| in double precision — the per-vector SQ8 scale's numerator
+    * (scale = maxAbs/127). No accumulation, so the HOF form is already
+    * exact and engine-replayable (DuckDB: list_max(list_transform(v,
+    * x -> abs(CAST(x AS DOUBLE))))). */
+  def maxAbs(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
   /** Cosine similarity of two float-array columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

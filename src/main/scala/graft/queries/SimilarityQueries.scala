@@ -28,6 +28,13 @@ object SimilarityQueries {
   private val RpOutDim = 16
   private val IvfNprobe = 3
   private val IvfPqRefine = 50
+  private val Sq8Refine = 12
+  // The fixture vectors are near-uniform — no prefix concentration (the
+  // hard case; matryoshka-TRAINED embeddings give 0.92 recall at
+  // pdim=16/refine=12 on the prefix-weighted twin, Sq8MatryoshkaSpec),
+  // so the gate dials half the dims + a 64-deep refine: recall@5 0.84.
+  private val MatPdim = 32
+  private val MatRefine = 64
   private val MmrK = 8
   private val MmrLambda = 0.7
 
@@ -525,6 +532,33 @@ object SimilarityQueries {
           max(col("col")).cast("long").as("qmax"),
           sum(col("col")).as("qsum"))
     },
+    // SQ8 SERVING: the quantize gate's codes actually ranking — corpus
+    // rides as 1-byte-per-dim codes, shortlist by the scaled integer-dot
+    // estimate (the Σ is EXACT BIGINT arithmetic; only the two per-vector
+    // scale factors are IEEE, in a fixed multiply order), exact cosine
+    // re-rank of the top-Sq8Refine. The oracle replays quantization,
+    // integer dot, estimate, shortlist trim, and re-rank.
+    "sim_sq8_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.sq8TopK(corpus, qs, 5, Sq8Refine)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // Matryoshka prefix-dim serving: coarse-rank on the first MatPdim
+    // dims' cosine (at rest the prefix is its own narrow column — a
+    // Dim/MatPdim scan-IO cut), exact full-dim re-rank of the shortlist.
+    "sim_matryoshka_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.matryoshkaTopK(corpus, qs, MatPdim, 5, MatRefine)
+        .withColumnRenamed("rank", "rnk")
+    },
   )
 
   // ---- DuckDB oracle generation -------------------------------------------
@@ -1000,6 +1034,63 @@ object SimilarityQueries {
         |  CAST(MAX(qv) AS BIGINT) AS qmax,
         |  CAST(SUM(qv) AS BIGINT) AS qsum
         |FROM q GROUP BY vec_id""".stripMargin,
+    // SQ8 serving replay: per-vector quantization (the sim_quantize_int8
+    // arithmetic verbatim, codes as BIGINT), exact integer dot, the
+    // fixed-order (cmax/127)*(qmax/127)*dot estimate, shortlist trim
+    // (est DESC, id), exact cosine re-rank.
+    "sim_sq8_topk" ->
+      s"""WITH csrc AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qsrc AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |cm AS (SELECT id, v,
+         |    list_max(list_transform(v, x -> abs(x::DOUBLE))) AS cmax
+         |  FROM csrc),
+         |cc AS (SELECT id, v, cmax, list_transform(v,
+         |    x -> CAST(floor(x::DOUBLE * 127.0 / cmax + 0.5) AS BIGINT))
+         |    AS code FROM cm),
+         |qm AS (SELECT qid, qv,
+         |    list_max(list_transform(qv, x -> abs(x::DOUBLE))) AS qmax
+         |  FROM qsrc),
+         |qc AS (SELECT qid, qv, qmax, list_transform(qv,
+         |    x -> CAST(floor(x::DOUBLE * 127.0 / qmax + 0.5) AS BIGINT))
+         |    AS qcode FROM qm),
+         |est AS (SELECT qc.qid, cc.id,
+         |    (cc.cmax / 127.0) * (qc.qmax / 127.0) *
+         |    CAST(list_reduce(list_transform(range($Dim),
+         |      j -> qc.qcode[j+1] * cc.code[j+1]), (p, q) -> p + q)
+         |      AS DOUBLE) AS est
+         |  FROM qc, cc),
+         |short AS (SELECT qid, id FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY est DESC, id) AS rn FROM est) t WHERE rn <= $Sq8Refine),
+         |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
+         |       FROM short s JOIN qsrc q ON s.qid = q.qid
+         |                    JOIN csrc c ON s.id = c.id),
+         |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+    // Matryoshka replay: prefix cosine = the same sequential fold over
+    // only the first MatPdim indexes (duckCos at dim=MatPdim), shortlist
+    // trim, exact full-dim re-rank.
+    "sim_matryoshka_topk" ->
+      s"""WITH csrc AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qsrc AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |est AS (SELECT qid, id, ${duckCos("qv", "v", MatPdim)} AS est
+         |  FROM qsrc, csrc),
+         |short AS (SELECT qid, id FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY est DESC, id) AS rn FROM est) t WHERE rn <= $MatRefine),
+         |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
+         |       FROM short s JOIN qsrc q ON s.qid = q.qid
+         |                    JOIN csrc c ON s.id = c.id),
+         |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
     "sim_hard_negatives_lsh" ->
       s"""WITH $duckCodesCte,
          |cand AS (SELECT DISTINCT qc.vec_id AS qid, cc.vec_id AS id

@@ -421,6 +421,21 @@ object TextEventsQueries {
         d.where(col("doc_id") % 20 === 7),
         "doc_id", "text", k = 5, num = 1, den = 5)
     },
+    // Bloom-prefiltered decontamination: bit-identical to
+    // text_decontaminate (Bloom filters have no false negatives; the
+    // exact semi-join eliminates the false positives), so the oracle is
+    // the same SQL verbatim — what the gate pins is that the probe
+    // rewrite stays a pure prefilter. At scale the broadcast shrinks
+    // from the full eval-gram string table to ~1.2 MB per million grams
+    // and non-candidate grams drop before the semi-join's hash table.
+    "text_decontaminate_bloom" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.Decontaminate.ngramOverlapBloom(
+        d.where(col("doc_id") % 20 =!= 7),
+        d.where(col("doc_id") % 20 === 7),
+        "doc_id", "text", k = 5, num = 1, den = 5,
+        expectedGrams = 1L << 16, fpp = 0.01)
+    },
     // STREAMING decontamination: the eval gram set screens document
     // micro-batches as they arrive (the broadcast rides each batch's
     // plan — no state), batches land idempotently; the accumulated
@@ -2021,6 +2036,8 @@ object TextEventsQueries {
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n_viewers,
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted""".stripMargin,
     "text_decontaminate" -> duckDecontaminateSql,
+    // The Bloom prefilter is result-invisible — same replay verbatim.
+    "text_decontaminate_bloom" -> duckDecontaminateSql,
     // The streamed screen accumulates exactly the batch screen — eval
     // grams broadcast into every batch's plan, no state.
     "stream_decontaminate" -> duckDecontaminateSql,

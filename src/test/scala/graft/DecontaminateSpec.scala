@@ -23,6 +23,41 @@ class DecontaminateSpec extends GraftSuite {
           (3L, 4L, 1L, false))) // 1/4 < 1/2
   }
 
+  test("ngramOverlapBloom equals ngramOverlap bit-for-bit on the fixture " +
+      "(plan-embedded, forced-broadcast, and undersized-filter paths)") {
+    val d = Tables.load(spark, SparkTestBase.sf001, "documents")
+    val corpus = d.where(col("doc_id") % 20 =!= 7)
+    val eval = d.where(col("doc_id") % 20 === 7)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val exact = canon(Decontaminate.ngramOverlap(
+      corpus, eval, "doc_id", "text", k = 5, num = 1, den = 5))
+    // Plan-embedded filter (default threshold).
+    assert(canon(Decontaminate.ngramOverlapBloom(corpus, eval, "doc_id",
+      "text", k = 5, num = 1, den = 5, expectedGrams = 1L << 16)) == exact)
+    // Forced broadcast-variable shipping: same rows.
+    assert(canon(Decontaminate.ngramOverlapBloom(corpus, eval, "doc_id",
+      "text", k = 5, num = 1, den = 5, expectedGrams = 1L << 16,
+      bcastThresholdBytes = 0L)) == exact)
+    // Undersized filter: the false-positive rate degrades toward 1 but
+    // the exact semi-join keeps the RESULT identical — the prefilter is
+    // performance-only by construction.
+    assert(canon(Decontaminate.ngramOverlapBloom(corpus, eval, "doc_id",
+      "text", k = 5, num = 1, den = 5, expectedGrams = 4L)) == exact)
+  }
+
+  test("ngramOverlapBloom fail-fasts on bad sizing") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Decontaminate.ngramOverlapBloom(df, df, "doc_id", "text",
+        expectedGrams = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Decontaminate.ngramOverlapBloom(df, df, "doc_id", "text", fpp = 1.5)
+    }
+  }
+
   test("short docs collapse to whole-text gram; exact eval copy is contaminated") {
     val corpus = Seq((1L, "hi there"), (2L, "totally different")).toDF("doc_id", "text")
     val eval = Seq((9L, "hi there")).toDF("doc_id", "text")

@@ -48,6 +48,11 @@ class PlanAuditSpec extends GraftSuite {
     // Intended brute-force exactness baseline (queries x corpus); the
     // bucketed scale twin is sim_hard_negatives_lsh.
     "sim_hard_negatives",
+    // The SQ8/Matryoshka coarse passes broadcast the 4-row query set
+    // across the corpus codes (corpus x 4 — the flat-scan serving shape;
+    // compose with IVF lists for a coarse index); the refine joins are
+    // equi-joins on the shortlist.
+    "sim_sq8_topk", "sim_matryoshka_topk",
     // The dense half is bruteForceTopK with ONE broadcast query row
     // (corpus x 1); swap in ivfTopK/lshTopK at corpus scale — the
     // fusion/re-rank tails are list-bounded either way. The rag

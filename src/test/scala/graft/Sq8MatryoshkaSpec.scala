@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, VectorOps}
+
+/**
+ * SQ8 (symmetric int8) and Matryoshka (prefix-dimension) serving paths.
+ * Contracts under test: the integer-dot expression matches the HOF
+ * composition exactly; the prefix dot matches FloatVecDot over the sliced
+ * prefix bit-for-bit; both top-k operators DEGENERATE to the brute-force
+ * exact ranking when their approximation dial is opened fully (refine =
+ * corpus, pdim = full dim) — the same wprobe=all-groups discipline the
+ * hier centroid index is held to; and the recall at gate-scale dials is
+ * useful.
+ */
+class Sq8MatryoshkaSpec extends GraftSuite {
+  private val dir = SparkTestBase.sf001
+  private lazy val emb = Tables.load(spark, dir, "embeddings")
+  private lazy val queries = emb.where(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private lazy val corpus = emb.where(col("vec_id") >= 5)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("dotInt equals the HOF integer dot; dotPrefix equals dot over slice") {
+    val codes = emb.where(col("vec_id") < 40).select(col("vec_id"),
+      VectorOps.quantizeInt8(col("embedding")).as("c"), col("embedding"))
+    val pairs = codes.as("a").crossJoin(codes.as("b"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+    val got = pairs.select(
+      VectorOps.dotInt(col("a.c"), col("b.c")).as("fast"),
+      aggregate(
+        zip_with(col("a.c"), col("b.c"),
+          (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v).as("hof"),
+      VectorOps.dotPrefix(col("a.embedding"), col("b.embedding"), 16)
+        .as("pfast"),
+      VectorOps.dot(slice(col("a.embedding"), 1, 16),
+        slice(col("b.embedding"), 1, 16)).as("phof")).collect()
+    assert(got.length > 100)
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "integer dot must match HOF")
+      assert(r.getDouble(2) == r.getDouble(3),
+        "prefix dot must be bit-identical to dot over the slice")
+    }
+  }
+
+  test("dotPrefix at p >= dim degenerates to FloatVecDot bit-for-bit") {
+    val r = emb.where(col("vec_id") < 20).select(
+      VectorOps.dotPrefix(col("embedding"), col("embedding"), 9999).as("p"),
+      VectorOps.dot(col("embedding"), col("embedding")).as("d")).collect()
+    r.foreach(x => assert(x.getDouble(0) == x.getDouble(1)))
+  }
+
+  test("sq8TopK with refine = corpus size equals brute force bit-for-bit") {
+    val n = corpus.count().toInt
+    val sq = Similarity.sq8TopK(corpus, queries, 5, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(sq == brute,
+      "full-refine SQ8 must reproduce the exact ranking, scores included")
+  }
+
+  test("matryoshkaTopK with pdim = full dim and refine = k equals brute force") {
+    val mat = Similarity.matryoshkaTopK(corpus, queries, 64, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(mat == brute,
+      "full-prefix Matryoshka must reproduce the exact ranking")
+  }
+
+  test("gate-dial recall@5 vs brute force is useful; matryoshka recall is " +
+      "monotone in refine (nested shortlists)") {
+    val truth = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(pairs: Set[(Long, Long)]): Double =
+      truth.intersect(pairs).size.toDouble / truth.size
+    val sqRecall = recall(Similarity.sq8TopK(corpus, queries, 5, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // SQ8 keeps ~7.9 effective bits/dim — near-exact estimates even at a
+    // 12-deep shortlist.
+    assert(sqRecall > 0.9, s"sq8 recall@5 = $sqRecall")
+    // The near-uniform fixture has NO prefix concentration — the hard
+    // case for a prefix scan. Recall is structurally monotone in refine
+    // (top-refine shortlists are nested) and must clear the gate dial's
+    // measured 0.84 with margin at (pdim=32, refine=64).
+    val byRefine = Seq(12, 32, 64).map { rf =>
+      recall(Similarity.matryoshkaTopK(corpus, queries, 32, 5, rf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    assert(byRefine.zip(byRefine.tail).forall { case (a, b) => a <= b },
+      s"recall must not decrease with refine: $byRefine")
+    assert(byRefine.last > 0.7, s"matryoshka recall@5 = ${byRefine.last}")
+  }
+
+  test("prefix-weighted (matryoshka-trained-like) embeddings: tight dials " +
+      "recover the exact top-k") {
+    // Scale dim j by 8/(8+j): the information profile matryoshka training
+    // produces. The SAME tight dials that read 0.28 on the uniform
+    // fixture clear 0.9 here — the operator's intended regime.
+    val w = emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * lit(8.0) / (lit(8.0) + i.cast("double")))
+          .cast("float")).as("embedding"))
+    val q = w.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = w.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val truth = Similarity.bruteForceTopK(c, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mat = Similarity.matryoshkaTopK(c, q, 16, 5, 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = truth.intersect(mat).size.toDouble / truth.size
+    assert(r > 0.8, s"prefix-weighted recall@5 = $r")
+  }
+
+  test("ranks are 1..k per query and scores descend") {
+    val rows = Similarity.sq8TopK(corpus, queries, 5, 12).collect()
+    assert(rows.length == queries.count().toInt * 5)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(2))
+      assert(byRank.map(_.getLong(2)).toSeq == (1L to 5L))
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("fail-fast dials") {
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopK(corpus, queries, 5, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(corpus, queries, 0, 5, 12)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(corpus, queries, 16, 5, 4)
+    }
+  }
+}
