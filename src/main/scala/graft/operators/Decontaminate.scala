@@ -66,21 +66,28 @@ object Decontaminate {
    *
    * `expectedGrams` sizes the filter — overshooting costs bits, not
    * correctness; undershooting only raises the false-positive rate (more
-   * rows reach the exact join). At 100 TB pair this with an eval-gram
-   * count you already track; the gate sizes from the fixture.
+   * rows reach the exact join). `expectedGrams = 0` sizes AUTOMATICALLY
+   * from one distinct-gram count of the eval side — a fixed sizing is
+   * the same latent trap every fixed LSH config was (the eval set grows
+   * as benchmarks accumulate; a 64k filter over 300k grams probes at a
+   * useless fpp), and the count is one eval-sized job against a
+   * corpus-sized saving.
    */
   def ngramOverlapBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, k: Int = 3, num: Int = 1, den: Int = 5,
-      expectedGrams: Long = 1L << 20, fpp: Double = 0.01,
+      expectedGrams: Long = 0L, fpp: Double = 0.01,
       bcastThresholdBytes: Long = 4L << 20): DataFrame = {
     require(den > 0 && num >= 0, s"threshold $num/$den must be non-negative")
-    require(expectedGrams > 0 && fpp > 0 && fpp < 1,
+    require(expectedGrams >= 0 && fpp > 0 && fpp < 1,
       s"bad bloom sizing: grams=$expectedGrams fpp=$fpp")
     val evalGrams = evalSet
       .select(explode(wordShingles(col(textCol), k)).as("gram"))
       .distinct()
+    val sizedGrams =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(evalGrams.count(), 1024L)
     val bf = evalGrams.withColumn("h", xxhash64(col("gram")))
-      .stat.bloomFilter("h", expectedGrams, fpp)
+      .stat.bloomFilter("h", sizedGrams, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
     val bytes = out.toByteArray

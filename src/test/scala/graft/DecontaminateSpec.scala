@@ -45,13 +45,17 @@ class DecontaminateSpec extends GraftSuite {
     // performance-only by construction.
     assert(canon(Decontaminate.ngramOverlapBloom(corpus, eval, "doc_id",
       "text", k = 5, num = 1, den = 5, expectedGrams = 4L)) == exact)
+    // Auto sizing (expectedGrams = 0, the default): one eval-gram count
+    // picks the capacity — still identical rows.
+    assert(canon(Decontaminate.ngramOverlapBloom(corpus, eval, "doc_id",
+      "text", k = 5, num = 1, den = 5)) == exact)
   }
 
   test("ngramOverlapBloom fail-fasts on bad sizing") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
       Decontaminate.ngramOverlapBloom(df, df, "doc_id", "text",
-        expectedGrams = 0L)
+        expectedGrams = -1L)
     }
     intercept[IllegalArgumentException] {
       Decontaminate.ngramOverlapBloom(df, df, "doc_id", "text", fpp = 1.5)
