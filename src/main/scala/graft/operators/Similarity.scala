@@ -1286,4 +1286,78 @@ object Similarity {
         VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
     rankTopKPerQuery(scored, k, "score")
   }
+
+  // ---- IVF x SQ8 composed index -------------------------------------------
+
+  /**
+   * IVF x SQ8 inverted lists: (cid, id, code, cmax) rows — the middle
+   * point between [[ivfProbes]]' raw-vector lists (dim·4 B per entry) and
+   * [[ivfPqAssignments]]' m-byte PQ codes. SQ8 keeps ~7.9 effective
+   * bits/dim (near-exact dot estimates — recall ≈ 1 at shallow refines,
+   * where PQ at the same fixture needs a 50-deep one) for a 4× cut in
+   * list bytes, and a probe still never touches a raw vector until the
+   * final refine. One narrow codegen projection per vector, no shuffle;
+   * at rest bucket the lists by `cid` like the PQ layout.
+   *
+   * `hierWprobe` is the same two-level coarse-pick dial as
+   * [[ivfPqAssignments]]' (bit-identical at w >= the group count).
+   */
+  def ivfSq8Assignments(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])],
+      hierWprobe: Option[Int] = None): DataFrame = {
+    val cid = hierWprobe match {
+      case Some(w) =>
+        element_at(probeCidsHier(col(vecCol), centroids, 1, w), 1)
+      case None => nearestCid(col(vecCol), centroids)
+    }
+    vecs.select(cid.as("cid"), col(idCol).as("id"),
+      VectorOps.quantizeInt8(col(vecCol)).as("code"),
+      VectorOps.maxAbs(col(vecCol)).as("cmax"))
+  }
+
+  /**
+   * Query top-k against a MATERIALIZED IVF x SQ8 index
+   * ([[ivfSq8Assignments]] rows): probe `nprobe` lists, rank candidates
+   * by the scaled integer-dot estimate (exact BIGINT Σ — the
+   * [[sq8TopK]] arithmetic), no raw vector touched. Returns
+   * (qid, id, rank, est).
+   */
+  def probeSq8Index(lists: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int): DataFrame = {
+    val q = queries.select(col("qid"),
+      VectorOps.quantizeInt8(col("qvec")).as("qcode"),
+      VectorOps.maxAbs(col("qvec")).as("qmax"))
+    val est = (col("cmax") / lit(127.0)) * (col("qmax") / lit(127.0)) *
+      VectorOps.dotInt(col("code"), col("qcode")).cast("double")
+    val cand = ivfProbes(queries.select(col("qid"), col("qvec")), "qid",
+        "qvec", centroids, nprobe)
+      .join(lists, "cid")
+      .join(broadcast(q), "qid")
+      .withColumn("est", est)
+      .select(col("qid"), col("id"), col("est"))
+    rankTopKPerQuery(cand, k, "est")
+  }
+
+  /**
+   * IVF x SQ8 top-k with exact refinement: integer-dot-rank the probed
+   * lists' code rows, shortlist `refine` per query, exact-cosine re-rank
+   * only those — [[ivfPqTopK]]'s dataflow with the SQ8 payload. Same
+   * nonzero-norm precondition; same bucketed-corpus refine advice.
+   */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int,
+      refine: Int): DataFrame = {
+    require(refine >= k, s"ivfSq8TopK: refine ($refine) must be >= k ($k)")
+    val lists = ivfSq8Assignments(corpus.select(col("id"), col("vec")),
+      "id", "vec", centroids)
+    val shortlist = probeSq8Index(lists, queries, refine, centroids, nprobe)
+      .select("qid", "id")
+    val scored = shortlist
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    rankTopKPerQuery(scored, k, "score")
+  }
 }

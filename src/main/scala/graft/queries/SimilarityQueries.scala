@@ -547,6 +547,22 @@ object SimilarityQueries {
       Similarity.sq8TopK(corpus, qs, 5, Sq8Refine)
         .withColumnRenamed("rank", "rnk")
     },
+    // IVF x SQ8 composed: coarse k-means lists carry SQ8 CODES (+ the
+    // per-vector scale) instead of raw vectors — 4x smaller lists with
+    // near-exact estimates, so the refine is 12-deep where PQ needs 50.
+    // The oracle replays the training, the list assignment, the probe,
+    // the integer-dot estimate, the shortlist trim, and the re-rank.
+    "sim_ivfsq8_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centroids = Similarity.trainKMeans(
+        corpus.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
+      Similarity.ivfSq8TopK(corpus, qs, 5, centroids, IvfNprobe, Sq8Refine)
+        .withColumnRenamed("rank", "rnk")
+    },
     // Matryoshka prefix-dim serving: coarse-rank on the first MatPdim
     // dims' cosine (at rest the prefix is its own narrow column — a
     // Dim/MatPdim scan-IO cut), exact full-dim re-rank of the shortlist.
@@ -1067,6 +1083,57 @@ object SimilarityQueries {
          |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
          |       FROM short s JOIN qsrc q ON s.qid = q.qid
          |                    JOIN csrc c ON s.id = c.id),
+         |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+    // IVF x SQ8 replay: unrolled Lloyd training, nearest-centroid list
+    // assignment, nprobe probe, SQ8 quantization on both sides, the
+    // exact-integer dot estimate over probed candidates only, shortlist
+    // trim, exact cosine re-rank.
+    "sim_ivfsq8_topk" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |clists AS (SELECT id, v, ccid FROM (
+         |  SELECT c.id, c.v, ct.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY c.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
+         |  FROM corp c, cent ct) t WHERE rn = 1),
+         |probes AS (SELECT qid, ccid FROM (
+         |  SELECT qs.qid, cent.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t WHERE rn <= $IvfNprobe),
+         |cm AS (SELECT id, ccid,
+         |    list_max(list_transform(v, x -> abs(x::DOUBLE))) AS cmax, v
+         |  FROM clists),
+         |cc AS (SELECT id, ccid, cmax, list_transform(v,
+         |    x -> CAST(floor(x::DOUBLE * 127.0 / cmax + 0.5) AS BIGINT))
+         |    AS code FROM cm),
+         |qm AS (SELECT qid, qv,
+         |    list_max(list_transform(qv, x -> abs(x::DOUBLE))) AS qmax
+         |  FROM qs),
+         |qc AS (SELECT qid, qmax, list_transform(qv,
+         |    x -> CAST(floor(x::DOUBLE * 127.0 / qmax + 0.5) AS BIGINT))
+         |    AS qcode FROM qm),
+         |est AS (SELECT p.qid, cc.id,
+         |    (cc.cmax / 127.0) * (qc.qmax / 127.0) *
+         |    CAST(list_reduce(list_transform(range($Dim),
+         |      j -> qc.qcode[j+1] * cc.code[j+1]), (p2, q2) -> p2 + q2)
+         |      AS DOUBLE) AS est
+         |  FROM probes p JOIN cc ON cc.ccid = p.ccid
+         |                JOIN qc ON qc.qid = p.qid),
+         |short AS (SELECT qid, id FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY est DESC, id) AS rn FROM est) t WHERE rn <= $Sq8Refine),
+         |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
+         |       FROM short s JOIN qs q ON s.qid = q.qid
+         |                    JOIN corp c ON s.id = c.id),
          |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
          |        ORDER BY score DESC, id) AS rn FROM sc)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score

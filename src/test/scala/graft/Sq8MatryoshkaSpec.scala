@@ -120,6 +120,42 @@ class Sq8MatryoshkaSpec extends GraftSuite {
     assert(r > 0.8, s"prefix-weighted recall@5 = $r")
   }
 
+  test("ivfSq8TopK with all lists probed and full refine equals brute force") {
+    val train = corpus.where(col("id") % 4 === 0)
+    val centroids = Similarity.trainKMeans(train, "id", "vec", 8, 64, 2)
+    val n = corpus.count().toInt
+    val got = Similarity.ivfSq8TopK(corpus, queries, 5, centroids,
+        nprobe = centroids.size, refine = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == brute,
+      "all-lists full-refine IVF x SQ8 must reproduce the exact ranking")
+  }
+
+  test("ivfSq8TopK gate dials: recall bounded by the probe, not the codes") {
+    val train = corpus.where(col("id") % 4 === 0)
+    val centroids = Similarity.trainKMeans(train, "id", "vec", 8, 64, 2)
+    val truth = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SQ8 estimates are near-exact, so IVF x SQ8 at nprobe=p must track
+    // the RAW-vector IVF at the same p — the codes add (almost) no loss
+    // on top of the probe's.
+    val ivfRaw = Similarity.ivfTopK(corpus, queries, 5, centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSq8 = Similarity.ivfSq8TopK(corpus, queries, 5, centroids, 3, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = truth.intersect(ivfRaw).size.toDouble / truth.size
+    val sq8Recall = truth.intersect(ivfSq8).size.toDouble / truth.size
+    assert(sq8Recall >= rawRecall - 0.05,
+      s"sq8 list recall $sq8Recall must track raw-list recall $rawRecall")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSq8TopK(corpus, queries, 5, centroids, 3, 4)
+    }
+  }
+
   test("ranks are 1..k per query and scores descend") {
     val rows = Similarity.sq8TopK(corpus, queries, 5, 12).collect()
     assert(rows.length == queries.count().toInt * 5)
