@@ -472,6 +472,33 @@ object SimilarityQueries {
           IvfNprobe)
         .withColumnRenamed("rank", "rnk")
     },
+    // STREAMING IVF x SQ8 index: vector batches fold into persisted
+    // (cid, id, code, cmax) lists — each arrival coarse-assigned and
+    // int8-quantized once; queries probe the ACCUMULATED lists through
+    // the pure exact-integer-dot path (no LUT, no codebooks, no raw
+    // vector moves). Oracle: training on history, quantization
+    // batch-independent, same integer-dot ranking over the full corpus.
+    "stream_ivfsq8_index" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val history = corpus.where(col("id") < 200)
+      val days = Seq(
+        corpus.where(col("id") >= 200 && col("id") < 350),
+        corpus.where(col("id") >= 350))
+      val logDir = Staging.batchLog("sivf", dir, "day", days)
+      val train = history.where(col("id") % 4 === 0)
+      val centroids = Similarity.trainKMeans(train, "id", "vec", KmK, Dim,
+        KmIters)
+      val lists = graft.streaming.EmbeddingIndexStream.incrementalIvfSq8(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sivfsq8")}/state", "id", "vec",
+        centroids)
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.probeSq8Index(lists, qs, 5, centroids, IvfNprobe)
+        .withColumnRenamed("rank", "rnk")
+    },
     // Semantic decontamination: the eval set is a planted paraphrase
     // leak — every 50th corpus vector rescaled/shifted in double and
     // rounded once to float (cosine ≈ 0.999 with its source, vs ≤ ~0.51
@@ -1137,6 +1164,51 @@ object SimilarityQueries {
          |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
          |        ORDER BY score DESC, id) AS rn FROM sc)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+    // Streaming IVF x SQ8 replay: the accumulated fold must equal a
+    // batch-independent assignment of the FULL corpus under the
+    // history-trained quantizer; ranking is the pure integer-dot
+    // estimate (no re-rank — the probe-path gate).
+    "stream_ivfsq8_index" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id < 200 AND id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |clists AS (SELECT id, v, ccid FROM (
+         |  SELECT c.id, c.v, ct.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY c.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
+         |  FROM corp c, cent ct) t WHERE rn = 1),
+         |probes AS (SELECT qid, ccid FROM (
+         |  SELECT qs.qid, cent.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t WHERE rn <= $IvfNprobe),
+         |cm AS (SELECT id, ccid,
+         |    list_max(list_transform(v, x -> abs(x::DOUBLE))) AS cmax, v
+         |  FROM clists),
+         |cc AS (SELECT id, ccid, cmax, list_transform(v,
+         |    x -> CAST(floor(x::DOUBLE * 127.0 / cmax + 0.5) AS BIGINT))
+         |    AS code FROM cm),
+         |qm AS (SELECT qid, qv,
+         |    list_max(list_transform(qv, x -> abs(x::DOUBLE))) AS qmax
+         |  FROM qs),
+         |qc AS (SELECT qid, qmax, list_transform(qv,
+         |    x -> CAST(floor(x::DOUBLE * 127.0 / qmax + 0.5) AS BIGINT))
+         |    AS qcode FROM qm),
+         |est AS (SELECT p.qid, cc.id,
+         |    (cc.cmax / 127.0) * (qc.qmax / 127.0) *
+         |    CAST(list_reduce(list_transform(range($Dim),
+         |      j -> qc.qcode[j+1] * cc.code[j+1]), (p2, q2) -> p2 + q2)
+         |      AS DOUBLE) AS est
+         |  FROM probes p JOIN cc ON cc.ccid = p.ccid
+         |                JOIN qc ON qc.qid = p.qid),
+         |r AS (SELECT qid, id, est, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY est DESC, id) AS rn FROM est)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(est, 6) AS est
          |FROM r WHERE rn <= 5""".stripMargin,
     // Matryoshka replay: prefix cosine = the same sequential fold over
     // only the first MatPdim indexes (duckCos at dim=MatPdim), shortlist

@@ -205,4 +205,27 @@ object EmbeddingIndexStream {
       batch => Similarity.ivfPqAssignments(batch, idCol, vecCol, centroids,
         codebooks, subDim))
   }
+
+  /**
+   * STREAMING IVF x SQ8 index: [[incrementalIvfPq]]'s fold with the SQ8
+   * payload — each arriving vector is coarse-assigned and int8-quantized
+   * once, and the persisted state is (cid, id, code, cmax): dim bytes +
+   * one scale per vector (4× under raw lists) with near-exact estimates
+   * (no codebook training, no LUT — the [[Similarity.probeSq8Index]]
+   * probe is an exact-BIGINT dot per candidate). Same versioning/vacuum/
+   * replay-idempotence contract as the sibling folds.
+   */
+  def incrementalIvfSq8(spark: SparkSession, history: DataFrame,
+      vecDir: String, schema: StructType, stateDir: String,
+      idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])],
+      retainVersions: Int = 3): DataFrame = {
+    require(retainVersions >= 2,
+      "incrementalIvfSq8: retainVersions >= 2 (current + replay anchor)")
+    require(centroids.nonEmpty,
+      "incrementalIvfSq8: train the coarse quantizer first")
+    incrementalFold(spark, history, vecDir, schema, stateDir, "sq8_lists_v",
+      retainVersions,
+      batch => Similarity.ivfSq8Assignments(batch, idCol, vecCol, centroids))
+  }
 }

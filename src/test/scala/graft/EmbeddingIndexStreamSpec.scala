@@ -138,6 +138,60 @@ class EmbeddingIndexStreamSpec extends GraftSuite {
     assert(viaStream == viaBatch)
   }
 
+  test("IVF x SQ8: accumulated code lists == batch quantization; probes agree") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val corpus = e.where(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val history = corpus.where(col("id") < 200)
+    val days = Seq(
+      corpus.where(col("id") >= 200 && col("id") < 350),
+      corpus.where(col("id") >= 350))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfsq8spec")
+    val logDir = root.resolve("days")
+    java.nio.file.Files.createDirectories(logDir)
+    days.zipWithIndex.foreach { case (slice, i) =>
+      val stage = root.resolve(s"stage$i").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = logDir.resolve(f"day$i%03d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val train = history.where(col("id") % 4 === 0)
+    val centroids = Similarity.trainKMeans(train, "id", "vec", 16, 64, 2)
+    val lists = EmbeddingIndexStream.incrementalIvfSq8(spark, history,
+      logDir.toString, days.head.schema, root.resolve("state").toString,
+      "id", "vec", centroids)
+    // Quantization and assignment are per-row: the fold must hold exactly
+    // the batch state (codes AND scales) of the full corpus.
+    val streamed = lists
+      .select(col("cid"), col("id"), col("code").cast("string"), col("cmax"))
+      .as[(Long, Long, String, Double)].collect().toSet
+    val batch = Similarity.ivfSq8Assignments(corpus, "id", "vec", centroids)
+      .select(col("cid"), col("id"), col("code").cast("string"), col("cmax"))
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(streamed == batch)
+    // Identical state => identical integer-dot probe answers.
+    val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val viaStream = Similarity.probeSq8Index(lists, qs, 5, centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaBatch = Similarity.probeSq8Index(
+        Similarity.ivfSq8Assignments(corpus, "id", "vec", centroids),
+        qs, 5, centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaStream == viaBatch)
+    intercept[IllegalArgumentException] {
+      EmbeddingIndexStream.incrementalIvfSq8(spark, history,
+        logDir.toString, days.head.schema, root.resolve("s2").toString,
+        "id", "vec", Seq.empty)
+    }
+  }
+
   test("rebuildIvf: preserves every row, re-keys to the new quantizer, " +
     "and is deterministic") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
