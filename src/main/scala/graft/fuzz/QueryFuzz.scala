@@ -142,7 +142,8 @@ object QueryFuzz {
     "global_agg", "string_funcs", "event_time", "grouping_sets",
     "setop_all", "range_frame", "lateral_fanout", "decimal_arith",
     "agg_filter", "full_outer", "cte_reuse", "limit_offset",
-    "null_order", "mod_floor_div", "ts_interval", "anti_null", "try_cast")
+    "null_order", "mod_floor_div", "ts_interval", "anti_null", "try_cast",
+    "greatest_least")
 
   case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 30)
 
@@ -726,7 +727,7 @@ object QueryFuzz {
               s" THEN ${e.parentKey} ELSE NULL END FROM ${e.parent.name})"
         }
         (sel + body, ps.map { case (c, a) => (a, c.t) })
-      case _ => // TRY_CAST boundary semantics: the portable "cast or NULL"
+      case 27 => // TRY_CAST boundary semantics: the portable "cast or NULL"
         // (same spelling, both engines). Probes pinned — verified on both
         // engines this round: garbage-prefixed and empty strings -> NULL;
         // space-padded integral text parses (both trim); BIGINT->INTEGER
@@ -758,6 +759,34 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
           ps.map { case (c, a) => (a, c.t) } ++
             Seq(("c2", TLong), ("c3", TLong), ("c4", TTs)))
+      case _ => // GREATEST/LEAST null-skip semantics: BOTH engines skip
+        // NULL arguments (result is NULL only when EVERY argument is —
+        // engine-verified this round, including binary string collation
+        // 'a' > 'B' and BIGINT/DECIMAL coercion), which is exactly the
+        // behavior a clamp/winsorize rewrite relies on. The shape
+        // manufactures nulls with NULLIF on both operand positions so
+        // one-null, other-null, and both-null rows all reach the digest;
+        // a dialect (or user port to MAX-CASE) that poisons on any NULL
+        // flips every one-null row's contribution loudly. The all-null
+        // row contributes through the wrap's COALESCE sentinel.
+        val t = r.choose(allTables)
+        val ps = proj(t, r, 1)
+        val m1 = 2 + r.nextInt(5)
+        val m2 = 2 + r.nextInt(5)
+        val b1 = r.nextInt(m1)
+        val b2 = r.nextInt(m2)
+        val shift = 3 + r.nextInt(17)
+        (s"SELECT ${ps.map { case (c, a) => s"${c.name} AS $a" }
+            .mkString(", ")}," +
+          s"\n  GREATEST(NULLIF(${t.key} % $m1, $b1)," +
+          s" NULLIF((${t.key} + $shift) % $m2, $b2)) AS c2," +
+          s"\n  LEAST(NULLIF(${t.key} % $m1, $b1)," +
+          s" NULLIF((${t.key} + $shift) % $m2, $b2), ${t.key} % 7) AS c3," +
+          s"\n  GREATEST(${t.key} % $m1, ${t.key} % $m2," +
+          s" ${t.key} % 7) AS c4" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
+          ps.map { case (c, a) => (a, c.t) } ++
+            Seq(("c2", TLong), ("c3", TLong), ("c4", TLong)))
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

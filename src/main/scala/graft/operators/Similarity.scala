@@ -1287,6 +1287,41 @@ object Similarity {
     rankTopKPerQuery(scored, k, "score")
   }
 
+  /**
+   * [[matryoshkaTopK]] against a MATERIALIZED (id, prefix, vec) layout —
+   * the at-rest shape the operator's scaladoc promises: the coarse pass
+   * references ONLY (id, prefix), so the parquet scan reads the narrow
+   * prefix column (dim/pdim less IO — `ReadSchema` proves it, spec'd),
+   * and the full vectors are scanned only by the refine join over
+   * `refine` rows per query. Bit-identical to [[matryoshkaTopK]] on the
+   * same data: dot over the stored pdim-length prefix IS FloatVecDot's
+   * fold over the first pdim elements (Sq8MatryoshkaSpec pins the
+   * slice/prefix equality).
+   */
+  def matryoshkaTopKFromPrefix(stored: DataFrame, queries: DataFrame,
+      pdim: Int, k: Int, refine: Int): DataFrame = {
+    require(pdim > 0 && k > 0 && refine >= k,
+      s"matryoshkaTopKFromPrefix: need pdim > 0, refine >= k > 0, " +
+        s"got pdim=$pdim k=$k refine=$refine")
+    val qp = queries.select(col("qid"),
+      slice(col("qvec"), 1, pdim).as("qprefix"))
+    val coarse = stored.select(col("id"), col("prefix"))
+      .crossJoin(broadcast(qp))
+      .withColumn("est", VectorOps.cosine(col("qprefix"), col("prefix")))
+      .select(col("qid"), col("id"), col("est"))
+    val shortlist = TopK.perKey(coarse, Seq(col("qid")),
+        Seq(col("est").desc, col("id")), refine)
+      .select("qid", "id")
+    val scored = shortlist
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .join(stored.select(col("id"), col("vec"))
+        .withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    rankTopKPerQuery(scored, k, "score")
+  }
+
   // ---- IVF x SQ8 composed index -------------------------------------------
 
   /**

@@ -7,7 +7,7 @@ import graft.fuzz.QueryFuzz
 /**
  * Differential query-fuzz gate (SURVEY.md §2.5): the engine's own
  * randgen heritage applied to itself. A fixed-seed
- * [[graft.fuzz.QueryFuzz]] battery — twenty-eight grammar shapes
+ * [[graft.fuzz.QueryFuzz]] battery — twenty-nine grammar shapes
  * (scan+filter, FK join, group-agg, CASE bucketing, UNION ALL,
  * IN-subquery, 3-way chain join, scalar subquery, LEFT join, window
  * rank, correlated EXISTS, global multi-aggregate, string functions,

@@ -590,6 +590,25 @@ object SimilarityQueries {
       Similarity.ivfSq8TopK(corpus, qs, 5, centroids, IvfNprobe, Sq8Refine)
         .withColumnRenamed("rank", "rnk")
     },
+    // The matryoshka layout MATERIALIZED: corpus written as
+    // (id, prefix, vec) parquet, coarse pass scanning ONLY the narrow
+    // prefix column (ReadSchema pruning spec-asserted — the Dim/MatPdim
+    // IO cut made real), refine reading vectors for shortlist rows.
+    // Same rows as sim_matryoshka_topk; same oracle verbatim.
+    "io_matryoshka_prefix" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val staged = s"${Staging.freshStateRoot("graft_matprefix")}/layout"
+      e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"),
+          slice(col("embedding"), 1, MatPdim).as("prefix"),
+          col("embedding").as("vec"))
+        .write.mode("overwrite").parquet(staged)
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.matryoshkaTopKFromPrefix(s.read.parquet(staged), qs,
+          MatPdim, 5, MatRefine)
+        .withColumnRenamed("rank", "rnk")
+    },
     // Matryoshka prefix-dim serving: coarse-rank on the first MatPdim
     // dims' cosine (at rest the prefix is its own narrow column — a
     // Dim/MatPdim scan-IO cut), exact full-dim re-rank of the shortlist.
@@ -796,6 +815,26 @@ object SimilarityQueries {
        |SELECT asg.id, asg.cid, nb.dup_of IS NULL AS kept,
        |  nb.dup_of AS dup_of
        |FROM asg LEFT JOIN nb ON asg.id = nb.id""".stripMargin
+
+  /** Matryoshka replay — shared by the in-memory gate and the
+    * stored-prefix-column layout gate (same rows by construction). */
+  private lazy val duckMatryoshkaSql: String =
+    s"""WITH csrc AS (SELECT vec_id AS id, embedding AS v
+       |  FROM embeddings WHERE vec_id >= 20),
+       |qsrc AS (SELECT vec_id AS qid, embedding AS qv
+       |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+       |est AS (SELECT qid, id, ${duckCos("qv", "v", MatPdim)} AS est
+       |  FROM qsrc, csrc),
+       |short AS (SELECT qid, id FROM (
+       |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY est DESC, id) AS rn FROM est) t WHERE rn <= $MatRefine),
+       |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
+       |       FROM short s JOIN qsrc q ON s.qid = q.qid
+       |                    JOIN csrc c ON s.id = c.id),
+       |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY score DESC, id) AS rn FROM sc)
+       |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+       |FROM r WHERE rn <= 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "sim_pq_adc" -> duckPqOracle,
@@ -1212,24 +1251,11 @@ object SimilarityQueries {
          |FROM r WHERE rn <= 5""".stripMargin,
     // Matryoshka replay: prefix cosine = the same sequential fold over
     // only the first MatPdim indexes (duckCos at dim=MatPdim), shortlist
-    // trim, exact full-dim re-rank.
-    "sim_matryoshka_topk" ->
-      s"""WITH csrc AS (SELECT vec_id AS id, embedding AS v
-         |  FROM embeddings WHERE vec_id >= 20),
-         |qsrc AS (SELECT vec_id AS qid, embedding AS qv
-         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
-         |est AS (SELECT qid, id, ${duckCos("qv", "v", MatPdim)} AS est
-         |  FROM qsrc, csrc),
-         |short AS (SELECT qid, id FROM (
-         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
-         |    ORDER BY est DESC, id) AS rn FROM est) t WHERE rn <= $MatRefine),
-         |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
-         |       FROM short s JOIN qsrc q ON s.qid = q.qid
-         |                    JOIN csrc c ON s.id = c.id),
-         |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
-         |        ORDER BY score DESC, id) AS rn FROM sc)
-         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
-         |FROM r WHERE rn <= 5""".stripMargin,
+    // trim, exact full-dim re-rank. The stored-prefix-column gate is the
+    // SAME computation over a materialized (id, prefix, vec) layout, so
+    // it shares this replay verbatim.
+    "sim_matryoshka_topk" -> duckMatryoshkaSql,
+    "io_matryoshka_prefix" -> duckMatryoshkaSql,
     "sim_hard_negatives_lsh" ->
       s"""WITH $duckCodesCte,
          |cand AS (SELECT DISTINCT qc.vec_id AS qid, cc.vec_id AS id

@@ -51,8 +51,9 @@ class PlanAuditSpec extends GraftSuite {
     // The SQ8/Matryoshka coarse passes broadcast the 4-row query set
     // across the corpus codes (corpus x 4 — the flat-scan serving shape;
     // compose with IVF lists for a coarse index); the refine joins are
-    // equi-joins on the shortlist.
-    "sim_sq8_topk", "sim_matryoshka_topk",
+    // equi-joins on the shortlist. The stored-prefix layout gate is the
+    // same coarse pass over the materialized narrow column.
+    "sim_sq8_topk", "sim_matryoshka_topk", "io_matryoshka_prefix",
     // The dense half is bruteForceTopK with ONE broadcast query row
     // (corpus x 1); swap in ivfTopK/lshTopK at corpus scale — the
     // fusion/re-rank tails are list-bounded either way. The rag

@@ -156,6 +156,34 @@ class Sq8MatryoshkaSpec extends GraftSuite {
     }
   }
 
+  test("stored-prefix layout: equals the in-memory operator bit-for-bit, " +
+      "and the coarse scan PRUNES the vector column") {
+    val root = java.nio.file.Files.createTempDirectory("graft_matprefix")
+    val staged = root.resolve("layout").toString
+    corpus.select(col("id"), slice(col("vec"), 1, 32).as("prefix"),
+        col("vec"))
+      .write.mode("overwrite").parquet(staged)
+    val stored = spark.read.parquet(staged)
+    val viaLayout = Similarity.matryoshkaTopKFromPrefix(stored, queries,
+      32, 5, 12)
+    val got = viaLayout.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val direct = Similarity.matryoshkaTopK(corpus, queries, 32, 5, 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == direct,
+      "the materialized layout must reproduce the in-memory ranking")
+    // The whole point of the layout: the coarse pass's parquet scan reads
+    // (id, prefix) ONLY — a scan that drags the full vectors along would
+    // erase the dim/pdim IO cut.
+    val reads = viaLayout.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(l => l.contains("prefix") && !l.contains("vec:")),
+      s"no vector-pruned coarse scan found:\n${reads.mkString("\n")}")
+  }
+
   test("ranks are 1..k per query and scores descend") {
     val rows = Similarity.sq8TopK(corpus, queries, 5, 12).collect()
     assert(rows.length == queries.count().toInt * 5)
