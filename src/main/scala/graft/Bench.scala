@@ -142,7 +142,24 @@ object Bench {
     // End-of-board probe: calib_end_s >> calib_s flags contention that
     // arrived while the board ran (invisible to the start probe).
     val calibEnd = calibProbe()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":${f"$calibS%.4f"},"calib_end_s":${f"$calibEnd%.4f"},"queries":$qs,"runs":$raw,"n_runs":$nRuns,"sf":"$sfDir","load":$load}""")
+    // Evidence interface, hardened (r16): the stdout line is COMPACT —
+    // the driver's tail-capture truncated the ~20 KB per-gate line two
+    // rounds running (BENCH_r14/r15 both landed `parsed: null`, turning
+    // a 303/303-green round into an empty artifact). The per-gate map is
+    // the real signal, so it goes to FILES: `bench/` (committed — the
+    // durable copy; `target/` is cleaned between rounds) plus a `target/`
+    // disk copy. `detail` on the compact line points at the full JSON so
+    // the two can never silently diverge.
+    val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "latest")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","n_gates":${results.size},"calib_s":${f"$calibS%.4f"},"calib_end_s":${f"$calibEnd%.4f"},"queries":$qs,"runs":$raw,"n_runs":$nRuns,"sf":"$sfDir","load":$load}"""
+    val detail = s"bench/bench_full_$tag.json"
+    for (p <- Seq(detail, s"target/bench_full_$tag.json")) {
+      val f = new java.io.File(p)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f)
+      try w.println(fullJson) finally w.close()
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_gates":${results.size},"calib_s":${f"$calibS%.4f"},"calib_end_s":${f"$calibEnd%.4f"},"n_runs":$nRuns,"sf":"$sfDir","load":$load,"detail":"$detail"}""")
     spark.stop()
   }
 }

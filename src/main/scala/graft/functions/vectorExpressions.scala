@@ -65,7 +65,15 @@ case class FloatVecDot(left: Expression, right: Expression)
   * code columns (the SQ8 scoring hot loop). Pure integer arithmetic, so the
   * result is order-independent and trivially engine-replayable: int8-range
   * codes (|q| <= 127) cannot overflow a Long below ~5.7e14 dimensions.
-  * Length mismatch folds over the shorter prefix, like FloatVecDot. */
+  * Length mismatch folds over the shorter prefix, like FloatVecDot.
+  *
+  * CONTRACT — quantized-CODE columns only. The no-overflow claim is the
+  * int8 bound above; the expression itself accepts any `array<int>`, and
+  * two Int.MaxValue-scale entries overflow the Long accumulator after ~4
+  * elements, silently wrapping (no Math.addExact in the hot loop — the
+  * codegen body must stay a bare multiply-add to vectorize). Every
+  * in-repo caller feeds `quantizeInt8` output; route any general-integer
+  * dot through a widening cast + FloatVecDot-style double fold instead. */
 case class IntVecDotLong(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 

@@ -143,7 +143,7 @@ object QueryFuzz {
     "setop_all", "range_frame", "lateral_fanout", "decimal_arith",
     "agg_filter", "full_outer", "cte_reuse", "limit_offset",
     "null_order", "mod_floor_div", "ts_interval", "anti_null", "try_cast",
-    "greatest_least")
+    "greatest_least", "distinct_agg_filter")
 
   case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 30)
 
@@ -214,7 +214,7 @@ object QueryFuzz {
 
   private val Prime = 1000003L
   private val FoldPrime = 67108859L // < 2^26: SUM overflows only past ~1.4e11 rows
-  private val weights = Seq(31L, 131L, 257L, 1021L, 8191L)
+  private val weights = Seq(31L, 131L, 257L, 1021L, 8191L, 65537L)
 
   /** A portable per-value integer hash, bounded < [[Prime]]. */
   private def hashExpr(alias: String, t: CType): String = t match {
@@ -759,7 +759,7 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
           ps.map { case (c, a) => (a, c.t) } ++
             Seq(("c2", TLong), ("c3", TLong), ("c4", TTs)))
-      case _ => // GREATEST/LEAST null-skip semantics: BOTH engines skip
+      case 28 => // GREATEST/LEAST null-skip semantics: BOTH engines skip
         // NULL arguments (result is NULL only when EVERY argument is —
         // engine-verified this round, including binary string collation
         // 'a' > 'B' and BIGINT/DECIMAL coercion), which is exactly the
@@ -787,6 +787,41 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
           ps.map { case (c, a) => (a, c.t) } ++
             Seq(("c2", TLong), ("c3", TLong), ("c4", TLong)))
+      case _ => // DISTINCT aggregates x FILTER clauses — the planner path
+        // where Spark rewrites MULTIPLE distinct aggregates through an
+        // Expand (one projection per distinct group) and FILTER
+        // predicates must apply BEFORE the dedup inside each group; a
+        // wrong filter placement (post-dedup), a dropped null inside
+        // COUNT(DISTINCT ...) (nulls never count, on both engines), or a
+        // mishandled NULL GROUP KEY (one group, standard GROUP BY) each
+        // flip the digest. All five aggregates engine-verified identical
+        // this round, including the NULLIF-manufactured null group and
+        // nulls inside the distinct set. DELIBERATELY EXCLUDED:
+        // SUM/AVG(DISTINCT <double>) — the distinct set's float sum is
+        // still accumulation-order-dependent, the same exclusion rule as
+        // every other float-sum shape; integral DISTINCT sums are exact.
+        val t = r.choose(allTables)
+        val gm = 3 + r.nextInt(4)
+        val gb = r.nextInt(gm)
+        val m1 = 5 + r.nextInt(7)
+        val m2 = 7 + r.nextInt(9)
+        val m3 = 5 + r.nextInt(8)
+        val b3 = r.nextInt(3)
+        val m4 = 4 + r.nextInt(5)
+        val b4 = r.nextInt(m4)
+        val gkey = s"NULLIF(${t.key} % $gm, $gb)"
+        (s"SELECT $gkey AS g," +
+          s"\n  COUNT(*) AS c1," +
+          s"\n  COUNT(DISTINCT ${t.key} % $m1) AS c2," +
+          s"\n  COUNT(DISTINCT ${t.key} % $m2)" +
+          s" FILTER (WHERE ${pred(t, r)}) AS c3," +
+          s"\n  SUM(DISTINCT ${t.key} % $m3)" +
+          s" FILTER (WHERE (${t.key} % 3) = $b3) AS c4," +
+          s"\n  COUNT(DISTINCT NULLIF(${t.key} % $m4, $b4)) AS c5" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}" +
+          s"\nGROUP BY $gkey",
+          Seq(("g", TLong), ("c1", TLong), ("c2", TLong), ("c3", TLong),
+            ("c4", TLong), ("c5", TLong)))
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

@@ -80,14 +80,24 @@ object Decontaminate {
     require(den > 0 && num >= 0, s"threshold $num/$den must be non-negative")
     require(expectedGrams >= 0 && fpp > 0 && fpp < 1,
       s"bad bloom sizing: grams=$expectedGrams fpp=$fpp")
+    // The distinct eval-gram plan is used three times (auto-size count,
+    // Bloom build, exact semi-join build side) and the operator's own
+    // premise is that the eval set grows as benchmarks accumulate —
+    // persist across the two EAGER uses so the shingle+distinct runs
+    // once, and release before returning (the lazy semi-join side
+    // recomputes one eval-sized scan at caller-execution time; holding
+    // the cache hostage to an unknown caller lifetime is the worse
+    // trade in a long-running pipeline).
     val evalGrams = evalSet
       .select(explode(wordShingles(col(textCol), k)).as("gram"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizedGrams =
       if (expectedGrams > 0) expectedGrams
       else math.max(evalGrams.count(), 1024L)
     val bf = evalGrams.withColumn("h", xxhash64(col("gram")))
       .stat.bloomFilter("h", sizedGrams, fpp)
+    evalGrams.unpersist(false)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
     val bytes = out.toByteArray

@@ -1149,15 +1149,15 @@ object Similarity {
     * — ((p0 + p1) + p2) + …), keeping the doubles engine-replayable.
     * Returns (qid, id, est). */
   private def adcEstimate(codeRows: DataFrame, lut: DataFrame, m: Int,
-      joinKeys: Seq[String]): DataFrame = {
+      joinKeys: Seq[String], extraGroup: Seq[String] = Nil): DataFrame = {
     val slots = (0 until m).map(mi =>
       max(when(col("m") === mi.toLong, col("p"))).as(s"__p$mi"))
     val est = (0 until m).map(mi => col(s"__p$mi")).reduce(_ + _)
     codeRows.join(broadcast(lut), joinKeys)
-      .groupBy("qid", "id")
+      .groupBy("qid", (Seq("id") ++ extraGroup): _*)
       .agg(slots.head, slots.tail: _*)
       .withColumn("est", est)
-      .select("qid", "id", "est")
+      .select("qid", (Seq("id") ++ extraGroup :+ "est"): _*)
   }
 
   /**
@@ -1242,6 +1242,59 @@ object Similarity {
       k, "est")
 
   /**
+   * [[probePqIndex]] over a GENERATIONAL index: list rows carry a `bv`
+   * codebook-generation tag and each generation has its own codebooks —
+   * the layout [[graft.streaming.EmbeddingIndexStream.incrementalIvfPqWithRebuild]]
+   * maintains, where a scheduled rebuild retrains codebooks for FUTURE
+   * arrivals but old rows keep the codes (and books) that encoded them.
+   * Why generations instead of re-encoding: a codes-only re-encode
+   * DOUBLE-quantizes every old row (decode with gen-g books, re-encode
+   * with gen-g+1), and on the drift fixture that measurably LOSES recall
+   * — 468/640 re-encoded vs 490/640 re-keyed-codes-kept at refine 150
+   * (RebuildSweep, r16). The probe just keys the broadcast ADC LUT by
+   * (bv, m, cid): one tiny LUT per generation, same single code-row scan.
+   *
+   * RANKING CONTRACT — top-k PER (query, GENERATION), not per query: ADC
+   * estimates are calibrated only WITHIN a codebook generation. Across
+   * generations they are incommensurable — books trained after drift
+   * reconstruct the drifted mass more faithfully, so their rows' dot
+   * estimates systematically beat older generations' for the same true
+   * similarity, and a shared shortlist starves the old rows (measured on
+   * the drift fixture: a cross-generation 150-deep shortlist gave gen-0
+   * rows 1966 of 9600 slots and 45% hit rate vs gen-1's 91% —
+   * RebuildSweep r16 diag). Callers exact-re-rank the union, paying
+   * k x generations candidates per query; the rebuild cadence bounds the
+   * generation count. Returns (qid, id, bv, rank, est) with rank within
+   * (qid, bv).
+   */
+  def probePqIndexVersioned(lists: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])],
+      booksByVersion: Seq[(Long, Seq[Seq[(Long, Array[Float])]])],
+      subDim: Int, nprobe: Int): DataFrame = {
+    require(booksByVersion.nonEmpty, "probePqIndexVersioned: no codebooks")
+    val m = booksByVersion.head._2.length
+    require(booksByVersion.forall(_._2.length == m),
+      "probePqIndexVersioned: all generations must share the subspace count")
+    val lut = booksByVersion.map { case (bv, books) =>
+      adcLut(queries, books, subDim).withColumn("bv", lit(bv))
+    }.reduce(_ unionByName _)
+    val cand = ivfProbes(queries.select(col("qid"), col("qvec")), "qid",
+        "qvec", centroids, nprobe)
+      .join(lists, "cid")
+      .select(col("qid"), col("id"), col("bv"), col("m"),
+        col("code").as("cid"))
+    val est = adcEstimate(cand, lut, m, Seq("qid", "bv", "m", "cid"),
+      extraGroup = Seq("bv"))
+    val trimmed = TopK.perKey(est, Seq(col("qid"), col("bv")),
+      Seq(col("est").desc, col("id")), k)
+    val w = Window.partitionBy("qid", "bv")
+      .orderBy(col("est").desc, col("id"))
+    trimmed.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("qid"), col("id"), col("bv"), col("rank"),
+        round(col("est"), 6).as("est"))
+  }
+
+  /**
    * IVF x PQ top-k with exact refinement: ADC-rank the probed lists'
    * code rows, shortlist the top `refine` candidates per query (heap
    * top-k, map-side trim), then exact-cosine re-rank ONLY the shortlist
@@ -1305,7 +1358,20 @@ object Similarity {
         s"got pdim=$pdim k=$k refine=$refine")
     val qp = queries.select(col("qid"),
       slice(col("qvec"), 1, pdim).as("qprefix"))
-    val coarse = stored.select(col("id"), col("prefix"))
+    // Fail fast on a layout/pdim mismatch: the dot folds over
+    // min(len(qprefix), len(prefix)) while the query-side norm uses all
+    // pdim elements, so a layout materialized at a DIFFERENT pdim would
+    // silently score a non-cosine and degrade recall with no error —
+    // breaking the bit-identity-to-matryoshkaTopK contract above. The
+    // per-row size check is one codegen comparison on a column the
+    // coarse pass already reads.
+    val coarse = stored.select(col("id"),
+        when(size(col("prefix")) === lit(pdim), col("prefix"))
+          .otherwise(raise_error(concat(
+            lit(s"matryoshkaTopKFromPrefix: stored prefix length "),
+            size(col("prefix")).cast("string"),
+            lit(s" != pdim $pdim - layout was materialized at a " +
+              "different prefix dimension")))).as("prefix"))
       .crossJoin(broadcast(qp))
       .withColumn("est", VectorOps.cosine(col("qprefix"), col("prefix")))
       .select(col("qid"), col("id"), col("est"))
@@ -1317,6 +1383,90 @@ object Similarity {
         "qid")
       .join(stored.select(col("id"), col("vec"))
         .withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    rankTopKPerQuery(scored, k, "score")
+  }
+
+  // ---- IVF x Matryoshka composed index ------------------------------------
+
+  /**
+   * IVF x Matryoshka inverted lists: (cid, id, prefix) rows — the coarse
+   * index composed with the prefix-serving payload, filling the
+   * {IVF}x{prefix} cell of the serving matrix ({raw, PQ, SQ8, prefix}
+   * each have their composed form now). List entries carry only the
+   * first `pdim` dimensions (a dim/pdim cut in list bytes, the same
+   * lever as the at-rest prefix column of [[matryoshkaTopKFromPrefix]]);
+   * full vectors stay in corpus storage until the final refine. One
+   * narrow codegen projection per vector, no shuffle; at rest bucket by
+   * `cid` like the other list layouts.
+   *
+   * `hierWprobe` is the same two-level coarse-pick dial as the PQ/SQ8
+   * twins (bit-identical at w >= the group count).
+   */
+  def ivfMatryoshkaAssignments(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])], pdim: Int,
+      hierWprobe: Option[Int] = None): DataFrame = {
+    require(pdim > 0, s"ivfMatryoshkaAssignments: pdim > 0, got $pdim")
+    val cid = hierWprobe match {
+      case Some(w) =>
+        element_at(probeCidsHier(col(vecCol), centroids, 1, w), 1)
+      case None => nearestCid(col(vecCol), centroids)
+    }
+    vecs.select(cid.as("cid"), col(idCol).as("id"),
+      slice(col(vecCol), 1, pdim).as("prefix"))
+  }
+
+  /**
+   * Query top-k against a MATERIALIZED IVF x Matryoshka index
+   * ([[ivfMatryoshkaAssignments]] rows): probe `nprobe` lists, rank
+   * candidates by prefix cosine — [[matryoshkaTopKFromPrefix]]'s
+   * arithmetic (stored-prefix dot vs the query's sliced prefix, both
+   * sides' norms over exactly pdim elements) applied to probed-list
+   * candidates only. No full vector is touched. Returns
+   * (qid, id, rank, est).
+   */
+  def probeMatryoshkaIndex(lists: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], pdim: Int,
+      nprobe: Int): DataFrame = {
+    val qp = queries.select(col("qid"),
+      slice(col("qvec"), 1, pdim).as("qprefix"))
+    val cand = ivfProbes(queries.select(col("qid"), col("qvec")), "qid",
+        "qvec", centroids, nprobe)
+      .join(lists, "cid")
+      .join(broadcast(qp), "qid")
+      .withColumn("est", VectorOps.cosine(col("qprefix"), col("prefix")))
+      .select(col("qid"), col("id"), col("est"))
+    rankTopKPerQuery(cand, k, "est")
+  }
+
+  /**
+   * IVF x Matryoshka top-k with exact refinement: prefix-cosine-rank the
+   * probed lists' entries, shortlist `refine` per query, exact full-dim
+   * cosine re-rank only those — [[ivfSq8TopK]]'s dataflow with the
+   * prefix payload. Same nonzero-norm precondition (on prefixes too: an
+   * all-zero prefix nulls its coarse estimate); same bucketed-corpus
+   * refine advice.
+   *
+   * Exactness dial: at equal (centroids, nprobe) the candidate pool is
+   * [[ivfTopK]]'s, so once `refine` covers the pool the output is
+   * BIT-IDENTICAL to [[ivfTopK]] (Sq8MatryoshkaSpec pins it); below
+   * that, recall degrades only through prefix-vs-full rank disagreement
+   * inside the pool — the matryoshka training objective's own promise.
+   */
+  def ivfMatryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], pdim: Int, nprobe: Int,
+      refine: Int): DataFrame = {
+    require(refine >= k, s"ivfMatryoshkaTopK: refine ($refine) must be >= k ($k)")
+    val lists = ivfMatryoshkaAssignments(corpus.select(col("id"), col("vec")),
+      "id", "vec", centroids, pdim)
+    val shortlist = probeMatryoshkaIndex(lists, queries, refine, centroids,
+        pdim, nprobe)
+      .select("qid", "id")
+    val scored = shortlist
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
       .withColumn("score",
         VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
     rankTopKPerQuery(scored, k, "score")

@@ -21,7 +21,7 @@ import graft.fuzz.QueryFuzz
  * DEFAULT null placement differs, so explicit placement is the
  * portable spelling this battery pins) × dialect-portable predicates —
  * reduces every query to (qid, n_rows, digest), and the SAME SQL text
- * is the DuckDB oracle, so the gate IS a 28-query cross-engine
+ * is the DuckDB oracle, so the gate IS a 30-query cross-engine
  * differential test: any divergence in predicate, join, aggregate,
  * window, null, string, timestamp, or numeric semantics fails the
  * hash match on a named qid.

@@ -35,6 +35,10 @@ object SimilarityQueries {
   // so the gate dials half the dims + a 64-deep refine: recall@5 0.84.
   private val MatPdim = 32
   private val MatRefine = 64
+  // The IVF-composed prefix serving probes nprobe/KmK of the corpus, so
+  // the shortlist is trimmed within the probed pool — 16-deep covers
+  // k=5 with the same slack ratio the flat gate's 64-of-480 gives.
+  private val MatIvfRefine = 16
   private val MmrK = 8
   private val MmrLambda = 0.7
 
@@ -399,6 +403,133 @@ object SimilarityQueries {
           hitsReb >= hitsStale + 60L))
         .toDF("n_truth", "stale_degraded", "rebuilt_recovers", "margin_ok")
     },
+    // SCHEDULED REBUILD FOR THE COMPRESSED (SQ8) FOLD: the drift fixture
+    // of stream_ivf_rebuild_inline, but the state the rebuild retrains
+    // from is CODES ONLY — (cid, id, code, cmax) rows dequantized back
+    // to ~7.9-bit reconstructions; raw vectors are never re-read. The
+    // re-key keeps the payload untouched (SQ8 codes are
+    // centroid-independent), so only list structure changes. Baseline
+    // twin: the never-rebuilt batch-independent stale assignment. Same
+    // boolean-witness convention (partition-seeded generator => wide
+    // margins, n_truth pinned); recall via the pure integer-dot probe —
+    // SQ8 estimates are near-exact, so no refine stage is needed to see
+    // the coarse recovery. Margins measured under local[32] and
+    // local[4]: stale 409/403, rebuilt 589/611 of 640.
+    "stream_ivfsq8_rebuild" -> { (s, dir) =>
+      import s.implicits._
+      val dim = 32
+      val hist = graft.operators.SyntheticEmbeddings
+        .clustered(s, 2048L, 8, dim, 1205L, 0.5)
+        .select(col("id"), col("embedding").as("vec"))
+      val driftAll = graft.operators.SyntheticEmbeddings
+        .clustered(s, 2112L, 8, dim, 7702L, 0.5)
+      val driftFold = driftAll.where(col("id") < 2048)
+        .select((col("id") + 10000L).as("id"), col("embedding").as("vec"))
+      val queries = driftAll.where(col("id") >= 2048)
+        .select(col("id").as("qid"), col("embedding").as("qvec"))
+      val days = Seq(
+        driftFold.where(col("id") < 10512),
+        driftFold.where(col("id") >= 10512 && col("id") < 11024),
+        driftFold.where(col("id") >= 11024 && col("id") < 11536),
+        driftFold.where(col("id") >= 11536))
+      val logDir = Staging.batchLog("sivfrebi", dir, "day", days)
+      val stale = Similarity.trainKMeans(
+        hist.where(col("id") % 4 === 0), "id", "vec", 8, dim, KmIters)
+      val (reb, rebLists) = graft.streaming.EmbeddingIndexStream
+        .incrementalIvfSq8WithRebuild(s, hist, logDir, days.head.schema,
+          s"${Staging.freshStateRoot("graft_sq8rebi")}/state", "id", "vec",
+          stale, rebuildEvery = 2, rebuildK = _ => 16, dim = dim,
+          iters = KmIters)
+      val rebCached = rebLists.cache()
+      val corpus = hist.unionByName(driftFold)
+      val staleLists = Similarity.ivfSq8Assignments(
+        corpus, "id", "vec", stale).cache()
+      val truth = Similarity.bruteForceTopK(corpus, queries, 10)
+        .select("qid", "id").cache()
+      val nTruth = truth.count()
+      val hitsStale = Similarity.probeSq8Index(staleLists, queries, 10,
+        stale, 1).select("qid", "id").intersect(truth).count()
+      val hitsReb = Similarity.probeSq8Index(rebCached, queries, 10,
+        reb, 1).select("qid", "id").intersect(truth).count()
+      Seq((nTruth, hitsStale <= 480L, hitsReb >= 540L,
+          hitsReb >= hitsStale + 60L))
+        .toDF("n_truth", "stale_degraded", "rebuilt_recovers", "margin_ok")
+    },
+    // SCHEDULED REBUILD FOR THE COMPRESSED (PQ) FOLD, GENERATIONAL: same
+    // drift fixture; the rebuild reconstructs indexed vectors from their
+    // codes, retrains the coarse quantizer on the reconstruction sample,
+    // RE-KEYS all rows with codes kept (a re-encode double-quantizes and
+    // measurably loses recall — 468 vs 490/640 at refine 150,
+    // RebuildSweep r16), and opens a new codebook generation for future
+    // arrivals; probes pay one broadcast LUT per generation and
+    // shortlist PER GENERATION (ADC estimates are incommensurable
+    // across codebook generations — probePqIndexVersioned's ranking
+    // contract, measured in RebuildSweep's r16 diag). Recall is
+    // measured on the SERVED path (ADC shortlist depth 150 per
+    // generation, exact re-rank top-10 against corpus storage —
+    // ivfPqTopK's dataflow), which isolates the coarse drift the
+    // rebuild targets from the 2-bit/dim payload noise that dominates
+    // a pure-ADC k=10 probe. Margins measured under local[32] and
+    // local[4]: stale 379/386, rebuilt 579/601 of 640.
+    "stream_ivfpq_rebuild" -> { (s, dir) =>
+      import s.implicits._
+      val dim = 32
+      val subDim = 2
+      val m = dim / subDim
+      val hist = graft.operators.SyntheticEmbeddings
+        .clustered(s, 2048L, 8, dim, 1205L, 0.5)
+        .select(col("id"), col("embedding").as("vec"))
+      val driftAll = graft.operators.SyntheticEmbeddings
+        .clustered(s, 2112L, 8, dim, 7702L, 0.5)
+      val driftFold = driftAll.where(col("id") < 2048)
+        .select((col("id") + 10000L).as("id"), col("embedding").as("vec"))
+      val queries = driftAll.where(col("id") >= 2048)
+        .select(col("id").as("qid"), col("embedding").as("qvec"))
+      val days = Seq(
+        driftFold.where(col("id") < 10512),
+        driftFold.where(col("id") >= 10512 && col("id") < 11024),
+        driftFold.where(col("id") >= 11024 && col("id") < 11536),
+        driftFold.where(col("id") >= 11536))
+      val logDir = Staging.batchLog("sivfrebi", dir, "day", days)
+      val histTrain = hist.where(col("id") % 4 === 0)
+      val stale = Similarity.trainKMeans(histTrain, "id", "vec", 8, dim,
+        KmIters)
+      val staleBooks = Similarity.trainPQ(histTrain, "id", "vec", m,
+        subDim, PqK, 2)
+      val (reb, rebGens, rebLists) = graft.streaming.EmbeddingIndexStream
+        .incrementalIvfPqWithRebuild(s, hist, logDir, days.head.schema,
+          s"${Staging.freshStateRoot("graft_pqrebi")}/state", "id", "vec",
+          stale, staleBooks, subDim, rebuildEvery = 2, rebuildK = _ => 16,
+          dim = dim, iters = KmIters, pqK = PqK, pqIters = 2)
+      val rebCached = rebLists.cache()
+      val corpus = hist.unionByName(driftFold)
+      val staleLists = Similarity.ivfPqAssignments(
+        corpus, "id", "vec", stale, staleBooks, subDim).cache()
+      val truth = Similarity.bruteForceTopK(corpus, queries, 10)
+        .select("qid", "id").cache()
+      val nTruth = truth.count()
+      val vo = graft.operators.VectorOps
+      def servedHits(shortlist: DataFrame): Long = shortlist
+        .join(broadcast(queries.withColumn("qnrm", vo.norm(col("qvec")))),
+          "qid")
+        .join(corpus.withColumn("nrm", vo.norm(col("vec"))), "id")
+        .withColumn("score",
+          vo.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("score").desc, col("id"))))
+        .where(col("rnk") <= 10)
+        .select("qid", "id").intersect(truth).count()
+      val hitsStale = servedHits(
+        Similarity.probePqIndex(staleLists, queries, 150, stale,
+          staleBooks, subDim, 1).select("qid", "id"))
+      val hitsReb = servedHits(
+        Similarity.probePqIndexVersioned(rebCached, queries, 150, reb,
+          rebGens, subDim, 1).select("qid", "id"))
+      Seq((nTruth, hitsStale <= 450L, hitsReb >= 520L,
+          hitsReb >= hitsStale + 100L))
+        .toDF("n_truth", "stale_degraded", "rebuilt_recovers", "margin_ok")
+    },
     // Product quantization + asymmetric-distance top-k: 32 codebooks of
     // 16 entries trained per 2-dim subspace (deterministic Lloyd with
     // MINIMUM-L2 assignment — the PQ objective — on the same 1-in-4
@@ -619,6 +750,25 @@ object SimilarityQueries {
       val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.matryoshkaTopK(corpus, qs, MatPdim, 5, MatRefine)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // IVF x Matryoshka composed: coarse k-means lists carry the PREFIX
+    // (first MatPdim dims — half the list bytes at this dial) instead of
+    // raw vectors; probes coarse-rank candidates by prefix cosine, the
+    // shortlist gets one exact full-dim re-rank — the {IVF}x{prefix}
+    // cell of the serving matrix. The oracle replays the training, the
+    // list assignment, the probe, the prefix-cosine estimate, the
+    // shortlist trim, and the re-rank.
+    "sim_ivf_matryoshka_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centroids = Similarity.trainKMeans(
+        corpus.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
+      Similarity.ivfMatryoshkaTopK(corpus, qs, 5, centroids, MatPdim,
+          IvfNprobe, MatIvfRefine)
         .withColumnRenamed("rank", "rnk")
     },
   )
@@ -1011,6 +1161,18 @@ object SimilarityQueries {
       """SELECT CAST(640 AS BIGINT) AS n_truth,
         |  TRUE AS stale_degraded, TRUE AS rebuilt_recovers,
         |  TRUE AS margin_ok""".stripMargin,
+    // Same drift fixture; the rebuild retrains from SQ8 codes only
+    // (dequantized reconstructions), payload untouched.
+    "stream_ivfsq8_rebuild" ->
+      """SELECT CAST(640 AS BIGINT) AS n_truth,
+        |  TRUE AS stale_degraded, TRUE AS rebuilt_recovers,
+        |  TRUE AS margin_ok""".stripMargin,
+    // Same drift fixture; the rebuild retrains quantizer + codebooks
+    // from PQ reconstructions and re-encodes the index.
+    "stream_ivfpq_rebuild" ->
+      """SELECT CAST(640 AS BIGINT) AS n_truth,
+        |  TRUE AS stale_degraded, TRUE AS rebuilt_recovers,
+        |  TRUE AS margin_ok""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
          |  FROM embeddings WHERE vec_id >= 20),
@@ -1256,6 +1418,43 @@ object SimilarityQueries {
     // it shares this replay verbatim.
     "sim_matryoshka_topk" -> duckMatryoshkaSql,
     "io_matryoshka_prefix" -> duckMatryoshkaSql,
+    // IVF x Matryoshka replay: unrolled Lloyd training, nearest-centroid
+    // list assignment, nprobe probe, the prefix cosine (duckCos truncated
+    // at MatPdim — norms over exactly pdim elements on both sides) over
+    // probed candidates only, shortlist trim, exact full-dim re-rank.
+    "sim_ivf_matryoshka_topk" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |clists AS (SELECT id, v, ccid FROM (
+         |  SELECT c.id, c.v, ct.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY c.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
+         |  FROM corp c, cent ct) t WHERE rn = 1),
+         |probes AS (SELECT qid, ccid FROM (
+         |  SELECT qs.qid, cent.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t WHERE rn <= $IvfNprobe),
+         |est AS (SELECT p.qid, cl.id,
+         |    ${duckCos("q.qv", "cl.v", MatPdim)} AS est
+         |  FROM probes p JOIN clists cl ON cl.ccid = p.ccid
+         |                JOIN qs q ON q.qid = p.qid),
+         |short AS (SELECT qid, id FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY est DESC, id) AS rn FROM est) t
+         |  WHERE rn <= $MatIvfRefine),
+         |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
+         |       FROM short s JOIN qs q ON s.qid = q.qid
+         |                    JOIN corp c ON s.id = c.id),
+         |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
     "sim_hard_negatives_lsh" ->
       s"""WITH $duckCodesCte,
          |cand AS (SELECT DISTINCT qc.vec_id AS qid, cc.vec_id AS id

@@ -128,6 +128,61 @@ object TextEventsQueries {
         Seq(graft.operators.Retrieval.asRankList(sparse, "id", "score"),
           dense), 60, 20)
     },
+    // STREAMING hybrid retrieval SERVED FROM THE COMPRESSED FOLD — the
+    // r15 family's whole point made end-to-end: identical chain to
+    // stream_hybrid_rrf, but the dense half's accumulated state is the
+    // IVF x SQ8 fold ((cid, id, code, cmax) — 4x smaller lists, no raw
+    // vector in state), probed by the exact-integer-dot estimate
+    // (refine = 50), then exact-cosine re-ranked against the corpus
+    // before fusing. Proves the compressed index is drop-in on the
+    // serving path. Oracle: stream_hybrid_rrf's replay with the SQ8
+    // quantize/estimate/shortlist stage inserted before the re-rank.
+    "stream_hybrid_rrf_sq8" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = d.where(col("doc_id") < 100)
+      val days = Seq(
+        d.where(col("doc_id") >= 100 && col("doc_id") < 300),
+        d.where(col("doc_id") >= 300))
+      val logDir = Staging.batchLog("sbm25", dir, "day", days)
+      val postings = graft.streaming.RetrievalStream.incrementalPostings(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_shyb8_bm")}/state", "doc_id", "text")
+      val sparse = TextAnalysis.bm25FromPostings(postings,
+        Seq("spark", "window", "customer"), 50)
+        .select(col("doc_id").as("id"), col("score"))
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val ehist = corpus.where(col("id") < 200)
+      val edays = Seq(
+        corpus.where(col("id") >= 200 && col("id") < 350),
+        corpus.where(col("id") >= 350))
+      val elogDir = Staging.batchLog("sivf", dir, "day", edays)
+      val centroids = graft.operators.Similarity.trainKMeans(
+        ehist.where(col("id") % 4 === 0), "id", "vec",
+        SimilarityQueries.KmK, 64, SimilarityQueries.KmIters)
+      val lists = graft.streaming.EmbeddingIndexStream.incrementalIvfSq8(
+        s, ehist, elogDir, edays.head.schema,
+        s"${Staging.freshStateRoot("graft_shyb8_ivf")}/state", "id", "vec",
+        centroids)
+      val q = e.where(col("vec_id") === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vo = graft.operators.VectorOps
+      val short = graft.operators.Similarity.probeSq8Index(lists, q, 50,
+        centroids, 3).select("qid", "id")
+      val dense = short
+        .join(broadcast(q.withColumn("qnrm", vo.norm(col("qvec")))), "qid")
+        .join(corpus.withColumn("nrm", vo.norm(col("vec"))), "id")
+        .withColumn("score",
+          vo.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+        .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("id"))))
+        .where(col("rnk") <= 50)
+        .select("id", "rnk")
+      graft.operators.Retrieval.rrfFuse(
+        Seq(graft.operators.Retrieval.asRankList(sparse, "id", "score"),
+          dense), 60, 20)
+    },
     // RAG retrieval deployed END-TO-END: BM25 top-50 (sparse) + brute
     // cosine top-50 (dense, query = embedding 7) -> RRF fusion (k0=60,
     // top-20) -> MMR diversified re-rank (lambda 0.7, 8 picks, rel =
@@ -1457,6 +1512,86 @@ object TextEventsQueries {
          |cand AS (SELECT DISTINCT id FROM probes JOIN lists USING (cid)),
          |dsc AS (SELECT cand.id, ${duckCos("qv", "c.v")} AS score
          |  FROM cand JOIN corp c ON cand.id = c.id, q),
+         |dn AS (SELECT id, rnk FROM (
+         |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk
+         |  FROM dsc) t WHERE rnk <= 50),
+         |u AS (SELECT id, 1.0 / (60 + rnk) AS contrib FROM sp
+         |  UNION ALL SELECT id, 1.0 / (60 + rnk) FROM dn),
+         |fz AS (SELECT id, SUM(contrib) AS rrf, COUNT(*) AS n_lists
+         |  FROM u GROUP BY id),
+         |r AS (SELECT id, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rnk,
+         |    rrf, n_lists FROM fz)
+         |SELECT id, CAST(rnk AS BIGINT) AS rnk, round(rrf, 6) AS rrf,
+         |  CAST(n_lists AS BIGINT) AS n_lists
+         |FROM r WHERE rnk <= 20""".stripMargin
+    },
+    // Streaming hybrid from the COMPRESSED fold: stream_hybrid_rrf's
+    // replay with the SQ8 stage inserted in the dense half — probed
+    // candidates quantize on both sides (the sim_quantize_int8
+    // arithmetic verbatim), the exact-BIGINT dot's scaled estimate trims
+    // the 50-deep shortlist, and the exact cosine re-ranks ONLY the
+    // shortlist before the 1/(60+rank) fusion.
+    "stream_hybrid_rrf_sq8" -> {
+      val terms = Seq("spark", "window", "customer")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(", ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1) * tf$i * 2.2" +
+          s" / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+      import SimilarityQueries.{duckCos, duckKMeansCtes, KmK, KmIters}
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks)::DOUBLE AS dl, $tfs FROM t),
+         |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl, $dfs FROM f),
+         |sc AS (SELECT doc_id, round($score, 6) AS score FROM f, st),
+         |sp AS (SELECT doc_id AS id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, score FROM sc WHERE score > 0
+         |        ORDER BY score DESC, doc_id LIMIT 50) sp0),
+         |corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |train AS (SELECT id, v FROM corp WHERE id < 200 AND id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |lists AS (SELECT id, cid FROM (
+         |  SELECT corp.id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY corp.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
+         |  FROM corp, cent) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id = 7),
+         |probes AS (SELECT cid FROM (
+         |  SELECT cent.cid,
+         |    ROW_NUMBER() OVER (ORDER BY ${duckCos("qv", "cv")} DESC, cid)
+         |      AS rn
+         |  FROM q, cent) t WHERE rn <= 3),
+         |cand AS (SELECT DISTINCT id FROM probes JOIN lists USING (cid)),
+         |cm AS (SELECT c.id, c.v,
+         |    list_max(list_transform(c.v, x -> abs(x::DOUBLE))) AS cmax
+         |  FROM corp c JOIN cand ON cand.id = c.id),
+         |cc AS (SELECT id, cmax, list_transform(v,
+         |    x -> CAST(floor(x::DOUBLE * 127.0 / cmax + 0.5) AS BIGINT))
+         |    AS code FROM cm),
+         |qm AS (SELECT qid, qv,
+         |    list_max(list_transform(qv, x -> abs(x::DOUBLE))) AS qmax
+         |  FROM q),
+         |qc AS (SELECT qid, qmax, list_transform(qv,
+         |    x -> CAST(floor(x::DOUBLE * 127.0 / qmax + 0.5) AS BIGINT))
+         |    AS qcode FROM qm),
+         |est AS (SELECT cc.id,
+         |    (cc.cmax / 127.0) * (qc.qmax / 127.0) *
+         |    CAST(list_reduce(list_transform(range(64),
+         |      j -> qc.qcode[j+1] * cc.code[j+1]), (p2, q2) -> p2 + q2)
+         |      AS DOUBLE) AS est
+         |  FROM cc, qc),
+         |shrt AS (SELECT id FROM (
+         |  SELECT id, ROW_NUMBER() OVER (ORDER BY est DESC, id) AS rn
+         |  FROM est) t WHERE rn <= 50),
+         |dsc AS (SELECT shrt.id, ${duckCos("qv", "c.v")} AS score
+         |  FROM shrt JOIN corp c ON shrt.id = c.id, q),
          |dn AS (SELECT id, rnk FROM (
          |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk
          |  FROM dsc) t WHERE rnk <= 50),

@@ -228,4 +228,312 @@ object EmbeddingIndexStream {
       retainVersions,
       batch => Similarity.ivfSq8Assignments(batch, idCol, vecCol, centroids))
   }
+
+  // ---- Scheduled rebuild for the COMPRESSED folds ---------------------------
+
+  /** SQ8 code rows decoded back to (approximate) vectors:
+    * vec[j] ~ code[j] * cmax / 127 — the dequantization inverse of
+    * [[graft.operators.VectorOps.quantizeInt8]], exact to within half a
+    * quantization step (~7.9 effective bits/dim). One narrow codegen
+    * projection; this is what makes the SQ8 index SELF-CONTAINED for
+    * maintenance: the coarse quantizer can retrain from the index's own
+    * state without ever re-reading the raw corpus. */
+  private def sq8Reconstruct(code: org.apache.spark.sql.Column,
+      cmax: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.transform(code,
+      c => (c.cast("double") * cmax / org.apache.spark.sql.functions.lit(127.0))
+        .cast("float"))
+
+  /**
+   * [[rebuildIvf]] for the SQ8 index — retrain + re-key FROM CODES ONLY.
+   * The accumulated state is (cid, id, code, cmax); raw vectors never
+   * entered it, so the rebuild runs on [[sq8Reconstruct]] dequantizations:
+   * retrain the coarse quantizer on the deterministic 1-in-`trainMod`
+   * reconstruction sample, then re-key every row by its reconstruction's
+   * nearest new centroid in one narrow projection. The PAYLOAD (code,
+   * cmax) is untouched — SQ8 codes are per-vector, centroid-independent,
+   * so re-keying loses nothing: only the list structure changes.
+   *
+   * Approximation contract: reconstruction error is <= cmax/254 per
+   * element, orders of magnitude below the inter-cluster distances that
+   * make a rebuild worthwhile, so the retrained quantizer tracks the
+   * drifted distribution as well as a raw-vector retrain would (the
+   * stream_ivfsq8_rebuild gate pins the recovered-recall margin).
+   * Deterministic end to end — [[Similarity.trainKMeans]]'s contract —
+   * so the rebuilt index is engine-replayable.
+   */
+  def rebuildIvfSq8(lists: DataFrame, k: Int, dim: Int, iters: Int,
+      trainMod: Int = 4): (Seq[(Long, Array[Float])], DataFrame) = {
+    require(k > 0 && trainMod >= 1, "rebuildIvfSq8: k > 0, trainMod >= 1")
+    import org.apache.spark.sql.functions.{col, element_at}
+    val recon = lists.withColumn("rvec",
+      sq8Reconstruct(col("code"), col("cmax")))
+    val cents = Similarity.trainKMeans(
+      recon.where(col("id") % trainMod === 0), "id", "rvec", k, dim, iters)
+    val rekeyed = recon.select(
+      element_at(Similarity.probeCids(col("rvec"), cents, 1), 1).as("cid"),
+      col("id"), col("code"), col("cmax"))
+    (cents, rekeyed)
+  }
+
+  /**
+   * [[incrementalIvfWithRebuild]] with the SQ8 payload: the scheduled
+   * retrain + re-key fires INSIDE the fold every `rebuildEvery`-th batch,
+   * against the accumulated CODE state ([[rebuildIvfSq8]] — the corpus is
+   * never re-read), with the same atomic (centroids, lists) version flip
+   * and replay idempotence: batch b reads `sq8_cents_v{b}` +
+   * `sq8_lists_v{b}` and overwrites both at v{b+1}; rebuild batches stage
+   * the appended rows under `sq8_pre_v{b+1}` first (training re-reads
+   * them iters+1 times). Returns the final (centroids, lists) pair.
+   */
+  def incrementalIvfSq8WithRebuild(spark: SparkSession, history: DataFrame,
+      vecDir: String, schema: StructType, stateDir: String,
+      idCol: String, vecCol: String,
+      centroids0: Seq[(Long, Array[Float])], rebuildEvery: Int,
+      rebuildK: Long => Int, dim: Int, iters: Int, trainMod: Int = 4,
+      retainVersions: Int = 3): (Seq[(Long, Array[Float])], DataFrame) = {
+    require(retainVersions >= 2,
+      "incrementalIvfSq8WithRebuild: retainVersions >= 2")
+    require(rebuildEvery >= 1, "incrementalIvfSq8WithRebuild: rebuildEvery >= 1")
+    require(centroids0.nonEmpty,
+      "incrementalIvfSq8WithRebuild: empty initial quantizer")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def writeCents(cents: Seq[(Long, Array[Float])], path: String): Unit =
+      cents.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    def readCents(path: String): Seq[(Long, Array[Float])] =
+      spark.read.parquet(path).orderBy(col("cid")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    Similarity.ivfSq8Assignments(history, idCol, vecCol, centroids0)
+      .write.mode("overwrite").parquet(s"$stateDir/sq8_lists_v0")
+    writeCents(centroids0, s"$stateDir/sq8_cents_v0")
+    @volatile var last = 0L
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vecDir)
+    EventStream.runForeachBatch(spark, stream, (batch, id) => {
+      val cents = readCents(s"$stateDir/sq8_cents_v$id")
+      val prev = spark.read.parquet(s"$stateDir/sq8_lists_v$id")
+      val appended = prev.unionByName(
+        Similarity.ivfSq8Assignments(batch, idCol, vecCol, cents))
+      if ((id + 1) % rebuildEvery == 0) {
+        appended.write.mode("overwrite").parquet(s"$stateDir/sq8_pre_v${id + 1}")
+        val acc = spark.read.parquet(s"$stateDir/sq8_pre_v${id + 1}")
+        val (nc, nl) = rebuildIvfSq8(acc, rebuildK(acc.count()), dim, iters,
+          trainMod)
+        nl.write.mode("overwrite").parquet(s"$stateDir/sq8_lists_v${id + 1}")
+        writeCents(nc, s"$stateDir/sq8_cents_v${id + 1}")
+      } else {
+        appended.write.mode("overwrite").parquet(s"$stateDir/sq8_lists_v${id + 1}")
+        writeCents(cents, s"$stateDir/sq8_cents_v${id + 1}")
+      }
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "sq8_lists_v")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "sq8_cents_v")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "sq8_pre_v")
+      last = id + 1
+    })
+    (readCents(s"$stateDir/sq8_cents_v$last"),
+      spark.read.parquet(s"$stateDir/sq8_lists_v$last"))
+  }
+
+  /** PQ code rows decoded back to (approximate) vectors: the stored
+    * (cid, id, m, code) rows join the broadcast codebook table and each
+    * id's subvectors concatenate in subspace order — the ADC
+    * reconstruction Σ_m books[m][code_m]. One broadcast join + one
+    * per-id aggregate; coarser than [[sq8Reconstruct]] (PQ spends
+    * log2(pqK)/subDim bits/dim) but still cluster-faithful, which is all
+    * a coarse-quantizer retrain needs. */
+  private[graft] def pqReconstruct(lists: DataFrame,
+      codebooks: Seq[Seq[(Long, Array[Float])]]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = lists.sparkSession
+    import spark.implicits._
+    val books = codebooks.zipWithIndex.flatMap { case (book, mi) =>
+      book.map { case (code, sub) => (mi.toLong, code, sub.toSeq) }
+    }.toDF("m", "code", "sub")
+    lists.join(broadcast(books), Seq("m", "code"))
+      .groupBy("id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("sub")))),
+        e => e.getField("sub"))).as("rvec"))
+  }
+
+  /** [[pqReconstruct]] over a GENERATIONAL index: each (cid, id, m,
+    * code, bv) row decodes against the codebooks of ITS OWN generation
+    * `bv` — the broadcast book table just gains the bv key. */
+  private[graft] def pqReconstructVersioned(lists: DataFrame,
+      booksByVersion: Seq[(Long, Seq[Seq[(Long, Array[Float])]])])
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = lists.sparkSession
+    import spark.implicits._
+    val books = booksByVersion.flatMap { case (bv, cbs) =>
+      cbs.zipWithIndex.flatMap { case (book, mi) =>
+        book.map { case (code, sub) => (bv, mi.toLong, code, sub.toSeq) }
+      }
+    }.toDF("bv", "m", "code", "sub")
+    lists.join(broadcast(books), Seq("bv", "m", "code"))
+      .groupBy("id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("sub")))),
+        e => e.getField("sub"))).as("rvec"))
+  }
+
+  /**
+   * [[rebuildIvf]] for the IVF x PQ index — GENERATIONAL retrain + re-key.
+   * The accumulated code state is (cid, id, m, code, bv) rows plus the
+   * RAW TRAINING RESERVOIR `reservoir` (the deterministic 1-in-stride
+   * (id, vec) slice the fold keeps beside the codes): the new coarse
+   * quantizer AND the new codebook generation train on the reservoir's
+   * raw, drift-faithful vectors; every list row is then re-keyed by its
+   * RECONSTRUCTION's nearest new centroid with CODES KEPT, and the new
+   * books serve FUTURE arrivals only.
+   *
+   * Both halves of that design are measured, not assumed (RebuildSweep,
+   * r16, drift fixture, served-path recall at refine 150 of 640):
+   *  - re-key-codes-kept 490 vs full re-encode 468 — a decode+re-encode
+   *    DOUBLE-quantizes every old row; keeping codes holds payload noise
+   *    at one step (stale floor 379, fresh-raw ceiling 521);
+   *  - codebooks must train on RAW vectors: a codes-only retrain learns
+   *    from data supported on the OLD codebook lattice, entries collapse
+   *    onto popular lattice points, and the fixture run came back 420 —
+   *    WORSE than not retraining at all. The reservoir is the
+   *    information the codes fundamentally cannot supply, at
+   *    dim*4/stride bytes per indexed vector of extra state.
+   * Probes pay one broadcast LUT per generation
+   * ([[Similarity.probePqIndexVersioned]]). Deterministic end to end,
+   * engine-replayable.
+   */
+  def rebuildIvfPq(lists: DataFrame, reservoir: DataFrame,
+      booksByVersion: Seq[(Long, Seq[Seq[(Long, Array[Float])]])],
+      k: Int, dim: Int, iters: Int, subDim: Int, pqK: Int, pqIters: Int)
+      : (Seq[(Long, Array[Float])], Seq[Seq[(Long, Array[Float])]],
+         DataFrame) = {
+    require(k > 0, "rebuildIvfPq: k > 0")
+    require(booksByVersion.nonEmpty, "rebuildIvfPq: no codebook generations")
+    import org.apache.spark.sql.functions.{col, element_at}
+    val cents = Similarity.trainKMeans(reservoir, "id", "vec", k, dim, iters)
+    val m = booksByVersion.head._2.length
+    val newBooks = Similarity.trainPQ(reservoir, "id", "vec", m, subDim,
+      pqK, pqIters)
+    val recon = pqReconstructVersioned(lists, booksByVersion)
+    val cidOf = recon.select(col("id"),
+      element_at(Similarity.probeCids(col("rvec"), cents, 1), 1).as("__ncid"))
+    val rekeyed = lists.drop("cid").join(cidOf, "id")
+      .select(col("__ncid").as("cid"), col("id"), col("m"), col("code"),
+        col("bv"))
+    (cents, newBooks, rekeyed)
+  }
+
+  /**
+   * [[incrementalIvfWithRebuild]] with the PQ payload, GENERATIONAL:
+   * arriving vectors encode against the NEWEST codebook generation and
+   * their list rows carry its `bv` tag; the fold ALSO keeps the raw
+   * training reservoir (every `trainMod`-th id's (id, vec), under
+   * `pq_res_v{b}` — dim*4/trainMod bytes per indexed vector, the state
+   * price of retrainable codebooks; see [[rebuildIvfPq]] for the
+   * measurement that makes it non-optional). Every `rebuildEvery`-th
+   * batch [[rebuildIvfPq]] retrains quantizer + a new codebook
+   * generation from the reservoir, re-keys all rows (codes kept), and
+   * generation bv+1 serves subsequent arrivals. Probes need a matched
+   * (centroids, generations-map, lists) TRIPLE, so all three persist
+   * per version (`pq_cents_v{b}`, `pq_books_v{b}` — ALL generations,
+   * keyed by bv — and `pq_lists_v{b}`) and flip atomically at the
+   * version boundary; replay of batch b re-reads its untouched v{b}
+   * state and lands bit-identically. Returns the final triple; serve it
+   * through [[Similarity.probePqIndexVersioned]].
+   */
+  def incrementalIvfPqWithRebuild(spark: SparkSession, history: DataFrame,
+      vecDir: String, schema: StructType, stateDir: String,
+      idCol: String, vecCol: String,
+      centroids0: Seq[(Long, Array[Float])],
+      codebooks0: Seq[Seq[(Long, Array[Float])]], subDim: Int,
+      rebuildEvery: Int, rebuildK: Long => Int, dim: Int, iters: Int,
+      pqK: Int, pqIters: Int, trainMod: Int = 4, retainVersions: Int = 3)
+      : (Seq[(Long, Array[Float])],
+         Seq[(Long, Seq[Seq[(Long, Array[Float])]])], DataFrame) = {
+    require(retainVersions >= 2,
+      "incrementalIvfPqWithRebuild: retainVersions >= 2")
+    require(rebuildEvery >= 1, "incrementalIvfPqWithRebuild: rebuildEvery >= 1")
+    require(centroids0.nonEmpty && codebooks0.nonEmpty,
+      "incrementalIvfPqWithRebuild: train the initial quantizer + codebooks")
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    def writeCents(cents: Seq[(Long, Array[Float])], path: String): Unit =
+      cents.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    def readCents(path: String): Seq[(Long, Array[Float])] =
+      spark.read.parquet(path).orderBy(col("cid")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def writeBooks(gens: Seq[(Long, Seq[Seq[(Long, Array[Float])]])],
+        path: String): Unit =
+      gens.flatMap { case (bv, cbs) =>
+        cbs.zipWithIndex.flatMap { case (book, mi) =>
+          book.map { case (code, sub) => (bv, mi.toLong, code, sub.toSeq) }
+        }
+      }.toDF("bv", "m", "code", "sub")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    def readBooks(path: String)
+        : Seq[(Long, Seq[Seq[(Long, Array[Float])]])] =
+      spark.read.parquet(path).orderBy(col("bv"), col("m"), col("code"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Float](3).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (bv, rows) =>
+          (bv, rows.groupBy(_._2).toSeq.sortBy(_._1)
+            .map(_._2.map(t => (t._3, t._4)).toSeq))
+        }
+    def resOf(df: DataFrame): DataFrame =
+      df.where(col(idCol) % trainMod === 0)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    Similarity.ivfPqAssignments(history, idCol, vecCol, centroids0,
+        codebooks0, subDim)
+      .withColumn("bv", lit(0L))
+      .write.mode("overwrite").parquet(s"$stateDir/pq_lists_v0")
+    writeCents(centroids0, s"$stateDir/pq_cents_v0")
+    writeBooks(Seq((0L, codebooks0)), s"$stateDir/pq_books_v0")
+    resOf(history).write.mode("overwrite").parquet(s"$stateDir/pq_res_v0")
+    @volatile var last = 0L
+    val m = codebooks0.length.toLong
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vecDir)
+    EventStream.runForeachBatch(spark, stream, (batch, id) => {
+      val cents = readCents(s"$stateDir/pq_cents_v$id")
+      val gens = readBooks(s"$stateDir/pq_books_v$id")
+      val (newestBv, newestBooks) = gens.last
+      val prev = spark.read.parquet(s"$stateDir/pq_lists_v$id")
+      val appended = prev.unionByName(
+        Similarity.ivfPqAssignments(batch, idCol, vecCol, cents,
+            newestBooks, subDim)
+          .withColumn("bv", lit(newestBv)))
+      spark.read.parquet(s"$stateDir/pq_res_v$id").unionByName(resOf(batch))
+        .write.mode("overwrite").parquet(s"$stateDir/pq_res_v${id + 1}")
+      if ((id + 1) % rebuildEvery == 0) {
+        appended.write.mode("overwrite").parquet(s"$stateDir/pq_pre_v${id + 1}")
+        val acc = spark.read.parquet(s"$stateDir/pq_pre_v${id + 1}")
+        val res = spark.read.parquet(s"$stateDir/pq_res_v${id + 1}")
+        // Code rows are per-(vector, subspace): nVecs = rows / m.
+        val (nc, nb, nl) = rebuildIvfPq(acc, res, gens,
+          rebuildK(acc.count() / m), dim, iters, subDim, pqK, pqIters)
+        nl.write.mode("overwrite").parquet(s"$stateDir/pq_lists_v${id + 1}")
+        writeCents(nc, s"$stateDir/pq_cents_v${id + 1}")
+        writeBooks(gens :+ ((newestBv + 1L, nb)),
+          s"$stateDir/pq_books_v${id + 1}")
+      } else {
+        appended.write.mode("overwrite").parquet(s"$stateDir/pq_lists_v${id + 1}")
+        writeCents(cents, s"$stateDir/pq_cents_v${id + 1}")
+        writeBooks(gens, s"$stateDir/pq_books_v${id + 1}")
+      }
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_lists_v")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_cents_v")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_books_v")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_res_v")
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_pre_v")
+      last = id + 1
+    })
+    (readCents(s"$stateDir/pq_cents_v$last"),
+      readBooks(s"$stateDir/pq_books_v$last"),
+      spark.read.parquet(s"$stateDir/pq_lists_v$last"))
+  }
 }

@@ -278,4 +278,140 @@ class EmbeddingIndexStreamSpec extends GraftSuite {
         rebuildEvery = 0, rebuildK = _ => 16, dim = 64, iters = 2)
     }
   }
+
+  test("incrementalIvfSq8WithRebuild: payload (code, cmax) survives the " +
+    "re-key untouched; served centroids are the boundary retrain; replay " +
+    "is identical") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val corpus = e.where(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val history = corpus.where(col("id") < 200)
+    val days = Seq(
+      corpus.where(col("id") >= 200 && col("id") < 300),
+      corpus.where(col("id") >= 300 && col("id") < 400),
+      corpus.where(col("id") >= 400))
+    val root = java.nio.file.Files.createTempDirectory("graft_sq8rebspec")
+    val logDir = stageDays(root, days)
+    val stale = Similarity.trainKMeans(
+      history.where(col("id") % 4 === 0), "id", "vec", 4, 64, 2)
+    val (cents, lists) = EmbeddingIndexStream.incrementalIvfSq8WithRebuild(
+      spark, history, logDir, days.head.schema,
+      root.resolve("state").toString, "id", "vec", stale,
+      rebuildEvery = 2, rebuildK = _ => 16, dim = 64, iters = 2)
+    assert(cents.size > 4, "rebuild must have widened the stale k=4")
+    // SQ8 codes are centroid-independent: the folded payload equals the
+    // batch-independent quantization of the full corpus, bit for bit,
+    // no matter how many re-keys happened.
+    def payload(df: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Int], Double)] =
+      df.select("id", "code", "cmax").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSet
+    assert(payload(lists) ==
+      payload(Similarity.ivfSq8Assignments(corpus, "id", "vec", stale)))
+    // The served quantizer is the batch-2-boundary retrain from CODES
+    // ONLY (reconstructions), k grown 4 -> 16.
+    val anchor = Similarity.ivfSq8Assignments(
+      history.unionByName(days(0)).unionByName(days(1)), "id", "vec", stale)
+    val (centsRef, _) = EmbeddingIndexStream.rebuildIvfSq8(anchor, 16, 64, 2)
+    assert(cents.map { case (c, v) => (c, v.toSeq) } ==
+      centsRef.map { case (c, v) => (c, v.toSeq) },
+      "served centroids must be the boundary retrain from reconstructions")
+    // Replay determinism: a fresh re-run of the whole fold lands
+    // bit-identically, rebuild included.
+    val root2 = java.nio.file.Files.createTempDirectory("graft_sq8rebspec2")
+    val (cents2, lists2) = EmbeddingIndexStream.incrementalIvfSq8WithRebuild(
+      spark, history, logDir, days.head.schema,
+      root2.resolve("state").toString, "id", "vec", stale,
+      rebuildEvery = 2, rebuildK = _ => 16, dim = 64, iters = 2)
+    assert(cents2.map { case (c, v) => (c, v.toSeq) } ==
+      cents.map { case (c, v) => (c, v.toSeq) })
+    assert(lists2.select("cid", "id").as[(Long, Long)].collect().toSet ==
+      lists.select("cid", "id").as[(Long, Long)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      EmbeddingIndexStream.rebuildIvfSq8(anchor, 0, 64, 2)
+    }
+  }
+
+  test("incrementalIvfPqWithRebuild: generational contract — bv tags per " +
+    "arrival epoch, codes kept verbatim, new generation serves only " +
+    "later batches; versioned probe degenerates to the flat probe") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val corpus = e.where(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val history = corpus.where(col("id") < 200)
+    val days = Seq(
+      corpus.where(col("id") >= 200 && col("id") < 300),
+      corpus.where(col("id") >= 300 && col("id") < 400),
+      corpus.where(col("id") >= 400))
+    val root = java.nio.file.Files.createTempDirectory("graft_pqrebspec")
+    val logDir = stageDays(root, days)
+    val train = history.where(col("id") % 4 === 0)
+    val stale = Similarity.trainKMeans(train, "id", "vec", 4, 64, 2)
+    val books0 = Similarity.trainPQ(train, "id", "vec", 32, 2, 16, 2)
+    val (cents, gens, lists) =
+      EmbeddingIndexStream.incrementalIvfPqWithRebuild(
+        spark, history, logDir, days.head.schema,
+        root.resolve("state").toString, "id", "vec", stale, books0, 2,
+        rebuildEvery = 2, rebuildK = _ => 16, dim = 64, iters = 2,
+        pqK = 16, pqIters = 2)
+    // One rebuild fired (after batch 2 of 3) -> exactly two generations,
+    // and generation 0's books are the initial ones verbatim.
+    assert(gens.map(_._1) == Seq(0L, 1L))
+    assert(gens.head._2.map(_.map { case (c, v) => (c, v.toSeq) }) ==
+      books0.map(_.map { case (c, v) => (c, v.toSeq) }))
+    // bv tags follow arrival epoch: rows ingested before the rebuild
+    // (history + days 0-1) carry bv=0; the post-rebuild day-2 batch
+    // carries bv=1.
+    val bvOf = lists.select("id", "bv").distinct().as[(Long, Long)]
+      .collect().toMap
+    val preIds = history.unionByName(days(0)).unionByName(days(1))
+      .select("id").as[Long].collect().toSet
+    val postIds = days(2).select("id").as[Long].collect().toSet
+    assert(preIds.forall(bvOf(_) == 0L) && postIds.forall(bvOf(_) == 1L))
+    // Codes kept verbatim: bv-0 rows equal the batch encoding under
+    // generation-0 books; bv-1 rows under generation-1 books.
+    def codes(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("id", "m", "code").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(codes(lists.where(col("bv") === 0L)) ==
+      codes(Similarity.ivfPqAssignments(
+        corpus.where(col("id").isInCollection(preIds)), "id", "vec",
+        stale, books0, 2)))
+    assert(codes(lists.where(col("bv") === 1L)) ==
+      codes(Similarity.ivfPqAssignments(days(2), "id", "vec",
+        cents, gens.last._2, 2)))
+    // Versioned probe over a single-generation index == the flat probe
+    // (the degenerate case where the per-generation ranking contract
+    // coincides with per-query ranking).
+    val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val flatLists = Similarity.ivfPqAssignments(corpus, "id", "vec",
+      stale, books0, 2).withColumn("bv", lit(0L))
+    val viaV = Similarity.probePqIndexVersioned(flatLists, qs, 5, stale,
+        Seq((0L, books0)), 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val viaFlat = Similarity.probePqIndex(flatLists.drop("bv"), qs, 5,
+        stale, books0, 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaV == viaFlat)
+    // Replay determinism, generations included.
+    val root2 = java.nio.file.Files.createTempDirectory("graft_pqrebspec2")
+    val (cents2, gens2, lists2) =
+      EmbeddingIndexStream.incrementalIvfPqWithRebuild(
+        spark, history, logDir, days.head.schema,
+        root2.resolve("state").toString, "id", "vec", stale, books0, 2,
+        rebuildEvery = 2, rebuildK = _ => 16, dim = 64, iters = 2,
+        pqK = 16, pqIters = 2)
+    assert(cents2.map { case (c, v) => (c, v.toSeq) } ==
+      cents.map { case (c, v) => (c, v.toSeq) })
+    assert(gens2.map { case (bv, bs) =>
+      (bv, bs.map(_.map { case (c, v) => (c, v.toSeq) })) } ==
+      gens.map { case (bv, bs) =>
+        (bv, bs.map(_.map { case (c, v) => (c, v.toSeq) })) })
+    assert(lists2.select("cid", "id", "m", "code", "bv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet ==
+      lists.select("cid", "id", "m", "code", "bv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet)
+  }
 }

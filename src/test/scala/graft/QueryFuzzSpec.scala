@@ -19,9 +19,9 @@ class QueryFuzzSpec extends GraftSuite {
     assert(a != c, "different seeds must generate different batteries")
   }
 
-  test("default battery covers all twenty-nine grammar shapes") {
+  test("default battery covers all thirty grammar shapes") {
     val shapes = QueryFuzz.generate(FuzzConfig(nQueries = 30)).map(_.shape)
-    assert(shapes.distinct.size == 29, s"expected 29 shapes, got $shapes")
+    assert(shapes.distinct.size == 30, s"expected 30 shapes, got $shapes")
     assert(shapes.size == 30)
   }
 

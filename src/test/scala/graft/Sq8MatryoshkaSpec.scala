@@ -184,6 +184,78 @@ class Sq8MatryoshkaSpec extends GraftSuite {
       s"no vector-pruned coarse scan found:\n${reads.mkString("\n")}")
   }
 
+  test("ivfMatryoshkaTopK with full refine equals ivfTopK bit-for-bit at " +
+      "equal nprobe; all-lists full-refine equals brute force") {
+    val train = corpus.where(col("id") % 4 === 0)
+    val centroids = Similarity.trainKMeans(train, "id", "vec", 8, 64, 2)
+    val n = corpus.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // refine >= pool at the SAME (centroids, nprobe): identical
+    // candidate pool, exact re-rank over all of it — must equal ivfTopK
+    // rank for rank, score for score.
+    val mat = rows(Similarity.ivfMatryoshkaTopK(corpus, queries, 5,
+      centroids, pdim = 16, nprobe = 3, refine = n))
+    val raw = rows(Similarity.ivfTopK(corpus, queries, 5, centroids, 3))
+    assert(mat == raw,
+      "full-refine IVF x Matryoshka must equal raw IVF at equal nprobe")
+    // Dial fully open: all lists probed + full refine == brute force.
+    val all = rows(Similarity.ivfMatryoshkaTopK(corpus, queries, 5,
+      centroids, pdim = 64, nprobe = centroids.size, refine = n))
+    assert(all == rows(Similarity.bruteForceTopK(corpus, queries, 5)))
+  }
+
+  test("ivfMatryoshkaTopK gate dials: recall tracks the raw-vector IVF") {
+    val train = corpus.where(col("id") % 4 === 0)
+    val centroids = Similarity.trainKMeans(train, "id", "vec", 8, 64, 2)
+    val truth = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRaw = Similarity.ivfTopK(corpus, queries, 5, centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfMat = Similarity.ivfMatryoshkaTopK(corpus, queries, 5,
+        centroids, 32, 3, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = truth.intersect(ivfRaw).size.toDouble / truth.size
+    val matRecall = truth.intersect(ivfMat).size.toDouble / truth.size
+    // Half the dims on near-uniform vectors (the hard, no-prefix-
+    // concentration case) still ranks the pool well enough that the
+    // 16-deep refine holds most of the probe-bounded recall.
+    assert(matRecall >= rawRecall - 0.15,
+      s"matryoshka list recall $matRecall must track raw $rawRecall")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMatryoshkaTopK(corpus, queries, 5, centroids, 32, 3, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMatryoshkaAssignments(corpus, "id", "vec", centroids, 0)
+    }
+  }
+
+  test("matryoshkaTopKFromPrefix fails fast on a pdim-mismatched layout") {
+    val root = java.nio.file.Files.createTempDirectory("graft_matguard")
+    val staged = root.resolve("layout").toString
+    // Layout materialized at pdim=16 ...
+    corpus.select(col("id"), slice(col("vec"), 1, 16).as("prefix"),
+        col("vec"))
+      .write.mode("overwrite").parquet(staged)
+    val stored = spark.read.parquet(staged)
+    // ... queried at pdim=32: without the guard this would silently
+    // score a non-cosine (dot over 16 elements, query norm over 32) and
+    // quietly degrade recall. The per-row size check raises instead.
+    val ex = intercept[Exception] {
+      Similarity.matryoshkaTopKFromPrefix(stored, queries, 32, 5, 12)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        String.valueOf(e.getMessage) +: messages(e.getCause))
+    assert(messages(ex).exists(_.contains("different prefix dimension")),
+      s"expected the layout-mismatch message, got: ${messages(ex)}")
+    // Matched pdim still works against the same layout.
+    assert(Similarity.matryoshkaTopKFromPrefix(stored, queries, 16, 5, 12)
+      .count() == queries.count() * 5)
+  }
+
   test("ranks are 1..k per query and scores descend") {
     val rows = Similarity.sq8TopK(corpus, queries, 5, 12).collect()
     assert(rows.length == queries.count().toInt * 5)
