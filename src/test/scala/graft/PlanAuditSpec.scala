@@ -20,8 +20,10 @@ class PlanAuditSpec extends GraftSuite {
     "agg_quantile_sketch",
     // BM25 broadcasts its 1-row (n, avgdl, df...) stats to every doc row
     // (same shape whether scoring the text scan or the folded postings;
-    // the streaming hybrid's sparse half is the same scorer).
+    // the streaming hybrids' sparse half is the same scorer — the SQ8
+    // variant's dense half is all equi-joins, code-verified r16).
     "text_bm25_topk", "stream_bm25_index", "stream_hybrid_rrf",
+    "stream_hybrid_rrf_sq8",
     // The corpus-derived doc-frequency cap is a 1-row broadcast scalar
     // joined to the gram stats (constant-time at any corpus size).
     "dedup_ngram_pairs",
