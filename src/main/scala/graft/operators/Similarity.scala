@@ -1472,6 +1472,76 @@ object Similarity {
     rankTopKPerQuery(scored, k, "score")
   }
 
+  /**
+   * IVF x Matryoshka x SQ8 — the COMPOUND payload: list entries carry
+   * the int8-quantized PREFIX ((cid, id, pcode, pmax): pdim bytes + one
+   * scale per vector — at dim 64 / pdim 32 that is 8x under raw lists
+   * and 2x under full-dim SQ8), so the coarse pass pays prefix-IO AND
+   * code-arithmetic at once. Ranking follows the SQ8 family convention:
+   * the scaled exact-BIGINT dot ESTIMATE of the prefix dot (not the
+   * prefix cosine — [[sq8TopK]]'s contract), with the exact full-dim
+   * cosine re-rank restoring the final order over `refine` rows.
+   */
+  def ivfMatryoshkaSq8Assignments(vecs: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Long, Array[Float])], pdim: Int,
+      hierWprobe: Option[Int] = None): DataFrame = {
+    require(pdim > 0, s"ivfMatryoshkaSq8Assignments: pdim > 0, got $pdim")
+    val cid = hierWprobe match {
+      case Some(w) =>
+        element_at(probeCidsHier(col(vecCol), centroids, 1, w), 1)
+      case None => nearestCid(col(vecCol), centroids)
+    }
+    val prefix = slice(col(vecCol), 1, pdim)
+    vecs.select(cid.as("cid"), col(idCol).as("id"),
+      VectorOps.quantizeInt8(prefix).as("pcode"),
+      VectorOps.maxAbs(prefix).as("pmax"))
+  }
+
+  /** Query top-k against a MATERIALIZED compound index
+    * ([[ivfMatryoshkaSq8Assignments]] rows): probe `nprobe` lists, rank
+    * candidates by the scaled integer PREFIX-dot estimate — no raw or
+    * float prefix is ever touched. Returns (qid, id, rank, est). */
+  def probeMatryoshkaSq8Index(lists: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], pdim: Int,
+      nprobe: Int): DataFrame = {
+    val qprefix = slice(col("qvec"), 1, pdim)
+    val q = queries.select(col("qid"),
+      VectorOps.quantizeInt8(qprefix).as("qpcode"),
+      VectorOps.maxAbs(qprefix).as("qpmax"))
+    val est = (col("pmax") / lit(127.0)) * (col("qpmax") / lit(127.0)) *
+      VectorOps.dotInt(col("pcode"), col("qpcode")).cast("double")
+    val cand = ivfProbes(queries.select(col("qid"), col("qvec")), "qid",
+        "qvec", centroids, nprobe)
+      .join(lists, "cid")
+      .join(broadcast(q), "qid")
+      .withColumn("est", est)
+      .select(col("qid"), col("id"), col("est"))
+    rankTopKPerQuery(cand, k, "est")
+  }
+
+  /** Compound top-k with exact refinement: integer-prefix-dot-rank the
+    * probed lists, shortlist `refine` per query, exact full-dim cosine
+    * re-rank only those — [[ivfSq8TopK]]'s dataflow at an 8x list-byte
+    * cut. Same nonzero-norm precondition; same bucketed-corpus advice. */
+  def ivfMatryoshkaSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], pdim: Int, nprobe: Int,
+      refine: Int): DataFrame = {
+    require(refine >= k,
+      s"ivfMatryoshkaSq8TopK: refine ($refine) must be >= k ($k)")
+    val lists = ivfMatryoshkaSq8Assignments(
+      corpus.select(col("id"), col("vec")), "id", "vec", centroids, pdim)
+    val shortlist = probeMatryoshkaSq8Index(lists, queries, refine,
+        centroids, pdim, nprobe)
+      .select("qid", "id")
+    val scored = shortlist
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    rankTopKPerQuery(scored, k, "score")
+  }
+
   // ---- IVF x SQ8 composed index -------------------------------------------
 
   /**

@@ -39,6 +39,10 @@ object SimilarityQueries {
   // the shortlist is trimmed within the probed pool — 16-deep covers
   // k=5 with the same slack ratio the flat gate's 64-of-480 gives.
   private val MatIvfRefine = 16
+  // The compound (prefix x SQ8) ranks by the integer PREFIX-DOT estimate
+  // (the SQ8 family convention), not the prefix cosine — dot-vs-cosine
+  // rank disagreement on top of quantization noise buys a deeper trim.
+  private val MatSq8Refine = 24
   private val MmrK = 8
   private val MmrLambda = 0.7
 
@@ -771,6 +775,52 @@ object SimilarityQueries {
           IvfNprobe, MatIvfRefine)
         .withColumnRenamed("rank", "rnk")
     },
+    // The COMPOUND payload: coarse lists carry the int8-QUANTIZED prefix
+    // ((cid, id, pcode, pmax) — pdim bytes + one scale per vector: 8x
+    // under raw lists at this dial, 2x under full-dim SQ8), candidates
+    // rank by the scaled exact-BIGINT prefix-dot estimate, the 24-deep
+    // shortlist gets one exact full-dim re-rank. The oracle replays
+    // training, assignment, probe, prefix slice, both quantizations,
+    // integer dot, trim, and re-rank.
+    "sim_ivf_matryoshka_sq8" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centroids = Similarity.trainKMeans(
+        corpus.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
+      Similarity.ivfMatryoshkaSq8TopK(corpus, qs, 5, centroids, MatPdim,
+          IvfNprobe, MatSq8Refine)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // STREAMING IVF x Matryoshka index — the last cell of the streaming
+    // row: vector batches fold into persisted (cid, id, prefix) lists
+    // (dim/pdim of the raw-list bytes), queries probe the ACCUMULATED
+    // prefix lists by stored-prefix cosine (the probe-path gate — no
+    // re-rank). Oracle: training on history, prefix assignment
+    // batch-independent, same prefix-cosine ranking over the full corpus.
+    "stream_ivfmat_index" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val history = corpus.where(col("id") < 200)
+      val days = Seq(
+        corpus.where(col("id") >= 200 && col("id") < 350),
+        corpus.where(col("id") >= 350))
+      val logDir = Staging.batchLog("sivf", dir, "day", days)
+      val centroids = Similarity.trainKMeans(
+        history.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
+      val lists = graft.streaming.EmbeddingIndexStream.incrementalIvfMatryoshka(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sivfmat")}/state", "id", "vec",
+        centroids, MatPdim)
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.probeMatryoshkaIndex(lists, qs, 5, centroids, MatPdim,
+          IvfNprobe)
+        .withColumnRenamed("rank", "rnk")
+    },
   )
 
   // ---- DuckDB oracle generation -------------------------------------------
@@ -1422,6 +1472,89 @@ object SimilarityQueries {
     // list assignment, nprobe probe, the prefix cosine (duckCos truncated
     // at MatPdim — norms over exactly pdim elements on both sides) over
     // probed candidates only, shortlist trim, exact full-dim re-rank.
+    // Compound replay: unrolled Lloyd, list assignment, probe, PREFIX
+    // slice + SQ8 quantization on both sides (range(MatPdim) bounds
+    // every fold), exact-integer prefix dot, shortlist trim, exact
+    // full-dim re-rank.
+    "sim_ivf_matryoshka_sq8" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |clists AS (SELECT id, v, ccid FROM (
+         |  SELECT c.id, c.v, ct.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY c.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
+         |  FROM corp c, cent ct) t WHERE rn = 1),
+         |probes AS (SELECT qid, ccid FROM (
+         |  SELECT qs.qid, cent.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t WHERE rn <= $IvfNprobe),
+         |cm AS (SELECT id, ccid,
+         |    list_max(list_transform(range($MatPdim),
+         |      j -> abs(v[j+1]::DOUBLE))) AS pmax, v
+         |  FROM clists),
+         |cc AS (SELECT id, ccid, pmax, list_transform(range($MatPdim),
+         |    j -> CAST(floor(v[j+1]::DOUBLE * 127.0 / pmax + 0.5) AS BIGINT))
+         |    AS pcode FROM cm),
+         |qm AS (SELECT qid, qv,
+         |    list_max(list_transform(range($MatPdim),
+         |      j -> abs(qv[j+1]::DOUBLE))) AS qpmax
+         |  FROM qs),
+         |qc AS (SELECT qid, qpmax, list_transform(range($MatPdim),
+         |    j -> CAST(floor(qv[j+1]::DOUBLE * 127.0 / qpmax + 0.5) AS BIGINT))
+         |    AS qpcode FROM qm),
+         |est AS (SELECT p.qid, cc.id,
+         |    (cc.pmax / 127.0) * (qc.qpmax / 127.0) *
+         |    CAST(list_reduce(list_transform(range($MatPdim),
+         |      j -> qc.qpcode[j+1] * cc.pcode[j+1]), (p2, q2) -> p2 + q2)
+         |      AS DOUBLE) AS est
+         |  FROM probes p JOIN cc ON cc.ccid = p.ccid
+         |                JOIN qc ON qc.qid = p.qid),
+         |short AS (SELECT qid, id FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY est DESC, id) AS rn FROM est) t
+         |  WHERE rn <= $MatSq8Refine),
+         |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
+         |       FROM short s JOIN qs q ON s.qid = q.qid
+         |                    JOIN corp c ON s.id = c.id),
+         |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+    // Streaming prefix-fold replay: history-trained quantizer,
+    // batch-independent full-corpus assignment, prefix-cosine ranking
+    // over probed candidates (the probe-path gate — no re-rank).
+    "stream_ivfmat_index" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id < 200 AND id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |clists AS (SELECT id, v, ccid FROM (
+         |  SELECT c.id, c.v, ct.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY c.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
+         |  FROM corp c, cent ct) t WHERE rn = 1),
+         |probes AS (SELECT qid, ccid FROM (
+         |  SELECT qs.qid, cent.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t WHERE rn <= $IvfNprobe),
+         |est AS (SELECT p.qid, cl.id,
+         |    ${duckCos("q.qv", "cl.v", MatPdim)} AS est
+         |  FROM probes p JOIN clists cl ON cl.ccid = p.ccid
+         |                JOIN qs q ON q.qid = p.qid),
+         |r AS (SELECT qid, id, est, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY est DESC, id) AS rn FROM est)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(est, 6) AS est
+         |FROM r WHERE rn <= 5""".stripMargin,
     "sim_ivf_matryoshka_topk" ->
       s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
          |  FROM embeddings WHERE vec_id >= 20),

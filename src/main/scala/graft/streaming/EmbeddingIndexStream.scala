@@ -229,6 +229,33 @@ object EmbeddingIndexStream {
       batch => Similarity.ivfSq8Assignments(batch, idCol, vecCol, centroids))
   }
 
+  /**
+   * STREAMING IVF x Matryoshka index: the [[incrementalIvfSq8]] fold
+   * with the PREFIX payload — each arriving vector is coarse-assigned
+   * and its first-pdim prefix stored once, so the persisted state is
+   * (cid, id, prefix): dim/pdim of the raw-list bytes, probed by
+   * [[Similarity.probeMatryoshkaIndex]]'s stored-prefix cosine with an
+   * exact re-rank against corpus storage for the shortlist only. This
+   * completes the streaming row of the serving matrix — every payload
+   * the batch indexes support ({raw, PQ, SQ8, prefix}) now has its
+   * incremental fold. Same versioning/vacuum/replay-idempotence
+   * contract as the sibling folds.
+   */
+  def incrementalIvfMatryoshka(spark: SparkSession, history: DataFrame,
+      vecDir: String, schema: StructType, stateDir: String,
+      idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])], pdim: Int,
+      retainVersions: Int = 3): DataFrame = {
+    require(retainVersions >= 2,
+      "incrementalIvfMatryoshka: retainVersions >= 2 (current + replay anchor)")
+    require(centroids.nonEmpty,
+      "incrementalIvfMatryoshka: train the coarse quantizer first")
+    incrementalFold(spark, history, vecDir, schema, stateDir, "mat_lists_v",
+      retainVersions,
+      batch => Similarity.ivfMatryoshkaAssignments(batch, idCol, vecCol,
+        centroids, pdim))
+  }
+
   // ---- Scheduled rebuild for the COMPRESSED folds ---------------------------
 
   /** SQ8 code rows decoded back to (approximate) vectors:

@@ -279,6 +279,44 @@ class EmbeddingIndexStreamSpec extends GraftSuite {
     }
   }
 
+  test("IVF x Matryoshka: accumulated prefix lists == batch assignment; " +
+    "probes agree") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val corpus = e.where(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val history = corpus.where(col("id") < 200)
+    val days = Seq(
+      corpus.where(col("id") >= 200 && col("id") < 350),
+      corpus.where(col("id") >= 350))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfmatspec")
+    val logDir = stageDays(root, days)
+    val centroids = Similarity.trainKMeans(
+      history.where(col("id") % 4 === 0), "id", "vec", 16, 64, 2)
+    val lists = EmbeddingIndexStream.incrementalIvfMatryoshka(spark, history,
+      logDir, days.head.schema, root.resolve("state").toString,
+      "id", "vec", centroids, 32)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Seq[Float])] =
+      df.select("cid", "id", "prefix").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    assert(rows(lists) == rows(Similarity.ivfMatryoshkaAssignments(
+      corpus, "id", "vec", centroids, 32)))
+    val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val viaStream = Similarity.probeMatryoshkaIndex(lists, qs, 5, centroids,
+        32, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBatch = Similarity.probeMatryoshkaIndex(
+        Similarity.ivfMatryoshkaAssignments(corpus, "id", "vec", centroids,
+          32), qs, 5, centroids, 32, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaStream == viaBatch)
+    intercept[IllegalArgumentException] {
+      EmbeddingIndexStream.incrementalIvfMatryoshka(spark, history, logDir,
+        days.head.schema, root.resolve("bad").toString, "id", "vec",
+        Seq.empty, 32)
+    }
+  }
+
   test("incrementalIvfSq8WithRebuild: payload (code, cmax) survives the " +
     "re-key untouched; served centroids are the boundary retrain; replay " +
     "is identical") {

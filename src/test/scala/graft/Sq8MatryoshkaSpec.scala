@@ -231,6 +231,46 @@ class Sq8MatryoshkaSpec extends GraftSuite {
     }
   }
 
+  test("compound (prefix x SQ8): full-open dials degenerate to brute " +
+      "force; refine >= pool equals ivfTopK; gate-dial recall tracks raw") {
+    val train = corpus.where(col("id") % 4 === 0)
+    val centroids = Similarity.trainKMeans(train, "id", "vec", 8, 64, 2)
+    val n = corpus.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // pdim = dim, all lists, full refine: the estimate ranks the whole
+    // pool and the exact re-rank sees all of it — brute force exactly.
+    val open = rows(Similarity.ivfMatryoshkaSq8TopK(corpus, queries, 5,
+      centroids, pdim = 64, nprobe = centroids.size, refine = n))
+    assert(open == rows(Similarity.bruteForceTopK(corpus, queries, 5)))
+    // refine >= pool at the same (centroids, nprobe): equals raw IVF.
+    val comp = rows(Similarity.ivfMatryoshkaSq8TopK(corpus, queries, 5,
+      centroids, pdim = 16, nprobe = 3, refine = n))
+    assert(comp == rows(Similarity.ivfTopK(corpus, queries, 5, centroids, 3)),
+      "full-refine compound must equal raw IVF at equal nprobe")
+    // Gate dials: the 24-deep trim holds most of the probe-bounded
+    // recall despite prefix-DOT (not cosine) ranking + int8 noise.
+    val truth = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRaw = Similarity.ivfTopK(corpus, queries, 5, centroids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfMatryoshkaSq8TopK(corpus, queries, 5,
+        centroids, 32, 3, 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = truth.intersect(ivfRaw).size.toDouble / truth.size
+    val gotRecall = truth.intersect(got).size.toDouble / truth.size
+    assert(gotRecall >= rawRecall - 0.2,
+      s"compound recall $gotRecall must track raw $rawRecall")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMatryoshkaSq8TopK(corpus, queries, 5, centroids, 32, 3, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMatryoshkaSq8Assignments(corpus, "id", "vec",
+        centroids, 0)
+    }
+  }
+
   test("matryoshkaTopKFromPrefix fails fast on a pdim-mismatched layout") {
     val root = java.nio.file.Files.createTempDirectory("graft_matguard")
     val staged = root.resolve("layout").toString
