@@ -143,7 +143,7 @@ object QueryFuzz {
     "setop_all", "range_frame", "lateral_fanout", "decimal_arith",
     "agg_filter", "full_outer", "cte_reuse", "limit_offset",
     "null_order", "mod_floor_div", "ts_interval", "anti_null", "try_cast",
-    "greatest_least", "distinct_agg_filter")
+    "greatest_least", "distinct_agg_filter", "string_seams")
 
   case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 30)
 
@@ -214,7 +214,7 @@ object QueryFuzz {
 
   private val Prime = 1000003L
   private val FoldPrime = 67108859L // < 2^26: SUM overflows only past ~1.4e11 rows
-  private val weights = Seq(31L, 131L, 257L, 1021L, 8191L, 65537L)
+  private val weights = Seq(31L, 131L, 257L, 1021L, 8191L, 65537L, 524287L)
 
   /** A portable per-value integer hash, bounded < [[Prime]]. */
   private def hashExpr(alias: String, t: CType): String = t match {
@@ -787,7 +787,7 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
           ps.map { case (c, a) => (a, c.t) } ++
             Seq(("c2", TLong), ("c3", TLong), ("c4", TLong)))
-      case _ => // DISTINCT aggregates x FILTER clauses — the planner path
+      case 29 => // DISTINCT aggregates x FILTER clauses — the planner path
         // where Spark rewrites MULTIPLE distinct aggregates through an
         // Expand (one projection per distinct group) and FILTER
         // predicates must apply BEFORE the dedup inside each group; a
@@ -822,6 +822,52 @@ object QueryFuzz {
           s"\nGROUP BY $gkey",
           Seq(("g", TLong), ("c1", TLong), ("c2", TLong), ("c3", TLong),
             ("c4", TLong), ("c5", TLong)))
+      case _ => // string-function dialect seams beyond shape 12's basket:
+        // LIKE with an explicit ESCAPE (escape char '!' ON PURPOSE — a
+        // backslash escape char is ITSELF a seam: Spark's default string
+        // literals treat backslash as an escape where DuckDB's standard
+        // SQL literals do not, so '\\_' means different PATTERNS before
+        // LIKE even runs), REPLACE/TRANSLATE case maps, LPAD/RPAD with a
+        // multi-char pad + truncation, REVERSE, REPEAT, LEFT/RIGHT, the
+        // ANSI POSITION(sub IN s) and TRIM(BOTH c FROM s) spellings —
+        // all engine-verified identical on manufactured strings carrying
+        // literal '_' and '%' metacharacters (row-for-row, this round).
+        // DELIBERATELY EXCLUDED: negative LEFT/RIGHT lengths (Spark
+        // returns '' where DuckDB drops from the opposite end), SPLIT
+        // (different function NAMES: split vs string_split — no shared
+        // spelling), and regexp_* beyond literal-safe patterns (Java vs
+        // RE2 flavor seams); the portable spelling for splitting stays
+        // the battery's string_split-free forms.
+        val t = r.choose(allTables.filter(_.cols.exists(c =>
+          c.t == TString && c.values.nonEmpty)))
+        val sc = r.choose(t.cols.filter(c =>
+          c.t == TString && c.values.nonEmpty))
+        val m = 5 + r.nextInt(5)
+        val digit = r.nextInt(m)
+        val padW = 11 + r.nextInt(4)
+        val padC = r.choose(Seq("*", "#", "+"))
+        val lw = 2 + r.nextInt(3)
+        val rw = 5 + r.nextInt(3)
+        val rep = 2 + r.nextInt(3)
+        val trimC = r.choose(Seq("M", "A", "B", "F", "H"))
+        val s0 = s"CONCAT(${sc.name}, '_', CAST(${t.key} % $m AS STRING), '%t')"
+        val s1 = s"CONCAT(${sc.name}, '_', CAST(${t.key} % $m AS STRING))"
+        (s"SELECT ${sc.name} AS c1," +
+          s"\n  REPLACE(TRANSLATE($s1, 'AEIOU', 'aeiou'), '_', '#') AS c2," +
+          s"\n  REVERSE(LPAD(${sc.name}, $padW, '$padC')) AS c3," +
+          s"\n  RPAD(LEFT(${sc.name}, $lw), $rw," +
+          s" CONCAT(RIGHT(${sc.name}, 2), 'z')) AS c4," +
+          s"\n  CAST(POSITION('_' IN $s1) AS BIGINT) AS c5," +
+          s"\n  CAST(CASE WHEN $s0 LIKE '%!_$digit%' ESCAPE '!'" +
+          s" THEN 1 ELSE 0 END" +
+          s"\n     + 2 * CASE WHEN $s0 LIKE '%!%t' ESCAPE '!'" +
+          s" THEN 1 ELSE 0 END" +
+          s"\n     + 4 * CASE WHEN TRIM(BOTH '$trimC' FROM ${sc.name})" +
+          s" = ${sc.name} THEN 1 ELSE 0 END AS BIGINT) AS c6," +
+          s"\n  REPEAT(SUBSTR(${sc.name}, 2, 2), $rep) AS c7" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
+          Seq(("c1", TString), ("c2", TString), ("c3", TString),
+            ("c4", TString), ("c5", TLong), ("c6", TLong), ("c7", TString)))
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

@@ -21,14 +21,14 @@ import graft.fuzz.QueryFuzz
  * DEFAULT null placement differs, so explicit placement is the
  * portable spelling this battery pins) × dialect-portable predicates —
  * reduces every query to (qid, n_rows, digest), and the SAME SQL text
- * is the DuckDB oracle, so the gate IS a 30-query cross-engine
+ * is the DuckDB oracle, so the gate IS a 31-query cross-engine
  * differential test: any divergence in predicate, join, aggregate,
  * window, null, string, timestamp, or numeric semantics fails the
  * hash match on a named qid.
  */
 object FuzzQueries {
 
-  private val cfg = QueryFuzz.FuzzConfig(seed = 0x5EED5EEDL, nQueries = 30)
+  private val cfg = QueryFuzz.FuzzConfig(seed = 0x5EED5EEDL, nQueries = 31)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzz_sql_differential" -> { (s, dir) => QueryFuzz.run(s, dir, cfg) }

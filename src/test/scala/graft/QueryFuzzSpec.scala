@@ -19,10 +19,10 @@ class QueryFuzzSpec extends GraftSuite {
     assert(a != c, "different seeds must generate different batteries")
   }
 
-  test("default battery covers all thirty grammar shapes") {
-    val shapes = QueryFuzz.generate(FuzzConfig(nQueries = 30)).map(_.shape)
-    assert(shapes.distinct.size == 30, s"expected 30 shapes, got $shapes")
-    assert(shapes.size == 30)
+  test("default battery covers all thirty-one grammar shapes") {
+    val shapes = QueryFuzz.generate(FuzzConfig(nQueries = 31)).map(_.shape)
+    assert(shapes.distinct.size == 31, s"expected 31 shapes, got $shapes")
+    assert(shapes.size == 31)
   }
 
   test("battery executes on Spark: one row per query, qids dense") {
