@@ -150,10 +150,19 @@ object Bench {
     // durable copy; `target/` is cleaned between rounds) plus a `target/`
     // disk copy. `detail` on the compact line points at the full JSON so
     // the two can never silently diverge.
-    val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "latest")
+    // Paths resolve against the repo root (SPARK_GRAFT_REPO_ROOT, default
+    // CWD) so a bench launched from elsewhere cannot scatter evidence
+    // files or dangle the compact line's detail pointer. Untagged runs
+    // (iteration noise) stay in target/; the committed bench/ copy is
+    // written only when SPARK_GRAFT_BENCH_TAG marks an evidence run.
+    val root = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", ".")
+    val tagOpt = sys.env.get("SPARK_GRAFT_BENCH_TAG")
+    val tag = tagOpt.getOrElse("latest")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","n_gates":${results.size},"calib_s":${f"$calibS%.4f"},"calib_end_s":${f"$calibEnd%.4f"},"queries":$qs,"runs":$raw,"n_runs":$nRuns,"sf":"$sfDir","load":$load}"""
-    val detail = s"bench/bench_full_$tag.json"
-    for (p <- Seq(detail, s"target/bench_full_$tag.json")) {
+    val detail =
+      if (tagOpt.isDefined) s"$root/bench/bench_full_$tag.json"
+      else s"$root/target/bench_full_$tag.json"
+    for (p <- (Set(detail) + s"$root/target/bench_full_$tag.json").toSeq) {
       val f = new java.io.File(p)
       Option(f.getParentFile).foreach(_.mkdirs())
       val w = new java.io.PrintWriter(f)

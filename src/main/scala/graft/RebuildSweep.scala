@@ -183,6 +183,39 @@ object RebuildSweep {
       s"rebuilt=${refinedV(rebListsP, rebP, rebGensP, 150)} " +
       s"rekey=${refined(rekeyed, reconC, staleBooks, 150)} " +
       s"fresh=${refined(freshLists, freshC, freshB, 150)}")
+
+    // ---- Matryoshka (prefix payload, PREFIX-SPACE quantizer) ----
+    // Margins for stream_ivfmat_rebuild: stale prefix-trained quantizer
+    // vs the rebuildIvfMatryoshka retrain from stored prefixes, probed
+    // by pure stored-prefix cosine at nprobe=1 (queries pre-sliced).
+    val pdim = dim / 2
+    def pfx(df: org.apache.spark.sql.DataFrame, vc: String) =
+      df.withColumn(vc, org.apache.spark.sql.functions.slice(col(vc), 1, pdim))
+    val staleM = Similarity.trainKMeans(
+      pfx(histTrain, "vec"), "id", "vec", 8, pdim, KmIters)
+    val (rebM, rebListsM) = EmbeddingIndexStream
+      .incrementalIvfMatryoshkaWithRebuild(spark, hist, logDir,
+        days.head.schema,
+        s"${Staging.freshStateRoot("graft_matrebi_sweep")}/state",
+        "id", "vec", staleM, pdim, rebuildEvery = 2, rebuildK = _ => 16,
+        iters = KmIters)
+    val staleListsM = Similarity.ivfMatryoshkaAssignments(
+      pfx(corpus, "vec"), "id", "vec", staleM, pdim).cache()
+    val qp = pfx(queries, "qvec")
+    val hitsStaleM = Similarity.probeMatryoshkaIndex(staleListsM, qp, 10,
+      staleM, pdim, 1).select("qid", "id").intersect(truth).count()
+    val hitsRebM = Similarity.probeMatryoshkaIndex(rebListsM.cache(), qp, 10,
+      rebM, pdim, 1).select("qid", "id").intersect(truth).count()
+    println(s"mat (prefix cosine, pdim=$pdim): stale=$hitsStaleM rebuilt=$hitsRebM")
+    // Served path (ivfMatryoshkaTopK's dataflow over the folded lists):
+    // 50-deep prefix shortlist, exact full-dim re-rank — isolates the
+    // coarse-probe drift the rebuild targets from prefix-ranking noise,
+    // the same reason the PQ gate pins the refined path.
+    val refStaleM = refinedFrom(Similarity.probeMatryoshkaIndex(staleListsM,
+      qp, 50, staleM, pdim, 1).select("qid", "id"))
+    val refRebM = refinedFrom(Similarity.probeMatryoshkaIndex(rebListsM,
+      qp, 50, rebM, pdim, 1).select("qid", "id"))
+    println(s"mat (refine 50 + exact): stale=$refStaleM rebuilt=$refRebM")
     spark.stop()
   }
 }

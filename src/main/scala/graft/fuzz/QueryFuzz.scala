@@ -143,9 +143,18 @@ object QueryFuzz {
     "setop_all", "range_frame", "lateral_fanout", "decimal_arith",
     "agg_filter", "full_outer", "cte_reuse", "limit_offset",
     "null_order", "mod_floor_div", "ts_interval", "anti_null", "try_cast",
-    "greatest_least", "distinct_agg_filter", "string_seams")
+    "greatest_least", "distinct_agg_filter", "string_seams",
+    "grouping_null_having")
 
-  case class FuzzConfig(seed: Long = 0x5EED5EEDL, nQueries: Int = 30)
+  /** One of each shape: the default battery covers every grammar shape
+    * exactly once (shape = id % shapeNames.size), so a grammar growth
+    * can never again silently drop the newest shape from default-config
+    * callers (the r16 trap: nQueries stayed 30 while the grammar grew
+    * to 31). */
+  val defaultNQueries: Int = shapeNames.size
+
+  case class FuzzConfig(seed: Long = 0x5EED5EEDL,
+      nQueries: Int = QueryFuzz.defaultNQueries)
 
   case class Generated(id: Int, shape: String, innerSql: String,
       wrappedSql: String)
@@ -822,7 +831,7 @@ object QueryFuzz {
           s"\nGROUP BY $gkey",
           Seq(("g", TLong), ("c1", TLong), ("c2", TLong), ("c3", TLong),
             ("c4", TLong), ("c5", TLong)))
-      case _ => // string-function dialect seams beyond shape 12's basket:
+      case 30 => // string-function dialect seams beyond shape 12's basket:
         // LIKE with an explicit ESCAPE (escape char '!' ON PURPOSE — a
         // backslash escape char is ITSELF a seam: Spark's default string
         // literals treat backslash as an escape where DuckDB's standard
@@ -868,6 +877,50 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
           Seq(("c1", TString), ("c2", TString), ("c3", TString),
             ("c4", TString), ("c5", TLong), ("c6", TLong), ("c7", TString)))
+      case _ => // GROUPING SETS x HAVING over grouped NULLs — composes
+        // shape 14 (super-aggregate NULL vs genuine NULL group,
+        // separable only by the GROUPING() bitmask) with shape 29's
+        // NULLIF-manufactured null group key: HAVING must evaluate per
+        // grouping-set row AFTER Spark's Expand lowering, mixing an
+        // aggregate bound with the bitmask itself — an engine that
+        // applies the HAVING before expansion, dedups the two NULL
+        // kinds, or evaluates GROUPING() wrong inside HAVING flips
+        // rows. HAVING keeps a COUNT(*) > 0 conjunct for shape 14's r12
+        // empty-input alignment (ANSI's () set yields one COUNT=0 row
+        // on empty input where Spark's lowering yields none).
+        // Engine-verified identical across 20 unseen seeds (FUZZ_r17
+        // campaign); every aggregate here is integral. DELIBERATELY
+        // EXCLUDED: GROUPING() textually inside HAVING — Spark's
+        // analyzer fails UnresolvedHaving resolution of grouping()
+        // against the expanded aggregate (UNRESOLVED_COLUMN on the base
+        // attr, even for a plain grouping column; DuckDB accepts it),
+        // so there is no shared spelling. The portable form computes
+        // the bitmask as a SELECT column and filters it in an ENCLOSING
+        // derived table — same per-grouping-set-row semantics, and the
+        // filter still kills a genuine NULL group with count < h while
+        // keeping the super-aggregate row whose c1 is equally NULL.
+        val t = r.choose(allTables)
+        val pool = t.cols.filter(c =>
+          (c.t == TString && c.values.nonEmpty) ||
+            (c.t == TInt && c.hi > c.lo))
+        val g2 = r.choose(pool)
+        val gm = 3 + r.nextInt(4)
+        val gb = r.nextInt(gm)
+        val m5 = 4 + r.nextInt(6)
+        val h = 1 + r.nextInt(3)
+        val gkey = s"NULLIF(${t.key} % $gm, $gb)"
+        (s"SELECT c1, c2, c3, c4, c5 FROM (" +
+          s"\nSELECT $gkey AS c1, ${g2.name} AS c2," +
+          s"\n  CAST(GROUPING($gkey) * 2 + GROUPING(${g2.name})" +
+          s" AS BIGINT) AS c3," +
+          s"\n  CAST(COUNT(*) AS BIGINT) AS c4," +
+          s"\n  CAST(SUM(${t.key} % $m5) AS BIGINT) AS c5" +
+          s"\nFROM ${t.name}\nWHERE ${pred(t, r)}" +
+          s"\nGROUP BY GROUPING SETS (($gkey, ${g2.name}), ($gkey), ())" +
+          s"\nHAVING COUNT(*) > 0) gh" +
+          s"\nWHERE c3 = 3 OR c4 >= $h",
+          Seq(("c1", TLong), ("c2", g2.t), ("c3", TLong), ("c4", TLong),
+            ("c5", TLong)))
     }
     Generated(id, shapeNames(shape), inner, wrap(id, inner, outs))
   }

@@ -1358,20 +1358,9 @@ object Similarity {
         s"got pdim=$pdim k=$k refine=$refine")
     val qp = queries.select(col("qid"),
       slice(col("qvec"), 1, pdim).as("qprefix"))
-    // Fail fast on a layout/pdim mismatch: the dot folds over
-    // min(len(qprefix), len(prefix)) while the query-side norm uses all
-    // pdim elements, so a layout materialized at a DIFFERENT pdim would
-    // silently score a non-cosine and degrade recall with no error —
-    // breaking the bit-identity-to-matryoshkaTopK contract above. The
-    // per-row size check is one codegen comparison on a column the
-    // coarse pass already reads.
     val coarse = stored.select(col("id"),
-        when(size(col("prefix")) === lit(pdim), col("prefix"))
-          .otherwise(raise_error(concat(
-            lit(s"matryoshkaTopKFromPrefix: stored prefix length "),
-            size(col("prefix")).cast("string"),
-            lit(s" != pdim $pdim - layout was materialized at a " +
-              "different prefix dimension")))).as("prefix"))
+        pdimChecked(col("prefix"), pdim,
+          "matryoshkaTopKFromPrefix: stored prefix").as("prefix"))
       .crossJoin(broadcast(qp))
       .withColumn("est", VectorOps.cosine(col("qprefix"), col("prefix")))
       .select(col("qid"), col("id"), col("est"))
@@ -1387,6 +1376,21 @@ object Similarity {
         VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
     rankTopKPerQuery(scored, k, "score")
   }
+
+  /** Per-row fail-fast that a stored prefix/pcode column was materialized
+    * at THIS pdim. The dot folds over min(stored length, pdim) while the
+    * query-side norm/scale uses all pdim elements, so a layout (or an
+    * externally materialized list table — e.g. an
+    * [[graft.streaming.EmbeddingIndexStream]] fold read back from
+    * parquet) built at a DIFFERENT prefix dimension would silently score
+    * a non-cosine and degrade recall with no error. One codegen
+    * comparison on a column the probe already reads. */
+  private def pdimChecked(c: Column, pdim: Int, what: String): Column =
+    when(size(c) === lit(pdim), c)
+      .otherwise(raise_error(concat(
+        lit(s"$what length "), size(c).cast("string"),
+        lit(s" != pdim $pdim - layout was materialized at a " +
+          "different prefix dimension"))))
 
   // ---- IVF x Matryoshka composed index ------------------------------------
 
@@ -1435,7 +1439,8 @@ object Similarity {
         "qvec", centroids, nprobe)
       .join(lists, "cid")
       .join(broadcast(qp), "qid")
-      .withColumn("est", VectorOps.cosine(col("qprefix"), col("prefix")))
+      .withColumn("est", VectorOps.cosine(col("qprefix"),
+        pdimChecked(col("prefix"), pdim, "probeMatryoshkaIndex: stored prefix")))
       .select(col("qid"), col("id"), col("est"))
     rankTopKPerQuery(cand, k, "est")
   }
@@ -1509,7 +1514,9 @@ object Similarity {
       VectorOps.quantizeInt8(qprefix).as("qpcode"),
       VectorOps.maxAbs(qprefix).as("qpmax"))
     val est = (col("pmax") / lit(127.0)) * (col("qpmax") / lit(127.0)) *
-      VectorOps.dotInt(col("pcode"), col("qpcode")).cast("double")
+      VectorOps.dotInt(
+        pdimChecked(col("pcode"), pdim, "probeMatryoshkaSq8Index: stored pcode"),
+        col("qpcode")).cast("double")
     val cand = ivfProbes(queries.select(col("qid"), col("qvec")), "qid",
         "qvec", centroids, nprobe)
       .join(lists, "cid")
@@ -1611,6 +1618,115 @@ object Similarity {
       .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
         "qid")
       .join(corpus.withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    rankTopKPerQuery(scored, k, "score")
+  }
+
+  // ---- Filtered (predicate-aware) ANN serving -------------------------------
+
+  /**
+   * [[ivfAssignments]] that CARRY filterable attribute columns:
+   * (cid, id, vec, attrs...) — the attribute-carrying index layout that
+   * makes "top-k WHERE lang = 'en' AND date > X" a PRE-filter (predicate
+   * evaluated inside the probed lists, before any ranking or trimming)
+   * instead of a post-filter over an already-trimmed shortlist. One
+   * narrow projection; at rest bucket by cid like every list layout —
+   * the attribute bytes ride the same partition as the payload they
+   * qualify, so the filtered probe stays a co-located scan.
+   */
+  def ivfAssignmentsWithAttrs(vecs: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Long, Array[Float])],
+      attrCols: Seq[String]): DataFrame =
+    vecs.select(nearestCid(col(vecCol), centroids).as("cid") +:
+      col(idCol).as("id") +: col(vecCol).as("vec") +:
+      attrCols.map(col): _*)
+
+  /**
+   * Predicate-aware top-k against a MATERIALIZED attribute-carrying
+   * index ([[ivfAssignmentsWithAttrs]] rows): probe `nprobe` lists,
+   * apply `predicate` to the candidates FIRST, exact-cosine rank the
+   * survivors, heap top-k. Because the filter runs before the trim,
+   * the answer is k MATCHING rows whenever the probed lists hold >= k
+   * matches — the pre-filter recall contract (a post-filter over a
+   * k-deep unfiltered shortlist returns however many of those k happen
+   * to match: strictly worse, possibly zero on selective predicates).
+   *
+   * Recall semantics: at nprobe = |centroids| the probe covers every
+   * list and the output is BIT-IDENTICAL to
+   * [[bruteForceTopK]](corpus.where(predicate)) (FilteredAnnSpec pins
+   * it); below that, misses come only from the query's unprobed lists —
+   * the same dial as the unfiltered [[probeIndex]], unchanged by filter
+   * selectivity.
+   */
+  def probeIndexFiltered(lists: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int,
+      predicate: Column): DataFrame = {
+    val probes = ivfProbes(queries.select(col("qid"), col("qvec")), "qid",
+      "qvec", centroids, nprobe)
+    val scored = probes.join(lists, "cid")
+      .where(predicate) // PRE-filter: before ranking, before any trim
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .withColumn("score", VectorOps.dot(col("qvec"), col("vec")) /
+        (col("qnrm") * VectorOps.norm(col("vec"))))
+    rankTopKPerQuery(scored, k, "score")
+  }
+
+  /** One-shot filtered IVF top-k: builds the attribute-carrying lists
+    * from `corpus` (every non-(id, vec) column rides along as a
+    * filterable attribute) and serves [[probeIndexFiltered]]. */
+  def ivfFilteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int,
+      predicate: Column): DataFrame = {
+    val attrs = corpus.columns.filterNot(Set("id", "vec")).toSeq
+    val lists = ivfAssignmentsWithAttrs(corpus, "id", "vec", centroids, attrs)
+    probeIndexFiltered(lists, queries, k, centroids, nprobe, predicate)
+  }
+
+  /**
+   * Filtered top-k on the COMPRESSED (SQ8) index — the shape where the
+   * pre-filter contract really matters: the coarse pass ranks int8 code
+   * estimates and keeps only a `refine`-deep shortlist, so the predicate
+   * MUST be applied before that trim ("refine counted AFTER the filter")
+   * or selective predicates starve the exact re-rank below k survivors.
+   * Dataflow: probe `nprobe` lists of (cid, id, code, cmax, attrs...)
+   * rows, filter, integer-dot rank the SURVIVORS, shortlist `refine` per
+   * query, exact full-dim cosine re-rank against corpus storage. At
+   * nprobe = |centroids| and refine >= the filtered candidate count the
+   * output is bit-identical to [[bruteForceTopK]] over the filtered
+   * corpus (FilteredAnnSpec).
+   */
+  def ivfSq8FilteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int, refine: Int,
+      predicate: Column): DataFrame = {
+    require(refine >= k,
+      s"ivfSq8FilteredTopK: refine ($refine) must be >= k ($k)")
+    val attrs = corpus.columns.filterNot(Set("id", "vec")).toSeq
+    val lists = corpus.select(
+      nearestCid(col("vec"), centroids).as("cid") +: col("id") +:
+        VectorOps.quantizeInt8(col("vec")).as("code") +:
+        VectorOps.maxAbs(col("vec")).as("cmax") +: attrs.map(col): _*)
+    val q = queries.select(col("qid"),
+      VectorOps.quantizeInt8(col("qvec")).as("qcode"),
+      VectorOps.maxAbs(col("qvec")).as("qmax"))
+    val est = (col("cmax") / lit(127.0)) * (col("qmax") / lit(127.0)) *
+      VectorOps.dotInt(col("code"), col("qcode")).cast("double")
+    val cand = ivfProbes(queries.select(col("qid"), col("qvec")), "qid",
+        "qvec", centroids, nprobe)
+      .join(lists, "cid")
+      .where(predicate) // PRE-filter: refine counts FILTERED candidates
+      .join(broadcast(q), "qid")
+      .withColumn("est", est)
+      .select(col("qid"), col("id"), col("est"))
+    val shortlist = TopK.perKey(cand, Seq(col("qid")),
+        Seq(col("est").desc, col("id")), refine)
+      .select("qid", "id")
+    val scored = shortlist
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .join(corpus.select(col("id"), col("vec"))
+        .withColumn("nrm", VectorOps.norm(col("vec"))), "id")
       .withColumn("score",
         VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
     rankTopKPerQuery(scored, k, "score")

@@ -28,7 +28,11 @@ import graft.fuzz.QueryFuzz
  */
 object FuzzQueries {
 
-  private val cfg = QueryFuzz.FuzzConfig(seed = 0x5EED5EEDL, nQueries = 31)
+  // nQueries tracks the grammar size so the gate always covers every
+  // shape exactly once (the r16 trap: a literal 30 silently dropped the
+  // newest shape).
+  private val cfg = QueryFuzz.FuzzConfig(seed = 0x5EED5EEDL,
+    nQueries = QueryFuzz.defaultNQueries)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzz_sql_differential" -> { (s, dir) => QueryFuzz.run(s, dir, cfg) }

@@ -821,6 +821,136 @@ object SimilarityQueries {
           IvfNprobe)
         .withColumnRenamed("rank", "rnk")
     },
+    // FILTERED ANN — predicate-aware serving ("top-k WHERE label IN
+    // (2,5)"): the lists CARRY the filter attribute and the predicate is
+    // applied to probed candidates BEFORE ranking (PRE-filter), so the
+    // result is k MATCHING rows whenever the probed lists hold that many
+    // — the contract a post-filter over an unfiltered shortlist cannot
+    // give on selective predicates. The oracle replays training,
+    // assignment, the probe, the filter, and the cosine ranking.
+    "sim_ivf_filtered_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centroids = Similarity.trainKMeans(
+        corpus.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
+      Similarity.ivfFilteredTopK(corpus, qs, 5, centroids, IvfNprobe,
+          col("label").isin(2, 5))
+        .withColumnRenamed("rank", "rnk")
+    },
+    // DELETES THROUGH THE IVF FOLD: a changelog stream (I rows carry
+    // vectors, D rows carry ids) maintains served lists that exclude
+    // every tombstoned id — including a history doc deleted in batch 1
+    // and a batch-1 doc deleted in batch 2 — while an id deleted then
+    // RE-INSERTED in a later batch is served again. The oracle replays
+    // the trained probe over exactly the surviving corpus (training ran
+    // on pre-delete history — the deployed timeline).
+    "stream_ivf_delete" -> { (s, dir) =>
+      import s.implicits._
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val history = corpus.where(col("id") < 200)
+      def ins(lo: Long, hi: Long) =
+        corpus.where(col("id") >= lo && col("id") < hi)
+          .withColumn("op", lit("I"))
+      def del(ids: Seq[Long]) = ids.toDF("id")
+        .withColumn("vec", lit(null).cast("array<float>"))
+        .withColumn("op", lit("D"))
+      val days = Seq(
+        ins(200, 350).unionByName(del(Seq(40L, 44L))),
+        corpus.where(col("id") >= 350).withColumn("op", lit("I"))
+          .unionByName(del(Seq(250L)))
+          .unionByName(corpus.where(col("id") === 44)
+            .withColumn("op", lit("I"))))
+      val logDir = Staging.batchLog("sivfdel", dir, "day", days)
+      val centroids = Similarity.trainKMeans(
+        history.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
+      val served = graft.streaming.DeleteStream.incrementalIvfWithDeletes(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sivfdel")}/state", "id", "vec",
+        "op", centroids)
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.probeIndex(served, qs, 5, centroids, IvfNprobe)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // SCHEDULED REBUILD FOR THE PREFIX (Matryoshka) FOLD — the last fold
+    // family's drift-recovery path: the quantizer lives in PREFIX space
+    // (trained on slice(vec, 1, pdim)); the rebuild retrains from the
+    // STORED PREFIXES only (raw vectors never re-read — the SQ8 recipe
+    // with the prefix-trained-quantizer approximation) and re-keys with
+    // the payload untouched. Same drift fixture and boolean-witness
+    // convention as the SQ8/PQ twins, measured on the SERVED path
+    // (50-deep stored-prefix shortlist, exact full-dim re-rank — the
+    // ivfMatryoshkaTopK dataflow; the PQ gate's convention, isolating
+    // coarse-probe drift from prefix-ranking noise, which at pdim=16 of
+    // 32 dims caps the COARSE probe near 180/640 on this fixture).
+    // Margins measured via RebuildSweep under local[32] and local[4]:
+    // stale 327/317, rebuilt 428/450 of 640 — bars sit >4 sigma outside
+    // both layouts.
+    "stream_ivfmat_rebuild" -> { (s, dir) =>
+      import s.implicits._
+      val dim = 32
+      val pdim = 16
+      val hist = graft.operators.SyntheticEmbeddings
+        .clustered(s, 2048L, 8, dim, 1205L, 0.5)
+        .select(col("id"), col("embedding").as("vec"))
+      val driftAll = graft.operators.SyntheticEmbeddings
+        .clustered(s, 2112L, 8, dim, 7702L, 0.5)
+      val driftFold = driftAll.where(col("id") < 2048)
+        .select((col("id") + 10000L).as("id"), col("embedding").as("vec"))
+      val queries = driftAll.where(col("id") >= 2048)
+        .select(col("id").as("qid"), col("embedding").as("qvec"))
+      val days = Seq(
+        driftFold.where(col("id") < 10512),
+        driftFold.where(col("id") >= 10512 && col("id") < 11024),
+        driftFold.where(col("id") >= 11024 && col("id") < 11536),
+        driftFold.where(col("id") >= 11536))
+      val logDir = Staging.batchLog("sivfrebi", dir, "day", days)
+      val pfx = (df: org.apache.spark.sql.DataFrame, vc: String) =>
+        df.withColumn(vc, slice(col(vc), 1, pdim))
+      val stale = Similarity.trainKMeans(
+        pfx(hist.where(col("id") % 4 === 0), "vec"), "id", "vec", 8, pdim,
+        KmIters)
+      val (reb, rebLists) = graft.streaming.EmbeddingIndexStream
+        .incrementalIvfMatryoshkaWithRebuild(s, hist, logDir,
+          days.head.schema,
+          s"${Staging.freshStateRoot("graft_matrebi")}/state", "id", "vec",
+          stale, pdim, rebuildEvery = 2, rebuildK = _ => 16, iters = KmIters)
+      val rebCached = rebLists.cache()
+      val corpus = hist.unionByName(driftFold)
+      val staleLists = Similarity.ivfMatryoshkaAssignments(
+        pfx(corpus, "vec"), "id", "vec", stale, pdim).cache()
+      val truth = Similarity.bruteForceTopK(corpus, queries, 10)
+        .select("qid", "id").cache()
+      val nTruth = truth.count()
+      val qp = pfx(queries, "qvec")
+      val vo = graft.operators.VectorOps
+      def served(lists: org.apache.spark.sql.DataFrame,
+          cents: Seq[(Long, Array[Float])]): Long = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("score").desc, col("id"))
+        Similarity.probeMatryoshkaIndex(lists, qp, 50, cents, pdim, 1)
+          .select("qid", "id")
+          .join(broadcast(queries.withColumn("qnrm", vo.norm(col("qvec")))),
+            "qid")
+          .join(corpus.withColumn("nrm", vo.norm(col("vec"))), "id")
+          .withColumn("score",
+            vo.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 10)
+          .select("qid", "id").intersect(truth).count()
+      }
+      val hitsStale = served(staleLists, stale)
+      val hitsReb = served(rebCached, reb)
+      Seq((nTruth, hitsStale <= 380L, hitsReb >= 395L,
+          hitsReb >= hitsStale + 60L))
+        .toDF("n_truth", "stale_degraded", "rebuilt_recovers", "margin_ok")
+    },
   )
 
   // ---- DuckDB oracle generation -------------------------------------------
@@ -1265,6 +1395,78 @@ object SimilarityQueries {
          |    ROW_NUMBER() OVER (PARTITION BY corp.id
          |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
          |  FROM corp, cent) t WHERE rn <= $IvfNprobe""".stripMargin,
+    // Filtered ANN: the same train+assign+probe replay with the label
+    // predicate applied to candidates before the cosine ranking — the
+    // pre-filter contract expressed declaratively (filter commutes with
+    // deterministic replay).
+    "sim_ivf_filtered_topk" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v, label
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |lists AS (SELECT id, cid, label FROM (
+         |  SELECT corp.id, cent.cid, corp.label,
+         |    ROW_NUMBER() OVER (PARTITION BY corp.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
+         |  FROM corp, cent) t WHERE rn = 1),
+         |probes AS (SELECT qid, cid FROM (
+         |  SELECT qs.qid, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t WHERE rn <= $IvfNprobe),
+         |cand AS (SELECT DISTINCT qid, id FROM probes JOIN lists USING (cid)
+         |  WHERE lists.label IN (2, 5)),
+         |sc AS (SELECT cand.qid, cand.id,
+         |         ${duckCos("q.embedding", "c.embedding")} AS score
+         |       FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+         |                 JOIN embeddings c ON cand.id = c.vec_id),
+         |r AS (SELECT qid, id, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+    // Deletes through the IVF fold: training replays on PRE-delete
+    // history (the deployed timeline); lists hold exactly the surviving
+    // corpus — 40 and 250 tombstoned, 44 deleted then re-inserted so it
+    // serves again.
+    "stream_ivf_delete" ->
+      s"""WITH corpall AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |corp AS (SELECT id, v FROM corpall WHERE id NOT IN (40, 250)),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corpall WHERE id < 200 AND id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |lists AS (SELECT id, cid FROM (
+         |  SELECT corp.id, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY corp.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
+         |  FROM corp, cent) t WHERE rn = 1),
+         |probes AS (SELECT qid, cid FROM (
+         |  SELECT qs.qid, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t WHERE rn <= $IvfNprobe),
+         |cand AS (SELECT DISTINCT qid, id FROM probes JOIN lists USING (cid)),
+         |sc AS (SELECT cand.qid, cand.id,
+         |         ${duckCos("q.embedding", "c.embedding")} AS score
+         |       FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+         |                 JOIN embeddings c ON cand.id = c.vec_id),
+         |r AS (SELECT qid, id, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+    // Same drift fixture as the SQ8/PQ rebuild twins; the rebuild
+    // retrains the PREFIX-space quantizer from stored prefixes only.
+    "stream_ivfmat_rebuild" ->
+      """SELECT CAST(640 AS BIGINT) AS n_truth,
+        |  TRUE AS stale_degraded, TRUE AS rebuilt_recovers,
+        |  TRUE AS margin_ok""".stripMargin,
     "stream_ivf_index" ->
       s"""WITH corp AS (SELECT vec_id AS id, embedding AS v
          |  FROM embeddings WHERE vec_id >= 20),

@@ -63,6 +63,38 @@ object TextEventsQueries {
       TextAnalysis.bm25FromPostings(postings,
         Seq("spark", "window", "customer"), 15)
     },
+    // DELETES THROUGH THE RETRIEVAL INDEX: a changelog stream (I rows
+    // carry text, D rows carry ids) maintains served postings under the
+    // tombstone-delta discipline — doc 21 (history) and doc 150
+    // (batch 1) are tombstoned; doc 7 is deleted in batch 1 and
+    // RE-INSERTED in batch 2, so it serves again. bm25FromPostings
+    // derives df/avgdl/N from the served postings themselves, so every
+    // score is bit-identical to a fresh scan of the surviving corpus —
+    // which is exactly what the oracle replays.
+    "stream_index_delete" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = d.where(col("doc_id") < 100)
+      def ins(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("op", lit("I"))
+      def del(ids: Seq[Long]) = ids.toDF("doc_id")
+        .withColumn("text", lit(null).cast("string"))
+        .withColumn("op", lit("D"))
+      val days = Seq(
+        ins(d.where(col("doc_id") >= 100 && col("doc_id") < 300))
+          .unionByName(del(Seq(7L, 21L))),
+        ins(d.where(col("doc_id") >= 300))
+          .unionByName(del(Seq(150L)))
+          .unionByName(ins(d.where(col("doc_id") === 7))))
+      val logDir = Staging.batchLog("sbm25del", dir, "day", days)
+      val served = graft.streaming.DeleteStream
+        .incrementalPostingsWithDeletes(s, history, logDir,
+          days.head.schema,
+          s"${Staging.freshStateRoot("graft_sbm25del")}/state",
+          "doc_id", "text", "op")
+      TextAnalysis.bm25FromPostings(served,
+        Seq("spark", "window", "customer"), 15)
+    },
     // Hybrid retrieval: BM25 top-50 (sparse, the 3-term keyword query)
     // fused with brute-force cosine top-50 (dense, query = embedding 7;
     // doc_id and vec_id index the same corpus) by reciprocal-rank fusion
@@ -1401,6 +1433,27 @@ object TextEventsQueries {
         s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1) * tf$i * 2.2" +
           s" / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks)::DOUBLE AS dl, $tfs FROM t),
+         |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl, $dfs FROM f),
+         |sc AS (SELECT doc_id, round($score, 6) AS score FROM f, st)
+         |SELECT doc_id, score FROM sc WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    },
+    // Survivor-filtered BM25 replay: corpus stats (N, avgdl, df) are
+    // recomputed over exactly the surviving documents, matching the
+    // postings-derived stats of the delete-aware fold bit for bit.
+    "stream_index_delete" -> {
+      val terms = Seq("spark", "window", "customer")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1) * tf$i * 2.2" +
+          s" / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE doc_id NOT IN (21, 150)),
          |f AS (SELECT doc_id, len(toks)::DOUBLE AS dl, $tfs FROM t),
          |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl, $dfs FROM f),
          |sc AS (SELECT doc_id, round($score, 6) AS score FROM f, st)

@@ -15,11 +15,16 @@ import graft.operators.Dedup
  * came before. The index is the only state that accumulates — history's
  * text is never re-read, never re-hashed.
  *
- * Versioning discipline is [[ChangelogStream.materialize]]'s: batch b
- * reads index v{b} (which a failed earlier attempt cannot have touched)
- * and overwrites out v{b+1} / index v{b+1}, so replays land exactly
- * once. At 100 TB the index lives bucketed on (band, band_hash) and the
- * per-batch probe co-locates; day-N cost stays O(batch).
+ * The band index is a [[DeltaState]] append chain: batch b probes the
+ * accumulated index (one multi-path scan of base ∪ deltas, version-
+ * filtered to < b so a failed earlier attempt's delta is invisible) and
+ * physically writes ONLY its own `idx_d{b}` delta + its disjoint
+ * `out_v{b}` output — per-batch I/O is O(batch), never O(accumulated
+ * index); the only full rewrite is the scheduled compaction every
+ * `compactEvery` batches. Replays re-overwrite only their own delta and
+ * output, so they land exactly once. At 100 TB the index lives bucketed
+ * on (band, band_hash) and the per-batch probe co-locates; day-N cost
+ * stays O(batch).
  */
 object DedupStream {
 
@@ -30,28 +35,28 @@ object DedupStream {
    * `maxFilesPerTrigger 1` makes each file its own micro-batch. Returns
    * the union of all surviving batch outputs.
    *
-   * Index lifecycle: each batch rewrites the FULL band index as
-   * idx_v{b+1}, so without retention the state dir holds every historical
-   * copy of a growing index — O(batches²) storage at one batch per ingest
-   * hour. After each batch the chain is cut back to the newest
-   * `retainIndexVersions` (floor 2: the version a retried batch re-reads
-   * must survive — [[ChangelogStream.vacuum]]'s contract). The out_v*
-   * directories are NOT state: each holds one batch's disjoint surviving
-   * documents (the landed corpus itself) and is never pruned.
+   * Index lifecycle: batch b appends its landed survivors' bands as the
+   * `idx_d{b}` delta; the accumulated index is base ∪ deltas, compacted
+   * physically every `compactEvery` batches and vacuumed to the newest
+   * `retainIndexVersions` base anchors (floor 2: the inputs a retried
+   * compaction re-reads must survive — [[DeltaState.vacuum]]'s
+   * contract). The out_v* directories are NOT state: each holds one
+   * batch's disjoint surviving documents (the landed corpus itself) and
+   * is never pruned.
    */
   def incrementalMinhash(spark: SparkSession, history: DataFrame,
       docsDir: String, schema: StructType, stateDir: String,
       idCol: String, textCol: String,
-      retainIndexVersions: Int = 3): DataFrame = {
+      retainIndexVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
     require(retainIndexVersions >= 2,
       "incrementalMinhash: retainIndexVersions >= 2 (current + replay anchor)")
-    Dedup.minhashBandIndex(history, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$stateDir/idx_v0")
+    DeltaState.writeBase(Dedup.minhashBandIndex(history, idCol, textCol),
+      stateDir, "idx", 0L)
     @volatile var last = 0L
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(docsDir)
     EventStream.runForeachBatch(spark, stream, (batch, id) => {
-      val index = spark.read.parquet(s"$stateDir/idx_v$id")
+      val index = DeltaState.read(spark, stateDir, "idx", id)
       val survivors = Dedup.incrementalMinhashKeepFirst(
         batch, idCol, textCol, index)
       survivors.write.mode("overwrite").parquet(s"$stateDir/out_v${id + 1}")
@@ -59,9 +64,12 @@ object DedupStream {
       // the committed output, not a recomputation of the (nondeterministic
       // under retry) incoming batch plan.
       val landed = spark.read.parquet(s"$stateDir/out_v${id + 1}")
-      index.unionByName(Dedup.minhashBandIndex(landed, idCol, textCol))
-        .write.mode("overwrite").parquet(s"$stateDir/idx_v${id + 1}")
-      ChangelogStream.vacuum(stateDir, retainIndexVersions, prefix = "idx_v")
+      DeltaState.writeDelta(Dedup.minhashBandIndex(landed, idCol, textCol),
+        stateDir, "idx", id + 1)
+      if (DeltaState.due(stateDir, "idx", id + 1, compactEvery)) {
+        DeltaState.compact(spark, stateDir, "idx", id + 1)
+        DeltaState.vacuum(stateDir, "idx", retainIndexVersions)
+      }
       last = id + 1
     })
     (1L to last).map(v => spark.read.parquet(s"$stateDir/out_v$v"))

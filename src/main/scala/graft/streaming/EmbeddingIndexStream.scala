@@ -15,11 +15,14 @@ import graft.operators.Similarity
  * The coarse quantizer is trained ONCE (on history, offline — the
  * standard IVF recipe; retraining is a scheduled rebuild, not a per-batch
  * step), so each micro-batch costs one narrow nprobe=1 assignment
- * projection plus an append: day-N ingest is O(batch). Versioning
- * discipline is [[ChangelogStream.materialize]]'s — batch b reads
- * lists v{b} and overwrites lists v{b+1}, so replays land exactly once —
- * and the chain is vacuumed to the newest `retainVersions` (>= 2) replay
- * anchors, the [[DedupStream]] retention contract.
+ * projection plus a DELTA write: day-N ingest is O(batch) in compute AND
+ * in I/O. State lives as [[DeltaState]] chains — batch b physically
+ * writes only `lists_d{b}`; the accumulated index is one multi-path scan
+ * of base ∪ deltas; the scheduled rebuild (which re-keys every row
+ * anyway) is the only full-state write, doubling as the compaction.
+ * Replays re-overwrite only their own delta, so exactly-once holds, and
+ * [[DeltaState.vacuum]] keeps the newest `retainVersions` (>= 2) replay
+ * anchors — the [[DedupStream]] retention contract.
  *
  * At 100 TB the lists live bucketed by cid: the per-batch append touches
  * only the buckets its vectors land in, and [[Similarity.probeIndex]]
@@ -27,19 +30,44 @@ import graft.operators.Similarity
  */
 object EmbeddingIndexStream {
 
-  /** The shared fold: seed `stateDir/<prefix>0` with the assigned
-    * history, then run the vector stream to completion appending each
-    * batch's assignments under [[ChangelogStream.materialize]]'s
-    * versioning discipline (batch b reads v{b}, overwrites v{b+1} —
-    * exactly-once under replay), vacuuming to the newest
-    * `retainVersions` anchors. Returns the final accumulated index.
-    * Generic over the per-batch assignment — [[MediaIndexStream]] rides
-    * the same fold for signature tables. */
+  /** The shared APPEND fold: seed `{chain}_base0` with the assigned
+    * history, then run the vector stream to completion, each batch
+    * writing ONLY its own `{chain}_d{b}` delta under the [[DeltaState]]
+    * discipline — per-batch ingest I/O is O(batch), never O(accumulated
+    * index); the only full-state rewrite is the scheduled compaction
+    * every `compactEvery` batches (replays re-overwrite only their own
+    * delta, so exactly-once is preserved). Returns the final accumulated
+    * index (base ∪ deltas, one multi-path scan). Generic over the
+    * per-batch assignment — [[MediaIndexStream]] rides the same fold for
+    * signature tables. */
   private[streaming] def incrementalFold(spark: SparkSession, history: DataFrame,
+      vecDir: String, schema: StructType, stateDir: String, chain: String,
+      retainVersions: Int, assign: DataFrame => DataFrame,
+      compactEvery: Int = 16): DataFrame = {
+    DeltaState.writeBase(assign(history), stateDir, chain, 0L)
+    @volatile var last = 0L
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vecDir)
+    EventStream.runForeachBatch(spark, stream, (batch, id) => {
+      DeltaState.writeDelta(assign(batch), stateDir, chain, id + 1)
+      if (DeltaState.due(stateDir, chain, id + 1, compactEvery)) {
+        DeltaState.compact(spark, stateDir, chain, id + 1)
+        DeltaState.vacuum(stateDir, chain, retainVersions)
+      }
+      last = id + 1
+    })
+    DeltaState.read(spark, stateDir, chain, last)
+  }
+
+  /** The shared MERGE fold for CONSTANT-SIZE states (CMS grids, dim
+    * stats, histograms, DSIR bucket counts): batch b reads v{b}, merges,
+    * overwrites v{b+1} — the original full-rewrite discipline, which is
+    * O(1) I/O per batch exactly because the state never grows. Growing
+    * states must use [[incrementalFold]]'s delta chains instead. */
+  private[streaming] def mergedFold(spark: SparkSession, history: DataFrame,
       vecDir: String, schema: StructType, stateDir: String, prefix: String,
       retainVersions: Int, assign: DataFrame => DataFrame,
-      combine: (DataFrame, DataFrame) => DataFrame =
-        (prev, rows) => prev.unionByName(rows)): DataFrame = {
+      combine: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     assign(history).write.mode("overwrite").parquet(s"$stateDir/${prefix}0")
     @volatile var last = 0L
     val stream = spark.readStream.schema(schema)
@@ -57,21 +85,23 @@ object EmbeddingIndexStream {
   /**
    * Runs the vector stream in `vecDir` (parquet, `schema` with id/vec
    * columns named `idCol`/`vecCol`) to completion, starting from
-   * `history` (assigned as lists v0), folding (cid, id, vec) list rows
-   * under `stateDir`. Returns the final accumulated index.
+   * `history` (assigned as `lists_base0`), folding (cid, id, vec) list
+   * rows under `stateDir` as per-batch deltas. Returns the final
+   * accumulated index.
    */
   def incrementalIvf(spark: SparkSession, history: DataFrame,
       vecDir: String, schema: StructType, stateDir: String,
       idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])],
-      retainVersions: Int = 3): DataFrame = {
+      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
     require(retainVersions >= 2,
       "incrementalIvf: retainVersions >= 2 (current + replay anchor)")
     require(centroids.nonEmpty,
       "incrementalIvf: empty coarse quantizer — train centroids first")
-    incrementalFold(spark, history, vecDir, schema, stateDir, "lists_v",
+    incrementalFold(spark, history, vecDir, schema, stateDir, "lists",
       retainVersions,
-      batch => Similarity.ivfAssignments(batch, idCol, vecCol, centroids))
+      batch => Similarity.ivfAssignments(batch, idCol, vecCol, centroids),
+      compactEvery)
   }
 
   /**
@@ -117,15 +147,15 @@ object EmbeddingIndexStream {
    * drift WITHOUT a separate maintenance job.
    *
    * Atomic version flip, replay-idempotent: probes need a MATCHED
-   * (centroids, lists) pair, so centroids persist per version alongside
-   * the lists (`cents_v{b}` next to `lists_v{b}`). Batch b reads BOTH at
-   * v{b} and overwrites BOTH at v{b+1} — a replayed batch re-reads its
-   * untouched input version and lands bit-identically, rebuild included
+   * (centroids, lists) pair, so centroids persist per version
+   * (`cents_v{b}` — metadata-sized) alongside the `lists` delta chain.
+   * A non-rebuild batch writes only its own `lists_d{b}` delta plus the
+   * centroid copy — O(batch) I/O; a rebuild batch writes the re-keyed
+   * rows as the new `lists_base{b}`: the rebuild IS the compaction, the
+   * fold's only full-state write. A replayed batch re-reads its
+   * untouched inputs (the previous base + deltas, which vacuum retains)
+   * and lands bit-identically, rebuild included
    * ([[graft.operators.Similarity.trainKMeans]] is deterministic).
-   * Rebuild batches stage the appended rows under `pre_v{b+1}` first
-   * (training re-reads them iters+1 times; re-keying must not read the
-   * version it is overwriting). Non-rebuild batches cost exactly what
-   * [[incrementalIvf]]'s do plus a metadata-sized centroid copy.
    *
    * Returns the final (centroids, lists) pair.
    */
@@ -148,35 +178,42 @@ object EmbeddingIndexStream {
     def readCents(path: String): Seq[(Long, Array[Float])] =
       spark.read.parquet(path).orderBy(col("cid")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    Similarity.ivfAssignments(history, idCol, vecCol, centroids0)
-      .write.mode("overwrite").parquet(s"$stateDir/lists_v0")
+    DeltaState.writeBase(
+      Similarity.ivfAssignments(history, idCol, vecCol, centroids0),
+      stateDir, "lists", 0L)
     writeCents(centroids0, s"$stateDir/cents_v0")
     @volatile var last = 0L
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(vecDir)
     EventStream.runForeachBatch(spark, stream, (batch, id) => {
       val cents = readCents(s"$stateDir/cents_v$id")
-      val prev = spark.read.parquet(s"$stateDir/lists_v$id")
-      val appended = prev.unionByName(
-        Similarity.ivfAssignments(batch, idCol, vecCol, cents))
+      DeltaState.writeDelta(
+        Similarity.ivfAssignments(batch, idCol, vecCol, cents),
+        stateDir, "lists", id + 1)
       if ((id + 1) % rebuildEvery == 0) {
-        appended.write.mode("overwrite").parquet(s"$stateDir/pre_v${id + 1}")
-        val acc = spark.read.parquet(s"$stateDir/pre_v${id + 1}")
+        // The scheduled rebuild IS the compaction: re-keying already
+        // rewrites every row, so this is the fold's ONLY full-state
+        // write — non-rebuild batches cost O(batch) I/O. Training
+        // re-reads the accumulated multi-path scan iters+1 times; the
+        // output lands under a NEW base path, so no version is ever
+        // read and overwritten in the same batch.
+        // baseCap = id: a REPLAYED rebuild must re-read the previous
+        // anchor, never the base it wrote last time (DeltaState.compact's
+        // replay rule, hand-rolled because the merge is the re-key).
+        val acc = DeltaState.read(spark, stateDir, "lists", id + 1, id)
         val (nc, nl) = rebuildIvf(acc, "id", "vec", rebuildK(acc.count()),
           dim, iters, trainMod)
-        nl.write.mode("overwrite").parquet(s"$stateDir/lists_v${id + 1}")
+        DeltaState.writeBase(nl, stateDir, "lists", id + 1)
         writeCents(nc, s"$stateDir/cents_v${id + 1}")
+        DeltaState.vacuum(stateDir, "lists", retainVersions)
       } else {
-        appended.write.mode("overwrite").parquet(s"$stateDir/lists_v${id + 1}")
         writeCents(cents, s"$stateDir/cents_v${id + 1}")
       }
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "lists_v")
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = "cents_v")
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pre_v")
       last = id + 1
     })
     (readCents(s"$stateDir/cents_v$last"),
-      spark.read.parquet(s"$stateDir/lists_v$last"))
+      DeltaState.read(spark, stateDir, "lists", last))
   }
 
   /**
@@ -195,15 +232,16 @@ object EmbeddingIndexStream {
       idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])],
       codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
-      retainVersions: Int = 3): DataFrame = {
+      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
     require(retainVersions >= 2,
       "incrementalIvfPq: retainVersions >= 2 (current + replay anchor)")
     require(centroids.nonEmpty && codebooks.nonEmpty,
       "incrementalIvfPq: train the coarse quantizer and codebooks first")
-    incrementalFold(spark, history, vecDir, schema, stateDir, "pq_lists_v",
+    incrementalFold(spark, history, vecDir, schema, stateDir, "pq_lists",
       retainVersions,
       batch => Similarity.ivfPqAssignments(batch, idCol, vecCol, centroids,
-        codebooks, subDim))
+        codebooks, subDim),
+      compactEvery)
   }
 
   /**
@@ -219,14 +257,15 @@ object EmbeddingIndexStream {
       vecDir: String, schema: StructType, stateDir: String,
       idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])],
-      retainVersions: Int = 3): DataFrame = {
+      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
     require(retainVersions >= 2,
       "incrementalIvfSq8: retainVersions >= 2 (current + replay anchor)")
     require(centroids.nonEmpty,
       "incrementalIvfSq8: train the coarse quantizer first")
-    incrementalFold(spark, history, vecDir, schema, stateDir, "sq8_lists_v",
+    incrementalFold(spark, history, vecDir, schema, stateDir, "sq8_lists",
       retainVersions,
-      batch => Similarity.ivfSq8Assignments(batch, idCol, vecCol, centroids))
+      batch => Similarity.ivfSq8Assignments(batch, idCol, vecCol, centroids),
+      compactEvery)
   }
 
   /**
@@ -245,15 +284,120 @@ object EmbeddingIndexStream {
       vecDir: String, schema: StructType, stateDir: String,
       idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])], pdim: Int,
-      retainVersions: Int = 3): DataFrame = {
+      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
     require(retainVersions >= 2,
       "incrementalIvfMatryoshka: retainVersions >= 2 (current + replay anchor)")
     require(centroids.nonEmpty,
       "incrementalIvfMatryoshka: train the coarse quantizer first")
-    incrementalFold(spark, history, vecDir, schema, stateDir, "mat_lists_v",
+    incrementalFold(spark, history, vecDir, schema, stateDir, "mat_lists",
       retainVersions,
       batch => Similarity.ivfMatryoshkaAssignments(batch, idCol, vecCol,
-        centroids, pdim))
+        centroids, pdim),
+      compactEvery)
+  }
+
+  /**
+   * [[rebuildIvf]] for the Matryoshka PREFIX index — retrain + re-key
+   * FROM STORED PREFIXES ONLY. The accumulated state is (cid, id,
+   * prefix); raw vectors never entered it, so the retrained quantizer
+   * lives in PREFIX space (pdim-dimensional): k-means over the
+   * deterministic 1-in-`trainMod` prefix sample, then one narrow
+   * prefix-nearest re-key. The PAYLOAD is untouched — prefixes are
+   * per-vector and centroid-independent, the [[rebuildIvfSq8]] recipe
+   * verbatim.
+   *
+   * Approximation contract (the prefix-trained-quantizer approximation):
+   * clustering structure in prefix space is exactly what matryoshka
+   * training preserves — the prefix carries the representation's
+   * coarse-to-fine signal — so a prefix-trained quantizer tracks drift
+   * as a raw-vector retrain would at the coarse-assignment level (the
+   * stream_ivfmat_rebuild gate pins the recovered-recall margin on the
+   * planted-drift fixture; RebuildSweep measures it). Deterministic end
+   * to end, engine-replayable.
+   */
+  def rebuildIvfMatryoshka(lists: DataFrame, k: Int, pdim: Int, iters: Int,
+      trainMod: Int = 4): (Seq[(Long, Array[Float])], DataFrame) = {
+    require(k > 0 && trainMod >= 1, "rebuildIvfMatryoshka: k > 0, trainMod >= 1")
+    import org.apache.spark.sql.functions.{col, element_at}
+    val cents = Similarity.trainKMeans(
+      lists.where(col("id") % trainMod === 0), "id", "prefix", k, pdim, iters)
+    val rekeyed = lists.select(
+      element_at(Similarity.probeCids(col("prefix"), cents, 1), 1).as("cid"),
+      col("id"), col("prefix"))
+    (cents, rekeyed)
+  }
+
+  /**
+   * [[incrementalIvfSq8WithRebuild]] with the PREFIX payload — the last
+   * fold family gains its drift-recovery path. The fold's quantizer
+   * lives in PREFIX space from the start (`centroids0` must be
+   * pdim-dimensional — train it on sliced prefixes): arrivals
+   * coarse-assign by their prefix, rebuilds retrain from the stored
+   * prefixes ([[rebuildIvfMatryoshka]] — the corpus is never re-read)
+   * and re-key with the payload untouched. A prefix-space quantizer also
+   * means the FULL vector is needed nowhere on the coarse path — serve
+   * with [[Similarity.probeMatryoshkaIndex]] passing queries pre-sliced
+   * to pdim (slice(qvec, 1, pdim) — the query-side prefix is then both
+   * the coarse probe key and the estimate side). Same atomic
+   * (centroids, lists) version flip (`mat_cents_v{b}` metadata copies,
+   * `mat_lists` delta chain with rebuild-as-compaction) and replay
+   * idempotence as the SQ8 twin. Returns the final (centroids, lists).
+   */
+  def incrementalIvfMatryoshkaWithRebuild(spark: SparkSession,
+      history: DataFrame, vecDir: String, schema: StructType,
+      stateDir: String, idCol: String, vecCol: String,
+      centroids0: Seq[(Long, Array[Float])], pdim: Int, rebuildEvery: Int,
+      rebuildK: Long => Int, iters: Int, trainMod: Int = 4,
+      retainVersions: Int = 3): (Seq[(Long, Array[Float])], DataFrame) = {
+    require(retainVersions >= 2,
+      "incrementalIvfMatryoshkaWithRebuild: retainVersions >= 2")
+    require(rebuildEvery >= 1,
+      "incrementalIvfMatryoshkaWithRebuild: rebuildEvery >= 1")
+    require(centroids0.nonEmpty,
+      "incrementalIvfMatryoshkaWithRebuild: empty initial quantizer")
+    require(centroids0.forall(_._2.length == pdim),
+      "incrementalIvfMatryoshkaWithRebuild: the quantizer lives in PREFIX " +
+        s"space — train centroids0 on slice(vec, 1, $pdim) prefixes")
+    import org.apache.spark.sql.functions.{col, element_at, slice}
+    import spark.implicits._
+    def writeCents(cents: Seq[(Long, Array[Float])], path: String): Unit =
+      cents.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    def readCents(path: String): Seq[(Long, Array[Float])] =
+      spark.read.parquet(path).orderBy(col("cid")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // Prefix-space assignment: cid by the PREFIX's nearest centroid, the
+    // prefix itself as payload.
+    def assign(df: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
+      val prefix = slice(col(vecCol), 1, pdim)
+      df.select(
+        element_at(Similarity.probeCids(prefix, cents, 1), 1).as("cid"),
+        col(idCol).as("id"), prefix.as("prefix"))
+    }
+    DeltaState.writeBase(assign(history, centroids0), stateDir, "mat_lists", 0L)
+    writeCents(centroids0, s"$stateDir/mat_cents_v0")
+    @volatile var last = 0L
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vecDir)
+    EventStream.runForeachBatch(spark, stream, (batch, id) => {
+      val cents = readCents(s"$stateDir/mat_cents_v$id")
+      DeltaState.writeDelta(assign(batch, cents), stateDir, "mat_lists", id + 1)
+      if ((id + 1) % rebuildEvery == 0) {
+        // Rebuild == compaction (see incrementalIvfWithRebuild).
+        val acc = DeltaState.read(spark, stateDir, "mat_lists", id + 1, id)
+        val (nc, nl) = rebuildIvfMatryoshka(acc, rebuildK(acc.count()),
+          pdim, iters, trainMod)
+        DeltaState.writeBase(nl, stateDir, "mat_lists", id + 1)
+        writeCents(nc, s"$stateDir/mat_cents_v${id + 1}")
+        DeltaState.vacuum(stateDir, "mat_lists", retainVersions)
+      } else {
+        writeCents(cents, s"$stateDir/mat_cents_v${id + 1}")
+      }
+      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "mat_cents_v")
+      last = id + 1
+    })
+    (readCents(s"$stateDir/mat_cents_v$last"),
+      DeltaState.read(spark, stateDir, "mat_lists", last))
   }
 
   // ---- Scheduled rebuild for the COMPRESSED folds ---------------------------
@@ -308,10 +452,10 @@ object EmbeddingIndexStream {
    * retrain + re-key fires INSIDE the fold every `rebuildEvery`-th batch,
    * against the accumulated CODE state ([[rebuildIvfSq8]] — the corpus is
    * never re-read), with the same atomic (centroids, lists) version flip
-   * and replay idempotence: batch b reads `sq8_cents_v{b}` +
-   * `sq8_lists_v{b}` and overwrites both at v{b+1}; rebuild batches stage
-   * the appended rows under `sq8_pre_v{b+1}` first (training re-reads
-   * them iters+1 times). Returns the final (centroids, lists) pair.
+   * and replay idempotence: a non-rebuild batch writes only its
+   * `sq8_lists_d{b}` delta + the `sq8_cents_v{b}` metadata copy; the
+   * rebuild writes the re-keyed rows as the new `sq8_lists_base{b}` —
+   * rebuild == compaction. Returns the final (centroids, lists) pair.
    */
   def incrementalIvfSq8WithRebuild(spark: SparkSession, history: DataFrame,
       vecDir: String, schema: StructType, stateDir: String,
@@ -332,35 +476,34 @@ object EmbeddingIndexStream {
     def readCents(path: String): Seq[(Long, Array[Float])] =
       spark.read.parquet(path).orderBy(col("cid")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    Similarity.ivfSq8Assignments(history, idCol, vecCol, centroids0)
-      .write.mode("overwrite").parquet(s"$stateDir/sq8_lists_v0")
+    DeltaState.writeBase(
+      Similarity.ivfSq8Assignments(history, idCol, vecCol, centroids0),
+      stateDir, "sq8_lists", 0L)
     writeCents(centroids0, s"$stateDir/sq8_cents_v0")
     @volatile var last = 0L
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(vecDir)
     EventStream.runForeachBatch(spark, stream, (batch, id) => {
       val cents = readCents(s"$stateDir/sq8_cents_v$id")
-      val prev = spark.read.parquet(s"$stateDir/sq8_lists_v$id")
-      val appended = prev.unionByName(
-        Similarity.ivfSq8Assignments(batch, idCol, vecCol, cents))
+      DeltaState.writeDelta(
+        Similarity.ivfSq8Assignments(batch, idCol, vecCol, cents),
+        stateDir, "sq8_lists", id + 1)
       if ((id + 1) % rebuildEvery == 0) {
-        appended.write.mode("overwrite").parquet(s"$stateDir/sq8_pre_v${id + 1}")
-        val acc = spark.read.parquet(s"$stateDir/sq8_pre_v${id + 1}")
+        // Rebuild == compaction (see incrementalIvfWithRebuild).
+        val acc = DeltaState.read(spark, stateDir, "sq8_lists", id + 1, id)
         val (nc, nl) = rebuildIvfSq8(acc, rebuildK(acc.count()), dim, iters,
           trainMod)
-        nl.write.mode("overwrite").parquet(s"$stateDir/sq8_lists_v${id + 1}")
+        DeltaState.writeBase(nl, stateDir, "sq8_lists", id + 1)
         writeCents(nc, s"$stateDir/sq8_cents_v${id + 1}")
+        DeltaState.vacuum(stateDir, "sq8_lists", retainVersions)
       } else {
-        appended.write.mode("overwrite").parquet(s"$stateDir/sq8_lists_v${id + 1}")
         writeCents(cents, s"$stateDir/sq8_cents_v${id + 1}")
       }
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "sq8_lists_v")
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = "sq8_cents_v")
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "sq8_pre_v")
       last = id + 1
     })
     (readCents(s"$stateDir/sq8_cents_v$last"),
-      spark.read.parquet(s"$stateDir/sq8_lists_v$last"))
+      DeltaState.read(spark, stateDir, "sq8_lists", last))
   }
 
   /** PQ code rows decoded back to (approximate) vectors: the stored
@@ -382,7 +525,29 @@ object EmbeddingIndexStream {
       .groupBy("id")
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("m"), col("sub")))),
-        e => e.getField("sub"))).as("rvec"))
+        e => e.getField("sub"))).as("rvec"),
+        count(lit(1)).as("__nsub"))
+      .select(col("id"),
+        reconChecked(col("rvec"), col("__nsub"), codebooks.length,
+          "pqReconstruct"))
+  }
+
+  /** Per-row fail-fast that an id reconstructed from EXACTLY m subspace
+    * rows: a duplicate ingest (or an id re-ingested across generations
+    * in the unversioned path) would silently concatenate 2m subvectors
+    * into a 2x-dim rvec and the re-key would mis-assign it with no
+    * error. One codegen comparison on the count the aggregate already
+    * produced. */
+  private def reconChecked(rvec: org.apache.spark.sql.Column,
+      nsub: org.apache.spark.sql.Column, m: Int,
+      what: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(nsub === lit(m.toLong), rvec)
+      .otherwise(raise_error(concat(
+        lit(s"$what: id has "), nsub.cast("string"),
+        lit(s" subspace code rows, expected exactly $m - duplicate " +
+          "ingest of the same id (unique-id precondition violated)"))))
+      .as("rvec")
   }
 
   /** [[pqReconstruct]] over a GENERATIONAL index: each (cid, id, m,
@@ -399,11 +564,16 @@ object EmbeddingIndexStream {
         book.map { case (code, sub) => (bv, mi.toLong, code, sub.toSeq) }
       }
     }.toDF("bv", "m", "code", "sub")
+    val m = booksByVersion.headOption.map(_._2.length).getOrElse(0)
     lists.join(broadcast(books), Seq("bv", "m", "code"))
       .groupBy("id")
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("m"), col("sub")))),
-        e => e.getField("sub"))).as("rvec"))
+        e => e.getField("sub"))).as("rvec"),
+        count(lit(1)).as("__nsub"))
+      .select(col("id"),
+        reconChecked(col("rvec"), col("__nsub"), m,
+          "pqReconstructVersioned"))
   }
 
   /**
@@ -456,19 +626,21 @@ object EmbeddingIndexStream {
    * [[incrementalIvfWithRebuild]] with the PQ payload, GENERATIONAL:
    * arriving vectors encode against the NEWEST codebook generation and
    * their list rows carry its `bv` tag; the fold ALSO keeps the raw
-   * training reservoir (every `trainMod`-th id's (id, vec), under
-   * `pq_res_v{b}` — dim*4/trainMod bytes per indexed vector, the state
+   * training reservoir (every `trainMod`-th id's (id, vec), the
+   * `pq_res` delta chain — dim*4/trainMod bytes per indexed vector, the state
    * price of retrainable codebooks; see [[rebuildIvfPq]] for the
    * measurement that makes it non-optional). Every `rebuildEvery`-th
    * batch [[rebuildIvfPq]] retrains quantizer + a new codebook
    * generation from the reservoir, re-keys all rows (codes kept), and
    * generation bv+1 serves subsequent arrivals. Probes need a matched
-   * (centroids, generations-map, lists) TRIPLE, so all three persist
-   * per version (`pq_cents_v{b}`, `pq_books_v{b}` — ALL generations,
-   * keyed by bv — and `pq_lists_v{b}`) and flip atomically at the
-   * version boundary; replay of batch b re-reads its untouched v{b}
-   * state and lands bit-identically. Returns the final triple; serve it
-   * through [[Similarity.probePqIndexVersioned]].
+   * (centroids, generations-map, lists) TRIPLE: the metadata sides
+   * persist per version (`pq_cents_v{b}`, `pq_books_v{b}` — ALL
+   * generations, keyed by bv) while the lists and the reservoir fold as
+   * [[DeltaState]] chains (`pq_lists`, `pq_res`) whose bases flip at
+   * the rebuild boundary — the triple still swaps atomically at the
+   * version boundary, and a replayed batch re-reads its untouched
+   * inputs and lands bit-identically. Returns the final triple; serve
+   * it through [[Similarity.probePqIndexVersioned]].
    */
   def incrementalIvfPqWithRebuild(spark: SparkSession, history: DataFrame,
       vecDir: String, schema: StructType, stateDir: String,
@@ -514,13 +686,14 @@ object EmbeddingIndexStream {
     def resOf(df: DataFrame): DataFrame =
       df.where(col(idCol) % trainMod === 0)
         .select(col(idCol).as("id"), col(vecCol).as("vec"))
-    Similarity.ivfPqAssignments(history, idCol, vecCol, centroids0,
-        codebooks0, subDim)
-      .withColumn("bv", lit(0L))
-      .write.mode("overwrite").parquet(s"$stateDir/pq_lists_v0")
+    DeltaState.writeBase(
+      Similarity.ivfPqAssignments(history, idCol, vecCol, centroids0,
+          codebooks0, subDim)
+        .withColumn("bv", lit(0L)),
+      stateDir, "pq_lists", 0L)
     writeCents(centroids0, s"$stateDir/pq_cents_v0")
     writeBooks(Seq((0L, codebooks0)), s"$stateDir/pq_books_v0")
-    resOf(history).write.mode("overwrite").parquet(s"$stateDir/pq_res_v0")
+    DeltaState.writeBase(resOf(history), stateDir, "pq_res", 0L)
     @volatile var last = 0L
     val m = codebooks0.length.toLong
     val stream = spark.readStream.schema(schema)
@@ -529,38 +702,38 @@ object EmbeddingIndexStream {
       val cents = readCents(s"$stateDir/pq_cents_v$id")
       val gens = readBooks(s"$stateDir/pq_books_v$id")
       val (newestBv, newestBooks) = gens.last
-      val prev = spark.read.parquet(s"$stateDir/pq_lists_v$id")
-      val appended = prev.unionByName(
+      DeltaState.writeDelta(
         Similarity.ivfPqAssignments(batch, idCol, vecCol, cents,
             newestBooks, subDim)
-          .withColumn("bv", lit(newestBv)))
-      spark.read.parquet(s"$stateDir/pq_res_v$id").unionByName(resOf(batch))
-        .write.mode("overwrite").parquet(s"$stateDir/pq_res_v${id + 1}")
+          .withColumn("bv", lit(newestBv)),
+        stateDir, "pq_lists", id + 1)
+      DeltaState.writeDelta(resOf(batch), stateDir, "pq_res", id + 1)
       if ((id + 1) % rebuildEvery == 0) {
-        appended.write.mode("overwrite").parquet(s"$stateDir/pq_pre_v${id + 1}")
-        val acc = spark.read.parquet(s"$stateDir/pq_pre_v${id + 1}")
-        val res = spark.read.parquet(s"$stateDir/pq_res_v${id + 1}")
+        // Rebuild == compaction for the code lists; the raw reservoir
+        // compacts physically on the same cadence (it is 1/trainMod of
+        // the corpus — small beside the list rewrite happening anyway).
+        val acc = DeltaState.read(spark, stateDir, "pq_lists", id + 1, id)
+        val res = DeltaState.read(spark, stateDir, "pq_res", id + 1, id)
         // Code rows are per-(vector, subspace): nVecs = rows / m.
         val (nc, nb, nl) = rebuildIvfPq(acc, res, gens,
           rebuildK(acc.count() / m), dim, iters, subDim, pqK, pqIters)
-        nl.write.mode("overwrite").parquet(s"$stateDir/pq_lists_v${id + 1}")
+        DeltaState.writeBase(nl, stateDir, "pq_lists", id + 1)
+        DeltaState.compact(spark, stateDir, "pq_res", id + 1)
         writeCents(nc, s"$stateDir/pq_cents_v${id + 1}")
         writeBooks(gens :+ ((newestBv + 1L, nb)),
           s"$stateDir/pq_books_v${id + 1}")
+        DeltaState.vacuum(stateDir, "pq_lists", retainVersions)
+        DeltaState.vacuum(stateDir, "pq_res", retainVersions)
       } else {
-        appended.write.mode("overwrite").parquet(s"$stateDir/pq_lists_v${id + 1}")
         writeCents(cents, s"$stateDir/pq_cents_v${id + 1}")
         writeBooks(gens, s"$stateDir/pq_books_v${id + 1}")
       }
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_lists_v")
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_cents_v")
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_books_v")
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_res_v")
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pq_pre_v")
       last = id + 1
     })
     (readCents(s"$stateDir/pq_cents_v$last"),
       readBooks(s"$stateDir/pq_books_v$last"),
-      spark.read.parquet(s"$stateDir/pq_lists_v$last"))
+      DeltaState.read(spark, stateDir, "pq_lists", last))
   }
 }

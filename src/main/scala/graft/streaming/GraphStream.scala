@@ -28,9 +28,16 @@ import org.apache.spark.sql.types.StructType
  * the directed form would double the merge shuffle, the state write,
  * and the at-rest bytes for zero information — consumers get the
  * directed (src, dst, cnt) contract back through a narrow union view.
- * Day-N cost is O(batch x order-fanout), never O(history). Both state
- * chains are versioned for idempotent replay and vacuumed to >= 2
- * replay anchors, like every other streaming fold in the engine.
+ * Day-N cost is O(batch x order-fanout), never O(history).
+ *
+ * Both growing chains fold as [[DeltaState]] append chains: batch b
+ * physically writes only its own `os_d{b}` membership delta and
+ * `pc2_d{b}` pair-count delta — O(batch) I/O per batch. Pair counts
+ * MERGE on read (base ∪ deltas, then one groupBy-sum — the
+ * merge-on-read side of a log-structured table) and compact physically
+ * every `compactEvery` batches; membership is a plain append. Replays
+ * re-overwrite only their own deltas, landing exactly once, and vacuum
+ * keeps >= 2 base anchors like every other streaming fold.
  */
 object GraphStream {
 
@@ -41,11 +48,19 @@ object GraphStream {
    */
   def incrementalPairCounts(spark: SparkSession, streamDir: String,
       schema: StructType, stateDir: String, okCol: String, sCol: String,
-      retainVersions: Int = 3): DataFrame = {
+      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
     val last = foldPairCounts(spark, streamDir, schema, stateDir, okCol,
-      sCol, retainVersions, _ => ())
-    directedView(spark.read.parquet(s"$stateDir/pc2_v$last"))
+      sCol, retainVersions, compactEvery, _ => ())
+    directedView(mergedCounts(spark, stateDir, last))
   }
+
+  /** Merge-on-read for the pair-count delta chain: base ∪ deltas, then
+    * one key-partitioned sum — the serving view of the undirected count
+    * state at version `n`. Also the compaction merge. */
+  private def mergedCounts(spark: SparkSession, stateDir: String,
+      n: Long): DataFrame =
+    DeltaState.read(spark, stateDir, "pc2", n)
+      .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
 
   /** The co-occurrence graph is undirected, so the persisted state keeps
     * ONE row per unordered pair (a < b) — half the merge shuffle, half
@@ -70,31 +85,32 @@ object GraphStream {
     * old columns. */
   private def foldPairCounts(spark: SparkSession, streamDir: String,
       schema: StructType, stateDir: String, okCol: String, sCol: String,
-      retainVersions: Int, afterBatch: Long => Unit): Long = {
+      retainVersions: Int, compactEvery: Int,
+      afterBatch: Long => Unit): Long = {
     require(retainVersions >= 2,
       "incrementalPairCounts: retainVersions >= 2 (current + replay anchor)")
     import spark.implicits._
     // One-time migration sweep: a stateDir written by the directed-era
-    // fold still holds pc_v* directories that the pc2_v vacuum never
-    // touches — without this they orphan and accumulate forever.
+    // or full-rewrite-era folds still holds pc_v*/pc2_v*/os_v*
+    // directories that the delta-chain vacuum never touches — without
+    // this they orphan and accumulate forever.
     Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("pc_v\\d+"))
+      .filter(f => f.isDirectory && f.getName.matches("(pc|pc2|os)_v\\d+"))
       .foreach { legacy =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
         }
         rm(legacy)
       }
-    Seq.empty[(Long, Long)].toDF("ok", "s")
-      .write.mode("overwrite").parquet(s"$stateDir/os_v0")
-    Seq.empty[(Long, Long, Long)].toDF("a", "b", "cnt")
-      .write.mode("overwrite").parquet(s"$stateDir/pc2_v0")
+    DeltaState.writeBase(Seq.empty[(Long, Long)].toDF("ok", "s"),
+      stateDir, "os", 0L)
+    DeltaState.writeBase(Seq.empty[(Long, Long, Long)].toDF("a", "b", "cnt"),
+      stateDir, "pc2", 0L)
     @volatile var last = 0L
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
     EventStream.runForeachBatch(spark, stream, (batch, id) => {
-      val members = spark.read.parquet(s"$stateDir/os_v$id")
-      val counts = spark.read.parquet(s"$stateDir/pc2_v$id")
+      val members = DeltaState.read(spark, stateDir, "os", id)
       val incoming = batch
         .select(col(okCol).cast("long").as("ok"), col(sCol).cast("long").as("s"))
         .distinct()
@@ -117,13 +133,15 @@ object GraphStream {
         .select(col("x.s").as("a"), col("y.s").as("b"))
       val delta = crossOld.unionByName(crossNew)
         .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
-      counts.unionByName(delta)
-        .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
-        .write.mode("overwrite").parquet(s"$stateDir/pc2_v${id + 1}")
-      members.unionByName(fresh)
-        .write.mode("overwrite").parquet(s"$stateDir/os_v${id + 1}")
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "os_v")
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "pc2_v")
+      DeltaState.writeDelta(delta, stateDir, "pc2", id + 1)
+      DeltaState.writeDelta(fresh, stateDir, "os", id + 1)
+      if (DeltaState.due(stateDir, "pc2", id + 1, compactEvery)) {
+        DeltaState.compact(spark, stateDir, "pc2", id + 1,
+          _.groupBy("a", "b").agg(sum(col("cnt")).as("cnt")))
+        DeltaState.compact(spark, stateDir, "os", id + 1)
+        DeltaState.vacuum(stateDir, "pc2", retainVersions)
+        DeltaState.vacuum(stateDir, "os", retainVersions)
+      }
       afterBatch(id)
       last = id + 1
     })
@@ -164,19 +182,20 @@ object GraphStream {
       schema: StructType, stateDir: String, okCol: String, sCol: String,
       k: Int = 8, coldIters: Int = 6, warmRounds: Int = 2,
       scale: Long = graft.operators.Graph.RankScale,
-      retainVersions: Int = 3, refreshEvery: Int = 1): DataFrame = {
+      retainVersions: Int = 3, refreshEvery: Int = 1,
+      compactEvery: Int = 16): DataFrame = {
     require(refreshEvery >= 1, "incrementalPagerank: refreshEvery >= 1")
     import spark.implicits._
     Seq.empty[(Long, Long)].toDF("node", "rank_scaled")
       .write.mode("overwrite").parquet(s"$stateDir/pr_v0")
     val last = foldPairCounts(spark, streamDir, schema, stateDir, okCol,
-      sCol, retainVersions, id => {
+      sCol, retainVersions, compactEvery, id => {
         val prev = spark.read.parquet(s"$stateDir/pr_v$id")
         val ranks =
           if ((id + 1) % refreshEvery != 0) prev // fold-only batch
           else {
             val counts =
-              directedView(spark.read.parquet(s"$stateDir/pc2_v${id + 1}"))
+              directedView(mergedCounts(spark, stateDir, id + 1))
             val edges = topKEdges(counts, k)
             if (prev.isEmpty)
               graft.operators.Graph.pagerank(edges, coldIters, scale)

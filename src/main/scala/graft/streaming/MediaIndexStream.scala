@@ -43,6 +43,6 @@ object MediaIndexStream {
         batch.select(col("media_id").as("mediaId"), col("kind"),
           col("payload"), col("meta")).as[MediaRecord])
     EmbeddingIndexStream.incrementalFold(spark, history, mediaDir, schema,
-      stateDir, "fp_v", retainVersions, fingerprint)
+      stateDir, "fp", retainVersions, fingerprint)
   }
 }

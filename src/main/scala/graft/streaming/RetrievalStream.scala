@@ -27,10 +27,12 @@ object RetrievalStream {
     * postings under `stateDir`. Returns the final accumulated table. */
   def incrementalPostings(spark: SparkSession, history: DataFrame,
       docDir: String, schema: StructType, stateDir: String,
-      idCol: String, textCol: String, retainVersions: Int = 3): DataFrame =
+      idCol: String, textCol: String, retainVersions: Int = 3,
+      compactEvery: Int = 16): DataFrame =
     EmbeddingIndexStream.incrementalFold(spark, history, docDir, schema,
-      stateDir, "post_v", retainVersions,
-      batch => TextAnalysis.termPostings(batch, idCol, textCol))
+      stateDir, "post", retainVersions,
+      batch => TextAnalysis.termPostings(batch, idCol, textCol),
+      compactEvery)
 
   /** Streaming DSIR model maintenance: document batches fold into the
     * persisted (b, cnt) hashed-ngram bucket counts
@@ -45,7 +47,7 @@ object RetrievalStream {
   def incrementalDsirCounts(spark: SparkSession, history: DataFrame,
       docDir: String, schema: StructType, stateDir: String,
       textCol: String, buckets: Int, retainVersions: Int = 3): DataFrame =
-    EmbeddingIndexStream.incrementalFold(spark, history, docDir, schema,
+    EmbeddingIndexStream.mergedFold(spark, history, docDir, schema,
       stateDir, "dsir_v", retainVersions,
       batch => graft.operators.DataSelection.bucketCounts(batch, textCol,
         buckets),
@@ -100,9 +102,12 @@ object RetrievalStream {
     def score(df: DataFrame): DataFrame =
       ds.withMeanMicros(ds.dsirScoresFromCounts(
         df, idCol, textCol, buckets, tc, rc))
-    val seed = score(history)
-    seed.write.mode("overwrite").parquet(s"$stateDir/dsel_v0")
-    sk.histBuild(spark.read.parquet(s"$stateDir/dsel_v0"), col("__v"),
+    // Scored rows GROW with the corpus, so they fold as a [[DeltaState]]
+    // append chain (per-batch write = the batch's own scores only); the
+    // histogram sketch is bucket-bounded, so it keeps the constant-size
+    // rewrite discipline.
+    DeltaState.writeBase(score(history), stateDir, "dsel", 0L)
+    sk.histBuild(DeltaState.read(spark, stateDir, "dsel", 0L), col("__v"),
         widthMicros)
       .write.mode("overwrite").parquet(s"$stateDir/dhist_v0")
     @volatile var last = 0L
@@ -111,17 +116,19 @@ object RetrievalStream {
     EventStream.runForeachBatch(spark, stream, (batch, id) => {
       val s = score(batch)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      spark.read.parquet(s"$stateDir/dsel_v$id").unionByName(s)
-        .write.mode("overwrite").parquet(s"$stateDir/dsel_v${id + 1}")
+      DeltaState.writeDelta(s, stateDir, "dsel", id + 1)
       sk.histMerge(spark.read.parquet(s"$stateDir/dhist_v$id")
           .unionByName(sk.histBuild(s, col("__v"), widthMicros)))
         .write.mode("overwrite").parquet(s"$stateDir/dhist_v${id + 1}")
       s.unpersist(false)
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "dsel_v")
+      if (DeltaState.due(stateDir, "dsel", id + 1, 16)) {
+        DeltaState.compact(spark, stateDir, "dsel", id + 1)
+        DeltaState.vacuum(stateDir, "dsel", retainVersions)
+      }
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = "dhist_v")
       last = id + 1
     })
-    val scores = spark.read.parquet(s"$stateDir/dsel_v$last")
+    val scores = DeltaState.read(spark, stateDir, "dsel", last)
     val cut = ds.thresholdCutOf(
       spark.read.parquet(s"$stateDir/dhist_v$last"), frac, widthMicros)
     scores.where(col("__v") >= org.apache.spark.sql.functions.lit(cut))

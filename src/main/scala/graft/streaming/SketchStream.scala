@@ -29,7 +29,7 @@ object SketchStream {
       streamDir: String, schema: StructType, stateDir: String,
       keyCol: String, d: Int = 4, w: Int = 1024,
       retainVersions: Int = 3): DataFrame =
-    EmbeddingIndexStream.incrementalFold(spark, history, streamDir, schema,
+    EmbeddingIndexStream.mergedFold(spark, history, streamDir, schema,
       stateDir, "cms_v", retainVersions,
       batch => Sketches.cmsBuild(batch, keyCol, d, w),
       combine = (prev, cells) => prev.unionByName(cells)
@@ -51,7 +51,7 @@ object SketchStream {
     def core(df: DataFrame): DataFrame =
       graft.operators.VectorOps.dimensionStats(df, vecCol)
         .select("dim", "n", "sum_scaled", "min_scaled", "max_scaled")
-    EmbeddingIndexStream.incrementalFold(spark, history, streamDir, schema,
+    EmbeddingIndexStream.mergedFold(spark, history, streamDir, schema,
       stateDir, "ds_v", retainVersions, core,
       combine = (prev, cur) => prev.unionByName(cur).groupBy("dim")
         .agg(sum(col("n")).as("n"), sum(col("sum_scaled")).as("sum_scaled"),
@@ -80,7 +80,7 @@ object SketchStream {
     import graft.operators.TableStats
     val emptySeed = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val liveHist = EmbeddingIndexStream.incrementalFold(spark, emptySeed,
+    val liveHist = EmbeddingIndexStream.mergedFold(spark, emptySeed,
       streamDir, schema, stateDir, "drift_v", retainVersions,
       batch => TableStats.histogram(batch, column, edges),
       combine = (prev, cur) => prev.unionByName(cur)

@@ -21,8 +21,12 @@ import org.apache.spark.sql.types.StructType
  * Scale shape per batch: one within-batch lag per user (shuffle by
  * user), one user-keyed join against the carried last-event state
  * (user-sized, bucketed by user at rest), and a states²-bounded count
- * merge. Day-N cost is O(batch), never O(history). Versioning/vacuum
- * contract shared with every other fold.
+ * merge. Day-N cost is O(batch), never O(history) — in I/O too: the
+ * transition counts are states²-bounded so their full rewrite is O(1),
+ * but the last-event state GROWS with the key population, so it folds
+ * as a [[DeltaState]] chain (batch b writes only its own per-key-latest
+ * delta; the carried state is latest-per-key over base ∪ deltas —
+ * merge-on-read — compacted physically every `compactEvery` batches).
  *
  * Precondition: batches partition event time monotonically per user
  * (batch b+1's events are not earlier than batch b's for the same key)
@@ -37,9 +41,17 @@ object TimeSeriesStream {
   def incrementalTransitions(spark: SparkSession, streamDir: String,
       schema: StructType, stateDir: String, keyCol: String,
       stateCol: String, orderCol: String, tiebreakCol: String,
-      retainVersions: Int = 3): DataFrame = {
+      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
     require(retainVersions >= 2,
       "incrementalTransitions: retainVersions >= 2")
+    // Latest-per-key pick: the last-event chain's merge-on-read AND its
+    // compaction merge (associative — the per-batch deltas already hold
+    // each key's batch-latest, so the global latest survives any split).
+    def latestPerKey(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("k").orderBy(col("o").desc, col("t").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }
     // Empty state seeds typed from the SOURCE schema, so the per-batch
     // unions line up whatever the order/key column types are.
     val empty = spark.createDataFrame(
@@ -47,15 +59,16 @@ object TimeSeriesStream {
     empty.select(col(stateCol).as("cur"), col(stateCol).as("nxt"),
         lit(0L).as("cnt"))
       .write.mode("overwrite").parquet(s"$stateDir/tc_v0")
-    empty.select(col(keyCol).as("k"), col(orderCol).as("o"),
-        col(tiebreakCol).as("t"), col(stateCol).as("st"))
-      .write.mode("overwrite").parquet(s"$stateDir/last_v0")
+    DeltaState.writeBase(
+      empty.select(col(keyCol).as("k"), col(orderCol).as("o"),
+        col(tiebreakCol).as("t"), col(stateCol).as("st")),
+      stateDir, "last", 0L)
     @volatile var last = 0L
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
     EventStream.runForeachBatch(spark, stream, (batch, id) => {
       val prev = spark.read.parquet(s"$stateDir/tc_v$id")
-      val lastPrev = spark.read.parquet(s"$stateDir/last_v$id")
+      val lastPrev = latestPerKey(DeltaState.read(spark, stateDir, "last", id))
       val b = batch.select(col(keyCol).as("k"), col(orderCol).as("o"),
           col(tiebreakCol).as("t"), col(stateCol).as("st"))
         .localCheckpoint() // consumed 3x; retry-unstable batch plans
@@ -88,15 +101,15 @@ object TimeSeriesStream {
       prev.unionByName(delta)
         .groupBy("cur", "nxt").agg(sum(col("cnt")).as("cnt"))
         .write.mode("overwrite").parquet(s"$stateDir/tc_v${id + 1}")
-      // New last-event state: per key, the latest of (carried, batch).
-      val lastW = Window.partitionBy("k")
-        .orderBy(col("o").desc, col("t").desc)
-      lastPrev.unionByName(b)
-        .withColumn("__rn", row_number().over(lastW))
-        .where(col("__rn") === 1).drop("__rn")
-        .write.mode("overwrite").parquet(s"$stateDir/last_v${id + 1}")
+      // New last-event delta: the BATCH's per-key latest only — the
+      // carried state is reconstructed on read, so the per-batch write
+      // stays O(batch) however many keys have ever been seen.
+      DeltaState.writeDelta(latestPerKey(b), stateDir, "last", id + 1)
+      if (DeltaState.due(stateDir, "last", id + 1, compactEvery)) {
+        DeltaState.compact(spark, stateDir, "last", id + 1, latestPerKey)
+        DeltaState.vacuum(stateDir, "last", retainVersions)
+      }
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = "tc_v")
-      ChangelogStream.vacuum(stateDir, retainVersions, prefix = "last_v")
       last = id + 1
     })
     val perCur = Window.partitionBy("cur")

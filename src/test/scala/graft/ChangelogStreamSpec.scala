@@ -38,24 +38,66 @@ class ChangelogStreamSpec extends GraftSuite {
         slices.flatten.toDF("k", "v", "seq", "op"), Seq("k"), "seq", "op")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == oneShot)
-    // versioned snapshots: v0 (base), v1, v2 all present — the idempotent
-    // replay anchor for each batch id
-    (0 to 2).foreach { vNum =>
-      assert(java.nio.file.Files.exists(root.resolve(s"state/v$vNum")),
-        s"missing snapshot v$vNum")
-    }
-    // intermediate state v1 reflects ONLY batch 0
-    val v1 = spark.read.parquet(root.resolve("state/v1").toString)
+    // Merge-on-read delta layout: the snapshot base plus one RAW log
+    // delta per batch — no snapshot rewrite ever happened (O(batch)
+    // per-batch I/O), and each delta is the replay anchor for its batch.
+    val state = root.resolve("state").toString
+    val names = new java.io.File(state).listFiles().map(_.getName).toSet
+    assert(names == Set("snap_base0", "log_d1", "log_d2"),
+      s"state layout: $names")
+    // The historical snapshot at version 1 is reconstructable from
+    // base + the first delta alone (Merge.snapshotAsOf's property),
+    // reflecting ONLY batch 0.
+    val v1 = Merge.applyChangelog(
+        spark.read.parquet(s"$state/snap_base0"),
+        spark.read.parquet(s"$state/log_d1"), Seq("k"), "seq", "op")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(v1 == Set((1L, "a1"), (3L, "c"), (4L, "d0")))
-    // vacuum keeps the newest 2 versions, deletes v0, final data intact
-    val deleted = ChangelogStream.vacuum(root.resolve("state").toString, 2)
-    assert(deleted == Seq(0L), s"expected [0], got $deleted")
-    assert(!java.nio.file.Files.exists(root.resolve("state/v0")))
-    assert(java.nio.file.Files.exists(root.resolve("state/v1")) &&
-      java.nio.file.Files.exists(root.resolve("state/v2")))
-    val after = spark.read.parquet(root.resolve("state/v2").toString)
+  }
+
+  test("compaction materializes the log into a new base, result-invisibly, " +
+    "and vacuum keeps the replay anchors") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdccomp")
+    val logDir = root.resolve("log"); java.nio.file.Files.createDirectories(logDir)
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val slices = Seq(
+      Seq((1L, "a1", 10L, "U"), (4L, "d0", 11L, "I")),
+      Seq((2L, "x", 20L, "D"), (4L, "d1", 21L, "U")),
+      Seq((5L, "e0", 30L, "I"), (1L, "x", 31L, "D")),
+      Seq((3L, "c1", 40L, "U"), (5L, "e1", 41L, "U")))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val stage = root.resolve(s"stage$i").toString
+      rows.toDF("k", "v", "seq", "op").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = logDir.resolve(f"seq$i%03d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = Seq((1L, "a", 1L, "U")).toDF("k", "v", "seq", "op").schema
+    val state = root.resolve("state").toString
+    val out = ChangelogStream.materialize(spark, base, logDir.toString,
+      schema, state, Seq("k"), "seq", "op", retainVersions = 2,
+      compactEvery = 2)
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val oneShot = Merge.applyChangelog(base,
+        slices.flatten.toDF("k", "v", "seq", "op"), Seq("k"), "seq", "op")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(after == got)
+    assert(got == oneShot, "compaction must be result-invisible")
+    // Compactions fired at batches 2 and 4; vacuum kept the newest 2
+    // snapshot bases and the log deltas a replayed compaction re-reads.
+    val names = new java.io.File(state).listFiles().map(_.getName).toSet
+    assert(names == Set("snap_base2", "snap_base4", "log_d3", "log_d4"),
+      s"state layout: $names")
+    // snap_base2 is exactly the sequential fold of the first two batches.
+    val mid = spark.read.parquet(s"$state/snap_base2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val midRef = Merge.applyChangelog(base,
+        slices.take(2).flatten.toDF("k", "v", "seq", "op"),
+        Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mid == midRef)
   }
 }

@@ -44,15 +44,15 @@ class DedupStreamSpec extends GraftSuite {
       "doc_id", "text")
     val got = out.select("doc_id").as[Long].collect().sorted.toSeq
     assert(got == Seq(10L, 20L), s"survivors $got")
-    // versioned artifacts exist: idx v0..v2, out v1..v2
-    Seq("idx_v0", "idx_v1", "idx_v2", "out_v1", "out_v2").foreach { d =>
+    // delta-chain artifacts exist: seed base + one delta per batch +
+    // each batch's disjoint output
+    Seq("idx_base0", "idx_d1", "idx_d2", "out_v1", "out_v2").foreach { d =>
       assert(java.nio.file.Files.exists(root.resolve(s"state/$d")),
         s"missing $d")
     }
-    // the index grew: v1 carries day-0 survivor bands beyond v0's
-    val v0 = spark.read.parquet(root.resolve("state/idx_v0").toString).count()
-    val v1 = spark.read.parquet(root.resolve("state/idx_v1").toString).count()
-    assert(v1 > v0)
+    // the index grew: day 0's delta carries its survivor's bands
+    val d1 = spark.read.parquet(root.resolve("state/idx_d1").toString).count()
+    assert(d1 > 0)
   }
 
   test("index retention prunes old versions; replay anchors stay usable") {
@@ -82,21 +82,23 @@ class DedupStreamSpec extends GraftSuite {
     val state = root.resolve("state").toString
     val out = DedupStream.incrementalMinhash(spark, history,
       logDir.toString, days.head.schema, state, "doc_id", "text",
-      retainIndexVersions = 2)
+      retainIndexVersions = 2, compactEvery = 2)
     // Only the fresh docs survive; every re-crawl was screened out, so
     // the index chain genuinely grew across all four batches.
     val got = out.select("doc_id").as[Long].collect().sorted.toSeq
     assert(got == Seq(10L, 11L, 12L, 13L), s"survivors $got")
-    // Retention: exactly the newest 2 index versions remain; every
+    // Compaction fired at batches 2 and 4; vacuum kept the newest 2 base
+    // anchors and the deltas a replayed compaction would re-read. Every
     // batch's output shard is untouched (outputs are corpus, not state).
     val names = new java.io.File(state).listFiles().map(_.getName).toSet
-    assert(names.filter(_.startsWith("idx_v")) == Set("idx_v3", "idx_v4"),
-      s"index versions after retention: $names")
+    assert(names.filter(_.startsWith("idx_")) ==
+      Set("idx_base2", "idx_base4", "idx_d3", "idx_d4"),
+      s"index chain after retention: $names")
     (1 to 4).foreach(v => assert(names.contains(s"out_v$v"), s"out_v$v gone"))
     // A replayed final batch still lands idempotently from the kept
-    // anchor: re-running batch 3's handler body from idx_v3 reproduces
-    // out_v4 exactly.
-    val idx3 = spark.read.parquet(s"$state/idx_v3")
+    // anchors: re-running batch 3's screening against serving state at
+    // version 3 (base2 ∪ d3) reproduces out_v4 exactly.
+    val idx3 = graft.streaming.DeltaState.read(spark, state, "idx", 3)
     val replayed = graft.operators.Dedup.incrementalMinhashKeepFirst(
       days(3), "doc_id", "text", idx3)
     val landed = spark.read.parquet(s"$state/out_v4")

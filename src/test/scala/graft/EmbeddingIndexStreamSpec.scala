@@ -78,15 +78,34 @@ class EmbeddingIndexStreamSpec extends GraftSuite {
     val viaBatch = Similarity.ivfTopK(corpus, qs, 5, centroids, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaIndex == viaBatch)
-    // Retention: only the newest 2 list versions survive 3 batches.
+    // Delta layout: each batch wrote ONLY its own delta — the state dir
+    // holds the seed base plus one O(batch) delta per batch, and no
+    // full-state rewrite ever happened (no base past 0 without a
+    // compaction boundary).
     val names = new java.io.File(state).listFiles().map(_.getName).toSet
-    assert(names.filter(_.startsWith("lists_v")) == Set("lists_v2", "lists_v3"),
-      s"versions after retention: $names")
-    // A replayed final batch re-lands idempotently from the kept anchor.
-    val replayed = spark.read.parquet(s"$state/lists_v2").unionByName(
-        Similarity.ivfAssignments(days(2), "id", "vec", centroids))
+    assert(names.filter(_.startsWith("lists_")) ==
+      Set("lists_base0", "lists_d1", "lists_d2", "lists_d3"),
+      s"state chain: $names")
+    // A replayed final batch re-lands idempotently: serving state at its
+    // input version + its own re-assignment equals the committed fold.
+    val replayed = graft.streaming.DeltaState.read(spark, state, "lists", 2)
+      .unionByName(Similarity.ivfAssignments(days(2), "id", "vec", centroids))
       .select("cid", "id").as[(Long, Long)].collect().toSet
     assert(replayed == streamed)
+    // Compaction cadence: the same fold at compactEvery=2 lands the same
+    // rows, with batch 2 compacted into a base and vacuum keeping the
+    // replay anchors.
+    val root2 = java.nio.file.Files.createTempDirectory("graft_ivfspec_c")
+    val state2 = root2.resolve("state").toString
+    val lists2 = EmbeddingIndexStream.incrementalIvf(spark, history,
+      logDir.toString, days.head.schema, state2, "id", "vec", centroids,
+      retainVersions = 2, compactEvery = 2)
+    assert(lists2.select("cid", "id").as[(Long, Long)].collect().toSet ==
+      streamed, "compaction must be result-invisible")
+    val names2 = new java.io.File(state2).listFiles().map(_.getName).toSet
+    assert(names2.filter(_.startsWith("lists_")) ==
+      Set("lists_base0", "lists_base2", "lists_d1", "lists_d2", "lists_d3"),
+      s"compacted chain: $names2")
   }
 
   test("IVF x PQ: accumulated code lists == batch encoding; probes agree") {
@@ -366,6 +385,74 @@ class EmbeddingIndexStreamSpec extends GraftSuite {
       lists.select("cid", "id").as[(Long, Long)].collect().toSet)
     intercept[IllegalArgumentException] {
       EmbeddingIndexStream.rebuildIvfSq8(anchor, 0, 64, 2)
+    }
+  }
+
+  test("incrementalIvfMatryoshkaWithRebuild: prefix payload survives the " +
+    "re-key untouched; served centroids are the boundary retrain from " +
+    "stored prefixes; replay is identical; full-dim centroids rejected") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val pdim = 32
+    val corpus = e.where(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val history = corpus.where(col("id") < 200)
+    val days = Seq(
+      corpus.where(col("id") >= 200 && col("id") < 300),
+      corpus.where(col("id") >= 300 && col("id") < 400),
+      corpus.where(col("id") >= 400))
+    val root = java.nio.file.Files.createTempDirectory("graft_matrebspec")
+    val logDir = stageDays(root, days)
+    def pfx(df: org.apache.spark.sql.DataFrame, vc: String) =
+      df.withColumn(vc, slice(col(vc), 1, pdim))
+    // The fold's quantizer lives in PREFIX space.
+    val stale = Similarity.trainKMeans(
+      pfx(history.where(col("id") % 4 === 0), "vec"), "id", "vec", 4, pdim, 2)
+    val (cents, lists) =
+      EmbeddingIndexStream.incrementalIvfMatryoshkaWithRebuild(
+        spark, history, logDir, days.head.schema,
+        root.resolve("state").toString, "id", "vec", stale, pdim,
+        rebuildEvery = 2, rebuildK = _ => 16, iters = 2)
+    assert(cents.size > 4, "rebuild must have widened the stale k=4")
+    assert(cents.forall(_._2.length == pdim),
+      "rebuilt quantizer must stay in prefix space")
+    // Prefix payload is centroid-independent: the folded payload equals
+    // the corpus prefixes bit for bit, however many re-keys happened.
+    def payload(df: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Float])] =
+      df.select("id", "prefix").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    assert(payload(lists) == payload(
+      Similarity.ivfMatryoshkaAssignments(corpus, "id", "vec",
+        Similarity.trainKMeans(pfx(corpus, "vec"), "id", "vec", 4, pdim, 2),
+        pdim)))
+    // Served centroids = rebuildIvfMatryoshka over exactly what had
+    // accumulated by the batch-2 boundary (history + days 0-1).
+    val anchor = Similarity.ivfMatryoshkaAssignments(
+      pfx(history.unionByName(days(0)).unionByName(days(1)), "vec"),
+      "id", "vec", stale, pdim)
+    val (centsRef, _) = EmbeddingIndexStream.rebuildIvfMatryoshka(
+      anchor, 16, pdim, 2)
+    assert(cents.map { case (c, v) => (c, v.toSeq) } ==
+      centsRef.map { case (c, v) => (c, v.toSeq) },
+      "served centroids must be the boundary retrain from stored prefixes")
+    // Replay determinism.
+    val root2 = java.nio.file.Files.createTempDirectory("graft_matrebspec2")
+    val (cents2, lists2) =
+      EmbeddingIndexStream.incrementalIvfMatryoshkaWithRebuild(
+        spark, history, logDir, days.head.schema,
+        root2.resolve("state").toString, "id", "vec", stale, pdim,
+        rebuildEvery = 2, rebuildK = _ => 16, iters = 2)
+    assert(cents2.map { case (c, v) => (c, v.toSeq) } ==
+      cents.map { case (c, v) => (c, v.toSeq) })
+    assert(lists2.select("cid", "id").as[(Long, Long)].collect().toSet ==
+      lists.select("cid", "id").as[(Long, Long)].collect().toSet)
+    // Full-dim centroids violate the prefix-space contract, fail fast.
+    val fullDim = Similarity.trainKMeans(
+      history.where(col("id") % 4 === 0), "id", "vec", 4, 64, 2)
+    intercept[IllegalArgumentException] {
+      EmbeddingIndexStream.incrementalIvfMatryoshkaWithRebuild(
+        spark, history, logDir, days.head.schema,
+        root.resolve("bad").toString, "id", "vec", fullDim, pdim,
+        rebuildEvery = 2, rebuildK = _ => 16, iters = 2)
     }
   }
 

@@ -131,10 +131,12 @@ class GraphSpec extends GraftSuite {
     val batch = Graph.topKAffinityEdges(li, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch, "folded edges must equal the batch computation")
-    // Retention: only the newest versions of each chain remain.
+    // Delta layout: each batch wrote only its own delta per chain.
     val kept = new java.io.File(s"$root/state").listFiles().map(_.getName)
-    assert(kept.count(_.startsWith("pc2_v")) <= 3 &&
-      kept.count(_.startsWith("os_v")) <= 3, kept.mkString(","))
+    assert(kept.count(_.startsWith("pc2_base")) == 1 &&
+      kept.count(_.startsWith("pc2_d")) == 2 &&
+      kept.count(_.startsWith("os_base")) == 1 &&
+      kept.count(_.startsWith("os_d")) == 2, kept.mkString(","))
   }
 
   test("incrementalPagerank refreshEvery: fold-only batches carry ranks; " +

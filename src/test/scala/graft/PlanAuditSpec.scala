@@ -24,6 +24,9 @@ class PlanAuditSpec extends GraftSuite {
     // variant's dense half is all equi-joins, code-verified r16).
     "text_bm25_topk", "stream_bm25_index", "stream_hybrid_rrf",
     "stream_hybrid_rrf_sq8",
+    // Same 1-row BM25 stats broadcast, scored over the delete-aware
+    // postings fold (the tombstone anti-join itself is an equi-join).
+    "stream_index_delete",
     // The corpus-derived doc-frequency cap is a 1-row broadcast scalar
     // joined to the gram stats (constant-time at any corpus size).
     "dedup_ngram_pairs",

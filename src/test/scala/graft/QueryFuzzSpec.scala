@@ -19,27 +19,30 @@ class QueryFuzzSpec extends GraftSuite {
     assert(a != c, "different seeds must generate different batteries")
   }
 
-  test("default battery covers all thirty-one grammar shapes") {
-    val shapes = QueryFuzz.generate(FuzzConfig(nQueries = 31)).map(_.shape)
-    assert(shapes.distinct.size == 31, s"expected 31 shapes, got $shapes")
-    assert(shapes.size == 31)
+  test("default battery covers every grammar shape exactly once, and the " +
+    "default tracks the grammar size") {
+    val n = QueryFuzz.defaultNQueries
+    val shapes = QueryFuzz.generate(FuzzConfig()).map(_.shape)
+    assert(shapes.distinct.size == n, s"expected $n shapes, got $shapes")
+    assert(shapes.size == n)
   }
 
   test("battery executes on Spark: one row per query, qids dense") {
+    val n = QueryFuzz.defaultNQueries
     val rows = QueryFuzz.run(spark, SparkTestBase.sf0001,
-      FuzzConfig(seed = 0x5EED5EEDL, nQueries = 30)).collect()
-    assert(rows.length == 30)
-    assert(rows.map(_.getLong(0)).toSeq == (0L until 30L),
+      FuzzConfig(seed = 0x5EED5EEDL)).collect()
+    assert(rows.length == n)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until n.toLong),
       "qid column must be dense and ordered")
     // Digests are COALESCE'd: empty results are 0, never null.
     assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
 
   test("a fresh seed battery still parses and plans on Spark") {
-    // Planning (not executing) 30 unseen queries guards the grammar
+    // Planning (not executing) a full unseen battery guards the grammar
     // against emitting Spark-invalid SQL for seeds beyond the gate's.
     Tables.registerAll(spark, SparkTestBase.sf0001)
-    QueryFuzz.generate(FuzzConfig(seed = 987654321L, nQueries = 30))
+    QueryFuzz.generate(FuzzConfig(seed = 987654321L))
       .foreach { g =>
         val plan = spark.sql(g.wrappedSql).queryExecution.executedPlan
         assert(plan != null, s"q${g.id} (${g.shape}) failed to plan")
