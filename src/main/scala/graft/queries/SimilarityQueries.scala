@@ -841,6 +841,27 @@ object SimilarityQueries {
           col("label").isin(2, 5))
         .withColumnRenamed("rank", "rnk")
     },
+    // FILTERED ANN ON THE COMPRESSED PATH — where the pre-filter
+    // contract bites hardest: the coarse pass keeps only a
+    // Sq8Refine-deep shortlist of int8 estimates, so the predicate must
+    // apply BEFORE that trim or selective predicates starve the exact
+    // re-rank below k survivors. Lists carry (codes, scale, label); the
+    // oracle replays training, assignment, probe, the label filter,
+    // both quantizations, the integer-dot estimate, the FILTERED trim,
+    // and the exact re-rank.
+    "sim_ivfsq8_filtered_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centroids = Similarity.trainKMeans(
+        corpus.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
+      Similarity.ivfSq8FilteredTopK(corpus, qs, 5, centroids, IvfNprobe,
+          Sq8Refine, col("label").isin(2, 5))
+        .withColumnRenamed("rank", "rnk")
+    },
     // DELETES THROUGH THE IVF FOLD: a changelog stream (I rows carry
     // vectors, D rows carry ids) maintains served lists that exclude
     // every tombstoned id — including a history doc deleted in batch 1
@@ -1608,6 +1629,57 @@ object SimilarityQueries {
          |      AS DOUBLE) AS est
          |  FROM probes p JOIN cc ON cc.ccid = p.ccid
          |                JOIN qc ON qc.qid = p.qid),
+         |short AS (SELECT qid, id FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY est DESC, id) AS rn FROM est) t WHERE rn <= $Sq8Refine),
+         |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
+         |       FROM short s JOIN qs q ON s.qid = q.qid
+         |                    JOIN corp c ON s.id = c.id),
+         |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+    // IVF x SQ8 FILTERED replay: the sim_ivfsq8_topk replay with the
+    // label predicate applied to candidates BEFORE the shortlist trim —
+    // the pre-filter contract expressed declaratively.
+    "sim_ivfsq8_filtered_topk" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v, label
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |clists AS (SELECT id, v, label, ccid FROM (
+         |  SELECT c.id, c.v, c.label, ct.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY c.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
+         |  FROM corp c, cent ct) t WHERE rn = 1),
+         |probes AS (SELECT qid, ccid FROM (
+         |  SELECT qs.qid, cent.cid AS ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t WHERE rn <= $IvfNprobe),
+         |cm AS (SELECT id, ccid, label,
+         |    list_max(list_transform(v, x -> abs(x::DOUBLE))) AS cmax, v
+         |  FROM clists),
+         |cc AS (SELECT id, ccid, label, cmax, list_transform(v,
+         |    x -> CAST(floor(x::DOUBLE * 127.0 / cmax + 0.5) AS BIGINT))
+         |    AS code FROM cm),
+         |qm AS (SELECT qid, qv,
+         |    list_max(list_transform(qv, x -> abs(x::DOUBLE))) AS qmax
+         |  FROM qs),
+         |qc AS (SELECT qid, qmax, list_transform(qv,
+         |    x -> CAST(floor(x::DOUBLE * 127.0 / qmax + 0.5) AS BIGINT))
+         |    AS qcode FROM qm),
+         |est AS (SELECT p.qid, cc.id,
+         |    (cc.cmax / 127.0) * (qc.qmax / 127.0) *
+         |    CAST(list_reduce(list_transform(range($Dim),
+         |      j -> qc.qcode[j+1] * cc.code[j+1]), (p2, q2) -> p2 + q2)
+         |      AS DOUBLE) AS est
+         |  FROM probes p JOIN cc ON cc.ccid = p.ccid
+         |                JOIN qc ON qc.qid = p.qid
+         |  WHERE cc.label IN (2, 5)),
          |short AS (SELECT qid, id FROM (
          |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY est DESC, id) AS rn FROM est) t WHERE rn <= $Sq8Refine),

@@ -20,8 +20,10 @@ import graft.operators.Dedup
  * filtered to < b so a failed earlier attempt's delta is invisible) and
  * physically writes ONLY its own `idx_d{b}` delta + its disjoint
  * `out_v{b}` output — per-batch I/O is O(batch), never O(accumulated
- * index); the only full rewrite is the scheduled compaction every
- * `compactEvery` batches. Replays re-overwrite only their own delta and
+ * index); trailing deltas merge into packs every `packEvery` batches
+ * (O(batch·packEvery), the L1 tier) and the only full rewrite is the
+ * scheduled base compaction every `compactEvery` batches. Replays
+ * re-overwrite only their own delta and
  * output, so they land exactly once. At 100 TB the index lives bucketed
  * on (band, band_hash) and the per-batch probe co-locates; day-N cost
  * stays O(batch).
@@ -47,7 +49,8 @@ object DedupStream {
   def incrementalMinhash(spark: SparkSession, history: DataFrame,
       docsDir: String, schema: StructType, stateDir: String,
       idCol: String, textCol: String,
-      retainIndexVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
+      retainIndexVersions: Int = 3, compactEvery: Int = 256,
+      packEvery: Int = 16): DataFrame = {
     require(retainIndexVersions >= 2,
       "incrementalMinhash: retainIndexVersions >= 2 (current + replay anchor)")
     DeltaState.writeBase(Dedup.minhashBandIndex(history, idCol, textCol),
@@ -68,6 +71,9 @@ object DedupStream {
         stateDir, "idx", id + 1)
       if (DeltaState.due(stateDir, "idx", id + 1, compactEvery)) {
         DeltaState.compact(spark, stateDir, "idx", id + 1)
+        DeltaState.vacuum(stateDir, "idx", retainIndexVersions)
+      } else if (DeltaState.packDue(stateDir, "idx", id + 1, packEvery)) {
+        DeltaState.pack(spark, stateDir, "idx", id + 1)
         DeltaState.vacuum(stateDir, "idx", retainIndexVersions)
       }
       last = id + 1

@@ -89,34 +89,92 @@ object DeltaState {
       to: Long): Seq[Long] =
     listVersions(stateDir, chain, "d").filter(b => b > from && b <= to)
 
-  /** Serving state at `version` for an APPEND chain: base ∪ newer deltas,
-    * one multi-path parquet scan. Merge-on-read chains wrap this in
-    * their merge. `baseCap` (default: `version`) bounds which base may
-    * be picked — a hand-rolled compaction passes its own version - 1,
-    * [[compact]]'s replay rule, so a replayed compaction never reads the
-    * base it is about to re-overwrite. */
+  private[streaming] def packPath(stateDir: String, chain: String,
+      version: Long): String = s"$stateDir/${chain}_p$version"
+
+  /** Pack versions present in (from, to]. */
+  def packVersionsIn(stateDir: String, chain: String, from: Long,
+      to: Long): Seq[Long] =
+    listVersions(stateDir, chain, "p").filter(p => p > from && p <= to)
+
+  /** The newest cover point at or below `cap`: the end version of the
+    * newest pack above the base, or the base itself — deltas at or
+    * below it are already represented by a pack or the base. */
+  private def coverEnd(stateDir: String, chain: String, base: Long,
+      cap: Long): Long =
+    (base +: packVersionsIn(stateDir, chain, base, cap)).max
+
+  /** Serving state at `version` for an APPEND chain: base ∪ packs ∪
+    * trailing deltas, one multi-path parquet scan. Merge-on-read chains
+    * wrap this in their merge. `baseCap` (default: `version`) bounds
+    * which base may be picked — a hand-rolled compaction passes its own
+    * version - 1, [[compact]]'s replay rule, so a replayed compaction
+    * never reads the base it is about to re-overwrite. */
   def read(spark: SparkSession, stateDir: String, chain: String,
-      version: Long, baseCap: Long = -1L): DataFrame = {
+      version: Long, baseCap: Long = -1L): DataFrame =
+    spark.read.parquet(
+      readPaths(stateDir, chain, version, baseCap): _*)
+
+  private def readPaths(stateDir: String, chain: String, version: Long,
+      baseCap: Long = -1L): Seq[String] = {
     val c = baseVersion(stateDir, chain, if (baseCap >= 0) baseCap else version)
-    val paths = basePath(stateDir, chain, c) +:
-      deltaVersionsIn(stateDir, chain, c, version)
-        .map(deltaPath(stateDir, chain, _))
-    spark.read.parquet(paths: _*)
+    val packs = packVersionsIn(stateDir, chain, c, version)
+    val cover = (c +: packs).max
+    basePath(stateDir, chain, c) +:
+      (packs.map(packPath(stateDir, chain, _)) ++
+        deltaVersionsIn(stateDir, chain, cover, version)
+          .map(deltaPath(stateDir, chain, _)))
+  }
+
+  /**
+   * The L1 TIER between deltas and the base — what bounds COMPACTION
+   * write amplification for folds with no rebuild boundary: a full base
+   * compaction every E batches rewrites the whole accumulated state
+   * B/E times over its life (O(B²/E) bytes); packing instead merges
+   * ONLY the `packEvery` trailing deltas into one `{chain}_p{v}` pack
+   * (O(batch · packEvery) bytes — never the accumulated state), with
+   * the full base compaction demoted to a much longer cadence (or the
+   * rebuild boundary). Two levels give ≤ 3 writes per row per base
+   * epoch — the size-tiered LSM argument — while the read stays one
+   * multi-path scan bounded by (packs since base) + (deltas since last
+   * pack) paths.
+   *
+   * Replay rule: the pack covers deltas in (previous cover, version],
+   * resolved with caps at version - 1, so a replayed packing batch
+   * re-reads the same input deltas (vacuum retains one pack's worth of
+   * anchors) and re-overwrites only its own pack. `merge` is the
+   * chain's merge-on-read function (identity for pure appends).
+   */
+  def pack(spark: SparkSession, stateDir: String, chain: String,
+      version: Long, merge: DataFrame => DataFrame = identity): Unit = {
+    val c = baseVersion(stateDir, chain, version - 1)
+    val cover = coverEnd(stateDir, chain, c, version - 1)
+    val deltas = deltaVersionsIn(stateDir, chain, cover, version)
+    require(deltas.nonEmpty, s"DeltaState.pack: no deltas past $cover")
+    merge(spark.read.parquet(
+        deltas.map(deltaPath(stateDir, chain, _)): _*))
+      .write.mode("overwrite").parquet(packPath(stateDir, chain, version))
+  }
+
+  /** True when `version` has accumulated >= `every` deltas past the
+    * newest cover (pack or base) strictly below it. */
+  def packDue(stateDir: String, chain: String, version: Long,
+      every: Int): Boolean = {
+    if (every <= 0) return false
+    val c = baseVersion(stateDir, chain, version - 1)
+    version - coverEnd(stateDir, chain, c, version - 1) >= every
   }
 
   /** Physically rewrites the serving state at `version` as base{version}
     * (with the chain's merge applied — identity for append chains). The
     * scheduled full-state write; callers vacuum afterwards. */
   def compact(spark: SparkSession, stateDir: String, chain: String,
-      version: Long, merge: DataFrame => DataFrame = identity): Unit = {
+      version: Long, merge: DataFrame => DataFrame = identity): Unit =
     // Input base is resolved at version - 1: a REPLAYED compaction batch
     // must re-read the previous anchor, not the base it wrote last time.
-    val c = baseVersion(stateDir, chain, version - 1)
-    val paths = basePath(stateDir, chain, c) +:
-      deltaVersionsIn(stateDir, chain, c, version)
-        .map(deltaPath(stateDir, chain, _))
-    writeBase(merge(spark.read.parquet(paths: _*)), stateDir, chain, version)
-  }
+    writeBase(merge(spark.read.parquet(
+        readPaths(stateDir, chain, version, version - 1): _*)),
+      stateDir, chain, version)
 
   /** True when `version` has accumulated >= `every` deltas past the
     * newest base STRICTLY BELOW it — the cadence test for folds without
@@ -148,8 +206,10 @@ object DeltaState {
     bases.drop(math.max(0, bases.length - retain)).headOption.getOrElse(0L)
   }
 
-  /** Keeps the newest `retain` bases and every delta newer than the
-    * oldest retained base; deletes the rest. Returns deleted dir names. */
+  /** Keeps the newest `retain` bases, every pack newer than the oldest
+    * retained base, and every delta newer than the SECOND-newest cover
+    * point (the newest pack's inputs are the replay anchor of the batch
+    * that created it); deletes the rest. Returns deleted dir names. */
   def vacuum(stateDir: String, chain: String, retain: Int = 2): Seq[String] = {
     require(retain >= 2,
       "DeltaState.vacuum: retain >= 2 (current base + its replay anchor)")
@@ -161,9 +221,17 @@ object DeltaState {
     }
     val doomedBases = bases.filterNot(keptBases.contains)
       .map(v => s"${chain}_base$v")
-    val doomedDeltas = listVersions(stateDir, chain, "d").filter(_ <= floor)
-      .map(b => s"${chain}_d$b")
-    val doomed = doomedBases ++ doomedDeltas
+    val packs = listVersions(stateDir, chain, "p")
+    val doomedPacks = packs.filter(_ <= floor).map(v => s"${chain}_p$v")
+    // Delta floor: the cover point BELOW the newest surviving pack — a
+    // replayed pack-creating batch must still find its input deltas.
+    val keptPacks = packs.filter(_ > floor)
+    val deltaFloor =
+      if (keptPacks.isEmpty) floor
+      else (floor +: keptPacks.filter(_ < keptPacks.max)).max
+    val doomedDeltas = listVersions(stateDir, chain, "d")
+      .filter(_ <= deltaFloor).map(b => s"${chain}_d$b")
+    val doomed = doomedBases ++ doomedPacks ++ doomedDeltas
     doomed.foreach(n => rm(new java.io.File(stateDir, n)))
     doomed
   }

@@ -34,16 +34,21 @@ object EmbeddingIndexStream {
     * history, then run the vector stream to completion, each batch
     * writing ONLY its own `{chain}_d{b}` delta under the [[DeltaState]]
     * discipline — per-batch ingest I/O is O(batch), never O(accumulated
-    * index); the only full-state rewrite is the scheduled compaction
-    * every `compactEvery` batches (replays re-overwrite only their own
-    * delta, so exactly-once is preserved). Returns the final accumulated
-    * index (base ∪ deltas, one multi-path scan). Generic over the
+    * index). Maintenance is the two-level LSM: every `packEvery`
+    * batches the trailing deltas merge into ONE pack (O(batch ·
+    * packEvery) bytes — the accumulated state is untouched), and only
+    * every `compactEvery` batches does a full base rewrite happen —
+    * ≤ 3 writes per row per base epoch, where single-level compaction
+    * paid O(accumulated) every packEvery batches. Replays re-overwrite
+    * only their own delta/pack/base from retained anchors, so
+    * exactly-once is preserved. Returns the final accumulated index
+    * (base ∪ packs ∪ deltas, one multi-path scan). Generic over the
     * per-batch assignment — [[MediaIndexStream]] rides the same fold for
     * signature tables. */
   private[streaming] def incrementalFold(spark: SparkSession, history: DataFrame,
       vecDir: String, schema: StructType, stateDir: String, chain: String,
       retainVersions: Int, assign: DataFrame => DataFrame,
-      compactEvery: Int = 16): DataFrame = {
+      compactEvery: Int = 256, packEvery: Int = 16): DataFrame = {
     DeltaState.writeBase(assign(history), stateDir, chain, 0L)
     @volatile var last = 0L
     val stream = spark.readStream.schema(schema)
@@ -52,6 +57,9 @@ object EmbeddingIndexStream {
       DeltaState.writeDelta(assign(batch), stateDir, chain, id + 1)
       if (DeltaState.due(stateDir, chain, id + 1, compactEvery)) {
         DeltaState.compact(spark, stateDir, chain, id + 1)
+        DeltaState.vacuum(stateDir, chain, retainVersions)
+      } else if (DeltaState.packDue(stateDir, chain, id + 1, packEvery)) {
+        DeltaState.pack(spark, stateDir, chain, id + 1)
         DeltaState.vacuum(stateDir, chain, retainVersions)
       }
       last = id + 1
@@ -93,7 +101,8 @@ object EmbeddingIndexStream {
       vecDir: String, schema: StructType, stateDir: String,
       idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])],
-      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
+      retainVersions: Int = 3, compactEvery: Int = 256,
+      packEvery: Int = 16): DataFrame = {
     require(retainVersions >= 2,
       "incrementalIvf: retainVersions >= 2 (current + replay anchor)")
     require(centroids.nonEmpty,
@@ -101,7 +110,7 @@ object EmbeddingIndexStream {
     incrementalFold(spark, history, vecDir, schema, stateDir, "lists",
       retainVersions,
       batch => Similarity.ivfAssignments(batch, idCol, vecCol, centroids),
-      compactEvery)
+      compactEvery, packEvery)
   }
 
   /**
@@ -232,7 +241,8 @@ object EmbeddingIndexStream {
       idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])],
       codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
-      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
+      retainVersions: Int = 3, compactEvery: Int = 256,
+      packEvery: Int = 16): DataFrame = {
     require(retainVersions >= 2,
       "incrementalIvfPq: retainVersions >= 2 (current + replay anchor)")
     require(centroids.nonEmpty && codebooks.nonEmpty,
@@ -241,7 +251,7 @@ object EmbeddingIndexStream {
       retainVersions,
       batch => Similarity.ivfPqAssignments(batch, idCol, vecCol, centroids,
         codebooks, subDim),
-      compactEvery)
+      compactEvery, packEvery)
   }
 
   /**
@@ -257,7 +267,8 @@ object EmbeddingIndexStream {
       vecDir: String, schema: StructType, stateDir: String,
       idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])],
-      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
+      retainVersions: Int = 3, compactEvery: Int = 256,
+      packEvery: Int = 16): DataFrame = {
     require(retainVersions >= 2,
       "incrementalIvfSq8: retainVersions >= 2 (current + replay anchor)")
     require(centroids.nonEmpty,
@@ -265,7 +276,7 @@ object EmbeddingIndexStream {
     incrementalFold(spark, history, vecDir, schema, stateDir, "sq8_lists",
       retainVersions,
       batch => Similarity.ivfSq8Assignments(batch, idCol, vecCol, centroids),
-      compactEvery)
+      compactEvery, packEvery)
   }
 
   /**
@@ -284,7 +295,8 @@ object EmbeddingIndexStream {
       vecDir: String, schema: StructType, stateDir: String,
       idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])], pdim: Int,
-      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
+      retainVersions: Int = 3, compactEvery: Int = 256,
+      packEvery: Int = 16): DataFrame = {
     require(retainVersions >= 2,
       "incrementalIvfMatryoshka: retainVersions >= 2 (current + replay anchor)")
     require(centroids.nonEmpty,
@@ -293,7 +305,7 @@ object EmbeddingIndexStream {
       retainVersions,
       batch => Similarity.ivfMatryoshkaAssignments(batch, idCol, vecCol,
         centroids, pdim),
-      compactEvery)
+      compactEvery, packEvery)
   }
 
   /**

@@ -28,11 +28,11 @@ object RetrievalStream {
   def incrementalPostings(spark: SparkSession, history: DataFrame,
       docDir: String, schema: StructType, stateDir: String,
       idCol: String, textCol: String, retainVersions: Int = 3,
-      compactEvery: Int = 16): DataFrame =
+      compactEvery: Int = 256, packEvery: Int = 16): DataFrame =
     EmbeddingIndexStream.incrementalFold(spark, history, docDir, schema,
       stateDir, "post", retainVersions,
       batch => TextAnalysis.termPostings(batch, idCol, textCol),
-      compactEvery)
+      compactEvery, packEvery)
 
   /** Streaming DSIR model maintenance: document batches fold into the
     * persisted (b, cnt) hashed-ngram bucket counts
@@ -121,8 +121,11 @@ object RetrievalStream {
           .unionByName(sk.histBuild(s, col("__v"), widthMicros)))
         .write.mode("overwrite").parquet(s"$stateDir/dhist_v${id + 1}")
       s.unpersist(false)
-      if (DeltaState.due(stateDir, "dsel", id + 1, 16)) {
+      if (DeltaState.due(stateDir, "dsel", id + 1, 256)) {
         DeltaState.compact(spark, stateDir, "dsel", id + 1)
+        DeltaState.vacuum(stateDir, "dsel", retainVersions)
+      } else if (DeltaState.packDue(stateDir, "dsel", id + 1, 16)) {
+        DeltaState.pack(spark, stateDir, "dsel", id + 1)
         DeltaState.vacuum(stateDir, "dsel", retainVersions)
       }
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = "dhist_v")

@@ -69,6 +69,49 @@ class DeltaStateSpec extends GraftSuite {
     assert(logs == Set("log_d3"), s"log deltas: $logs")
   }
 
+  test("pack tier: packs absorb trailing deltas without touching the " +
+    "accumulated state; reads see base ∪ packs ∪ deltas; vacuum keeps " +
+    "the newest pack's input anchors; a replayed pack is idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dspack").toString
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "v")
+    DeltaState.writeBase(df(0, 10), root, "c", 0L)
+    // 6 batches at packEvery=2 (the incrementalFold wiring, hand-run).
+    (1 to 6).foreach { b =>
+      DeltaState.writeDelta(df(10 + (b - 1) * 3, 10 + b * 3), root, "c", b)
+      assert(DeltaState.packDue(root, "c", b, 2) == (b % 2 == 0),
+        s"packDue at batch $b")
+      if (DeltaState.packDue(root, "c", b, 2)) {
+        DeltaState.pack(spark, root, "c", b)
+        DeltaState.vacuum(root, "c", 2)
+      }
+      // Serving state is complete at every version.
+      assert(DeltaState.read(spark, root, "c", b).count() == 10 + b * 3)
+    }
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    // No base past the seed (the accumulated state was NEVER rewritten);
+    // three packs of two deltas each; the newest pack's input deltas
+    // survive as its replay anchors.
+    assert(names == Set("c_base0", "c_p2", "c_p4", "c_p6", "c_d5", "c_d6"),
+      s"packed layout: $names")
+    // Each pack holds exactly its two batches' rows — O(batch*packEvery),
+    // independent of the accumulated size.
+    assert(spark.read.parquet(s"$root/c_p2").count() == 6)
+    assert(spark.read.parquet(s"$root/c_p6").count() == 6)
+    // Replayed pack-creating batch: rewrites only its own pack, from the
+    // retained anchors, landing identically.
+    DeltaState.pack(spark, root, "c", 6L)
+    assert(DeltaState.read(spark, root, "c", 6L)
+      .select("id").as[Long].collect().toSet == (0L until 28L).toSet)
+    // Full compaction subsumes packs and deltas; vacuum then clears them.
+    DeltaState.compact(spark, root, "c", 7L)
+    assert(spark.read.parquet(s"$root/c_base7").count() == 28)
+    DeltaState.vacuum(root, "c", 2)
+    val after = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(after == Set("c_base0", "c_base7", "c_p2", "c_p4", "c_p6",
+      "c_d5", "c_d6"), s"after base7 vacuum: $after")
+  }
+
   test("bytes written per batch are O(batch), not O(accumulated): equal " +
     "batches land equal-sized deltas and the last batch writes a small " +
     "fraction of the accumulated state") {
