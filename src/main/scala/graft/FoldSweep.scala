@@ -64,12 +64,17 @@ object FoldSweep {
             .write.mode("overwrite")
             .parquet(s"${Staging.freshStateRoot("graft_fsw_seed")}/seed")
         }
+        // Time ONLY the ingest (seed + per-batch folds); the final
+        // accumulated-state read is O(accumulated) by definition and
+        // would contaminate perBatch with a corpus-proportional term.
+        var served: org.apache.spark.sql.DataFrame = null
         val full = timed {
-          EmbeddingIndexStream.incrementalIvf(spark, histP, logDir,
+          served = EmbeddingIndexStream.incrementalIvf(spark, histP, logDir,
             days.head.schema,
             s"${Staging.freshStateRoot("graft_fsw_state")}/state",
-            "id", "vec", cents).count()
+            "id", "vec", cents)
         }
+        require(served.count() > 0, "fold produced an empty index")
         (seedOnly, full)
       }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
       val perBatch = math.max(0.0, (foldT - seedT) / 2.0)

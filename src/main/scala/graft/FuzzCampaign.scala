@@ -23,7 +23,11 @@ object FuzzCampaign {
     val (sfDir, outDir) = (args(0), args(1))
     val seedStart = args(2).toLong
     val seedCount = args(3).toInt
-    val nQueries = if (args.length > 4) args(4).toInt else 30
+    // Default tracks the grammar size — a fixed literal here silently
+    // drops the newest shapes from every default-config campaign (the
+    // r16 nQueries trap, re-hit by the r18 campaign tool itself).
+    val nQueries =
+      if (args.length > 4) args(4).toInt else QueryFuzz.defaultNQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))

@@ -144,7 +144,7 @@ object QueryFuzz {
     "agg_filter", "full_outer", "cte_reuse", "limit_offset",
     "null_order", "mod_floor_div", "ts_interval", "anti_null", "try_cast",
     "greatest_least", "distinct_agg_filter", "string_seams",
-    "grouping_null_having")
+    "grouping_null_having", "window_outer_nulls")
 
   /** One of each shape: the default battery covers every grammar shape
     * exactly once (shape = id % shapeNames.size), so a grammar growth
@@ -877,6 +877,48 @@ object QueryFuzz {
           s"\nFROM ${t.name}\nWHERE ${pred(t, r)}",
           Seq(("c1", TString), ("c2", TString), ("c3", TString),
             ("c4", TString), ("c5", TLong), ("c6", TLong), ("c7", TString)))
+      case 32 => // WINDOWS x OUTER-JOIN NULLS — rank/frame semantics over
+        // JOIN-MANUFACTURED null keys, a seam the grammar's window
+        // shapes (9, 16) and outer-join shapes (8, 20) never composed:
+        // the partition key is a parent-side expression (NULL for every
+        // stranded child row -> all land in ONE null partition), RANK
+        // orders by a nullable parent column with an EXPLICIT NULLS
+        // FIRST/LAST (the engines' defaults differ: Spark ASC = NULLS
+        // FIRST, DuckDB ASC = NULLS LAST — leaving it implicit is a
+        // guaranteed false divergence, so the seam under test is the
+        // explicit spelling + tie mass of the null group), and a
+        // running SUM over a ROWS frame walks a total order whose every
+        // nullable column pins NULLS FIRST. SUM skips the NULL ord
+        // values of stranded rows (prefix sums stall, not null out —
+        // identical skip semantics both engines, digest-checked).
+        val e = r.choose(edges)
+        val joinKind = if (r.chance(0.5)) "LEFT" else "FULL OUTER"
+        val ord = r.choose(e.parent.cols.filter(c =>
+          (c.t == TInt || c.t == TDouble) && c.hi > c.lo))
+        val nf = if (r.chance(0.5)) "NULLS FIRST" else "NULLS LAST"
+        val m = 2 + r.nextInt(4)
+        val part = s"${e.parentKey} % $m"
+        val ordI = s"CAST(FLOOR(${ord.name}) AS BIGINT)"
+        val tie = (totalOrder(e.child).split(", ").toSeq :+ e.parentKey)
+          .map(c => s"$c NULLS FIRST").mkString(", ")
+        val ckType = e.child.cols.find(_.name == e.childKey).get.t
+        val pkType = e.parent.cols.find(_.name == e.parentKey).get.t
+        (s"SELECT ${e.childKey} AS c1, ${e.parentKey} AS c2," +
+          s"\n  CAST(RANK() OVER (PARTITION BY $part" +
+          s"\n    ORDER BY $ordI $nf) AS BIGINT) AS c3," +
+          s"\n  CAST(ROW_NUMBER() OVER (PARTITION BY $part" +
+          s"\n    ORDER BY $tie) AS BIGINT) AS c4," +
+          s"\n  CAST(SUM($ordI) OVER (PARTITION BY $part" +
+          s"\n    ORDER BY $tie" +
+          s"\n    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+          s" AS BIGINT) AS c5" +
+          s"\nFROM (SELECT * FROM ${e.child.name}" +
+          s" WHERE ${pred(e.child, r)}) fc" +
+          s"\n$joinKind JOIN (SELECT * FROM ${e.parent.name}" +
+          s" WHERE ${pred(e.parent, r)}) fp" +
+          s"\n  ON fc.${e.childKey} = fp.${e.parentKey}",
+          Seq(("c1", ckType), ("c2", pkType), ("c3", TLong), ("c4", TLong),
+            ("c5", TLong)))
       case _ => // GROUPING SETS x HAVING over grouped NULLs — composes
         // shape 14 (super-aggregate NULL vs genuine NULL group,
         // separable only by the GROUPING() bitmask) with shape 29's

@@ -1635,12 +1635,30 @@ object Similarity {
    * the attribute bytes ride the same partition as the payload they
    * qualify, so the filtered probe stays a co-located scan.
    */
+  /** Column names the filtered-ANN dataflow owns internally — an
+    * attribute with one of these names would silently corrupt the
+    * probe join / ranking instead of erroring, so attrs must be
+    * disjoint (rename on the way in). */
+  private val filteredAnnReserved =
+    Set("cid", "id", "vec", "qid", "qvec", "est", "score", "qnrm", "nrm",
+      "code", "cmax", "qcode", "qmax", "m", "pos", "col", "bv")
+
+  private def requireAttrsDisjoint(attrCols: Seq[String], who: String): Unit = {
+    val clash = attrCols.filter(filteredAnnReserved.contains)
+    require(clash.isEmpty,
+      s"$who: attribute column(s) ${clash.mkString(", ")} collide with " +
+        s"internal names (${filteredAnnReserved.toSeq.sorted.mkString(", ")})" +
+        " — rename them before indexing")
+  }
+
   def ivfAssignmentsWithAttrs(vecs: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[(Long, Array[Float])],
-      attrCols: Seq[String]): DataFrame =
+      attrCols: Seq[String]): DataFrame = {
+    requireAttrsDisjoint(attrCols, "ivfAssignmentsWithAttrs")
     vecs.select(nearestCid(col(vecCol), centroids).as("cid") +:
       col(idCol).as("id") +: col(vecCol).as("vec") +:
       attrCols.map(col): _*)
+  }
 
   /**
    * Predicate-aware top-k against a MATERIALIZED attribute-carrying
@@ -1697,16 +1715,30 @@ object Similarity {
    * output is bit-identical to [[bruteForceTopK]] over the filtered
    * corpus (FilteredAnnSpec).
    */
-  def ivfSq8FilteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroids: Seq[(Long, Array[Float])], nprobe: Int, refine: Int,
-      predicate: Column): DataFrame = {
-    require(refine >= k,
-      s"ivfSq8FilteredTopK: refine ($refine) must be >= k ($k)")
+  /** The attribute-carrying SQ8 list layout [[ivfSq8FilteredTopK]]
+    * builds — (cid, id, code, cmax, attrs...) — exposed so serving
+    * deployments (and probe-only benchmarks) can MATERIALIZE it once
+    * and pay only [[probeSq8IndexFiltered]] per query batch. */
+  def ivfSq8AssignmentsWithAttrs(corpus: DataFrame,
+      centroids: Seq[(Long, Array[Float])]): DataFrame = {
     val attrs = corpus.columns.filterNot(Set("id", "vec")).toSeq
-    val lists = corpus.select(
+    requireAttrsDisjoint(attrs, "ivfSq8AssignmentsWithAttrs")
+    corpus.select(
       nearestCid(col("vec"), centroids).as("cid") +: col("id") +:
         VectorOps.quantizeInt8(col("vec")).as("code") +:
         VectorOps.maxAbs(col("vec")).as("cmax") +: attrs.map(col): _*)
+  }
+
+  /** Filtered SQ8 probe against a MATERIALIZED attribute-carrying list
+    * table ([[ivfSq8AssignmentsWithAttrs]] rows): the serving half of
+    * [[ivfSq8FilteredTopK]] — predicate INSIDE the probed lists, refine
+    * counts filtered candidates, exact re-rank reads raw vectors from
+    * `corpusVecs` (id, vec). */
+  def probeSq8IndexFiltered(lists: DataFrame, corpusVecs: DataFrame,
+      queries: DataFrame, k: Int, centroids: Seq[(Long, Array[Float])],
+      nprobe: Int, refine: Int, predicate: Column): DataFrame = {
+    require(refine >= k,
+      s"probeSq8IndexFiltered: refine ($refine) must be >= k ($k)")
     val q = queries.select(col("qid"),
       VectorOps.quantizeInt8(col("qvec")).as("qcode"),
       VectorOps.maxAbs(col("qvec")).as("qmax"))
@@ -1720,6 +1752,72 @@ object Similarity {
       .withColumn("est", est)
       .select(col("qid"), col("id"), col("est"))
     val shortlist = TopK.perKey(cand, Seq(col("qid")),
+        Seq(col("est").desc, col("id")), refine)
+      .select("qid", "id")
+    val scored = shortlist
+      .join(broadcast(queries.withColumn("qnrm", VectorOps.norm(col("qvec")))),
+        "qid")
+      .join(corpusVecs.select(col("id"), col("vec"))
+        .withColumn("nrm", VectorOps.norm(col("vec"))), "id")
+      .withColumn("score",
+        VectorOps.dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    rankTopKPerQuery(scored, k, "score")
+  }
+
+  def ivfSq8FilteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int, refine: Int,
+      predicate: Column): DataFrame =
+    probeSq8IndexFiltered(ivfSq8AssignmentsWithAttrs(corpus, centroids),
+      corpus.select(col("id"), col("vec")), queries, k, centroids, nprobe,
+      refine, predicate)
+
+  /**
+   * Filtered top-k on the IVF x PQ index — the [[ivfSq8FilteredTopK]]
+   * contract on the PQ path: the predicate is applied to the probed
+   * lists BEFORE the ADC estimate and its `refine`-deep trim, so the
+   * shortlist counts FILTERED candidates and a selective predicate can
+   * never starve the exact re-rank below k survivors the probed lists
+   * hold. At-rest layout: the PQ code rows stay attribute-FREE ((cid,
+   * id, m, code) — ~m bytes/vector, the billion-vector shape), and the
+   * attributes live once per id in a (cid, id, attrs...) sidecar sharing
+   * the cid bucketing, so filtering costs one co-located membership
+   * join, not m copies of every attribute byte.
+   *
+   * Dataflow: probes x attr-sidecar (equi-join on cid) -> predicate ->
+   * allowed (qid, id) pairs; code rows join `allowed` on id (bucketed at
+   * rest, co-locates); ADC-rank the survivors via the broadcast LUT;
+   * `refine`-deep shortlist; exact cosine re-rank reads `refine` raw
+   * vectors per query. At nprobe = |centroids| and refine >= the
+   * filtered candidate count the output is bit-identical to
+   * [[bruteForceTopK]] over the filtered corpus (FilteredAnnSpec).
+   */
+  def ivfPqFilteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Long, Array[Float])],
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
+      nprobe: Int, refine: Int, predicate: Column): DataFrame = {
+    require(refine >= k,
+      s"ivfPqFilteredTopK: refine ($refine) must be >= k ($k)")
+    val attrs = corpus.columns.filterNot(Set("id", "vec")).toSeq
+    requireAttrsDisjoint(attrs, "ivfPqFilteredTopK")
+    // One coarse assignment feeds both layouts.
+    val assigned = ivfAssignmentsWithAttrs(corpus, "id", "vec", centroids,
+      attrs)
+    val lists = assigned
+      .select(col("cid"), col("id"),
+        posexplode(pqEncodeCol(col("vec"), codebooks, subDim)))
+      .select(col("cid"), col("id"), col("pos").cast("long").as("m"),
+        col("col").as("code"))
+    val attrTable = assigned.drop("vec")
+    val allowed = ivfProbes(queries.select(col("qid"), col("qvec")), "qid",
+        "qvec", centroids, nprobe)
+      .join(attrTable, "cid")
+      .where(predicate) // PRE-filter: before the estimate, before any trim
+      .select("qid", "id")
+    val cand = allowed
+      .join(lists.select(col("id"), col("m"), col("code").as("cid")), "id")
+    val est = adcEstimate(cand, adcLut(queries, codebooks, subDim),
+      codebooks.length, Seq("qid", "m", "cid"))
+    val shortlist = TopK.perKey(est, Seq(col("qid")),
         Seq(col("est").desc, col("id")), refine)
       .select("qid", "id")
     val scored = shortlist

@@ -324,6 +324,41 @@ object DedupQueries {
           "doc_id", "text")
         .select("doc_id")
     },
+    // STREAMING DEDUP UNDER DELETES (takedowns): day 0 deletes history
+    // doc 7 (D applies before the batch's inserts probe the index), so
+    // day 1's re-crawl of doc 7's text is NOT suppressed as a dup —
+    // "removed" must not survive as an invisible dedup witness — while
+    // day 1's re-crawl of the still-live doc 20 IS suppressed; day 1
+    // also deletes day-0-landed doc 150, which drops out of the returned
+    // surviving corpus. The oracle unrolls both batches with D-before-I
+    // tombstone semantics on the band index.
+    "stream_dedup_delete" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = d.where(col("doc_id") < 100)
+      def ins(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("op", lit("I"))
+      def del(ids: Seq[Long]) = ids.toDF("doc_id")
+        .withColumn("text", lit(null).cast("string"))
+        .withColumn("op", lit("D"))
+      val day0 = ins(d.where(col("doc_id") >= 100 && col("doc_id") < 200))
+        .unionByName(del(Seq(7L)))
+      val day1 = ins(d.where(col("doc_id") >= 200 && col("doc_id") < 260)
+          .unionAll(d.where(col("doc_id") === 7)
+            .select((col("doc_id") + 30000).as("doc_id"),
+              concat(col("text"), lit(" update")).as("text")))
+          .unionAll(d.where(col("doc_id") === 20)
+            .select((col("doc_id") + 20000).as("doc_id"),
+              concat(col("text"), lit(" update")).as("text"))))
+        .unionByName(del(Seq(150L)))
+      val logDir = Staging.batchLog("sdedupdel", dir, "day",
+        Seq(day0, day1))
+      graft.streaming.DedupStream.incrementalMinhashWithDeletes(s, history,
+          logDir, day0.schema,
+          s"${Staging.freshStateRoot("graft_sdedupdel")}/state",
+          "doc_id", "text", "op")
+        .select("doc_id")
+    },
     // Exact-substring duplicated spans (Lee et al. 2022): overlapping
     // 8-token windows catch copied passages at ANY offset (aligned-block
     // paragraph dedup misses off-by-one copies); per-doc duplicated-token
@@ -488,6 +523,57 @@ object DedupQueries {
          |  WHERE doc_id NOT IN (SELECT doc_id FROM hit1)
          |    AND doc_id NOT IN (SELECT doc_id FROM losers1))
          |SELECT doc_id FROM surv0
+         |UNION ALL
+         |SELECT doc_id FROM surv1""".stripMargin,
+    // Dedup under deletes: day-0 tombstone of history doc 7 applies
+    // BEFORE day 0's inserts probe the index (idx0 excludes 7's bands),
+    // day 1's tombstone of landed doc 150 excludes its bands from idx1
+    // AND drops it from the returned corpus; doc 7's day-1 re-crawl
+    // (30007) is only suppressed if something OTHER than 7 collides,
+    // while live doc 20's re-crawl (20020) hits 20's bands.
+    "stream_dedup_delete" ->
+      s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |d0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 100 AND doc_id < 200),
+         |d1 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 200 AND doc_id < 260
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text || ' update' FROM documents
+         |  WHERE doc_id = 7
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' update' FROM documents
+         |  WHERE doc_id = 20),
+         |${duckBandsCtes("hist", "h")},
+         |${duckBandsCtes("d0", "a")},
+         |${duckBandsCtes("d1", "c")},
+         |idx0 AS (SELECT doc_id, b, bh FROM bandsh WHERE doc_id <> 7),
+         |hit0 AS (SELECT DISTINCT i.doc_id FROM bandsa i
+         |  WHERE EXISTS (SELECT 1 FROM idx0 h
+         |                WHERE h.b = i.b AND h.bh = i.bh)),
+         |fresh0 AS (SELECT * FROM bandsa
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit0)),
+         |losers0 AS (SELECT DISTINCT x.doc_id FROM fresh0 x JOIN fresh0 y
+         |  ON x.b = y.b AND x.bh = y.bh AND x.doc_id > y.doc_id),
+         |surv0 AS (SELECT doc_id FROM d0
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit0)
+         |    AND doc_id NOT IN (SELECT doc_id FROM losers0)),
+         |idx1 AS (SELECT b, bh FROM idx0
+         |  UNION ALL
+         |  SELECT b, bh FROM bandsa
+         |  WHERE doc_id IN (SELECT doc_id FROM surv0) AND doc_id <> 150),
+         |hit1 AS (SELECT DISTINCT i.doc_id FROM bandsc i
+         |  WHERE EXISTS (SELECT 1 FROM idx1 h
+         |                WHERE h.b = i.b AND h.bh = i.bh)),
+         |fresh1 AS (SELECT * FROM bandsc
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit1)),
+         |losers1 AS (SELECT DISTINCT x.doc_id FROM fresh1 x JOIN fresh1 y
+         |  ON x.b = y.b AND x.bh = y.bh AND x.doc_id > y.doc_id),
+         |surv1 AS (SELECT doc_id FROM d1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit1)
+         |    AND doc_id NOT IN (SELECT doc_id FROM losers1))
+         |SELECT doc_id FROM surv0 WHERE doc_id <> 150
          |UNION ALL
          |SELECT doc_id FROM surv1""".stripMargin,
     "dedup_incremental_simhash" ->

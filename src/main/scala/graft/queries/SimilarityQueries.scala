@@ -862,6 +862,88 @@ object SimilarityQueries {
           Sq8Refine, col("label").isin(2, 5))
         .withColumnRenamed("rank", "rnk")
     },
+    // PROBE-ONLY twin of sim_ivfsq8_filtered_topk: the quantizer AND
+    // the attribute-carrying SQ8 list layout are MATERIALIZED once
+    // (Staging.materialized — the at-rest serving shape), so the timed
+    // query is the filtered probe alone. Same answer, same oracle; this
+    // is the gate the scale fit reads to see probe cost, not the
+    // build's linear corpus pass (the r17 0.87-exponent conflation).
+    "sim_ivfsq8_filtered_probe" -> { (s, dir) =>
+      import s.implicits._
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centDir = Staging.materialized("sq8fltcent", dir, "v1") {
+        Similarity.trainKMeans(corpus.where(col("id") % 4 === 0), "id",
+            "vec", KmK, Dim, KmIters)
+          .map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cv")
+      }
+      val centroids = s.read.parquet(centDir).select("cid", "cv")
+        .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+        .map { case (c, v) => (c, v.toArray) }
+      val listsDir = Staging.materialized("sq8fltlists", dir, "v1") {
+        Similarity.ivfSq8AssignmentsWithAttrs(corpus, centroids)
+      }
+      Similarity.probeSq8IndexFiltered(s.read.parquet(listsDir),
+          corpus.select("id", "vec"), qs, 5, centroids, IvfNprobe,
+          Sq8Refine, col("label").isin(2, 5))
+        .withColumnRenamed("rank", "rnk")
+    },
+    // FILTERED ANN ON THE PQ PATH: code rows stay attribute-free (~m
+    // bytes/vector); attributes live once per id in a cid-bucketed
+    // sidecar; the predicate gates candidates BEFORE the ADC estimate
+    // and its refine-deep trim, so the shortlist counts FILTERED
+    // candidates. The oracle replays both trainings, assignment, probe,
+    // the label filter, the fixed-order ADC sum, the filtered trim, and
+    // the exact re-rank.
+    "sim_ivfpq_filtered_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val train = corpus.where(col("id") % 4 === 0)
+      val centroids = Similarity.trainKMeans(train, "id", "vec", KmK, Dim,
+        KmIters)
+      val books = Similarity.trainPQ(train, "id", "vec", PqM, PqSubDim,
+        PqK, PqIters)
+      Similarity.ivfPqFilteredTopK(corpus, qs, 5, centroids, books,
+          PqSubDim, IvfNprobe, IvfPqRefine, col("label").isin(2, 5))
+        .withColumnRenamed("rank", "rnk")
+    },
+    // FILTERED ANN FROM THE STREAMING FOLD: the delta-chain IVF fold
+    // carries the filter attribute in its state rows ((cid, id, vec,
+    // label) per batch delta), so the ACCUMULATED index serves
+    // predicate-aware top-k directly — the pre-filter applied inside
+    // the probed lists of folded state. Oracle: training on history,
+    // batch-independent assignment over the full corpus, probe, label
+    // filter, cosine ranking.
+    "stream_ivf_filtered" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val history = corpus.where(col("id") < 200)
+      val days = Seq(
+        corpus.where(col("id") >= 200 && col("id") < 350),
+        corpus.where(col("id") >= 350))
+      val logDir = Staging.batchLog("sivffilt", dir, "day", days)
+      val centroids = Similarity.trainKMeans(
+        history.where(col("id") % 4 === 0), "id", "vec", KmK, Dim, KmIters)
+      val served = graft.streaming.EmbeddingIndexStream.incrementalIvfWithAttrs(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sivffilt")}/state", "id", "vec",
+        centroids, Seq("label"))
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.probeIndexFiltered(served, qs, 5, centroids, IvfNprobe,
+          col("label").isin(2, 5))
+        .withColumnRenamed("rank", "rnk")
+    },
     // DELETES THROUGH THE IVF FOLD: a changelog stream (I rows carry
     // vectors, D rows carry ids) maintains served lists that exclude
     // every tombstoned id — including a history doc deleted in batch 1
@@ -897,6 +979,46 @@ object SimilarityQueries {
       val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.probeIndex(served, qs, 5, centroids, IvfNprobe)
+        .withColumnRenamed("rank", "rnk")
+    },
+    // DELETES THROUGH THE IVF x PQ FOLD — the compressed-code twin of
+    // stream_ivf_delete: tombstones anti-join the (cid, id, m, code)
+    // rows on id (covering all m subspace rows), so the pure-ADC probe
+    // can never return a deleted id; a deleted-then-re-inserted id is
+    // re-encoded and served again. Oracle: both trainings on pre-delete
+    // history, ADC ranking over exactly the surviving corpus.
+    "stream_ivfpq_delete" -> { (s, dir) =>
+      import s.implicits._
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val history = corpus.where(col("id") < 200)
+      def ins(lo: Long, hi: Long) =
+        corpus.where(col("id") >= lo && col("id") < hi)
+          .withColumn("op", lit("I"))
+      def del(ids: Seq[Long]) = ids.toDF("id")
+        .withColumn("vec", lit(null).cast("array<float>"))
+        .withColumn("op", lit("D"))
+      val days = Seq(
+        ins(200, 350).unionByName(del(Seq(40L, 44L))),
+        corpus.where(col("id") >= 350).withColumn("op", lit("I"))
+          .unionByName(del(Seq(250L)))
+          .unionByName(corpus.where(col("id") === 44)
+            .withColumn("op", lit("I"))))
+      val logDir = Staging.batchLog("sivfpqdel", dir, "day", days)
+      val train = history.where(col("id") % 4 === 0)
+      val centroids = Similarity.trainKMeans(train, "id", "vec", KmK, Dim,
+        KmIters)
+      val books = Similarity.trainPQ(train, "id", "vec", PqM, PqSubDim,
+        PqK, PqIters)
+      val served = graft.streaming.DeleteStream.incrementalIvfPqWithDeletes(
+        s, history, logDir, days.head.schema,
+        s"${Staging.freshStateRoot("graft_sivfpqdel")}/state", "id", "vec",
+        "op", centroids, books, PqSubDim)
+      val qs = e.where(col("vec_id") >= 16 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.probePqIndex(served, qs, 5, centroids, books, PqSubDim,
+          IvfNprobe)
         .withColumnRenamed("rank", "rnk")
     },
     // SCHEDULED REBUILD FOR THE PREFIX (Matryoshka) FOLD — the last fold
@@ -1140,6 +1262,59 @@ object SimilarityQueries {
        |                  AND lt.cid = c.cid
        |  GROUP BY cand.qid, cand.id)""".stripMargin
 
+  /** Filtered SQ8 replay shared by the one-shot and probe-only gates:
+    * train, assign, probe, label filter, both quantizations, the
+    * fixed-order integer-dot estimate, the FILTERED trim, exact
+    * re-rank. */
+  private lazy val duckSq8FilteredSql: String =
+    s"""WITH corp AS (SELECT vec_id AS id, embedding AS v, label
+       |  FROM embeddings WHERE vec_id >= 20),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv
+       |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+       |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+       |${duckKMeansCtes(KmK, KmIters, "train")},
+       |cent AS (SELECT cid, cv FROM cent$KmIters),
+       |clists AS (SELECT id, v, label, ccid FROM (
+       |  SELECT c.id, c.v, c.label, ct.cid AS ccid,
+       |    ROW_NUMBER() OVER (PARTITION BY c.id
+       |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
+       |  FROM corp c, cent ct) t WHERE rn = 1),
+       |probes AS (SELECT qid, ccid FROM (
+       |  SELECT qs.qid, cent.cid AS ccid,
+       |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+       |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+       |  FROM qs, cent) t WHERE rn <= $IvfNprobe),
+       |cm AS (SELECT id, ccid, label,
+       |    list_max(list_transform(v, x -> abs(x::DOUBLE))) AS cmax, v
+       |  FROM clists),
+       |cc AS (SELECT id, ccid, label, cmax, list_transform(v,
+       |    x -> CAST(floor(x::DOUBLE * 127.0 / cmax + 0.5) AS BIGINT))
+       |    AS code FROM cm),
+       |qm AS (SELECT qid, qv,
+       |    list_max(list_transform(qv, x -> abs(x::DOUBLE))) AS qmax
+       |  FROM qs),
+       |qc AS (SELECT qid, qmax, list_transform(qv,
+       |    x -> CAST(floor(x::DOUBLE * 127.0 / qmax + 0.5) AS BIGINT))
+       |    AS qcode FROM qm),
+       |est AS (SELECT p.qid, cc.id,
+       |    (cc.cmax / 127.0) * (qc.qmax / 127.0) *
+       |    CAST(list_reduce(list_transform(range($Dim),
+       |      j -> qc.qcode[j+1] * cc.code[j+1]), (p2, q2) -> p2 + q2)
+       |      AS DOUBLE) AS est
+       |  FROM probes p JOIN cc ON cc.ccid = p.ccid
+       |                JOIN qc ON qc.qid = p.qid
+       |  WHERE cc.label IN (2, 5)),
+       |short AS (SELECT qid, id FROM (
+       |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY est DESC, id) AS rn FROM est) t WHERE rn <= $Sq8Refine),
+       |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
+       |       FROM short s JOIN qs q ON s.qid = q.qid
+       |                    JOIN corp c ON s.id = c.id),
+       |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY score DESC, id) AS rn FROM sc)
+       |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+       |FROM r WHERE rn <= 5""".stripMargin
+
   /** SemDeDup replay (shared by the fixed-k and auto-k gates — the dial
     * resolves to KmK at the fixture): planted-copy corpus, unrolled
     * Lloyd training on the 1-in-4 sample, nearest-centroid assignment,
@@ -1211,6 +1386,61 @@ object SimilarityQueries {
          |        ORDER BY score DESC, id) AS rn FROM sc)
          |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
          |FROM r WHERE rn <= 5""".stripMargin,
+    // Filtered IVF x PQ: the same double-training replay with the label
+    // predicate applied to the candidate estimates BEFORE the
+    // refine-deep trim — the pre-filter contract on the ADC shortlist.
+    "sim_ivfpq_filtered_topk" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v, label
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
+         |${duckIvfPqCtes(IvfNprobe)},
+         |gf AS (SELECT g.qid, g.id, g.est FROM g JOIN corp ON g.id = corp.id
+         |  WHERE corp.label IN (2, 5)),
+         |short AS (SELECT qid, id FROM (
+         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY est DESC, id) AS rn FROM gf) t
+         |  WHERE rn <= $IvfPqRefine),
+         |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
+         |       FROM short s JOIN qs q ON s.qid = q.qid
+         |                    JOIN corp c ON s.id = c.id),
+         |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
+    // Filtered probe over the streaming fold's accumulated state:
+    // training on pre-stream history, assignment batch-independent, the
+    // label filter inside the probed lists before the cosine ranking.
+    "stream_ivf_filtered" ->
+      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v, label
+         |  FROM embeddings WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corp WHERE id < 200 AND id % 4 = 0),
+         |${duckKMeansCtes(KmK, KmIters, "train")},
+         |cent AS (SELECT cid, cv FROM cent$KmIters),
+         |lists AS (SELECT id, cid, label FROM (
+         |  SELECT corp.id, cent.cid, corp.label,
+         |    ROW_NUMBER() OVER (PARTITION BY corp.id
+         |      ORDER BY ${duckCos("v", "cv")} DESC, cid) AS rn
+         |  FROM corp, cent) t WHERE rn = 1),
+         |probes AS (SELECT qid, cid FROM (
+         |  SELECT qs.qid, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
+         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
+         |  FROM qs, cent) t WHERE rn <= $IvfNprobe),
+         |cand AS (SELECT DISTINCT qid, id FROM probes JOIN lists USING (cid)
+         |  WHERE lists.label IN (2, 5)),
+         |sc AS (SELECT cand.qid, cand.id,
+         |         ${duckCos("q.embedding", "c.embedding")} AS score
+         |       FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+         |                 JOIN embeddings c ON cand.id = c.vec_id),
+         |r AS (SELECT qid, id, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY score DESC, id) AS rn FROM sc)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
+         |FROM r WHERE rn <= 5""".stripMargin,
     // MMR: the greedy argmax chain unrolled — pick i joins picks 1..i-1,
     // penalty = GREATEST of raw cosines, objective literals emitted from
     // the exact Scala doubles (1 - 0.7 is 0.30000000000000004 in IEEE —
@@ -1266,6 +1496,22 @@ object SimilarityQueries {
          |qs AS (SELECT vec_id AS qid, embedding AS qv
          |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
          |train AS (SELECT id, v FROM corp WHERE id < 200 AND id % 4 = 0),
+         |${duckIvfPqCtes(IvfNprobe)},
+         |r AS (SELECT qid, id, est, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY est DESC, id) AS rn FROM g)
+         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(est, 6) AS est
+         |FROM r WHERE rn <= 5""".stripMargin,
+    // Deletes through the IVF x PQ fold: both trainings replay on
+    // pre-delete history; the ADC ranking runs over exactly the
+    // surviving corpus (40, 250 tombstoned; 44 deleted then re-inserted
+    // so it serves).
+    "stream_ivfpq_delete" ->
+      s"""WITH corpall AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE vec_id >= 20),
+         |corp AS (SELECT id, v FROM corpall WHERE id NOT IN (40, 250)),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+         |train AS (SELECT id, v FROM corpall WHERE id < 200 AND id % 4 = 0),
          |${duckIvfPqCtes(IvfNprobe)},
          |r AS (SELECT qid, id, est, ROW_NUMBER() OVER (PARTITION BY qid
          |        ORDER BY est DESC, id) AS rn FROM g)
@@ -1642,54 +1888,11 @@ object SimilarityQueries {
     // IVF x SQ8 FILTERED replay: the sim_ivfsq8_topk replay with the
     // label predicate applied to candidates BEFORE the shortlist trim —
     // the pre-filter contract expressed declaratively.
-    "sim_ivfsq8_filtered_topk" ->
-      s"""WITH corp AS (SELECT vec_id AS id, embedding AS v, label
-         |  FROM embeddings WHERE vec_id >= 20),
-         |qs AS (SELECT vec_id AS qid, embedding AS qv
-         |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
-         |train AS (SELECT id, v FROM corp WHERE id % 4 = 0),
-         |${duckKMeansCtes(KmK, KmIters, "train")},
-         |cent AS (SELECT cid, cv FROM cent$KmIters),
-         |clists AS (SELECT id, v, label, ccid FROM (
-         |  SELECT c.id, c.v, c.label, ct.cid AS ccid,
-         |    ROW_NUMBER() OVER (PARTITION BY c.id
-         |      ORDER BY ${duckCos("v", "cv")} DESC, ct.cid) AS rn
-         |  FROM corp c, cent ct) t WHERE rn = 1),
-         |probes AS (SELECT qid, ccid FROM (
-         |  SELECT qs.qid, cent.cid AS ccid,
-         |    ROW_NUMBER() OVER (PARTITION BY qs.qid
-         |      ORDER BY ${duckCos("qv", "cv")} DESC, cid) AS rn
-         |  FROM qs, cent) t WHERE rn <= $IvfNprobe),
-         |cm AS (SELECT id, ccid, label,
-         |    list_max(list_transform(v, x -> abs(x::DOUBLE))) AS cmax, v
-         |  FROM clists),
-         |cc AS (SELECT id, ccid, label, cmax, list_transform(v,
-         |    x -> CAST(floor(x::DOUBLE * 127.0 / cmax + 0.5) AS BIGINT))
-         |    AS code FROM cm),
-         |qm AS (SELECT qid, qv,
-         |    list_max(list_transform(qv, x -> abs(x::DOUBLE))) AS qmax
-         |  FROM qs),
-         |qc AS (SELECT qid, qmax, list_transform(qv,
-         |    x -> CAST(floor(x::DOUBLE * 127.0 / qmax + 0.5) AS BIGINT))
-         |    AS qcode FROM qm),
-         |est AS (SELECT p.qid, cc.id,
-         |    (cc.cmax / 127.0) * (qc.qmax / 127.0) *
-         |    CAST(list_reduce(list_transform(range($Dim),
-         |      j -> qc.qcode[j+1] * cc.code[j+1]), (p2, q2) -> p2 + q2)
-         |      AS DOUBLE) AS est
-         |  FROM probes p JOIN cc ON cc.ccid = p.ccid
-         |                JOIN qc ON qc.qid = p.qid
-         |  WHERE cc.label IN (2, 5)),
-         |short AS (SELECT qid, id FROM (
-         |  SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
-         |    ORDER BY est DESC, id) AS rn FROM est) t WHERE rn <= $Sq8Refine),
-         |sc AS (SELECT s.qid, s.id, ${duckCos("q.qv", "c.v")} AS score
-         |       FROM short s JOIN qs q ON s.qid = q.qid
-         |                    JOIN corp c ON s.id = c.id),
-         |r AS (SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
-         |        ORDER BY score DESC, id) AS rn FROM sc)
-         |SELECT qid, id, CAST(rn AS BIGINT) AS rnk, round(score, 6) AS score
-         |FROM r WHERE rn <= 5""".stripMargin,
+    "sim_ivfsq8_filtered_topk" -> duckSq8FilteredSql,
+    // The probe-only twin serves the SAME computation from a
+    // MATERIALIZED list layout — the result (and so the oracle) is
+    // identical; only what the benchmark times differs.
+    "sim_ivfsq8_filtered_probe" -> duckSq8FilteredSql,
     // Streaming IVF x SQ8 replay: the accumulated fold must equal a
     // batch-independent assignment of the FULL corpus under the
     // history-trained quantizer; ranking is the pure integer-dot

@@ -79,6 +79,41 @@ object Staging {
   def freshStateRoot(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Builds (once) and returns a MATERIALIZED parquet directory for
+    * `df` — the at-rest index-layout staging the serving gates need:
+    * a probe-only gate must time the PROBE against a stored layout, not
+    * re-pay the build every invocation (which conflates build with
+    * serve in every scale fit — the r17 sim_ivfsq8_filtered_topk
+    * lesson). Memoization mirrors [[batchLog]]: keyed on the fixture
+    * dir's content stamp + the plan fingerprint, built into a scratch
+    * dir and atomically moved, so re-invocations (bench warmup + timed
+    * runs) resolve without touching Spark, while a regenerated fixture
+    * or a changed build plan re-stages. */
+  def materialized(name: String, dir: String, version: String)(
+      build: => DataFrame): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // `build` must stay UNEVALUATED on a hit (constructing the plan may
+    // itself train a quantizer), so the key cannot fingerprint the plan:
+    // `version` is the caller's recipe stamp — bump it when the build
+    // logic changes, or yesterday's tmpdir serves yesterday's layout.
+    val key = (dir, dirStamp(dir), version).hashCode.toHexString
+    val target = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_mat_${name}_$key")
+    if (Files.exists(target)) return target.toString
+    val stageRoot = Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), s"graft_mat_${name}_stage")
+    try {
+      val out = stageRoot.resolve("out").toString
+      build.write.mode("overwrite").parquet(out)
+      try Files.move(Paths.get(out), target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+      }
+    } finally deleteRecursively(stageRoot)
+    target.toString
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {

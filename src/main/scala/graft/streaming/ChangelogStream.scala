@@ -101,19 +101,13 @@ object ChangelogStream {
    */
   def vacuum(stateDir: String, keep: Int, prefix: String = "v"): Seq[Long] = {
     require(keep >= 2, "vacuum: keep >= 2 (current + its replay anchor)")
-    val dir = new java.io.File(stateDir)
     val pat = java.util.regex.Pattern.quote(prefix) + "\\d+"
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches(pat))
-      .map(f => f.getName.drop(prefix.length).toLong).sorted
+    val versions = StateFs.listDirNames(stateDir)
+      .filter(_.matches(pat))
+      .map(_.drop(prefix.length).toLong).sorted
     val cut = versions.drop(math.max(0, versions.length - keep))
     val doomed = versions.filterNot(cut.contains)
-    doomed.foreach { v =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(dir, s"$prefix$v"))
-    }
-    doomed.toIndexedSeq
+    doomed.foreach(v => StateFs.deleteDir(stateDir, s"$prefix$v"))
+    doomed
   }
 }

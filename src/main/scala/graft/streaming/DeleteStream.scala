@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.operators.{Similarity, TextAnalysis}
 
@@ -67,24 +67,31 @@ object DeleteStream {
     * index rows (keyed by `idName` after assignment); `idCol` + `opCol`
     * name the changelog's key and I/D op columns. Returns the final
     * served index (internal `__v` tag dropped). */
-  private def deleteAwareFold(spark: SparkSession, history: DataFrame,
+  private[streaming] def deleteAwareFold(spark: SparkSession,
+      history: DataFrame,
       logDir: String, schema: StructType, stateDir: String, chain: String,
       idCol: String, idName: String, opCol: String, retainVersions: Int,
       compactEvery: Int, assign: DataFrame => DataFrame): DataFrame = {
-    import spark.implicits._
     require(retainVersions >= 2, "deleteAwareFold: retainVersions >= 2")
     val tmb = s"${chain}tmb"
+    // Tombstones carry the changelog's NATIVE id type (string doc ids
+    // included) — a silent cast-to-long would null out non-numeric ids
+    // and make their deletes no-op while the rows kept being served.
+    val idType = schema(idCol).dataType
+    val emptyTombs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("__tid", idType),
+        StructField("__tv", LongType))))
     DeltaState.writeBase(assign(history).withColumn("__v", lit(0L)),
       stateDir, chain, 0L)
-    DeltaState.writeBase(Seq.empty[(Long, Long)].toDF("__tid", "__tv"),
-      stateDir, tmb, 0L)
+    DeltaState.writeBase(emptyTombs, stateDir, tmb, 0L)
     @volatile var last = 0L
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(logDir)
     EventStream.runForeachBatch(spark, stream, (batch, id) => {
       val ins = batch.where(col(opCol) === "I")
       val dels = batch.where(col(opCol) === "D")
-        .select(col(idCol).cast("long").as("__tid")).distinct()
+        .select(col(idCol).as("__tid")).distinct()
       DeltaState.writeDelta(assign(ins).withColumn("__v", lit(id + 1)),
         stateDir, chain, id + 1)
       DeltaState.writeDelta(dels.withColumn("__tv", lit(id + 1)),
@@ -96,8 +103,7 @@ object DeleteStream {
         // physically gone past this horizon.
         DeltaState.writeBase(servedAt(spark, stateDir, chain, idName,
           id + 1, id), stateDir, chain, id + 1)
-        DeltaState.writeBase(Seq.empty[(Long, Long)].toDF("__tid", "__tv"),
-          stateDir, tmb, id + 1)
+        DeltaState.writeBase(emptyTombs, stateDir, tmb, id + 1)
         DeltaState.vacuum(stateDir, chain, retainVersions)
         DeltaState.vacuum(stateDir, tmb, retainVersions)
       }
@@ -155,6 +161,27 @@ object DeleteStream {
     deleteAwareFold(spark, history, logDir, schema, stateDir, "sq8_lists",
       idCol, "id", opCol, retainVersions, compactEvery,
       batch => Similarity.ivfSq8Assignments(batch, idCol, vecCol, centroids))
+  }
+
+  /** [[incrementalIvfWithDeletes]] on the IVF x PQ fold — served
+    * (cid, id, m, code) code rows over exactly the surviving vectors, so
+    * the pure-ADC probe ([[Similarity.probePqIndex]]) can never return a
+    * tombstoned id: it is absent from the code table the probe scans.
+    * Tombstones anti-join on id and cover ALL m subspace rows of a
+    * vector (the fold keys on id, not (id, m)); compaction hard-deletes
+    * the codes. */
+  def incrementalIvfPqWithDeletes(spark: SparkSession, history: DataFrame,
+      logDir: String, schema: StructType, stateDir: String,
+      idCol: String, vecCol: String, opCol: String,
+      centroids: Seq[(Long, Array[Float])],
+      codebooks: Seq[Seq[(Long, Array[Float])]], subDim: Int,
+      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
+    require(centroids.nonEmpty && codebooks.nonEmpty,
+      "incrementalIvfPqWithDeletes: train the quantizer and codebooks first")
+    deleteAwareFold(spark, history, logDir, schema, stateDir, "pq_lists",
+      idCol, "id", opCol, retainVersions, compactEvery,
+      batch => Similarity.ivfPqAssignments(batch, idCol, vecCol, centroids,
+        codebooks, subDim))
   }
 
   /** [[incrementalIvfWithDeletes]] with the Matryoshka PREFIX payload —

@@ -66,12 +66,11 @@ object DeltaState {
   private def listVersions(stateDir: String, chain: String,
       kind: String): Seq[Long] = {
     val pat = (java.util.regex.Pattern.quote(s"${chain}_$kind") + "(\\d+)").r
-    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .flatMap(f => f.getName match {
+    StateFs.listDirNames(stateDir)
+      .flatMap {
         case pat(v) => Some(v.toLong)
         case _ => None
-      }).sorted.toIndexedSeq
+      }.sorted
   }
 
   /** Newest base version <= `upTo`. A replayed compaction batch passes
@@ -190,12 +189,9 @@ object DeltaState {
     * OWNING chain as the floor. Returns deleted dir names. */
   def vacuumDeltas(stateDir: String, chain: String,
       floor: Long): Seq[String] = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
     val doomed = listVersions(stateDir, chain, "d").filter(_ <= floor)
       .map(b => s"${chain}_d$b")
-    doomed.foreach(n => rm(new java.io.File(stateDir, n)))
+    doomed.foreach(StateFs.deleteDir(stateDir, _))
     doomed
   }
 
@@ -216,9 +212,6 @@ object DeltaState {
     val bases = listVersions(stateDir, chain, "base")
     val keptBases = bases.drop(math.max(0, bases.length - retain))
     val floor = keptBases.headOption.getOrElse(0L)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
     val doomedBases = bases.filterNot(keptBases.contains)
       .map(v => s"${chain}_base$v")
     val packs = listVersions(stateDir, chain, "p")
@@ -232,7 +225,7 @@ object DeltaState {
     val doomedDeltas = listVersions(stateDir, chain, "d")
       .filter(_ <= deltaFloor).map(b => s"${chain}_d$b")
     val doomed = doomedBases ++ doomedPacks ++ doomedDeltas
-    doomed.foreach(n => rm(new java.io.File(stateDir, n)))
+    doomed.foreach(StateFs.deleteDir(stateDir, _))
     doomed
   }
 }

@@ -114,6 +114,33 @@ object EmbeddingIndexStream {
   }
 
   /**
+   * [[incrementalIvf]] whose folded rows CARRY filterable attribute
+   * columns — (cid, id, vec, attrs...) per
+   * [[graft.operators.Similarity.ivfAssignmentsWithAttrs]] — so the
+   * accumulated state serves predicate-aware top-k directly through
+   * [[graft.operators.Similarity.probeIndexFiltered]] (the pre-filter
+   * recall contract: the predicate runs inside the probed lists, before
+   * any ranking or trim). Same delta-chain I/O discipline; the attribute
+   * bytes ride the same per-batch delta as the payload they qualify.
+   */
+  def incrementalIvfWithAttrs(spark: SparkSession, history: DataFrame,
+      vecDir: String, schema: StructType, stateDir: String,
+      idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Float])], attrCols: Seq[String],
+      retainVersions: Int = 3, compactEvery: Int = 256,
+      packEvery: Int = 16): DataFrame = {
+    require(retainVersions >= 2,
+      "incrementalIvfWithAttrs: retainVersions >= 2 (current + replay anchor)")
+    require(centroids.nonEmpty,
+      "incrementalIvfWithAttrs: empty coarse quantizer — train centroids first")
+    incrementalFold(spark, history, vecDir, schema, stateDir, "lists",
+      retainVersions,
+      batch => Similarity.ivfAssignmentsWithAttrs(batch, idCol, vecCol,
+        centroids, attrCols),
+      compactEvery, packEvery)
+  }
+
+  /**
    * The SCHEDULED REBUILD the incremental fold's header promises: once
    * the ingested distribution has drifted from the history the coarse
    * quantizer was trained on, probe recall decays — the new mass lives

@@ -94,14 +94,9 @@ object GraphStream {
     // or full-rewrite-era folds still holds pc_v*/pc2_v*/os_v*
     // directories that the delta-chain vacuum never touches — without
     // this they orphan and accumulate forever.
-    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("(pc|pc2|os)_v\\d+"))
-      .foreach { legacy =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(legacy)
-      }
+    StateFs.listDirNames(stateDir)
+      .filter(_.matches("(pc|pc2|os)_v\\d+"))
+      .foreach(StateFs.deleteDir(stateDir, _))
     DeltaState.writeBase(Seq.empty[(Long, Long)].toDF("ok", "s"),
       stateDir, "os", 0L)
     DeltaState.writeBase(Seq.empty[(Long, Long, Long)].toDF("a", "b", "cnt"),

@@ -45,4 +45,27 @@ object MediaIndexStream {
     EmbeddingIndexStream.incrementalFold(spark, history, mediaDir, schema,
       stateDir, "fp", retainVersions, fingerprint)
   }
+
+  /**
+   * [[incrementalAudioFingerprints]] under deletes (takedowns): the clip
+   * changelog's D rows tombstone media ids out of the served signature
+   * table through [[DeleteStream.deleteAwareFold]]'s chain — a deleted
+   * clip's signature can never pair in [[Multimodal.audioNearDup]]
+   * (absent from the table the banded join scans), a re-crawl of a
+   * deleted clip is fingerprinted and served fresh, and compaction
+   * physically drops tombstoned signatures. D rows need only `media_id`.
+   */
+  def incrementalAudioFingerprintsWithDeletes(spark: SparkSession,
+      history: DataFrame, mediaDir: String, schema: StructType,
+      stateDir: String, opCol: String,
+      retainVersions: Int = 3, compactEvery: Int = 16): DataFrame = {
+    import spark.implicits._
+    def fingerprint(batch: DataFrame): DataFrame =
+      Multimodal.audioFingerprint(
+        batch.select(col("media_id").as("mediaId"), col("kind"),
+          col("payload"), col("meta")).as[MediaRecord])
+    DeleteStream.deleteAwareFold(spark, history, mediaDir, schema, stateDir,
+      "fp", "media_id", "media_id", opCol, retainVersions, compactEvery,
+      fingerprint)
+  }
 }

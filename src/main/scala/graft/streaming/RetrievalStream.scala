@@ -84,7 +84,8 @@ object RetrievalStream {
       docDir: String, schema: StructType, stateDir: String,
       idCol: String, textCol: String, frac: Double, buckets: Int,
       widthMicros: Long, targetCounts: DataFrame, rawCounts: DataFrame,
-      retainVersions: Int = 3): DataFrame = {
+      retainVersions: Int = 3, compactEvery: Int = 256,
+      packEvery: Int = 16): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(retainVersions >= 2,
       "incrementalDsirThreshold: retainVersions >= 2")
@@ -121,10 +122,10 @@ object RetrievalStream {
           .unionByName(sk.histBuild(s, col("__v"), widthMicros)))
         .write.mode("overwrite").parquet(s"$stateDir/dhist_v${id + 1}")
       s.unpersist(false)
-      if (DeltaState.due(stateDir, "dsel", id + 1, 256)) {
+      if (DeltaState.due(stateDir, "dsel", id + 1, compactEvery)) {
         DeltaState.compact(spark, stateDir, "dsel", id + 1)
         DeltaState.vacuum(stateDir, "dsel", retainVersions)
-      } else if (DeltaState.packDue(stateDir, "dsel", id + 1, 16)) {
+      } else if (DeltaState.packDue(stateDir, "dsel", id + 1, packEvery)) {
         DeltaState.pack(spark, stateDir, "dsel", id + 1)
         DeltaState.vacuum(stateDir, "dsel", retainVersions)
       }

@@ -116,4 +116,61 @@ class AudioFingerprintSpec extends GraftSuite {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
       !pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("media signatures under deletes (takedown): a deleted clip's " +
+    "signature is unservable and stops pairing; compaction hard-deletes") {
+    import org.apache.spark.sql.functions._
+    val all = clips.toDF()
+      .select(col("mediaId").as("media_id"), col("kind"), col("payload"),
+        col("meta"))
+    val history = all.where(col("media_id") === 1L)
+    // b1: insert clips 2 (rescaled copy of 1) and 3 (edited near-dup).
+    // b2: TAKEDOWN of clip 2; insert clip 4 (unrelated pitch).
+    val b1 = all.where(col("media_id").isin(2L, 3L))
+      .withColumn("op", lit("I"))
+    val b2 = all.where(col("media_id") === 4L).withColumn("op", lit("I"))
+      .unionByName(all.where(col("media_id") === 2L)
+        .withColumn("payload", lit(null).cast("binary"))
+        .withColumn("op", lit("D")))
+    val root = java.nio.file.Files.createTempDirectory("graft_deldmedia")
+    val logDir = root.resolve("days")
+    java.nio.file.Files.createDirectories(logDir)
+    Seq(b1, b2).zipWithIndex.foreach { case (slice, i) =>
+      val stage = root.resolve(s"stage$i").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = logDir.resolve(f"day$i%03d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val state = root.resolve("state").toString
+    val served = graft.streaming.MediaIndexStream
+      .incrementalAudioFingerprintsWithDeletes(spark, history,
+        logDir.toString, b1.schema, state, "op", compactEvery = 2)
+    val servedIds = served.select("media_id").as[Long].collect().toSet
+    assert(servedIds == Set(1L, 3L, 4L), s"served: $servedIds")
+    // Served signatures equal a fresh fingerprint pass over survivors.
+    val fresh = Multimodal.audioFingerprint(
+      clips.filter(_.mediaId != 2L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = served.select("media_id", "fp_hi", "fp_lo", "n_frames")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == fresh)
+    // The deleted clip can no longer pair: (1,2) gone, (1,3) remains.
+    val pairs = Multimodal.audioNearDup(served, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) &&
+      !pairs.exists { case (a, b) => a == 2L || b == 2L }, s"pairs: $pairs")
+    // compactEvery=2 fired at batch 2: baked base excludes clip 2.
+    val baked = spark.read.parquet(s"$state/fp_base2")
+      .select("media_id").as[Long].collect().toSet
+    assert(!baked.contains(2L),
+      "tombstoned signature still physically present after compaction")
+    assert(spark.read.parquet(s"$state/fptmb_base2").count() == 0)
+  }
 }

@@ -112,6 +112,113 @@ class DeltaStateSpec extends GraftSuite {
       "c_d5", "c_d6"), s"after base7 vacuum: $after")
   }
 
+  test("state chains run unchanged under an explicit file:/// URI " +
+    "stateDir: discovery, pack, compact and vacuum go through the Hadoop " +
+    "FileSystem API (the path class hdfs:// and s3a:// resolve through), " +
+    "and a live IVF fold serves correctly from a URI stateDir") {
+    val localRoot = java.nio.file.Files.createTempDirectory("graft_dsuri")
+    val root = localRoot.toUri.toString.stripSuffix("/")
+    assert(root.startsWith("file:///"), s"URI root: $root")
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "v")
+    DeltaState.writeBase(df(0, 10), root, "c", 0L)
+    DeltaState.writeDelta(df(10, 13), root, "c", 1L)
+    DeltaState.writeDelta(df(13, 16), root, "c", 2L)
+    assert(DeltaState.read(spark, root, "c", 2L).count() == 16)
+    // Pack + vacuum: discovery and recursive delete on the URI path.
+    assert(DeltaState.packDue(root, "c", 2L, 2))
+    DeltaState.pack(spark, root, "c", 2L)
+    DeltaState.writeDelta(df(16, 18), root, "c", 3L)
+    DeltaState.writeDelta(df(18, 20), root, "c", 4L)
+    assert(DeltaState.due(root, "c", 4L, 4))
+    DeltaState.compact(spark, root, "c", 4L)
+    DeltaState.vacuum(root, "c", 2)
+    // d1/d2 survive as the newest pack's replay anchors (p2's inputs).
+    val names = streaming.StateFs.listDirNames(root).toSet
+    assert(names == Set("c_base0", "c_base4", "c_p2", "c_d1", "c_d2",
+      "c_d3", "c_d4"), s"URI-chain layout after vacuum: $names")
+    assert(DeltaState.read(spark, root, "c", 4L)
+      .select("id").as[Long].collect().toSet == (0L until 20L).toSet)
+    // A live fold (seed + 2 micro-batches + serve) over the same URI
+    // stateDir — the deployability contract: nothing in the fold family
+    // assumes a local POSIX stateDir.
+    val e = Tables.load(spark, SparkTestBase.sf001, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .where(col("id") < 300)
+    val history = e.where(col("id") < 100)
+    val days = Seq(e.where(col("id") >= 100 && col("id") < 200),
+      e.where(col("id") >= 200))
+    val logDir = localRoot.resolve("days")
+    java.nio.file.Files.createDirectories(logDir)
+    days.zipWithIndex.foreach { case (slice, i) =>
+      val stage = localRoot.resolve(s"stage$i").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = logDir.resolve(f"day$i%03d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val centroids = Similarity.trainKMeans(
+      history.where(col("id") % 4 === 0), "id", "vec", 8, 64, 2)
+    val served = EmbeddingIndexStream.incrementalIvf(spark, history,
+      logDir.toString, days.head.schema, s"$root/state", "id", "vec",
+      centroids, packEvery = 2)
+    val ref = Similarity.ivfAssignments(e, "id", "vec", centroids)
+    assert(served.select("cid", "id").as[(Long, Long)].collect().toSet ==
+      ref.select("cid", "id").as[(Long, Long)].collect().toSet)
+  }
+
+  test("replaying the exact batch that packed after a vacuum re-lands " +
+    "bit-identically: the pack's input deltas are the retained anchors") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsprep").toString
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "v")
+    DeltaState.writeBase(df(0, 10), root, "c", 0L)
+    def batch(b: Int): Unit = {
+      DeltaState.writeDelta(df(10 + (b - 1) * 3, 10 + b * 3), root, "c", b)
+      if (DeltaState.packDue(root, "c", b, 2)) {
+        DeltaState.pack(spark, root, "c", b)
+        DeltaState.vacuum(root, "c", 2)
+      }
+    }
+    (1 to 4).foreach(batch)
+    // Batch 4 packed (p4 over d3, d4) and vacuumed. Kill-and-replay the
+    // WHOLE batch: the delta write re-lands over d4, packDue must still
+    // trip (caps resolve below the half-written p4), and the pack must
+    // re-read d3 — which vacuum retained exactly as this replay's anchor.
+    val before = streaming.StateFs.listDirNames(root).toSet
+    assert(before == Set("c_base0", "c_p2", "c_p4", "c_d3", "c_d4"),
+      s"pre-replay layout: $before")
+    batch(4)
+    val after = streaming.StateFs.listDirNames(root).toSet
+    assert(after == before, s"replay changed the layout: $after")
+    assert(spark.read.parquet(s"$root/c_p4")
+      .select("id").as[Long].collect().toSet == (16L until 22L).toSet)
+    assert(DeltaState.read(spark, root, "c", 4L)
+      .select("id").as[Long].collect().toSet == (0L until 22L).toSet)
+  }
+
+  test("the streaming package touches state paths only through the " +
+    "Hadoop FileSystem seam: no non-comment java.io.File use") {
+    val dir = new java.io.File("src/main/scala/graft/streaming")
+    assert(dir.isDirectory, s"source dir missing: ${dir.getAbsolutePath}")
+    val offenders = dir.listFiles().filter(_.getName.endsWith(".scala"))
+      .flatMap { f =>
+        val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+        val use = java.util.regex.Pattern
+          .compile("java\\.io\\.File(?!NotFoundException)")
+        lines.zipWithIndex.collect {
+          case (l, i) if use.matcher(l).find() &&
+            !l.trim.startsWith("*") && !l.trim.startsWith("//") &&
+            !l.trim.startsWith("/*") => s"${f.getName}:${i + 1}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"java.io.File on state paths in streaming/: ${offenders.mkString(", ")}")
+  }
+
   test("bytes written per batch are O(batch), not O(accumulated): equal " +
     "batches land equal-sized deltas and the last batch writes a small " +
     "fraction of the accumulated state") {

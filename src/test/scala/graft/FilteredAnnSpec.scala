@@ -96,4 +96,77 @@ class FilteredAnnSpec extends GraftSuite {
       Similarity.ivfSq8FilteredTopK(corpus, qs, 5, cents, 3, 4, pred)
     }
   }
+
+  test("PQ path: full-dial filtered IVFxPQ equals brute force over the " +
+    "filtered corpus; tight refine still yields k filtered survivors") {
+    val (corpus, qs, cents) = fixture()
+    val pred = col("label").isin(2, 5)
+    val train = corpus.where(col("id") % 4 === 0)
+    val books = Similarity.trainPQ(train, "id", "vec", 32, 2, 16, 5)
+    val brute = rows(Similarity.bruteForceTopK(
+      corpus.where(pred).select("id", "vec"), qs, 5))
+    // nprobe = every list, refine >= every filtered candidate: the ADC
+    // coarse pass cannot drop a true top-k row, and the exact re-rank
+    // restores brute force bit for bit.
+    val pq = rows(Similarity.ivfPqFilteredTopK(corpus, qs, 5, cents,
+      books, 2, cents.size, 100000, pred))
+    assert(pq == brute, "PQ filtered probe must equal filtered brute force")
+    // refine counts FILTERED candidates: refine = k still returns k
+    // matching rows per query under the full probe.
+    val tight = Similarity.ivfPqFilteredTopK(corpus, qs, 5, cents,
+      books, 2, cents.size, 5, pred)
+    val perQ = tight.groupBy("qid").count().as[(Long, Long)].collect().toMap
+    assert(perQ.values.forall(_ == 5L),
+      s"expected 5 filtered survivors per query, got $perQ")
+  }
+
+  test("attribute names colliding with internal dataflow columns are " +
+    "rejected, not silently mis-joined") {
+    val (corpus, qs, cents) = fixture()
+    val clash = corpus.withColumnRenamed("label", "score")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfFilteredTopK(clash, qs, 5, cents, 3, col("score") > 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSq8FilteredTopK(clash, qs, 5, cents, 3, 12,
+        col("score") > 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAssignmentsWithAttrs(corpus.withColumnRenamed(
+        "label", "qid"), "id", "vec", cents, Seq("qid"))
+    }
+  }
+
+  test("streaming fold with attribute payloads: the accumulated state " +
+    "serves filtered top-k identical to the one-shot filtered probe at " +
+    "the same dials") {
+    val (corpus, qs, cents) = fixture()
+    val pred = col("label").isin(2, 5)
+    val history = corpus.where(col("id") < 200)
+    val days = Seq(
+      corpus.where(col("id") >= 200 && col("id") < 350),
+      corpus.where(col("id") >= 350))
+    val root = java.nio.file.Files.createTempDirectory("graft_fltfold")
+    val logDir = root.resolve("days")
+    java.nio.file.Files.createDirectories(logDir)
+    days.zipWithIndex.foreach { case (slice, i) =>
+      val stage = root.resolve(s"stage$i").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = logDir.resolve(f"day$i%03d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val served = graft.streaming.EmbeddingIndexStream.incrementalIvfWithAttrs(
+      spark, history, logDir.toString, days.head.schema,
+      root.resolve("state").toString, "id", "vec", cents, Seq("label"))
+    val viaFold = rows(Similarity.probeIndexFiltered(served, qs, 5, cents,
+      cents.size, pred))
+    val oneShot = rows(Similarity.ivfFilteredTopK(corpus, qs, 5, cents,
+      cents.size, pred))
+    assert(viaFold == oneShot,
+      "folded-state filtered probe must equal the one-shot filtered probe")
+  }
 }
