@@ -413,11 +413,16 @@ object GeneratorQueries {
         graft.Gen.Int64Poisson(3.0), seed = 11L,
         "ln" -> graft.Gen.SqlExpr("__seq + 1"),
         "qty" -> graft.Gen.Int64Uniform(1, 10))
-      val child = build()
+      // child feeds five consumers (orphan check, both exceptAll
+      // directions, perKey, the final aggregate) — cache it and share one
+      // rebuild between the two reproducibility directions.
+      val child = build().cache()
+      val child2 = build().cache()
       val orphans = child.join(parent, Seq("pk"), "left_anti").count()
       val reproducible =
-        build().exceptAll(child).count() == 0 &&
-          child.exceptAll(build()).count() == 0
+        child2.exceptAll(child).count() == 0 &&
+          child.exceptAll(child2).count() == 0
+      child2.unpersist(false)
       val perKey = child.groupBy("pk")
         .agg(count(lit(1)).as("cnt"), max(col("ln")).as("mx"),
           min(col("ln")).as("mn"))
@@ -454,9 +459,11 @@ object GeneratorQueries {
       def build() = graft.operators.SyntheticEmbeddings
         .clustered(spark, 4096L, k, dim, seed, 0.6)
       val corpus = build().cache()
+      val corpus2 = build().cache() // one rebuild shared by both directions
       val reproducible =
-        build().exceptAll(corpus).count() == 0 &&
-          corpus.exceptAll(build()).count() == 0
+        corpus2.exceptAll(corpus).count() == 0 &&
+          corpus.exceptAll(corpus2).count() == 0
+      corpus2.unpersist(false)
       val obs = corpus.groupBy("cluster").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1).toDouble / 4096).toMap
       val weightsOk = (0 until k).forall(i =>
@@ -510,9 +517,14 @@ object GeneratorQueries {
         "x" -> graft.Gen.Float64Normal(0.0, 1.0),
         "y" -> graft.Gen.Float64Lognormal(0.0, 0.5),
         "u" -> graft.Gen.Float64Uniform(0.0, 1.0))
-      val df = build()
+      // df feeds both exceptAll directions plus the final aggregate, and
+      // the rebuild feeds two — cache both so the 100k-row correlated
+      // generation runs twice, not five times.
+      val df = build().cache()
+      val df2 = build().cache()
       val reproducible =
-        build().exceptAll(df).count() == 0 && df.exceptAll(build()).count() == 0
+        df2.exceptAll(df).count() == 0 && df.exceptAll(df2).count() == 0
+      df2.unpersist(false)
       df.agg(
         count(lit(1)).as("n"),
         (abs(corr(col("x"), log(col("y"))) - 0.7) < 0.02).as("corr_xy_ok"),
@@ -545,7 +557,12 @@ object GeneratorQueries {
         maxVocab = 4096, maxFanout = 32)
       def build() = graft.operators.TextGen.generate(spark, model, 2000L,
         seed = 97L, len = 30)
-      val gen = build()
+      // The generated corpus feeds four consumers (emitted-bigram check,
+      // both exceptAll directions, the final aggregate) and the rebuild
+      // feeds two — without a cache each consumer re-runs the full
+      // seeded walk, 6 generation passes where 2 suffice.
+      val gen = build().cache()
+      val gen2 = build().cache()
       val trained = docs
         .select(split(trim(col("text")), "\\s+").as("t"))
         .where(size(col("t")) > 1) // sequence(1,0) would descend
@@ -558,7 +575,8 @@ object GeneratorQueries {
         .select("p.a", "p.b").distinct()
       val novel = emitted.join(trained, Seq("a", "b"), "left_anti").count()
       val reproducible =
-        build().exceptAll(gen).count() == 0 && gen.exceptAll(build()).count() == 0
+        gen2.exceptAll(gen).count() == 0 && gen.exceptAll(gen2).count() == 0
+      gen2.unpersist(false)
       gen.select(size(split(col("text"), " ")).as("len"), col("text")).agg(
         count(lit(1)).as("n"),
         (min(col("len")) >= 1 && max(col("len")) <= 30).as("len_ok"),

@@ -43,8 +43,16 @@ object Staging {
     // two slicings with the same shape but different predicates (a moved
     // cut date, a flipped %2 split) must re-stage, and the cache dir
     // persists across JVMs so "same JVM" is no protection.
+    // CANONICALIZED, not raw: the raw analyzed string embeds expression
+    // IDs, which increment per plan built in a session — the same gate's
+    // second invocation produced a different fingerprint, so the memo
+    // NEVER hit and every bench/verify run re-staged every stream
+    // fixture inside the timed lambda (confirmed r18: 13 content-identical
+    // graft_log_scms_* dirs, staging jobs visible in timed runs).
+    // Canonicalization normalizes exprIds and nothing else, so changed
+    // predicates/literals still re-stage.
     val sliceFingerprint = slices
-      .map(_.queryExecution.analyzed.toString.hashCode.toHexString)
+      .map(_.queryExecution.analyzed.canonicalized.toString.hashCode.toHexString)
       .mkString(",")
     val key = (dir, dirStamp(dir), slices.length, sliceFingerprint,
       slices.map(_.schema.simpleString).mkString(";")).hashCode.toHexString

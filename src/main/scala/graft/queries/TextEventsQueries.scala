@@ -131,12 +131,19 @@ object TextEventsQueries {
         d.where(col("doc_id") >= 100 && col("doc_id") < 300),
         d.where(col("doc_id") >= 300))
       val logDir = Staging.batchLog("sbm25", dir, "day", days)
-      val postings = graft.streaming.RetrievalStream.incrementalPostings(
-        s, history, logDir, days.head.schema,
-        s"${Staging.freshStateRoot("graft_shyb_bm")}/state", "doc_id", "text")
-      val sparse = TextAnalysis.bm25FromPostings(postings,
-        Seq("spark", "window", "customer"), 50)
-        .select(col("doc_id").as("id"), col("score"))
+      // The two folds are INDEPENDENT live streams over disjoint state
+      // dirs; each is a serial micro-batch chain that leaves most cores
+      // idle, so they run CONCURRENTLY (guide §2.6 overlap-independent-
+      // jobs) — the second stream's tasks back-fill the first's idle
+      // capacity. Results are unchanged: nothing downstream reads either
+      // fold until both have completed.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val postingsF = Future(graft.streaming.RetrievalStream
+        .incrementalPostings(
+          s, history, logDir, days.head.schema,
+          s"${Staging.freshStateRoot("graft_shyb_bm")}/state", "doc_id",
+          "text"))
       val e = Tables.load(s, dir, "embeddings")
       val corpus = e.where(col("vec_id") >= 20)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -152,6 +159,10 @@ object TextEventsQueries {
         s, ehist, elogDir, edays.head.schema,
         s"${Staging.freshStateRoot("graft_shyb_ivf")}/state", "id", "vec",
         centroids)
+      val sparse = TextAnalysis.bm25FromPostings(
+        Await.result(postingsF, scala.concurrent.duration.Duration.Inf),
+        Seq("spark", "window", "customer"), 50)
+        .select(col("doc_id").as("id"), col("score"))
       val q = e.where(col("vec_id") === 7)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val dense = graft.operators.Similarity.probeIndex(lists, q, 50,
@@ -176,12 +187,14 @@ object TextEventsQueries {
         d.where(col("doc_id") >= 100 && col("doc_id") < 300),
         d.where(col("doc_id") >= 300))
       val logDir = Staging.batchLog("sbm25", dir, "day", days)
-      val postings = graft.streaming.RetrievalStream.incrementalPostings(
-        s, history, logDir, days.head.schema,
-        s"${Staging.freshStateRoot("graft_shyb8_bm")}/state", "doc_id", "text")
-      val sparse = TextAnalysis.bm25FromPostings(postings,
-        Seq("spark", "window", "customer"), 50)
-        .select(col("doc_id").as("id"), col("score"))
+      // Concurrent independent folds — see stream_hybrid_rrf.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val postingsF = Future(graft.streaming.RetrievalStream
+        .incrementalPostings(
+          s, history, logDir, days.head.schema,
+          s"${Staging.freshStateRoot("graft_shyb8_bm")}/state", "doc_id",
+          "text"))
       val e = Tables.load(s, dir, "embeddings")
       val corpus = e.where(col("vec_id") >= 20)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -197,6 +210,10 @@ object TextEventsQueries {
         s, ehist, elogDir, edays.head.schema,
         s"${Staging.freshStateRoot("graft_shyb8_ivf")}/state", "id", "vec",
         centroids)
+      val sparse = TextAnalysis.bm25FromPostings(
+        Await.result(postingsF, scala.concurrent.duration.Duration.Inf),
+        Seq("spark", "window", "customer"), 50)
+        .select(col("doc_id").as("id"), col("score"))
       val q = e.where(col("vec_id") === 7)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val vo = graft.operators.VectorOps

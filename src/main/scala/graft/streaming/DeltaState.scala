@@ -53,15 +53,27 @@ object DeltaState {
   private[streaming] def deltaPath(stateDir: String, chain: String,
       batch: Long): String = s"$stateDir/${chain}_d$batch"
 
+  /** Every chain write goes through one AQE REBALANCE exchange so the
+    * at-rest file count tracks DATA SIZE, not the upstream task count
+    * (guide §6 output sizing): a spread CPU-dense assign otherwise writes
+    * one near-empty file per core into every delta, and the serving
+    * multi-path scan then pays per-file listing/footer/open costs that
+    * grow with cores × batches — the small-files anti-pattern built
+    * directly into the state layout. AQE sizes the exchange's output to
+    * advisoryPartitionSizeInBytes, so a tiny local delta lands as one
+    * file while a 100 TB deployment's batch still writes many
+    * right-sized files — scale-adaptive, not a local[32] constant. */
+  private def sized(df: DataFrame): DataFrame = df.hint("rebalance")
+
   /** Seed or compacted full state for batches <= `version`. */
   def writeBase(df: DataFrame, stateDir: String, chain: String,
       version: Long): Unit =
-    df.write.mode("overwrite").parquet(basePath(stateDir, chain, version))
+    sized(df).write.mode("overwrite").parquet(basePath(stateDir, chain, version))
 
   /** Batch `batch`'s delta — the ONLY write a non-compacting batch does. */
   def writeDelta(df: DataFrame, stateDir: String, chain: String,
       batch: Long): Unit =
-    df.write.mode("overwrite").parquet(deltaPath(stateDir, chain, batch))
+    sized(df).write.mode("overwrite").parquet(deltaPath(stateDir, chain, batch))
 
   private def listVersions(stateDir: String, chain: String,
       kind: String): Seq[Long] = {
@@ -150,8 +162,8 @@ object DeltaState {
     val cover = coverEnd(stateDir, chain, c, version - 1)
     val deltas = deltaVersionsIn(stateDir, chain, cover, version)
     require(deltas.nonEmpty, s"DeltaState.pack: no deltas past $cover")
-    merge(spark.read.parquet(
-        deltas.map(deltaPath(stateDir, chain, _)): _*))
+    sized(merge(spark.read.parquet(
+        deltas.map(deltaPath(stateDir, chain, _)): _*)))
       .write.mode("overwrite").parquet(packPath(stateDir, chain, version))
   }
 

@@ -82,7 +82,7 @@ object EmbeddingIndexStream {
       .option("maxFilesPerTrigger", 1).parquet(vecDir)
     EventStream.runForeachBatch(spark, stream, (batch, id) => {
       val prev = spark.read.parquet(s"$stateDir/$prefix$id")
-      combine(prev, assign(batch))
+      combine(prev, assign(EventStream.spread(batch)))
         .write.mode("overwrite").parquet(s"$stateDir/$prefix${id + 1}")
       ChangelogStream.vacuum(stateDir, retainVersions, prefix = prefix)
       last = id + 1

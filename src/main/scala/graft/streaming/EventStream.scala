@@ -432,6 +432,33 @@ object EventStream {
     }
   }
 
+  /** Spreads a CPU-dense micro-batch across the session's parallelism
+    * when the file-source split leaves it on a handful of tasks: a
+    * maxFilesPerTrigger=1 batch arrives as ONE small file — one or two
+    * input splits — so a narrow, compute-heavy assign (per-token
+    * hashing, shingling, vector-distance assignment, scoring) runs at
+    * 1-3/N core utilization while the rest of the machine idles (guide
+    * §2.5's "one huge unsplittable file" shape, §2.6 idle capacity).
+    * ADAPTIVE, not a local[32] constant: when the incoming batch already
+    * carries >= defaultParallelism partitions (a real deployment's
+    * many-file or Kafka batch), this is the identity — no extra
+    * exchange. The repartition shuffles only the batch's own bytes
+    * (O(batch), tiny next to the compute it unblocks), and every fold
+    * that uses it aggregates order-insensitively (exact integer sums /
+    * per-row maps), so results are partitioning-independent.
+    *
+    * Used ONLY where A/B family boards showed a real win — the merge
+    * folds, whose per-batch map-side partial aggregation (CMS
+    * explode×hash, DSIR featurize, per-dim moments) is the heavy term
+    * (stream_cms_fold 4.7 → 2.6 s). The append folds' assigns (IVF
+    * nprobe=1 projections, PQ encodes, shingling a few hundred docs)
+    * measured cheaper than the extra exchange, so they keep the raw
+    * batch (r18 samples A–C: spreading them cost +0.5–2.6 s/gate). */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** foreachBatch sink: the operational pattern for pushing a stream into
     * a non-streaming store. Each micro-batch arrives as a plain batch
     * DataFrame plus its batchId — idempotent handlers key their writes on
