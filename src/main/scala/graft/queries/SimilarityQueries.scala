@@ -346,12 +346,21 @@ object SimilarityQueries {
           lists.select(col("id"), col("vec")), queries, 10)
         .select("qid", "id").cache()
       val nTruth = truth.count()
-      val hitsStale = Similarity.probeIndex(lists, queries, 10, stale, 1)
-        .select("qid", "id").intersect(truth).count()
+      // The stale-probe count and the rebuild+rebuilt-probe chain are
+      // independent consumers of the (already materialized) cached
+      // lists/truth — run them concurrently (guide §2.6) so the second
+      // chain's tasks back-fill the first's idle capacity.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val hitsStaleF = Future(
+        Similarity.probeIndex(lists, queries, 10, stale, 1)
+          .select("qid", "id").intersect(truth).count())
       val (reb, rebLists) = graft.streaming.EmbeddingIndexStream
         .rebuildIvf(lists, "id", "vec", 16, dim, KmIters)
       val hitsReb = Similarity.probeIndex(rebLists, queries, 10, reb, 1)
         .select("qid", "id").intersect(truth).count()
+      val hitsStale =
+        Await.result(hitsStaleF, scala.concurrent.duration.Duration.Inf)
       Seq((nTruth, hitsStale <= 480L, hitsReb >= 540L,
           hitsReb >= hitsStale + 60L))
         .toDF("n_truth", "stale_degraded", "rebuilt_recovers",
@@ -399,10 +408,17 @@ object SimilarityQueries {
           rebCached.select(col("id"), col("vec")), queries, 10)
         .select("qid", "id").cache()
       val nTruth = truth.count()
-      val hitsStale = Similarity.probeIndex(staleLists, queries, 10, stale, 1)
-        .select("qid", "id").intersect(truth).count()
+      // Independent probe counts over materialized caches — concurrent
+      // (guide §2.6; see stream_ivf_rebuild).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val hitsStaleF = Future(
+        Similarity.probeIndex(staleLists, queries, 10, stale, 1)
+          .select("qid", "id").intersect(truth).count())
       val hitsReb = Similarity.probeIndex(rebCached, queries, 10, reb, 1)
         .select("qid", "id").intersect(truth).count()
+      val hitsStale =
+        Await.result(hitsStaleF, scala.concurrent.duration.Duration.Inf)
       Seq((nTruth, hitsStale <= 480L, hitsReb >= 540L,
           hitsReb >= hitsStale + 60L))
         .toDF("n_truth", "stale_degraded", "rebuilt_recovers", "margin_ok")
@@ -439,22 +455,32 @@ object SimilarityQueries {
       val logDir = Staging.batchLog("sivfrebi", dir, "day", days)
       val stale = Similarity.trainKMeans(
         hist.where(col("id") % 4 === 0), "id", "vec", 8, dim, KmIters)
-      val (reb, rebLists) = graft.streaming.EmbeddingIndexStream
+      // The fold (a serial micro-batch chain that leaves most cores idle)
+      // is independent of the stale/truth evaluation — run it in a
+      // Future while the truth and stale-probe chains compute on the
+      // main thread (guide §2.6). Only the rebuilt probe needs the fold.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val foldF = Future(graft.streaming.EmbeddingIndexStream
         .incrementalIvfSq8WithRebuild(s, hist, logDir, days.head.schema,
           s"${Staging.freshStateRoot("graft_sq8rebi")}/state", "id", "vec",
           stale, rebuildEvery = 2, rebuildK = _ => 16, dim = dim,
-          iters = KmIters)
-      val rebCached = rebLists.cache()
+          iters = KmIters))
       val corpus = hist.unionByName(driftFold)
       val staleLists = Similarity.ivfSq8Assignments(
         corpus, "id", "vec", stale).cache()
       val truth = Similarity.bruteForceTopK(corpus, queries, 10)
         .select("qid", "id").cache()
       val nTruth = truth.count()
-      val hitsStale = Similarity.probeSq8Index(staleLists, queries, 10,
-        stale, 1).select("qid", "id").intersect(truth).count()
+      val hitsStaleF = Future(Similarity.probeSq8Index(staleLists, queries,
+        10, stale, 1).select("qid", "id").intersect(truth).count())
+      val (reb, rebLists) =
+        Await.result(foldF, scala.concurrent.duration.Duration.Inf)
+      val rebCached = rebLists.cache()
       val hitsReb = Similarity.probeSq8Index(rebCached, queries, 10,
         reb, 1).select("qid", "id").intersect(truth).count()
+      val hitsStale =
+        Await.result(hitsStaleF, scala.concurrent.duration.Duration.Inf)
       Seq((nTruth, hitsStale <= 480L, hitsReb >= 540L,
           hitsReb >= hitsStale + 60L))
         .toDF("n_truth", "stale_degraded", "rebuilt_recovers", "margin_ok")
@@ -500,12 +526,15 @@ object SimilarityQueries {
         KmIters)
       val staleBooks = Similarity.trainPQ(histTrain, "id", "vec", m,
         subDim, PqK, 2)
-      val (reb, rebGens, rebLists) = graft.streaming.EmbeddingIndexStream
+      // Fold concurrent with the truth/stale evaluation (guide §2.6; see
+      // stream_ivfsq8_rebuild) — only the rebuilt probe needs the fold.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val foldF = Future(graft.streaming.EmbeddingIndexStream
         .incrementalIvfPqWithRebuild(s, hist, logDir, days.head.schema,
           s"${Staging.freshStateRoot("graft_pqrebi")}/state", "id", "vec",
           stale, staleBooks, subDim, rebuildEvery = 2, rebuildK = _ => 16,
-          dim = dim, iters = KmIters, pqK = PqK, pqIters = 2)
-      val rebCached = rebLists.cache()
+          dim = dim, iters = KmIters, pqK = PqK, pqIters = 2))
       val corpus = hist.unionByName(driftFold)
       val staleLists = Similarity.ivfPqAssignments(
         corpus, "id", "vec", stale, staleBooks, subDim).cache()
@@ -524,12 +553,17 @@ object SimilarityQueries {
             .orderBy(col("score").desc, col("id"))))
         .where(col("rnk") <= 10)
         .select("qid", "id").intersect(truth).count()
-      val hitsStale = servedHits(
+      val hitsStaleF = Future(servedHits(
         Similarity.probePqIndex(staleLists, queries, 150, stale,
-          staleBooks, subDim, 1).select("qid", "id"))
+          staleBooks, subDim, 1).select("qid", "id")))
+      val (reb, rebGens, rebLists) =
+        Await.result(foldF, scala.concurrent.duration.Duration.Inf)
+      val rebCached = rebLists.cache()
       val hitsReb = servedHits(
         Similarity.probePqIndexVersioned(rebCached, queries, 150, reb,
           rebGens, subDim, 1).select("qid", "id"))
+      val hitsStale =
+        Await.result(hitsStaleF, scala.concurrent.duration.Duration.Inf)
       Seq((nTruth, hitsStale <= 450L, hitsReb >= 520L,
           hitsReb >= hitsStale + 100L))
         .toDF("n_truth", "stale_degraded", "rebuilt_recovers", "margin_ok")
@@ -1059,12 +1093,15 @@ object SimilarityQueries {
       val stale = Similarity.trainKMeans(
         pfx(hist.where(col("id") % 4 === 0), "vec"), "id", "vec", 8, pdim,
         KmIters)
-      val (reb, rebLists) = graft.streaming.EmbeddingIndexStream
+      // Fold concurrent with the truth/stale evaluation (guide §2.6; see
+      // stream_ivfsq8_rebuild).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val foldF = Future(graft.streaming.EmbeddingIndexStream
         .incrementalIvfMatryoshkaWithRebuild(s, hist, logDir,
           days.head.schema,
           s"${Staging.freshStateRoot("graft_matrebi")}/state", "id", "vec",
-          stale, pdim, rebuildEvery = 2, rebuildK = _ => 16, iters = KmIters)
-      val rebCached = rebLists.cache()
+          stale, pdim, rebuildEvery = 2, rebuildK = _ => 16, iters = KmIters))
       val corpus = hist.unionByName(driftFold)
       val staleLists = Similarity.ivfMatryoshkaAssignments(
         pfx(corpus, "vec"), "id", "vec", stale, pdim).cache()
@@ -1088,8 +1125,13 @@ object SimilarityQueries {
           .where(col("rnk") <= 10)
           .select("qid", "id").intersect(truth).count()
       }
-      val hitsStale = served(staleLists, stale)
+      val hitsStaleF = Future(served(staleLists, stale))
+      val (reb, rebLists) =
+        Await.result(foldF, scala.concurrent.duration.Duration.Inf)
+      val rebCached = rebLists.cache()
       val hitsReb = served(rebCached, reb)
+      val hitsStale =
+        Await.result(hitsStaleF, scala.concurrent.duration.Duration.Inf)
       Seq((nTruth, hitsStale <= 380L, hitsReb >= 395L,
           hitsReb >= hitsStale + 60L))
         .toDF("n_truth", "stale_degraded", "rebuilt_recovers", "margin_ok")

@@ -468,6 +468,10 @@ object EventStream {
   def runForeachBatch(spark: SparkSession, streaming: DataFrame,
       handle: (DataFrame, Long) => Unit): Unit =
     withConfiguredStateStore(spark) {
+      // Measured note (r18): Trigger.AvailableNow was A/B'd here and ran
+      // mildly SLOWER than processAllAvailable on the 45-gate stream
+      // family board (109.2 vs 104.0 s) with no per-gate winner, so the
+      // continuous-trigger drain stays.
       val q = streaming.writeStream
         .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             id: Long) => handle(df, id))
